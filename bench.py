@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline queries from the registry at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].  Each query is forced to
+full execution with a noop sink (no collect — rows never hit the driver,
+mirroring how a cluster job ends in a distributed sink).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from json_sql_database_storage_spark import registry
+from json_sql_database_storage_spark.session import build_session
+
+# Headline set: one representative per operator family, weighted toward the
+# scan/join/agg/window/LLM paths that dominate at 100 TB.
+HEADLINE = [
+    "q1_pricing_summary",
+    "agg_count_distinct",
+    "agg_median_percentile",
+    "filter_comparisons",
+    "join_star_revenue",
+    "join_orders_lineitem",
+    "window_top_n_per_group",
+    "window_running_total",
+    "setop_union_distinct",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk",
+    "text_stats",
+    "tfidf_top_terms",
+    "doc_assemble_nested",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    spark = build_session("bench")
+    specs = registry.specs()
+    names = [n for n in HEADLINE if n in specs] or sorted(specs)
+
+    timings: dict[str, float] = {}
+    # warm the JVM/scan path once so timings measure the engine, not JIT
+    specs[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    total = 0.0
+    for name in names:
+        t0 = time.perf_counter()
+        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

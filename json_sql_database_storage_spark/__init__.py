@@ -1,0 +1,26 @@
+"""PySpark-native analytics engine with the capabilities of
+Speuce/Json-SQL-Database-Storage, rebuilt Spark-first.
+
+The reference (/root/reference/DatabaseManager.java) is a JSON<->relational
+bridge over SQLite: it shreds nested JSON documents into dynamically created
+tables and reassembles them via recursive point lookups.  This package
+re-expresses that data model natively on Spark (nested StructType/ArrayType
+columns over Parquet) and adds the full bulk-analytical operator surface the
+reference delegates to its SQL backend, plus LLM-data-pipeline operators
+(dedup, similarity search, text analysis, multimodal columns) — every operator
+designed for 100 TB scale (declarative DataFrame plans, pushdown, broadcast
+for dims, AQE, no driver-side loops).
+
+Layout:
+    session.py    SparkSession builder tuned for the engine
+    registry.py   query/oracle registry powering __spark_entry__.py
+    sources/      table loaders, JSON/CSV/JDBC ingest, sinks
+    operators/    relational operators (filter/join/agg/window/sort/setops)
+    functions/    scalar function groups (string/date/math/array/map/json)
+    documents/    document shred/assemble/upsert (reference Part-A parity)
+    llm/          dedup, similarity, text analysis, multimodal plumbing
+    streaming/    Structured Streaming operators with batch twins
+    plans/        plan-inspection helpers (pushdown/broadcast assertions)
+"""
+
+__version__ = "0.1.0"

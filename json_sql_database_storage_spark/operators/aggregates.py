@@ -1,0 +1,483 @@
+"""Aggregation operators (SURVEY.md §2 B4).
+
+The reference has no aggregation at all — it shreds JSON into SQLite so the
+SQL layer can aggregate (reference README.md:2).  These are the bulk-agg
+capabilities that layer must expose, expressed as declarative Spark plans so
+Catalyst emits partial (map-side) aggregation before the shuffle and
+whole-stage codegen for the agg loops.
+
+Float determinism: all sums/avgs follow the exact-decimal conventions in
+``functions/exact.py`` — results are bit-identical to the DuckDB oracle and
+invariant under partitioning, which is what makes them stable from local[4]
+to a 1000-executor cluster.
+
+Scale notes: every groupBy here shuffles only the grouped keys + partial agg
+buffers (bytes per group, not per row).  Group-key cardinality is bounded
+(flags, statuses, dates), so these scale to 100 TB without skew concerns;
+high-cardinality groupBys (per-customer) ride AQE partition coalescing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import cents, davg, dec, dec_factor, dsum, dsum_expr
+from ..registry import register
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# b4.1 flagship — TPC-H Q1 shape: scan + filter + computed projection +
+# hash agg (8 aggregates) + sort.  Also the driver's entry() smoke query.
+# ---------------------------------------------------------------------------
+
+Q1_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,4))), 2) AS DOUBLE)      AS sum_qty,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_base_price,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+              * CAST(1 - l_discount AS DECIMAL(6,4))), 2) AS DOUBLE)    AS sum_disc_price,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+              * CAST(1 - l_discount AS DECIMAL(6,4))
+              * CAST(1 + l_tax AS DECIMAL(6,4))), 2) AS DOUBLE)         AS sum_charge,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / count(*)      AS avg_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) / count(*) AS avg_price,
+  CAST(sum(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / count(*)      AS avg_disc,
+  count(*)                                                               AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("q1_pricing_summary", oracle=Q1_ORACLE, tags=("b4.1", "flagship"))
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = dec("l_extendedprice") * dec_factor(1 - F.col("l_discount"))
+    charge = disc_price * dec_factor(1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum_expr(disc_price).alias("sum_disc_price"),
+            dsum_expr(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b4.2 global (no-group) aggregation
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_global",
+    oracle="""
+SELECT
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_price,
+  CAST(sum(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / count(*)     AS mean_discount,
+  min(l_quantity)                                                       AS min_qty,
+  max(l_quantity)                                                       AS max_qty,
+  count(*)                                                              AS n_rows
+FROM lineitem
+""",
+    tags=("b4.2",),
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        dsum("l_extendedprice").alias("total_price"),
+        davg("l_discount").alias("mean_discount"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# b4.3 count distinct (exact).  Spark plans this as expand + two-phase agg;
+# at scale prefer approx_count_distinct (b4.4) when tolerance allows.
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+SELECT
+  o_orderstatus,
+  count(DISTINCT o_custkey)       AS n_customers,
+  count(DISTINCT o_orderpriority) AS n_priorities,
+  count(*)                        AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("b4.3",),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.countDistinct("o_orderpriority").alias("n_priorities"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b4.4 approximate count distinct (HLL++).  Not oracle-hashable (different
+# sketch implementations) — rows-only check; accuracy asserted in tests
+# against exact distinct with tolerance.
+# ---------------------------------------------------------------------------
+
+@register("agg_approx_count_distinct", oracle=None, tags=("b4.4",))
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.approx_count_distinct("event_id", 0.02).alias("approx_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# b4.5 rollup (GROUPING SETS family)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT
+  coalesce(o_orderstatus, 'ALL')   AS status,
+  coalesce(o_orderpriority, 'ALL') AS priority,
+  count(*)                         AS n,
+  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+""",
+    tags=("b4.5",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum("o_totalprice").alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n", "total",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b4.5 cube
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_cube",
+    oracle="""
+SELECT
+  coalesce(l_returnflag, 'ALL') AS returnflag,
+  coalesce(l_linestatus, 'ALL') AS linestatus,
+  count(*)                      AS n,
+  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,4))), 2) AS DOUBLE) AS qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+""",
+    tags=("b4.5",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             dsum("l_quantity").alias("qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "n", "qty",
+        )
+        .orderBy("returnflag", "linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b4.6 HAVING — post-aggregation filter on the exact decimal sum, so the
+# predicate boundary can't flap between engines.
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_having",
+    oracle="""
+SELECT o_custkey,
+       CAST(round(spend_dec, 2) AS DOUBLE) AS spend,
+       n_orders
+FROM (
+  SELECT o_custkey,
+         sum(CAST(o_totalprice AS DECIMAL(12,4))) AS spend_dec,
+         count(*) AS n_orders
+  FROM orders
+  GROUP BY o_custkey
+)
+WHERE spend_dec > 400000
+ORDER BY o_custkey
+""",
+    tags=("b4.6",),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.sum(dec("o_totalprice")).alias("spend_dec"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("spend_dec") > 400000)
+        .select("o_custkey",
+                F.round("spend_dec", 2).cast("double").alias("spend"),
+                "n_orders")
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b4.7 stddev / variance — computed from exact decimal sums so both engines
+# evaluate the identical double expression (sum-of-squares formulation);
+# built-in stddev_samp over doubles is summation-order-dependent and cannot
+# hash-match across engines.
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_stats",
+    oracle="""
+SELECT
+  l_returnflag,
+  sqrt((sxx - sx * sx / n) / (n - 1)) AS qty_stddev,
+  (sxx - sx * sx / n) / (n - 1)       AS qty_var,
+  sqrt((dxx - dx * dx / n) / n)       AS disc_stddev_pop,
+  (dxx - dx * dx / n) / n             AS disc_var_pop
+FROM (
+  SELECT
+    l_returnflag,
+    count(*) AS n,
+    CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE)  AS sx,
+    CAST(sum(CAST(l_quantity AS DECIMAL(12,4))
+           * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE)  AS sxx,
+    CAST(sum(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE)  AS dx,
+    CAST(sum(CAST(l_discount AS DECIMAL(12,4))
+           * CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE)  AS dxx
+  FROM lineitem
+  GROUP BY l_returnflag
+)
+ORDER BY l_returnflag
+""",
+    tags=("b4.7",),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    base = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("l_quantity")).cast("double").alias("sx"),
+            F.sum(dec("l_quantity") * dec("l_quantity")).cast("double").alias("sxx"),
+            F.sum(dec("l_discount")).cast("double").alias("dx"),
+            F.sum(dec("l_discount") * dec("l_discount")).cast("double").alias("dxx"),
+        )
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    dx, dxx = F.col("dx"), F.col("dxx")
+    return (
+        base.select(
+            "l_returnflag",
+            F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("qty_stddev"),
+            ((sxx - sx * sx / n) / (n - 1)).alias("qty_var"),
+            F.sqrt((dxx - dx * dx / n) / n).alias("disc_stddev_pop"),
+            ((dxx - dx * dx / n) / n).alias("disc_var_pop"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b4.8 exact median + percentiles over cents-snapped integers: order
+# statistics and interpolation then operate on exact integer doubles, which
+# both engines interpolate identically (FIXTURES.md §3 determinism rules).
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_median_percentile",
+    oracle="""
+SELECT
+  o_orderstatus,
+  median(floor(o_totalprice * 10000 + 0.5)) / 10000               AS med_price,
+  quantile_cont(floor(o_totalprice * 10000 + 0.5), 0.25) / 10000  AS p25,
+  quantile_cont(floor(o_totalprice * 10000 + 0.5), 0.90) / 10000  AS p90
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("b4.8",),
+)
+def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = cents("o_totalprice")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            (F.median(c) / 10000).alias("med_price"),
+            (F.percentile(c, F.lit(0.25)) / 10000).alias("p25"),
+            (F.percentile(c, F.lit(0.90)) / 10000).alias("p90"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b4.9 collect_list / collect_set — array_sort for deterministic comparison.
+# Reassembly building block: the reference's child-array reconstruction
+# (DatabaseManager.java:327-348) is collect_list(struct) in this engine.
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_collect",
+    oracle="""
+SELECT
+  l_orderkey,
+  list_sort(list(l_linenumber))          AS linenumbers,
+  list_sort(list(DISTINCT l_returnflag)) AS flags
+FROM lineitem
+WHERE l_orderkey <= 100
+GROUP BY l_orderkey
+ORDER BY l_orderkey
+""",
+    tags=("b4.9",),
+)
+def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") <= 100)
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_sort(F.collect_list("l_linenumber")).alias("linenumbers"),
+            F.array_sort(F.collect_set("l_returnflag")).alias("flags"),
+        )
+        .orderBy("l_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b4.10 min_by / max_by (argmin/argmax) — latest event per user.
+# Determinism: event ts is globally unique in the generated data (verified at
+# sf0.001/0.01/0.1), so a plain ts ordering key has no ties.
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_min_by_max_by",
+    oracle="""
+SELECT
+  user_id,
+  arg_max(event_type, ts) AS last_type,
+  arg_min(event_type, ts) AS first_type,
+  count(*)                AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("b4.10",),
+)
+def agg_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by("event_type", F.col("ts")).alias("last_type"),
+            F.min_by("event_type", F.col("ts")).alias("first_type"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b4.11 conditional aggregation — sum(when(...)) ≡ SQL FILTER clause.
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_conditional",
+    oracle="""
+SELECT
+  o_orderpriority,
+  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,4)))
+             FILTER (WHERE o_orderstatus = 'F'), 2) AS DOUBLE) AS finished_total
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("b4.11",),
+)
+def agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+            F.round(F.sum(F.when(F.col("o_orderstatus") == "F",
+                                 dec("o_totalprice"))), 2)
+             .cast("double").alias("finished_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b4.12 pivot — event counts by type × weekday.  Pivot values are listed
+# explicitly (no extra distinct-collect job); oracle rewrites as conditional
+# aggregation, the same plan Spark generates.
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("signup", "purchase", "error", "click", "view")
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+SELECT
+  CAST(date_part('dow', ts) AS INTEGER) AS dow,
+  count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+  count(*) FILTER (WHERE event_type = 'error')    AS error,
+  count(*) FILTER (WHERE event_type = 'click')    AS click,
+  count(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events
+GROUP BY 1
+ORDER BY dow
+""",
+    tags=("b4.12",),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("dow", (F.dayofweek("ts") - F.lit(1)).cast("int"))
+        .groupBy("dow")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(_EVENT_TYPES))
+        .orderBy("dow")
+    )

@@ -1,0 +1,56 @@
+"""Parquet table loaders for the driver's synthetic star schema.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet per table under an sf dir.
+
+Scale notes: `region`/`nation`/`supplier`/`part` are dimension tables — at any
+realistic scale they stay broadcastable, and join code in operators/ wraps
+them in F.broadcast().  The fact tables (`lineitem`, `orders`, `events`,
+`documents`, `embeddings`) are scanned with column pruning / predicate
+pushdown supplied by the declarative plans downstream — loaders never
+materialize or cache.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Small dimensions that stay broadcast-joinable at any scale factor.
+DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects.  Read nanos as long (legacy conf, settable at
+    runtime) and convert exactly — the generator emits whole microseconds, and
+    even if it didn't, truncation to micros is Spark's native timestamp
+    precision."""
+    from pyspark.sql import functions as F
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   tables: tuple[str, ...] = TABLES) -> None:
+    """Register temp views so operators can also be expressed in Spark SQL."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,45 @@
+"""Differential tests: every registered query vs its DuckDB oracle —
+the same check the driver runs (SURVEY.md §5.2.1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from json_sql_database_storage_spark import registry
+
+from .compare import assert_frames_match
+
+registry.load_all()
+_SPECS = registry.specs()
+_WITH_ORACLE = sorted(n for n, s in _SPECS.items() if s.oracle is not None)
+_ROWS_ONLY = sorted(n for n, s in _SPECS.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_oracle_match(spark, duck, sf_dir, name):
+    spec = _SPECS[name]
+    spark_pdf = spec.fn(spark, sf_dir).toPandas()
+    oracle_pdf = duck.execute(spec.oracle).df()
+    assert_frames_match(spark_pdf, oracle_pdf, name=name)
+
+
+@pytest.mark.parametrize("name", _ROWS_ONLY)
+def test_rows_only_smoke(spark, sf_dir, name):
+    df = _SPECS[name].fn(spark, sf_dir)
+    # schema is stable and the query executes; row count >= 0 by construction
+    assert df.columns
+    df.collect()
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+    rows = e.entry(spark).collect()
+    assert len(rows) > 0
+
+
+def test_registry_consistency():
+    import __spark_entry__ as e
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)
+    assert q, "no queries registered"
