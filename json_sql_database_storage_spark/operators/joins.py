@@ -1,0 +1,452 @@
+"""Join operators (SURVEY.md §2 B3).
+
+Reference parity: the reference's only "join" is the implicit parent↔child
+reassembly done via N+1 recursive point lookups (DatabaseManager.java:317-321
+per child object, :336-341 per parent×child-type) — b3.11 here replaces that
+with a single shuffle join + collect_list(struct).  The rest is the join
+surface the reference's SQL backend provides.
+
+Scale strategy (SURVEY.md §4.3):
+- dimension tables (region/nation/supplier/part) are wrapped in
+  F.broadcast() — no shuffle of the fact side, valid at any SF since dims
+  don't grow with fact data;
+- fact↔fact joins (orders⋈lineitem, customer⋈orders) shuffle on the join
+  key and rely on AQE for partition sizing/skew; both sides arrive hashed on
+  the same key so no extra exchange;
+- range/theta joins are joined against tiny literal tables via broadcast
+  nested-loop — the only NLJ shapes here keep the big side streaming;
+- the as-of join avoids the classic inequality-join row explosion entirely:
+  union both streams + one window pass (single shuffle, O(n) state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec, dec_factor
+from ..registry import register
+from ..sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# b3.1 broadcast hash equi-join: nation ⋈ region (both dims, broadcast side
+# explicit so the plan is broadcast at any scale, not just when AQE sees
+# small stats).
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+SELECT n.n_nationkey, n.n_name, r.r_name AS region_name
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+ORDER BY n.n_nationkey
+""",
+    tags=("b3.1",),
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("n_nationkey", "n_name", F.col("r_name").alias("region_name"))
+        .orderBy("n_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b3.2 shuffle / sort-merge equi-join on the two fact tables.  Both sides
+# shuffle once on l_orderkey/o_orderkey; aggregates use exact decimals.
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_orders_lineitem",
+    oracle="""
+SELECT
+  o.o_orderkey,
+  o.o_orderstatus,
+  count(*) AS n_lines,
+  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,4))
+             * CAST(1 - l.l_discount AS DECIMAL(6,4))), 2) AS DOUBLE) AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderstatus = 'F'
+GROUP BY o.o_orderkey, o.o_orderstatus
+ORDER BY o.o_orderkey
+""",
+    tags=("b3.2",),
+)
+def join_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = dec("l_extendedprice") * dec_factor(1 - F.col("l_discount"))
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b3.3 multi-way star join (TPC-H Q5 shape): revenue by customer nation.
+# lineitem⋈orders⋈customer shuffle on their keys; nation/region/supplier are
+# broadcast — at 100 TB the plan is two shuffles + three broadcasts.
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_star_revenue",
+    oracle="""
+SELECT
+  n.n_name AS nation,
+  r.r_name AS region,
+  count(*) AS n_lines,
+  CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,4))
+             * CAST(1 - l.l_discount AS DECIMAL(6,4))), 2) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o    ON l.l_orderkey = o.o_orderkey
+JOIN customer c  ON o.o_custkey = c.c_custkey
+JOIN nation n    ON c.c_nationkey = n.n_nationkey
+JOIN region r    ON n.n_regionkey = r.r_regionkey
+JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+WHERE o.o_orderstatus != 'P'
+GROUP BY n.n_name, r.r_name
+ORDER BY nation
+""",
+    tags=("b3.3",),
+)
+def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") != "P")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = dec("l_extendedprice") * dec_factor(1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy("nation")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b3.4 outer joins: customer LEFT JOIN orders (keeps customers w/o orders)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_left_outer",
+    oracle="""
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+FROM customer c LEFT JOIN orders o
+  ON c.c_custkey = o.o_custkey AND o.o_totalprice > 300000
+ORDER BY c.c_custkey, o.o_orderkey
+""",
+    tags=("b3.4",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 300000), "left")
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .orderBy("c_custkey", "o_orderkey")
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+WITH big AS (SELECT * FROM orders WHERE o_totalprice > 450000),
+     rich AS (SELECT * FROM customer WHERE c_acctbal > 9000)
+SELECT rich.c_custkey, rich.c_name, big.o_orderkey, big.o_totalprice
+FROM rich FULL OUTER JOIN big ON rich.c_custkey = big.o_custkey
+ORDER BY rich.c_custkey, big.o_orderkey
+""",
+    tags=("b3.4",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "full")
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .orderBy("c_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b3.5 left semi (EXISTS) / b3.6 left anti (NOT EXISTS) — semi/anti never
+# duplicate or widen rows, so they shuffle only the key columns of the
+# filtering side.
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_left_semi",
+    oracle="""
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+""",
+    tags=("b3.5",),
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+ORDER BY c_custkey
+""",
+    tags=("b3.6",),
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b3.7 cross join (bounded: 5 regions × 25 nations)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_cross",
+    oracle="""
+SELECT r.r_name, n.n_name,
+       CASE WHEN n.n_regionkey = r.r_regionkey THEN 1 ELSE 0 END AS is_home
+FROM region r CROSS JOIN nation n
+ORDER BY r.r_name, n.n_name
+""",
+    tags=("b3.7",),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(F.broadcast(n))
+        .select("r_name", "n_name",
+                F.when(F.col("n_regionkey") == F.col("r_regionkey"), 1)
+                 .otherwise(0).alias("is_home"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b3.8 theta / range join: orders against literal year buckets (broadcast
+# nested-loop on a tiny in-memory side — the fact side streams once).
+# ---------------------------------------------------------------------------
+
+_YEAR_BUCKETS = [(y, f"{y}-01-01 00:00:00", f"{y + 1}-01-01 00:00:00")
+                 for y in range(1995, 2002)]
+
+
+@register(
+    "join_range_theta",
+    oracle="""
+WITH buckets(bucket_year, lo, hi) AS (
+  VALUES {values}
+)
+SELECT b.bucket_year, count(*) AS n_orders,
+       CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS total
+FROM orders o
+JOIN buckets b ON o.o_orderdate >= CAST(b.lo AS TIMESTAMP)
+              AND o.o_orderdate < CAST(b.hi AS TIMESTAMP)
+GROUP BY b.bucket_year
+ORDER BY b.bucket_year
+""".format(values=",\n          ".join(
+        f"({y}, '{lo}', '{hi}')" for y, lo, hi in _YEAR_BUCKETS)),
+    tags=("b3.8",),
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    buckets = spark.createDataFrame(
+        _YEAR_BUCKETS, "bucket_year INT, lo STRING, hi STRING"
+    ).select("bucket_year",
+             F.col("lo").cast("timestamp").alias("lo"),
+             F.col("hi").cast("timestamp").alias("hi"))
+    return (
+        o.join(F.broadcast(buckets),
+               (o.o_orderdate >= F.col("lo")) & (o.o_orderdate < F.col("hi")))
+        .groupBy("bucket_year")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum(dec("o_totalprice")), 2).cast("double").alias("total"))
+        .orderBy("bucket_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b3.9 self join: consecutive event pairs per user (row_number alignment,
+# then shifted equi-join — stays an equi-join, no inequality explosion).
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_self_consecutive",
+    oracle="""
+WITH numbered AS (
+  SELECT user_id, event_id, event_type, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+)
+SELECT a.user_id, a.event_id AS from_event, b.event_id AS to_event,
+       a.event_type AS from_type, b.event_type AS to_type
+FROM numbered a JOIN numbered b
+  ON a.user_id = b.user_id AND a.rn + 1 = b.rn
+ORDER BY a.user_id, from_event
+""",
+    tags=("b3.9",),
+)
+def join_self_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    numbered = ev.select("user_id", "event_id", "event_type", "ts",
+                         F.row_number().over(w).alias("rn"))
+    a = numbered.alias("a")
+    b = numbered.alias("b")
+    return (
+        a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+               & (F.col("a.rn") + 1 == F.col("b.rn")))
+        .select(F.col("a.user_id").alias("user_id"),
+                F.col("a.event_id").alias("from_event"),
+                F.col("b.event_id").alias("to_event"),
+                F.col("a.event_type").alias("from_type"),
+                F.col("b.event_type").alias("to_type"))
+        .orderBy("user_id", "from_event")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b3.10 as-of join: for each event, the user's most recent order with
+# o_orderdate <= ts.  Implemented as union + single window pass — one
+# shuffle, O(1) state per row — instead of an inequality join whose
+# intermediate explodes quadratically at scale.  Deterministic under
+# same-date order ties via the (ts, is_event, o_orderkey) sort.
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_asof",
+    oracle="""
+WITH unioned AS (
+  SELECT user_id, ts, event_id, NULL::BIGINT AS o_orderkey, 1 AS is_event
+  FROM events
+  UNION ALL
+  SELECT o_custkey AS user_id, o_orderdate AS ts, NULL::BIGINT AS event_id,
+         o_orderkey, 0 AS is_event
+  FROM orders
+), tagged AS (
+  SELECT user_id, ts, event_id, is_event,
+         last_value(o_orderkey IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY ts, is_event, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey
+  FROM unioned
+)
+SELECT event_id, user_id, ts, asof_orderkey
+FROM tagged WHERE is_event = 1
+ORDER BY event_id
+""",
+    tags=("b3.10",),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(1).alias("is_event"))
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "o_orderkey",
+        F.lit(0).alias("is_event"))
+    w = (W.partitionBy("user_id")
+         .orderBy("ts", "is_event", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        ev.unionByName(o)
+        .withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .filter(F.col("is_event") == 1)
+        .select("event_id", "user_id", "ts", "asof_orderkey")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b3.11 parent↔child re-nest (reference A2/A11 parity).  The reference
+# rebuilds each parent document with one SELECT per child type per parent
+# (DatabaseManager.java:336-341, N+1); here it is ONE shuffle join + one
+# aggregation producing nested rows.  Nested output → rows-only check.
+# ---------------------------------------------------------------------------
+
+@register("join_renest_documents", oracle=None, tags=("b3.11", "A2", "A11"))
+def join_renest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    line_struct = F.struct("l_linenumber", "l_partkey", "l_quantity",
+                           "l_extendedprice", "l_discount")
+    nested = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list(line_struct)).alias("lines"))
+    )
+    return (
+        o.join(nested, o.o_orderkey == nested.l_orderkey, "left")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                F.coalesce("lines", F.array()).alias("lines"))
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b3.12 broadcast nested-loop join on pure inequality (no equi key):
+# parts against literal price bands.
+# ---------------------------------------------------------------------------
+
+_PRICE_BANDS = [("budget", 0.0, 500.0), ("mid", 500.0, 800.0),
+                ("premium", 800.0, 1e9)]
+
+
+@register(
+    "join_bnlj_price_bands",
+    oracle="""
+WITH bands(band, lo, hi) AS (VALUES {values})
+SELECT b.band, count(*) AS n_parts,
+       CAST(round(sum(CAST(p.p_retailprice AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_price
+FROM part p JOIN bands b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+GROUP BY b.band
+ORDER BY b.band
+""".format(values=", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in _PRICE_BANDS)),
+    tags=("b3.12",),
+)
+def join_bnlj_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(_PRICE_BANDS, "band STRING, lo DOUBLE, hi DOUBLE")
+    return (
+        p.join(F.broadcast(bands),
+               (p.p_retailprice >= F.col("lo")) & (p.p_retailprice < F.col("hi")))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_parts"),
+             F.round(F.sum(dec("p_retailprice")), 2).cast("double").alias("total_price"))
+        .orderBy("band")
+    )

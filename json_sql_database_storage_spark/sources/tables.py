@@ -45,7 +45,9 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer division: epoch-ns values exceed double's 2^53 mantissa,
+        # so a float divide here silently drifts timestamps by ±1 µs
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
