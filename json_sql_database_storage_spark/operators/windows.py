@@ -1,0 +1,238 @@
+"""Window-function operators (SURVEY.md §2 B5).
+
+Window functions need one shuffle on the partition key, then sorted
+evaluation inside each partition — no N+1, no self-joins.  Running/moving
+aggregates over doubles are computed on exact decimals (functions/exact.py)
+because windowed summation association differs between engines (Spark
+accumulates, DuckDB may use segment trees); decimal arithmetic is
+associative so both produce identical values.
+
+Determinism: every ORDER BY inside a window uses a tie-free composite
+(dates are day-granular, so (date, key) not date alone).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec
+from ..registry import register
+from ..sources import load_table
+
+
+# b5.1 ranking family
+@register(
+    "window_ranking",
+    oracle="""
+SELECT
+  o_custkey, o_orderkey,
+  row_number() OVER w AS rn,
+  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority)       AS prio_rank,
+  dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderpriority) AS prio_dense_rank,
+  ntile(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+ORDER BY o_custkey, o_orderkey
+""",
+    tags=("b5.1",),
+)
+def window_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = W.partitionBy("o_custkey").orderBy("o_orderpriority")
+    return (
+        o.select(
+            "o_custkey", "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(wp).alias("prio_rank"),
+            F.dense_rank().over(wp).alias("prio_dense_rank"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# b5.2 lag / lead over event streams
+@register(
+    "window_lag_lead",
+    oracle="""
+SELECT
+  user_id, event_id, event_type,
+  lag(event_type) OVER w            AS prev_type,
+  lead(event_type) OVER w           AS next_type,
+  lag(event_type, 2, 'NONE') OVER w AS prev2_type,
+  CAST(date_diff('microsecond', lag(ts) OVER w, ts) AS BIGINT) AS us_since_prev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+ORDER BY user_id, event_id
+""",
+    tags=("b5.2",),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    return (
+        ev.select(
+            "user_id", "event_id", "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+            F.lag("event_type", 2, "NONE").over(w).alias("prev2_type"),
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+            .alias("us_since_prev"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# b5.3 running total (rows frame, exact decimal accumulation)
+@register(
+    "window_running_total",
+    oracle="""
+SELECT
+  o_orderkey, o_orderdate,
+  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,4))) OVER (
+    ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total,
+  row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS seq
+FROM orders
+WHERE o_custkey < 50
+ORDER BY seq
+""",
+    tags=("b5.3",),
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = (W.orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        o.select(
+            "o_orderkey", "o_orderdate",
+            F.round(F.sum(dec("o_totalprice")).over(w), 2)
+             .cast("double").alias("running_total"),
+            F.row_number().over(W.orderBy("o_orderdate", "o_orderkey")).alias("seq"),
+        )
+        .orderBy("seq")
+    )
+
+
+# b5.4 moving average over a time-range frame (10 minutes preceding).
+# Range key = epoch seconds (integer) so both engines bound the frame
+# identically; the mean is exact-decimal-sum / count.
+@register(
+    "window_moving_avg",
+    oracle="""
+SELECT
+  user_id, event_id, sec,
+  CAST(sum(CAST(value AS DECIMAL(12,4))) OVER w AS DOUBLE) / count(*) OVER w AS moving_avg,
+  count(*) OVER w AS n_in_window
+FROM (
+  SELECT user_id, event_id, value, epoch_us(ts) // 1000000 AS sec
+  FROM events
+)
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, event_id
+""",
+    tags=("b5.4",),
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_id", "value",
+        (F.unix_micros("ts") / F.lit(1000000)).cast("long").alias("sec"))
+    w = W.partitionBy("user_id").orderBy("sec").rangeBetween(-600, 0)
+    return (
+        base.select(
+            "user_id", "event_id", "sec",
+            (F.sum(dec("value")).over(w).cast("double")
+             / F.count(F.lit(1)).over(w)).alias("moving_avg"),
+            F.count(F.lit(1)).over(w).alias("n_in_window"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# b5.5 percent_rank / cume_dist (rank-based — deterministic under value ties)
+@register(
+    "window_percent_rank",
+    oracle="""
+SELECT
+  c_custkey, c_acctbal,
+  percent_rank() OVER (ORDER BY c_acctbal) AS pr,
+  cume_dist() OVER (ORDER BY c_acctbal)    AS cd
+FROM customer
+ORDER BY c_custkey
+""",
+    tags=("b5.5",),
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal")
+    return (
+        c.select(
+            "c_custkey", "c_acctbal",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# b5.6 top-N per group: 3 most expensive orders per customer
+@register(
+    "window_top_n_per_group",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+)
+WHERE rk <= 3
+ORDER BY o_custkey, rk
+""",
+    tags=("b5.6",),
+)
+def window_top_n_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice",
+                 F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("o_custkey", "rk")
+    )
+
+
+# b5.7 first/last value over an explicit frame
+@register(
+    "window_first_last",
+    oracle="""
+SELECT
+  user_id, event_id,
+  first_value(event_type) OVER w AS session_first,
+  last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS session_last,
+  nth_value(event_type, 2) OVER w AS session_second
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY user_id, event_id
+""",
+    tags=("b5.7",),
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id").orderBy("ts")
+         .rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+    return (
+        ev.select(
+            "user_id", "event_id",
+            F.first("event_type").over(w).alias("session_first"),
+            F.last("event_type").over(w).alias("session_last"),
+            F.nth_value("event_type", 2).over(w).alias("session_second"),
+        )
+        .orderBy("user_id", "event_id")
+    )
