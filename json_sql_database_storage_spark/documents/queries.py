@@ -1,0 +1,98 @@
+"""Registry queries for the document layer (reference Part-A parity).
+
+The oracle-checkable piece is the upsert (b1.9 — pure relational rewrite);
+shred/assemble produce nested/JSON output → rows-only checks, with strict
+round-trip equality asserted in tests/test_documents.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+from .fixtures import ALL_FIXTURES, docs_df
+from .model import assemble, shred, to_documents
+from .typing_rules import apply_reference_typing
+
+
+# b1.9 / A5 — upsert as a deterministic join rewrite: "new" rows replace
+# same-key rows, others survive.  Expressed over the orders table so DuckDB
+# can run the equivalent MERGE-free SQL.
+@register(
+    "doc_upsert",
+    oracle="""
+WITH new AS (
+  SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+         o_totalprice + 1.0 AS o_totalprice
+  FROM orders WHERE o_orderkey < 100
+), merged AS (
+  SELECT * FROM new
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+  FROM orders o WHERE NOT EXISTS (SELECT 1 FROM new n
+                                  WHERE n.o_orderkey = o.o_orderkey)
+)
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM merged
+ORDER BY o_orderkey
+""",
+    tags=("b1.9", "A5"),
+)
+def doc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    new = (o.filter(F.col("o_orderkey") < 100)
+           .withColumn("o_orderstatus", F.lit("X"))
+           .withColumn("o_totalprice", F.col("o_totalprice") + 1.0))
+    merged = new.unionByName(o.join(new.select("o_orderkey"),
+                                    on="o_orderkey", how="left_anti"))
+    return merged.orderBy("o_orderkey")
+
+
+# A1+A2 — full shred → assemble → JSON round trip over every fixture family
+# (rows-only; strict equality asserted in tests)
+@register("doc_shred_assemble_roundtrip", oracle=None, tags=("A1", "A2", "b1.2"))
+def doc_shred_assemble_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    outs = []
+    for root, docs in ALL_FIXTURES.items():
+        result = shred(docs_df(spark, docs), root)
+        outs.append(to_documents(assemble(result))
+                    .withColumn("fixture", F.lit(root)))
+    df = outs[0]
+    for o in outs[1:]:
+        df = df.unionByName(o)
+    return df.orderBy("fixture")
+
+
+# A7 — reference typing rules applied to the F1 fixture ("time"-key ISO
+# heuristic on; int-string collapse behind its compat flag)
+@register("doc_typing_rules", oracle=None, tags=("A7",))
+def doc_typing_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = docs_df(spark, ALL_FIXTURES["f1"])
+    typed = apply_reference_typing(df, compat_int_strings=True)
+    return typed.select(
+        "name", "age", "active",
+        F.col("loginTime").cast("string").alias("login_ts"),
+        "numeric_string",
+        F.length("bio").alias("bio_len"),
+    )
+
+
+# b1.8 — JSON-lines rendering of re-nested relational docs (A2 output over
+# real tables: orders with their lineitems as nested arrays)
+@register("doc_tojson_lines", oracle=None, tags=("b1.8", "A2"))
+def doc_tojson_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    li = load_table(spark, sf_dir, "lineitem")
+    nested = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list(
+            F.struct("l_linenumber", "l_quantity", "l_extendedprice")))
+            .alias("lines")))
+    docs = (
+        o.join(nested, o.o_orderkey == nested.l_orderkey, "left")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                F.coalesce("lines", F.array()).alias("lines")))
+    return to_documents(docs.orderBy("o_orderkey"))

@@ -1,0 +1,136 @@
+"""Round-trip property tests for the document layer (SURVEY.md §5.2.3):
+assemble(shred(doc)) == doc modulo documented divergences (engine-assigned
+rowNums; booleans/floats natively typed)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from json_sql_database_storage_spark.documents.fixtures import ALL_FIXTURES, docs_df
+from json_sql_database_storage_spark.documents.model import (
+    KEY, assemble, shred, to_documents)
+from json_sql_database_storage_spark.documents.store import DocumentStore
+from json_sql_database_storage_spark.documents.typing_rules import (
+    apply_reference_typing, classify)
+
+
+def _strip_keys(obj):
+    """Drop rowNum fields recursively — engine-assigned ids differ from the
+    caller's sentinel (-1) by design."""
+    if isinstance(obj, dict):
+        return {k: _strip_keys(v) for k, v in obj.items() if k != KEY}
+    if isinstance(obj, list):
+        return [_strip_keys(x) for x in obj]
+    return obj
+
+
+def _roundtrip(spark, docs, root):
+    result = shred(docs_df(spark, docs), root)
+    rows = to_documents(assemble(result)).collect()
+    return [json.loads(r["doc"]) for r in rows], result
+
+
+@pytest.mark.parametrize("root", sorted(ALL_FIXTURES))
+def test_roundtrip(spark, root):
+    docs = ALL_FIXTURES[root]
+    out, _ = _roundtrip(spark, docs, root)
+    assert len(out) == len(docs)
+    got = sorted((json.dumps(_strip_keys(d), sort_keys=True) for d in out))
+    want = sorted((json.dumps(_strip_keys(d), sort_keys=True) for d in docs))
+    assert got == want, f"{root}: {got} != {want}"
+
+
+def test_shred_structure_f2(spark):
+    """F2: nested object WITH rowNum → child table named after the field,
+    parent holds a real FK (no '{child:N}' marker)."""
+    result = shred(docs_df(spark, ALL_FIXTURES["f2"]), "f2")
+    assert set(result.tables) == {"f2", "customer"}
+    parent = result.tables["f2"].collect()[0]
+    child = result.tables["customer"].collect()[0]
+    assert parent[f"customer${KEY}"] == child[KEY]
+    assert child["name"] == "bob"
+
+
+def test_shred_structure_f4(spark):
+    """F4: typed array → per-type child tables with back-pointer column
+    named after the parent table."""
+    result = shred(docs_df(spark, ALL_FIXTURES["f4"]), "f4")
+    assert set(result.tables) == {"f4", "drink", "side"}
+    parent_key = result.tables["f4"].collect()[0][KEY]
+    drinks = result.tables["drink"].collect()
+    assert len(drinks) == 2
+    assert all(r["f4"] == parent_key for r in drinks)
+    assert sorted(r["size"] for r in drinks) == [2, 3]
+
+
+def test_shred_structure_f3_flatten(spark):
+    """F3: all-primitive sub-object → $-flattened columns (ref :162)."""
+    result = shred(docs_df(spark, ALL_FIXTURES["f3"]), "f3")
+    cols = result.tables["f3"].columns
+    assert "topping$name" in cols and "topping$extra_cost" in cols
+
+
+def test_adversarial_strings_roundtrip_verbatim(spark):
+    """F6: no in-band markers — '{child:...}' etc. survive untouched, and
+    null is preserved (divergence-fix assertions, SURVEY.md §2-A #4/#6)."""
+    out, _ = _roundtrip(spark, ALL_FIXTURES["f6"], "f6")
+    doc = out[0]
+    assert doc["tricky1"] == "{child:999}"
+    assert doc["tricky2"] == "{check:[x]}"
+    assert doc["tricky3"] == "[not,json"
+    assert "note" in doc and doc["note"] is None
+
+
+def test_update_keeps_positive_rownum(spark):
+    """F7: rowNum > 0 is an update — the key must be preserved (ref :211-216)."""
+    result = shred(docs_df(spark, ALL_FIXTURES["f7"]), "f7")
+    assert result.tables["f7"].collect()[0][KEY] == 1
+
+
+def test_classify_golden():
+    """Golden fixture for §1.3 type inference (F1 expectations)."""
+    assert classify("age", 31) == "NUMBER"
+    assert classify("numeric_string", "007") == "NUMBER"      # lossy collapse
+    assert classify("loginTime", "2024-01-01T10:30:00") == "DATE"
+    assert classify("name", "alice") == "MEDIUM_STRING"
+    assert classify("bio", "b" * 140) == "TEXT"
+    assert classify("active", True) == "BOOLEAN"              # divergence
+    assert classify("ratio", 1.5) == "FLOAT"                  # divergence
+    # DATE needs BOTH the key heuristic and the value shape
+    assert classify("name", "2024-01-01T10:30:00") == "MEDIUM_STRING"
+    assert classify("loginTime", "not a date") == "MEDIUM_STRING"
+
+
+def test_apply_reference_typing(spark):
+    df = docs_df(spark, ALL_FIXTURES["f1"])
+    typed = apply_reference_typing(df, compat_int_strings=True)
+    schema = {f.name: f.dataType.simpleString() for f in typed.schema.fields}
+    assert schema["loginTime"] == "timestamp"
+    assert schema["numeric_string"] == "bigint"
+    row = typed.collect()[0]
+    assert row["numeric_string"] == 7
+    assert row["loginTime"].isoformat().startswith("2024-01-01T10:30")
+
+
+def test_store_upsert_and_lookup(spark, tmp_path):
+    store = DocumentStore(spark, str(tmp_path / "collections"))
+    docs = docs_df(spark, [
+        {"rowNum": 1, "name": "a", "v": 1},
+        {"rowNum": 2, "name": "b", "v": 2},
+    ])
+    store.save_docs(docs, "things")
+    # update row 2, insert row 3
+    more = docs_df(spark, [
+        {"rowNum": 2, "name": "b2", "v": 20},
+        {"rowNum": 3, "name": "c", "v": 3},
+    ])
+    store.save_docs(more, "things")
+    rows = {r[KEY]: r for r in store.read("things").collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2]["name"] == "b2" and rows[2]["v"] == 20
+    assert rows[1]["name"] == "a"
+    # A3 point lookup
+    hit = store.lookup("things", 3).collect()
+    assert len(hit) == 1 and hit[0]["name"] == "c"
