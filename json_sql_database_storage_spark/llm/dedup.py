@@ -1,0 +1,246 @@
+"""Deduplication operators (SURVEY.md §2 B11.1-11.2 + BASELINE.json mandate).
+
+The driver's documents table has no duplicate texts, so each query *builds*
+a corpus with known duplicates (base ∪ mutated copies of a slice) and then
+removes/finds them — the assertions exercise real dedup work instead of
+trivially passing on clean data.
+
+Scale design:
+- exact dedup shuffles 32-byte digests, not documents (group on sha256,
+  keep min id via min_by);
+- MinHash-LSH: per-doc signature is a fixed 32×8-byte vector computed in one
+  projection (no shuffle); banding explodes to 8 rows/doc; candidate
+  generation groups by (band, band-hash) so only colliding docs meet —
+  the classic sub-quadratic near-dup pipeline (vs all-pairs O(n²));
+- SimHash: 64-bit signature per doc via one aggregate over token hashes;
+  candidates via 16-bit chunk banding (hamming ≤ 3 within a chunk match);
+- all hashes seeded/deterministic (xxhash64 with literal seeds) so reruns
+  and resumed jobs agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+# MinHash parameters: 32 permutations in 8 bands × 4 rows.
+_NUM_HASHES = 32
+_BANDS = 8
+_ROWS_PER_BAND = _NUM_HASHES // _BANDS
+
+
+def _corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies (doc_id<30, offset ids) ∪ near copies
+    (30<=doc_id<60, one appended token)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    exact = (d.filter(F.col("doc_id") < 30)
+             .withColumn("doc_id", F.col("doc_id") + 100000))
+    near = (d.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 60))
+            .withColumn("doc_id", F.col("doc_id") + 200000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" zzzz"))))
+    return d.unionByName(exact).unionByName(near)
+
+
+# ---------------------------------------------------------------------------
+# b11.1 exact dedup: content-hash groupBy, deterministic survivor (min id).
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id < 30
+  UNION ALL
+  SELECT doc_id + 200000, text || ' zzzz', lang FROM documents
+  WHERE doc_id >= 30 AND doc_id < 60
+)
+SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash,
+       count(*) AS n_copies
+FROM corpus
+GROUP BY sha256(text)
+ORDER BY doc_id
+""",
+    tags=("b11.1",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_with_dups(spark, sf_dir)
+    return (
+        corpus.groupBy(F.sha2("text", 256).alias("content_hash"))
+        .agg(F.min("doc_id").alias("doc_id"),
+             F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "content_hash", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b11.2 MinHash + LSH near-dup: shingle → 32 minhashes → 8 bands →
+# band-collision candidates → exact-Jaccard verification.
+# ---------------------------------------------------------------------------
+
+def _tokens(col: F.Column) -> F.Column:
+    return F.array_distinct(F.split(F.lower(col), r"\s+"))
+
+
+def _shingles(col: F.Column, k: int = 3) -> F.Column:
+    toks = F.split(F.lower(col), r"\s+")
+    n = F.size(toks)
+    return F.array_distinct(F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(0), n - k),
+                    lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]))
+    ).otherwise(F.array(F.concat_ws(" ", toks))))
+
+
+def minhash_signature(shingles: F.Column,
+                      num_hashes: int = _NUM_HASHES) -> F.Column:
+    """num_hashes seeded min-hashes of the shingle set — one projection,
+    no shuffle; deterministic via literal seeds."""
+    return F.array(*[
+        F.array_min(F.transform(
+            shingles, lambda s: F.xxhash64(F.lit(seed), s)))
+        for seed in range(num_hashes)
+    ])
+
+
+def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        sig_col: str = "sig") -> DataFrame:
+    """Band the signatures and emit distinct id pairs that collide in ≥1
+    band.  Join is equi on (band_idx, band_hash) — sub-quadratic."""
+    bands = docs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[
+            F.xxhash64(*[F.col(sig_col)[b * _ROWS_PER_BAND + r]
+                         for r in range(_ROWS_PER_BAND)])
+            for b in range(_BANDS)
+        ])).alias("band_idx", "band_hash"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+@register("dedup_minhash_lsh", oracle=None, tags=("b11.2",))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_with_dups(spark, sf_dir)
+    docs = corpus.select(
+        "doc_id",
+        _tokens(F.col("text")).alias("toks"),
+        minhash_signature(_shingles(F.col("text"))).alias("sig"))
+    pairs = lsh_candidate_pairs(docs)
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    b = docs.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    verified = (
+        pairs.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard",
+                    F.size(F.array_intersect("toks_a", "toks_b"))
+                    / F.size(F.array_union("toks_a", "toks_b")))
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return verified.orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# b11.2b SimHash near-dup: 64-bit signature; candidates share one of four
+# 16-bit chunks; verified by hamming distance ≤ 6.
+# ---------------------------------------------------------------------------
+
+def simhash64(tokens: F.Column) -> F.Column:
+    """Weighted bit-vote simhash over token hashes, one aggregate per row.
+    (shift amounts must be Python ints, hence the unrolled 64-bit loops)"""
+    votes = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0).cast("long"), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(*[F.shiftright(F.xxhash64(F.lit(7), t), b)
+                      .bitwiseAND(F.lit(1)) for b in range(64)]),
+            lambda a, bit: a + bit * 2 - 1))
+    # disjoint bit weights, so sum == bitwise OR; bit 63 is the sign bit
+    weights = [F.when(votes[i] > 0,
+                      F.lit(1 << i if i < 63 else -(1 << 63)).cast("long"))
+               .otherwise(F.lit(0).cast("long")) for i in range(64)]
+    out = weights[0]
+    for w in weights[1:]:
+        out = out + w
+    return out
+
+
+@register("dedup_simhash", oracle=None, tags=("b11.2",))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_with_dups(spark, sf_dir)
+    docs = corpus.select("doc_id", _tokens(F.col("text")).alias("toks")) \
+        .withColumn("sig", simhash64(F.col("toks")))
+    # 4 chunks of 16 bits as LSH keys
+    chunks = docs.select(
+        "doc_id", "sig",
+        F.posexplode(F.array(*[
+            F.shiftright("sig", 16 * i).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ])).alias("chunk_idx", "chunk_val"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cands = (
+        a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+               & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("a.sig").alias("sig_a"),
+                F.col("b.doc_id").alias("id_b"), F.col("b.sig").alias("sig_b"))
+        .distinct())
+    return (
+        cands.withColumn("hamming",
+                         F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .filter(F.col("hamming") <= 6)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b11.2c n-gram Jaccard similarity on a bounded pair set — oracle-checkable
+# (integer set sizes; division identical both engines).
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS t
+  FROM documents WHERE doc_id < 40
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+         / len(list_distinct(flatten([a.t, b.t]))) AS jaccard
+FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.t, b.t)) * 1.0
+      / len(list_distinct(flatten([a.t, b.t]))) >= 0.30
+ORDER BY id_a, id_b
+""",
+    tags=("b11.2",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("t"))
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("t").alias("ta"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("t").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size(F.array_union("ta", "tb"))
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.30)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,191 @@
+"""Similarity search over embedding vectors (SURVEY.md §2 B11.3-11.4).
+
+The embedding column is a 64-dim float array (FIXTURES.md).  All math is
+done JVM-side with higher-order functions (zip_with/aggregate) on doubles —
+no UDFs — and both engines evaluate the identical left-to-right summation,
+so cosine scores hash-match the oracle bit-for-bit.
+
+Scale design:
+- brute-force top-k broadcasts the (small) query set and streams the corpus
+  once: cost O(|corpus|·|queries|·dim) flops, one shuffle for the per-query
+  top-k window — the right baseline ≤ a few hundred queries;
+- the scale path is random-hyperplane LSH bucketing (sim_lsh_buckets):
+  16-bit signatures from seeded pseudo-random hyperplanes restrict
+  comparisons to same-bucket pairs (vs all-pairs O(n²)); the same shape
+  extends to IVF by swapping bucket-id for nearest-centroid-id
+  (sim_nearest_centroid is exactly that assignment step).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+def as_double(vec: F.Column) -> F.Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: F.Column, b: F.Column) -> F.Column:
+    """Left-to-right summation — matches the oracle's list_sum order.
+    DuckDB twin: list_sum(list_transform(list_zip(a,b), p -> p[1]*p[2]))"""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: F.Column) -> F.Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: F.Column, b: F.Column) -> F.Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+_COSINE_SQL = """
+list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))
+/ (sqrt(list_sum(list_transform(list_zip({a}, {a}), p -> p[1] * p[2])))
+ * sqrt(list_sum(list_transform(list_zip({b}, {b}), p -> p[1] * p[2]))))
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# b11.3 brute-force cosine top-k: 10 query vectors × full corpus, top-5 each.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_cosine_topk",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+     q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+     scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         {_COSINE_SQL.format(a="q.qe", b="v.e")} AS cos_sim
+  FROM q JOIN v ON v.vec_id != q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rk
+FROM ranked WHERE rk <= 5
+ORDER BY query_id, rk
+""",
+    tags=("b11.3",),
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e"))
+    q = (v.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe")))
+    scored = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cosine(F.col("qe"), F.col("e")).alias("cos_sim")))
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b11.4 nearest-centroid assignment + label purity (the IVF assignment step).
+# Centroids = per-label mean vectors; each vector is assigned to the nearest
+# centroid by cosine; output = assignment counts (robust to last-ulp float
+# noise: distances differ at O(1e-2), engine noise is O(1e-12)).
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_nearest_centroid",
+    oracle=f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+     flat AS (
+  SELECT label, unnest(range(len(e))) AS pos, unnest(e) AS val FROM v
+), cent AS (
+  SELECT label AS c_label,
+         list(avg_val ORDER BY pos) AS ce
+  FROM (SELECT label, pos, sum(val) / count(*) AS avg_val
+        FROM flat GROUP BY label, pos)
+  GROUP BY label
+), assigned AS (
+  SELECT v.vec_id, v.label,
+         arg_max(c.c_label, {_COSINE_SQL.format(a="v.e", b="c.ce")}) AS assigned_label
+  FROM v CROSS JOIN cent c
+  GROUP BY v.vec_id, v.label
+)
+SELECT assigned_label, count(*) AS n_vectors,
+       count(*) FILTER (WHERE label = assigned_label) AS n_matching_label
+FROM assigned
+GROUP BY assigned_label
+ORDER BY assigned_label
+""",
+    tags=("b11.4",),
+)
+def sim_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("e"))
+    # centroids: posexplode + (label,pos) mean + re-collect ordered by pos.
+    # Float-sum caveat: sum order differs between engines, but centroid
+    # coordinates only steer an argmax whose margins dwarf the noise.
+    flat = v.select("label", F.posexplode("e").alias("pos", "val"))
+    cent = (
+        flat.groupBy("label", "pos")
+        .agg((F.sum("val") / F.count(F.lit(1))).alias("avg_val"))
+        .groupBy(F.col("label").alias("c_label"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "avg_val"))).alias("t"))
+        .select("c_label", F.transform("t", lambda s: s["avg_val"]).alias("ce")))
+    assigned = (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "label", "c_label",
+                cosine(F.col("e"), F.col("ce")).alias("cs"))
+        .groupBy("vec_id", "label")
+        .agg(F.max_by("c_label", F.col("cs")).alias("assigned_label")))
+    return (
+        assigned.groupBy("assigned_label")
+        .agg(F.count(F.lit(1)).alias("n_vectors"),
+             F.count(F.when(F.col("label") == F.col("assigned_label"), 1))
+              .alias("n_matching_label"))
+        .orderBy("assigned_label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b11.3b scale path: random-hyperplane LSH bucketing.  Hyperplane h_i[pos] is
+# a deterministic pseudo-random ±1 from xxhash64(i, pos) — reproducible
+# across runs/cluster sizes, no driver-side randomness.
+# ---------------------------------------------------------------------------
+
+_LSH_BITS = 12
+
+
+def _hyperplane_bit(vec: F.Column, i: int) -> F.Column:
+    signs = F.transform(
+        F.sequence(F.lit(0), F.size(vec) - 1),
+        lambda pos: F.when(
+            F.xxhash64(F.lit(i), pos).bitwiseAND(F.lit(1)) == 1,
+            F.lit(1.0)).otherwise(F.lit(-1.0)))
+    return F.when(dot(vec, signs) >= 0, F.lit(1)).otherwise(F.lit(0))
+
+
+@register("sim_lsh_buckets", oracle=None, tags=("b11.3",))
+def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("e"))
+    sig = v.withColumn(
+        "bucket",
+        sum((_hyperplane_bit(F.col("e"), i) * F.lit(1 << i))
+            for i in range(_LSH_BITS)).cast("long"))
+    return (
+        sig.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"),
+             F.countDistinct("label").alias("n_labels"),
+             F.array_sort(F.collect_list("vec_id")).alias("members"))
+        .filter(F.col("n_vectors") >= 2)
+        .orderBy("bucket")
+    )

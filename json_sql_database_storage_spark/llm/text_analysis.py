@@ -1,0 +1,293 @@
+"""Text analysis operators (SURVEY.md §2 B11.5-11.7 + BASELINE.json mandate:
+language-ID, quality scoring, token counting, fingerprinting, tf-idf).
+
+All JVM-side expressions (split/explode/regexp/aggregate) — token pipelines
+stay inside whole-stage codegen; explode fan-out shuffles only (term, 1)
+pairs for the counting steps, the canonical map-side-combinable shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+
+def tokens(col: F.Column) -> F.Column:
+    return F.split(F.lower(col), r"\s+")
+
+
+# ---------------------------------------------------------------------------
+# b11.5 text stats per language: doc counts, exact char sums (ints), token
+# counts, type-token ratio.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_stats",
+    oracle="""
+SELECT
+  lang,
+  count(*)                                        AS n_docs,
+  sum(n_chars)                                    AS total_chars,
+  CAST(sum(n_chars) AS DOUBLE) / count(*)         AS avg_chars,
+  sum(len(string_split(lower(text), ' ')))        AS total_tokens,
+  sum(len(list_distinct(string_split(lower(text), ' ')))) AS total_distinct_tokens
+FROM documents
+GROUP BY lang
+ORDER BY lang
+""",
+    tags=("b11.5",),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            F.sum(F.size(toks)).cast("bigint").alias("total_tokens"),
+            F.sum(F.size(F.array_distinct(toks))).cast("bigint")
+             .alias("total_distinct_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b11.6 term frequency / global top terms
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_top_terms",
+    oracle="""
+SELECT term, count(*) AS freq, count(DISTINCT doc_id) AS n_docs
+FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents)
+GROUP BY term
+ORDER BY freq DESC, term
+LIMIT 20
+""",
+    tags=("b11.6",),
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"),
+             F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.col("freq").desc(), "term")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# b11.7 tf-idf: top-3 scoring terms per document (bounded doc set for the
+# oracle; the pipeline shape is corpus-wide).  ln() is libm → round 6.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_tfidf",
+    oracle="""
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, term, tfidf, rk
+FROM ranked WHERE rk <= 3 AND doc_id < 100
+ORDER BY doc_id, rk
+""",
+    tags=("b11.7",),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; broadcast as literal
+    scored = (
+        tf.join(df, "term")
+        .withColumn("tfidf",
+                    F.round(F.col("tf")
+                            * F.log(F.lit(float(n_docs)) / F.col("df")), 6)))
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= 3) & (F.col("doc_id") < 100))
+        .select("doc_id", "term", "tfidf", "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b11.5b quality scoring: length/punctuation/stopword/uniqueness ratios —
+# integer counts with identical double divisions, fully oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         string_split(lower(text), ' ') AS toks,
+         len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct
+  FROM documents
+)
+SELECT doc_id,
+  len(toks)                                                   AS n_tokens,
+  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)        AS uniq_ratio,
+  CAST(len(list_filter(toks, x -> list_contains({list(_STOPWORDS)}, x))) AS DOUBLE)
+    / len(toks)                                               AS stopword_ratio,
+  CAST(n_punct AS DOUBLE) / n_chars                           AS punct_ratio,
+  CAST(n_chars AS DOUBLE) / len(toks)                         AS avg_token_len
+FROM t
+ORDER BY doc_id
+""",
+    tags=("b11.5",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    base = d.select(
+        "doc_id", "n_chars",
+        toks.alias("toks"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[\p{Punct}]"), 0))
+         .alias("n_punct"))
+    n_toks = F.size("toks")
+    return (
+        base.select(
+            "doc_id",
+            n_toks.cast("bigint").alias("n_tokens"),
+            (F.size(F.array_distinct("toks")).cast("double") / n_toks)
+             .alias("uniq_ratio"),
+            (F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x)))
+             .cast("double") / n_toks).alias("stopword_ratio"),
+            (F.col("n_punct").cast("double") / F.col("n_chars"))
+             .alias("punct_ratio"),
+            (F.col("n_chars").cast("double") / n_toks).alias("avg_token_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b11.5c n-gram-heuristic language ID: score each candidate language by its
+# marker-token hit rate, pick argmax.  Markers are corpus-derived (top terms
+# per labeled lang) in a real pipeline; literals here keep it deterministic.
+# Rows-only (argmax over engine-specific list ops); accuracy asserted in
+# tests against the labeled lang column.
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "de", "que"),
+    "fr": ("le", "la", "et", "les"),
+    "de": ("der", "die", "und", "das"),
+    "zh": ("的", "是", "了", "在"),
+}
+
+
+@register("text_lang_id", oracle=None, tags=("b11.5",))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = d.select("doc_id", "lang", toks.alias("toks"))
+    def hit_ratio(markers: tuple[str, ...]) -> F.Column:
+        arr = F.array(*[F.lit(m) for m in markers])
+        return (F.size(F.filter("toks", lambda x: F.array_contains(arr, x)))
+                .cast("double") / F.size("toks"))
+
+    scores = [hit_ratio(markers).alias(f"score_{lang}")
+              for lang, markers in _LANG_MARKERS.items()]
+    scored = base.select("doc_id", "lang", *scores)
+    pairs = F.array(*[
+        F.struct(F.col(f"score_{lang}").alias("s"), F.lit(lang).alias("l"))
+        for lang in _LANG_MARKERS
+    ])
+    best = F.array_max(pairs)
+    return (
+        scored.select(
+            "doc_id", "lang",
+            F.when(best["s"] > 0, best["l"]).otherwise(F.lit("unknown"))
+             .alias("predicted_lang"),
+            F.round(best["s"], 6).alias("confidence"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b11.5d document fingerprinting (winnowing): k-gram rolling hashes, window
+# minima as the fingerprint set.  Seeded xxhash64 → deterministic; Spark-
+# specific hash → rows-only.
+# ---------------------------------------------------------------------------
+
+@register("text_fingerprint", oracle=None, tags=("b11.5",))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    k, win = 4, 5
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.xxhash64(F.lit(3), F.concat_ws(
+            " ", toks[i], toks[i + 1], toks[i + 2], toks[i + 3])))
+    windows = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(grams) - win, F.lit(0))),
+        lambda i: F.array_min(F.slice(grams, i + 1, win)))
+    return (
+        d.select("doc_id",
+                 F.array_sort(F.array_distinct(windows)).alias("fingerprint"))
+        .withColumn("fp_size", F.size("fingerprint"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b11 token counting with a BPE-ish regex (words, numbers, punctuation as
+# separate tokens) — regex dialect agreed between engines.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_token_count",
+    oracle=r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+       len(string_split(text, ' '))                               AS n_ws_tokens
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("b11.5",),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.regexp_extract_all(
+                "text", F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0))
+             .cast("bigint").alias("n_bpe_tokens"),
+            F.size(F.split("text", " ", -1)).cast("bigint").alias("n_ws_tokens"),
+        )
+        .orderBy("doc_id")
+    )
