@@ -1,0 +1,169 @@
+"""Source / sink operators (SURVEY.md §2 B1).
+
+Reference parity: the reference's only "sources" are a JsonObject in and a
+SQLite row out (DatabaseManager.java:118/:253); its storage is row-oriented
+SQLite.  Here the storage layer is columnar Parquet read through Spark's
+vectorized reader with pushdown/pruning, plus JSON/CSV/in-memory ingest and
+append/partitioned/JSON-lines sinks.
+
+Sink queries write under /tmp (overwrite mode — rerun-safe) and return the
+read-back result, so the checks exercise the full write→read cycle.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..registry import register
+from ..sources import load_table
+
+_SINK_ROOT = os.path.join(tempfile.gettempdir(), "json_sql_dbs_spark_sinks")
+
+
+def _sink(name: str) -> str:
+    os.makedirs(_SINK_ROOT, exist_ok=True)
+    return os.path.join(_SINK_ROOT, name)
+
+
+# b1.1 parquet scan (vectorized columnar read)
+@register(
+    "scan_parquet",
+    oracle="SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    tags=("b1.1",),
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (load_table(spark, sf_dir, "region")
+            .select("r_regionkey", "r_name").orderBy("r_regionkey"))
+
+
+# b1.3 JSON-string column parse (from_json with explicit schema)
+@register(
+    "scan_json_column",
+    oracle="""
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events
+WHERE CAST(json_extract(props, '$.k') AS BIGINT) > 50
+ORDER BY event_id
+""",
+    tags=("b1.3",),
+)
+def scan_json_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json("props", T.StructType([T.StructField("k", T.LongType())]))
+    return (
+        ev.select("event_id", parsed["k"].alias("k"))
+        .filter(F.col("k") > 50)
+        .orderBy("event_id")
+    )
+
+
+# b1.4 CSV sink + scan round trip: nation → csv (header) → read back with
+# explicit schema; values must survive the text round trip.
+@register(
+    "scan_csv_roundtrip",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    tags=("b1.4",),
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    path = _sink("nation_csv")
+    n.write.mode("overwrite").option("header", "true").csv(path)
+    schema = T.StructType([
+        T.StructField("n_nationkey", T.IntegerType()),
+        T.StructField("n_name", T.StringType()),
+        T.StructField("n_regionkey", T.IntegerType()),
+    ])
+    return (spark.read.schema(schema).option("header", "true").csv(path)
+            .orderBy("n_nationkey"))
+
+
+# b1.5 in-memory source (createDataFrame) — literal rows, VALUES oracle
+_CALENDAR = [(1, "Q1"), (2, "Q1"), (3, "Q1"), (4, "Q2"), (5, "Q2"), (6, "Q2"),
+             (7, "Q3"), (8, "Q3"), (9, "Q3"), (10, "Q4"), (11, "Q4"), (12, "Q4")]
+
+
+@register(
+    "scan_in_memory",
+    oracle="""
+WITH cal(m, quarter) AS (VALUES {values})
+SELECT quarter, count(*) AS n_months, sum(m) AS month_sum
+FROM cal GROUP BY quarter ORDER BY quarter
+""".format(values=", ".join(f"({m}, '{q}')" for m, q in _CALENDAR)),
+    tags=("b1.5",),
+)
+def scan_in_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cal = spark.createDataFrame(_CALENDAR, "m INT, quarter STRING")
+    return (
+        cal.groupBy("quarter")
+        .agg(F.count(F.lit(1)).alias("n_months"),
+             F.sum("m").cast("bigint").alias("month_sum"))
+        .orderBy("quarter")
+    )
+
+
+# b1.6 parquet append sink (A4 parity): two appends → read back must hold
+# both batches exactly once each
+@register("sink_parquet_append", oracle=None, tags=("b1.6", "A4"))
+def sink_parquet_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region")
+    path = _sink("region_append")
+    r.write.mode("overwrite").parquet(path)          # reset
+    r.withColumn("batch", F.lit(2)).write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        back.groupBy(F.coalesce("batch", F.lit(1)).alias("batch"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("batch")
+    )
+
+
+# b1.7 partitioned sink: hive-style partition dirs; reading one partition
+# back must prune to that directory (partition pruning at the file listing,
+# the 100-TB-critical access path)
+@register("sink_partitioned", oracle=None, tags=("b1.7",))
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    path = _sink("lineitem_by_flag")
+    (li.select("l_orderkey", "l_quantity", "l_returnflag")
+       .write.mode("overwrite").partitionBy("l_returnflag").parquet(path))
+    back = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    return (
+        back.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum(F.col("l_quantity").cast("decimal(12,4)")).cast("double")
+              .alias("qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+# b1.2 JSON file ingest with schema inference (A1 parity at file level):
+# write documents as JSON lines, re-ingest with inference
+@register("scan_json_ingest_inference", oracle=None, tags=("b1.2", "A1"))
+def scan_json_ingest_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    path = _sink("documents_jsonl")
+    d.select(F.to_json(F.struct("doc_id", "text", "lang", "n_chars"))
+             .alias("value")).write.mode("overwrite").text(path)
+    back = spark.read.json(path)   # schema inferred
+    return (
+        back.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"))
+        .orderBy("lang")
+    )
+
+
+def jdbc_source(spark: SparkSession, url: str, table: str,
+                **options) -> DataFrame:
+    """b1.10 JDBC source (the reference's SQLite analog, DatabaseManager.java
+    :59-69).  Requires the matching JDBC driver jar on the classpath — not
+    bundled in this environment; callers get a clear error otherwise."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
