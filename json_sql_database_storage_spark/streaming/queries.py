@@ -1,0 +1,242 @@
+"""Structured Streaming operators (SURVEY.md §2 B9).
+
+Every window aggregate has a batch twin over the same expressions (SURVEY
+§2 note on b9): the twin is oracle-checked against DuckDB, the streaming
+execution itself is a rows-only replay through the file-chunk harness in
+``runner.py`` (4 micro-batches via maxFilesPerTrigger=1).
+
+Scale notes: streaming state is the long-running-job concern — every
+stateful query here bounds it with a watermark (window state expires once
+the watermark passes the window end; dedup keys expire likewise), which is
+what keeps a 100 TB/day stream from accreting unbounded state.  Session
+windows and applyInPandasWithState keep per-key state only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.exact import dec
+from ..registry import register
+from ..sources import load_table
+from .runner import (cleanup, read_event_stream, run_stream_to_table,
+                     stage_event_chunks)
+
+
+def _tumbling_agg(ev: DataFrame) -> DataFrame:
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum(dec("value")), 2).cast("double").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type",
+                "n", "total_value")
+    )
+
+
+# b9.1 tumbling window — batch twin (oracle: time_bucket aligns to the same
+# epoch-multiple boundaries as Spark's window())
+@register(
+    "stream_tumbling_window_batch",
+    oracle="""
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+       event_type,
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+    tags=("b9.1",),
+)
+def stream_tumbling_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return _tumbling_agg(ev).orderBy("window_start", "event_type")
+
+
+# b9.1s tumbling window — true streaming replay (rows-only); the result must
+# equal the batch twin, asserted in tests/test_streaming.py
+@register("stream_tumbling_window", oracle=None, tags=("b9.1", "b9.8"))
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = stage_event_chunks(spark, sf_dir)
+    try:
+        out = run_stream_to_table(
+            _tumbling_agg(read_event_stream(spark, staged)),
+            output_mode="complete")
+        return out.orderBy("window_start", "event_type")
+    finally:
+        cleanup(staged)
+
+
+# b9.2 sliding window (10 min window / 5 min slide) — streaming replay;
+# append mode with watermark so closed windows emit exactly once
+@register("stream_sliding_window", oracle=None, tags=("b9.2", "b9.4"))
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = stage_event_chunks(spark, sf_dir)
+    try:
+        ev = read_event_stream(spark, staged).withWatermark("ts", "1 hour")
+        agg = (
+            ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n"))
+        return run_stream_to_table(agg, output_mode="append") \
+            .orderBy("window_start")
+    finally:
+        cleanup(staged)
+
+
+# b9.3 session windows (30-minute gap) — streaming session_window
+@register("stream_session_window", oracle=None, tags=("b9.3",))
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = stage_event_chunks(spark, sf_dir)
+    try:
+        ev = read_event_stream(spark, staged).withWatermark("ts", "2 hours")
+        agg = (
+            ev.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("s.start").alias("session_start"),
+                    F.col("s.end").alias("session_end"), "n_events"))
+        return run_stream_to_table(agg, output_mode="append") \
+            .orderBy("user_id", "session_start")
+    finally:
+        cleanup(staged)
+
+
+# b9.3b sessionization batch twin — identical lag/gap-cumsum formulation in
+# both engines (oracle-checked; also the batch-mode session operator)
+@register(
+    "stream_sessionize_batch",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_id
+""",
+    tags=("b9.3",),
+)
+def stream_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap_s = (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))) / 1_000_000
+    gaps = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.lag("ts").over(w).isNull() | (gap_s > 1800), 1)
+         .otherwise(0).alias("new_session"))
+    numbered = gaps.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(W.unboundedPreceding, 0)))
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"))
+        .orderBy("user_id", "session_id")
+    )
+
+
+# b9.4 watermark + late-data drop: the oldest chunk arrives last, after the
+# watermark has advanced past it → its windows are final and the late rows
+# are discarded (asserted in tests: late replay yields fewer counted rows)
+@register("stream_watermark_late_drop", oracle=None, tags=("b9.4",))
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = stage_event_chunks(spark, sf_dir, late_chunk=True)
+    try:
+        ev = read_event_stream(spark, staged).withWatermark("ts", "30 minutes")
+        agg = (
+            ev.groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n"))
+        return run_stream_to_table(agg, output_mode="append") \
+            .orderBy("window_start")
+    finally:
+        cleanup(staged)
+
+
+# b9.5 streaming dedup with watermarked key expiry
+@register("stream_dedup", oracle=None, tags=("b9.5",))
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = stage_event_chunks(spark, sf_dir)
+    try:
+        ev = read_event_stream(spark, staged).withWatermark("ts", "1 hour")
+        # duplicate the stream with itself: union → dropDuplicates must
+        # restore exactly-once per event_id
+        deduped = (ev.unionByName(ev)
+                   .dropDuplicates(["event_id"])
+                   .groupBy("event_type")
+                   .agg(F.count(F.lit(1)).alias("n")))
+        return run_stream_to_table(deduped, output_mode="complete") \
+            .orderBy("event_type")
+    finally:
+        cleanup(staged)
+
+
+# b9.6 custom stateful operator: running per-user event count + total via
+# applyInPandasWithState (state survives across micro-batches)
+@register("stream_stateful_running_count", oracle=None, tags=("b9.6",))
+def stream_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def update(key: Any, batches: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        (n, total) = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [total]})
+
+    staged = stage_event_chunks(spark, sf_dir)
+    try:
+        ev = read_event_stream(spark, staged)
+        out = (ev.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
+            stateStructType="n BIGINT, total DOUBLE",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout))
+        sink = run_stream_to_table(out, output_mode="update")
+        # memory sink in update mode appends every update; keep the final
+        # state per user (max n_events)
+        w = W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+        return (sink.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") == 1).drop("rk")
+                .orderBy("user_id"))
+    finally:
+        cleanup(staged)
+
+
+# b9.7 stream–static join: enrich the event stream with the static customer
+# dimension (no state needed; static side broadcast per micro-batch)
+@register("stream_static_join", oracle=None, tags=("b9.7",))
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = stage_event_chunks(spark, sf_dir)
+    try:
+        customers = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id"), "c_mktsegment")
+        ev = read_event_stream(spark, staged)
+        joined = (ev.join(F.broadcast(customers), "user_id", "left")
+                  .groupBy("c_mktsegment")
+                  .agg(F.count(F.lit(1)).alias("n_events")))
+        return run_stream_to_table(joined, output_mode="complete") \
+            .orderBy("c_mktsegment")
+    finally:
+        cleanup(staged)

@@ -1,0 +1,83 @@
+"""Streaming replay harness: drives Structured Streaming queries from the
+static events table (SURVEY.md §5.2.5 — streaming verified by rows-only
+replay; aggregate logic verified by the batch twins).
+
+The events table is re-written as K time-ordered parquet chunk files with
+increasing mtimes; a file stream with maxFilesPerTrigger=1 then replays them
+as K micro-batches — deterministic, self-contained, no external broker.
+``late_chunk`` appends an out-of-order chunk (oldest events last) to
+exercise watermark late-data semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+_EVENTS_SCHEMA = ("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+                  "event_type STRING, value DOUBLE, props STRING")
+
+
+def stage_event_chunks(spark: SparkSession, sf_dir: str, *,
+                       n_chunks: int = 4, late_chunk: bool = False) -> str:
+    """Write events into n_chunks files ordered by ts (each chunk = one
+    micro-batch).  With late_chunk=True the FIRST (oldest) slice is written
+    LAST, arriving after the watermark has advanced past it."""
+    ev = load_table(spark, sf_dir, "events").orderBy("ts")
+    rows = ev.count()
+    per = rows // n_chunks + 1
+    chunked = ev.withColumn(
+        "__chunk",
+        (F.row_number().over(W.orderBy("ts")) / F.lit(per)).cast("int"))
+    base = tempfile.mkdtemp(prefix="events_stream_")
+    order = list(range(n_chunks))
+    if late_chunk:
+        order = order[1:] + order[:1]       # oldest chunk arrives last
+    for seq, chunk_id in enumerate(order):
+        part = (chunked.filter(F.col("__chunk") == chunk_id).drop("__chunk")
+                .coalesce(1))
+        tmp = os.path.join(base, f"__stage_{seq}")
+        part.write.mode("overwrite").parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                dst = os.path.join(base, f"chunk_{seq:03d}.parquet")
+                shutil.move(os.path.join(tmp, f), dst)
+                # mtime order == arrival order for the file source
+                ts = time.time() + seq
+                os.utime(dst, (ts, ts))
+        shutil.rmtree(tmp)
+    return base
+
+
+def read_event_stream(spark: SparkSession, staged_dir: str) -> DataFrame:
+    return (spark.readStream.schema(_EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(staged_dir))
+
+
+_MEMORY_SINK_SEQ = [0]
+
+
+def run_stream_to_table(result: DataFrame, *, output_mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion against a memory sink and
+    return the sink contents as a batch DataFrame."""
+    _MEMORY_SINK_SEQ[0] += 1
+    name = f"stream_sink_{_MEMORY_SINK_SEQ[0]}"
+    q = (result.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return result.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def cleanup(staged_dir: str) -> None:
+    shutil.rmtree(staged_dir, ignore_errors=True)

@@ -1,0 +1,52 @@
+"""B9 streaming semantics: streaming results equal batch twins; watermark
+drops late data; stateful counts accumulate across micro-batches."""
+
+from __future__ import annotations
+
+from json_sql_database_storage_spark import registry
+from json_sql_database_storage_spark.sources import load_table
+
+registry.load_all()
+_SPECS = registry.specs()
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    batch = _SPECS["stream_tumbling_window_batch"].fn(spark, sf_dir).collect()
+    stream = _SPECS["stream_tumbling_window"].fn(spark, sf_dir).collect()
+    to_set = lambda rows: {(r["window_start"], r["event_type"], r["n"],
+                            r["total_value"]) for r in rows}
+    assert to_set(batch) == to_set(stream)
+
+
+def test_watermark_drops_late_rows(spark, sf_dir):
+    out = _SPECS["stream_watermark_late_drop"].fn(spark, sf_dir).collect()
+    total_events = load_table(spark, sf_dir, "events").count()
+    emitted = sum(r["n"] for r in out)
+    # append mode emits only watermark-closed windows; the late chunk (the
+    # oldest quarter arriving last) is dropped → strictly fewer than total
+    assert emitted < total_events
+    assert emitted > 0
+
+
+def test_stream_dedup_exactly_once(spark, sf_dir):
+    out = _SPECS["stream_dedup"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    want = {(r["event_type"], r["n"]) for r in
+            ev.groupBy("event_type").count()
+            .withColumnRenamed("count", "n").collect()}
+    got = {(r["event_type"], r["n"]) for r in out}
+    assert got == want  # doubled stream deduped back to original counts
+
+
+def test_stateful_running_count_final_state(spark, sf_dir):
+    out = _SPECS["stream_stateful_running_count"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    want = {r["user_id"]: r["count"] for r in ev.groupBy("user_id").count().collect()}
+    got = {r["user_id"]: r["n_events"] for r in out}
+    assert got == want
+
+
+def test_stream_static_join_totals(spark, sf_dir):
+    out = _SPECS["stream_static_join"].fn(spark, sf_dir).collect()
+    assert sum(r["n_events"] for r in out) == \
+        load_table(spark, sf_dir, "events").count()
