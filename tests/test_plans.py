@@ -1,0 +1,67 @@
+"""Plan-shape assertions: the properties that make queries scale —
+pushdown, column pruning, broadcast joins, codegen — pinned as tests so a
+refactor that silently loses one fails CI (SURVEY.md §4.3)."""
+
+from __future__ import annotations
+
+from json_sql_database_storage_spark import registry
+from json_sql_database_storage_spark.plans import (
+    explain_formatted, pushed_filters, read_schema_columns,
+    uses_broadcast_hash_join, wholestage_codegen_spans)
+
+registry.load_all()
+_SPECS = registry.specs()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = _SPECS["filter_comparisons"].fn(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed and "l_returnflag" in pushed
+
+
+def test_point_lookup_pushdown(spark, sf_dir):
+    df = _SPECS["filter_point_lookup"].fn(spark, sf_dir)
+    assert any("o_orderkey" in p and "EqualTo" in p
+               for p in pushed_filters(df))
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    df = _SPECS["q1_pricing_summary"].fn(spark, sf_dir)
+    schemas = read_schema_columns(df)
+    assert schemas, "no parquet scan found"
+    cols = set(schemas[0])
+    # only the 7 needed columns of lineitem's 11 are decoded
+    assert cols == {"l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                    "l_returnflag", "l_linestatus", "l_shipdate"}
+
+
+def test_projection_pruning(spark, sf_dir):
+    df = _SPECS["filter_projection"].fn(spark, sf_dir)
+    for cols in read_schema_columns(df):
+        assert "l_extendedprice" not in cols  # unused columns never decoded
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    assert uses_broadcast_hash_join(_SPECS["join_broadcast_dim"].fn(spark, sf_dir))
+    assert uses_broadcast_hash_join(_SPECS["join_star_revenue"].fn(spark, sf_dir))
+
+
+def test_semi_join_pushes_filter(spark, sf_dir):
+    df = _SPECS["join_left_semi"].fn(spark, sf_dir)
+    assert any("o_orderpriority" in p for p in pushed_filters(df))
+
+
+def test_q1_wholestage_codegen(spark, sf_dir):
+    # AQE defers physical compilation, hiding codegen subtrees from the
+    # unexecuted plan — inspect the static plan instead
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = _SPECS["q1_pricing_summary"].fn(spark, sf_dir)
+        assert wholestage_codegen_spans(df) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    df = _SPECS["sort_global_top_k"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in explain_formatted(df)
