@@ -29,15 +29,17 @@ HEADLINE = [
     "filter_comparisons",
     "join_star_revenue",
     "join_orders_lineitem",
+    "join_asof",
     "window_top_n_per_group",
     "window_running_total",
     "setop_union_distinct",
+    "stream_sessionize_batch",
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_cosine_topk",
     "text_stats",
-    "tfidf_top_terms",
-    "doc_assemble_nested",
+    "text_tfidf",
+    "doc_tojson_lines",
 ]
 
 

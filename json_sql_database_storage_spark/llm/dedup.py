@@ -87,8 +87,15 @@ def _tokens(col: F.Column) -> F.Column:
     return F.array_distinct(F.split(F.lower(col), r"\s+"))
 
 
-def _shingles(col: F.Column, k: int = 3) -> F.Column:
-    toks = F.split(F.lower(col), r"\s+")
+def _shingles_of(toks: F.Column, k: int = 3) -> F.Column:
+    """k-shingles from an ALREADY-MATERIALIZED token array column.
+
+    Performance note (measured): building shingles straight off
+    split(lower(text)) inside the 32-hash signature expression re-inlines
+    the split per reference — Catalyst's projection collapse turned the
+    sf0.1 pipeline into O(tokens²·hashes) string work (581 s).  Tokenize
+    into a real column behind a pipeline barrier first, then everything
+    downstream only indexes the array."""
     n = F.size(toks)
     return F.array_distinct(F.when(
         n >= k,
@@ -134,10 +141,19 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
 @register("dedup_minhash_lsh", oracle=None, tags=("b11.2",))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_with_dups(spark, sf_dir)
-    docs = corpus.select(
+    # stage 1: tokenize once, persist — the barrier stops projection
+    # collapse from re-inlining split() into all 32 hash expressions
+    tokenized = corpus.select(
         "doc_id",
-        _tokens(F.col("text")).alias("toks"),
-        minhash_signature(_shingles(F.col("text"))).alias("sig"))
+        F.split(F.lower("text"), r"\s+").alias("raw")).persist()
+    staged = tokenized.select(
+        "doc_id",
+        F.array_distinct("raw").alias("toks"),
+        _shingles_of(F.col("raw")).alias("sh")).persist()
+    # stage 2: 32 min-hashes over the materialized shingle array
+    docs = staged.select(
+        "doc_id", "toks",
+        minhash_signature(F.col("sh")).alias("sig")).persist()
     pairs = lsh_candidate_pairs(docs)
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
@@ -159,14 +175,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash64(tokens: F.Column) -> F.Column:
     """Weighted bit-vote simhash over token hashes, one aggregate per row.
+    The token hash is hoisted into a pre-computed array so each hash is
+    evaluated once (as a lambda-bound VALUE), not re-inlined per bit — the
+    64-reference expression form cost 64 hashes/token.
     (shift amounts must be Python ints, hence the unrolled 64-bit loops)"""
+    token_hashes = F.transform(tokens, lambda t: F.xxhash64(F.lit(7), t))
     votes = F.aggregate(
-        tokens,
+        token_hashes,
         F.array_repeat(F.lit(0).cast("long"), 64),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
-            F.array(*[F.shiftright(F.xxhash64(F.lit(7), t), b)
-                      .bitwiseAND(F.lit(1)) for b in range(64)]),
+            F.array(*[F.shiftright(h, b).bitwiseAND(F.lit(1))
+                      for b in range(64)]),
             lambda a, bit: a + bit * 2 - 1))
     # disjoint bit weights, so sum == bitwise OR; bit 63 is the sign bit
     weights = [F.when(votes[i] > 0,
@@ -181,8 +201,12 @@ def simhash64(tokens: F.Column) -> F.Column:
 @register("dedup_simhash", oracle=None, tags=("b11.2",))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_with_dups(spark, sf_dir)
-    docs = corpus.select("doc_id", _tokens(F.col("text")).alias("toks")) \
-        .withColumn("sig", simhash64(F.col("toks")))
+    # persist: sig is referenced 4× by the chunk explode and twice by the
+    # self-join — without the barrier each reference recomputes the full
+    # token aggregate
+    docs = (corpus.select("doc_id", _tokens(F.col("text")).alias("toks"))
+            .withColumn("sig", simhash64(F.col("toks")))
+            .persist())
     # 4 chunks of 16 bits as LSH keys
     chunks = docs.select(
         "doc_id", "sig",
