@@ -48,6 +48,7 @@ _OPERATOR_MODULES = (
     "json_sql_database_storage_spark.llm.multimodal",
     "json_sql_database_storage_spark.streaming.queries",
     "json_sql_database_storage_spark.operators.udfs",
+    "json_sql_database_storage_spark.operators.scale",
 )
 
 _loaded = False

@@ -19,6 +19,7 @@ local[32] test harness and to be sane defaults on a real cluster:
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -43,6 +44,8 @@ def build_session(app_name: str = "json_sql_database_storage_spark",
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir",
+                os.path.join(tempfile.gettempdir(), "json_sql_dbs_warehouse"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

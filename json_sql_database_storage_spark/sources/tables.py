@@ -26,9 +26,24 @@ TABLES = (
 DIM_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+def _pin_session(spark: SparkSession) -> None:
+    """Queries may run under a caller-provided session (the driver's).
+    Timestamp semantics require UTC — events.ts is instant-typed, and the
+    DuckDB oracle is UTC-naive — so pin it here, idempotently.  Also trim
+    the stock 200 shuffle partitions if the caller left the default (wrong
+    for both this data scale and the local test harness)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _pin_session(spark)
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

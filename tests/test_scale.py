@@ -1,0 +1,63 @@
+"""Scale-technique semantics: salted rewrites equal naive plans; bucketed
+joins are exchange-free."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from json_sql_database_storage_spark import registry
+from json_sql_database_storage_spark.operators.scale import write_bucketed
+from json_sql_database_storage_spark.plans.inspect import explain_formatted
+from json_sql_database_storage_spark.sources import load_table
+
+registry.load_all()
+_SPECS = registry.specs()
+
+
+def test_salted_agg_equals_naive(spark, sf_dir):
+    salted = {(r["flag"], r["n"], r["total"])
+              for r in _SPECS["scale_salted_agg"].fn(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    naive = {(r["l_returnflag"], r["n"], r["total"]) for r in
+             li.groupBy("l_returnflag")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,4)")), 2)
+                  .cast("double").alias("total")).collect()}
+    assert salted == naive
+
+
+def test_salted_join_equals_naive(spark, sf_dir):
+    salted = {(r["o_orderpriority"], r["n_lines"], r["qty"])
+              for r in _SPECS["scale_salted_join"].fn(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    naive = {(r["o_orderpriority"], r["n_lines"], r["qty"]) for r in
+             li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n_lines"),
+                  F.round(F.sum(F.col("l_quantity").cast("decimal(12,4)")), 2)
+                  .cast("double").alias("qty")).collect()}
+    assert salted == naive
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Both sides bucketed by the join key → the sort-merge join reads
+    co-located buckets; the plan must contain no Exchange (the property
+    that saves re-shuffling a 100 TB fact table per query)."""
+    write_bucketed(load_table(spark, sf_dir, "orders"),
+                   "b_orders", "o_orderkey", n_buckets=8, sort_by="o_orderkey")
+    write_bucketed(load_table(spark, sf_dir, "lineitem"),
+                   "b_lineitem", "l_orderkey", n_buckets=8, sort_by="l_orderkey")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bo = spark.table("b_orders")
+        bl = spark.table("b_lineitem")
+        joined = bo.join(bl, bo.o_orderkey == bl.l_orderkey) \
+            .select("o_orderkey", "l_linenumber", "l_quantity")
+        plan = explain_formatted(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        # and it still returns the right number of rows
+        assert joined.count() == load_table(spark, sf_dir, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
