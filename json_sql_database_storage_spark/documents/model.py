@@ -182,10 +182,20 @@ def _shred_level(df: DataFrame, table: str, result: ShredResult) -> None:
             _shred_level(exploded, name, result)
 
 
-def assemble(result: ShredResult, table: str | None = None) -> DataFrame:
-    """Rebuild nested documents from shredded tables (A2 parity)."""
+def assemble(result: ShredResult, table: str | None = None, *,
+             compat_null_as_empty: bool = False) -> DataFrame:
+    """Rebuild nested documents from shredded tables (A2 parity).
+
+    compat_null_as_empty reproduces the reference's lossy null round-trip
+    (SQL NULL read back as "", DatabaseManager.java:309-311) for string
+    columns — OFF by default; the engine-native behavior keeps real nulls
+    (SURVEY.md §2-A14 documented divergence)."""
     table = table or result.root
     df = result.tables[table]
+    if compat_null_as_empty:
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.StringType):
+                df = df.withColumn(f.name, F.coalesce(F.col(f.name), F.lit("")))
 
     # regroup $-columns into sub-object structs (ref :289-307) — FK columns
     # (`<child>$rowNum`) are consumed by the ref-join below, not regrouped

@@ -134,3 +134,12 @@ def test_store_upsert_and_lookup(spark, tmp_path):
     # A3 point lookup
     hit = store.lookup("things", 3).collect()
     assert len(hit) == 1 and hit[0]["name"] == "c"
+
+
+def test_compat_null_as_empty(spark):
+    """A14 compat flag: reference's lossy null→'' reproduced on demand."""
+    result = shred(docs_df(spark, ALL_FIXTURES["f6"]), "f6c")
+    row = assemble(result, compat_null_as_empty=True).collect()[0]
+    assert row["note"] == ""          # reference behavior (:309-311)
+    row = assemble(result).collect()[0]
+    assert row["note"] is None        # engine-native behavior
