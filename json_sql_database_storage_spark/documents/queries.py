@@ -53,7 +53,9 @@ def doc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # A1+A2 — full shred → assemble → JSON round trip over every fixture family
 # (rows-only; strict equality asserted in tests)
-@register("doc_shred_assemble_roundtrip", oracle=None, tags=("A1", "A2", "b1.2"))
+@register("doc_shred_assemble_roundtrip", oracle=None,
+          tags=("A1", "A2", "A8", "A9", "A10", "A11", "A12", "A13", "A14",
+                "b1.2"))
 def doc_shred_assemble_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     outs = []
     for root, docs in ALL_FIXTURES.items():
@@ -68,7 +70,7 @@ def doc_shred_assemble_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # A7 — reference typing rules applied to the F1 fixture ("time"-key ISO
 # heuristic on; int-string collapse behind its compat flag)
-@register("doc_typing_rules", oracle=None, tags=("A7",))
+@register("doc_typing_rules", oracle=None, tags=("A7", "A15"))
 def doc_typing_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = docs_df(spark, ALL_FIXTURES["f1"])
     typed = apply_reference_typing(df, compat_int_strings=True)

@@ -108,7 +108,7 @@ def scan_in_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # b1.6 parquet append sink (A4 parity): two appends → read back must hold
 # both batches exactly once each
-@register("sink_parquet_append", oracle=None, tags=("b1.6", "A4"))
+@register("sink_parquet_append", oracle=None, tags=("b1.6", "A4", "A6"))
 def sink_parquet_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     path = _sink("region_append")

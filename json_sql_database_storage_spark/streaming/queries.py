@@ -62,7 +62,7 @@ def stream_tumbling_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # b9.1s tumbling window — true streaming replay (rows-only); the result must
 # equal the batch twin, asserted in tests/test_streaming.py
-@register("stream_tumbling_window", oracle=None, tags=("b9.1", "b9.8"))
+@register("stream_tumbling_window", oracle=None, tags=("b9.1", "b9.8", "b1.11"))
 def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = stage_event_chunks(spark, sf_dir)
     try:
