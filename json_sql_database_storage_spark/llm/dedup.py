@@ -104,15 +104,43 @@ def _shingles_of(toks: F.Column, k: int = 3) -> F.Column:
     ).otherwise(F.array(F.concat_ws(" ", toks))))
 
 
-def minhash_signature(shingles: F.Column,
+def _to_long(v: int) -> int:
+    v &= (1 << 64) - 1
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# xor masks for the rotate-xor permutation family (splitmix64-style
+# constants) — deterministic across runs/engines
+_MH_MASK = [_to_long(0x9E3779B97F4A7C15 * (2 * i + 1)) for i in range(_NUM_HASHES)]
+_MH_ROT = [(13 * i + 7) % 63 + 1 for i in range(_NUM_HASHES)]
+
+
+def shingle_hashes(shingles: F.Column) -> F.Column:
+    """One xxhash64 per shingle (full avalanche).  Materialize THIS column
+    (persist) before fanning out to the 32 permutations — Catalyst
+    re-inlines expressions per reference, so hashing inside the signature
+    would run 32×."""
+    return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+def minhash_signature(hashes: F.Column,
                       num_hashes: int = _NUM_HASHES) -> F.Column:
-    """num_hashes seeded min-hashes of the shingle set — one projection,
-    no shuffle; deterministic via literal seeds."""
-    return F.array(*[
-        F.array_min(F.transform(
-            shingles, lambda s: F.xxhash64(F.lit(seed), s)))
-        for seed in range(num_hashes)
-    ])
+    """num_hashes min-hashes over pre-hashed shingles, using cheap
+    bijective rotate-xor permutations — no further string hashing and no
+    multiplications (Spark 4 ANSI mode throws on long overflow, so a*h+b
+    universal hashing is off the table).  One projection, no shuffle,
+    deterministic."""
+    def perm_min(i: int) -> F.Column:
+        rot, mask = _MH_ROT[i], F.lit(_MH_MASK[i])
+
+        def perm(h: F.Column) -> F.Column:
+            rotated = F.shiftleft(h, rot).bitwiseOR(
+                F.shiftrightunsigned(h, 64 - rot))
+            return rotated.bitwiseXOR(mask)
+
+        return F.array_min(F.transform(hashes, perm))
+
+    return F.array(*[perm_min(i) for i in range(num_hashes)])
 
 
 def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
@@ -149,11 +177,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = tokenized.select(
         "doc_id",
         F.array_distinct("raw").alias("toks"),
-        _shingles_of(F.col("raw")).alias("sh")).persist()
-    # stage 2: 32 min-hashes over the materialized shingle array
+        shingle_hashes(_shingles_of(F.col("raw"))).alias("shh")).persist()
+    # stage 2: 32 rotate-xor min-permutations over the materialized hashes
     docs = staged.select(
         "doc_id", "toks",
-        minhash_signature(F.col("sh")).alias("sig")).persist()
+        minhash_signature(F.col("shh")).alias("sig")).persist()
     pairs = lsh_candidate_pairs(docs)
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("toks_a"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("toks_b"))
