@@ -26,6 +26,12 @@ round-trip verbatim; real nulls; native arrays (2-d included, ref :169 TODO);
 untyped array elements land in a field-named table instead of being dropped
 with a console warning (ref :180-183).
 
+Model limitation (shared with the reference): a collection's relational
+schema is the union of observed fields, so *absent* and *null* fields are
+equivalent within a collection — a field missing from one document reads
+back as null if any sibling document has it.  (The reference collapses the
+same pair the other way: both become "" on read, :203/:309-311.)
+
 Key assignment (A8 parity): rows with rowNum <= 0/missing get engine ids.
 Root rows use monotonically_increasing_id() — partition-parallel, unique
 across a cluster, no coordination (the reference serializes every insert to
@@ -212,11 +218,16 @@ def assemble(result: ShredResult, table: str | None = None, *,
             plain.append(c)
 
     sel: list[F.Column] = [F.col(c) for c in plain]
-    sel += [
-        F.struct(*[F.col(c).alias(c.split(SEP, 1)[1]) for c in cols])
-        .alias(parent_field)
-        for parent_field, cols in flat_groups.items()
-    ]
+    for parent_field, cols in flat_groups.items():
+        # a sub-object whose every column is NULL was absent from this
+        # document (schema union) — restore null, not an empty struct
+        all_null = F.col(cols[0]).isNull()
+        for c in cols[1:]:
+            all_null = all_null & F.col(c).isNull()
+        sel.append(
+            F.when(all_null, F.lit(None)).otherwise(
+                F.struct(*[F.col(c).alias(c.split(SEP, 1)[1]) for c in cols]))
+            .alias(parent_field))
 
     # ref children (ref :312-326): FK join to the recursively assembled child
     for rel in (r for r in result.rels
