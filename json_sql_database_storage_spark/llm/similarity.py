@@ -189,3 +189,92 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_vectors") >= 2)
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# b11.2d embedding-cosine near-duplicate pairs (the vector-space member of
+# the dedup family): all pairs above a cosine threshold on a bounded id
+# range — oracle-checked with the identical summation order.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 200)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_COSINE_SQL.format(a="a.e", b="b.e")} AS cos_sim
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE {_COSINE_SQL.format(a="a.e", b="b.e")} >= 0.5
+ORDER BY id_a, id_b
+""",
+    tags=("b11.2", "b11.3"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200) \
+        .select("vec_id", as_double(F.col("embedding")).alias("e"))
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos_sim") >= 0.5)
+        .select("id_a", "id_b", "cos_sim")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b11.3c IVF-style ANN: multi-probe (nprobe=3) over per-label centroid cells
+# (the scale path: cells shrink the candidate set; recall vs the brute-force
+# baseline is measured in tests/test_llm.py).
+# ---------------------------------------------------------------------------
+
+_IVF_NPROBE = 3
+
+
+@register("sim_ivf_topk", oracle=None, tags=("b11.3",))
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("e"))
+    # build cells = per-label centroids (same construction as
+    # sim_nearest_centroid); assign every vector to its nearest cell
+    flat = v.select("label", F.posexplode("e").alias("pos", "val"))
+    cent = (
+        flat.groupBy("label", "pos")
+        .agg((F.sum("val") / F.count(F.lit(1))).alias("avg_val"))
+        .groupBy(F.col("label").alias("c_label"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "avg_val"))).alias("t"))
+        .select("c_label", F.transform("t", lambda s: s["avg_val"]).alias("ce")))
+    sims = (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "e", "c_label",
+                cosine(F.col("e"), F.col("ce")).alias("cs")))
+    assigned = (
+        sims.groupBy("vec_id")
+        .agg(F.max_by("c_label", F.col("cs")).alias("cell"),
+             F.first("e").alias("e"))
+        .persist())
+    # query vectors (vec_id < 10) probe their NPROBE nearest cells —
+    # multi-probe is the standard recall lever when a cell boundary cuts
+    # through a query's true-neighbor set.
+    wq = W.partitionBy("vec_id").orderBy(F.col("cs").desc(), "c_label")
+    probes = (
+        sims.filter(F.col("vec_id") < 10)
+        .withColumn("prk", F.row_number().over(wq))
+        .filter(F.col("prk") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("c_label").alias("qcell"), F.col("e").alias("qe")))
+    scored = (
+        assigned.join(F.broadcast(probes),
+                      (F.col("cell") == F.col("qcell"))
+                      & (F.col("vec_id") != F.col("query_id")))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cosine(F.col("qe"), F.col("e")).alias("cos_sim")))
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id",
+                F.round("cos_sim", 9).alias("cos_sim"), "rk")
+        .orderBy("query_id", "rk")
+    )

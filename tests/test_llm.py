@@ -89,3 +89,20 @@ def test_mm_decode_stub_raises():
     out = decode_image_batch(pd.Series([b"12345678abc"]))
     assert list(out.columns) == ["n_bytes", "checksum"]
     assert out["n_bytes"][0] == 11
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF (single-probe, per-label cells) must recover a reasonable share
+    of the brute-force top-5 — on weakly-clustered data, well above the
+    ~10% expectation of a random cell assignment."""
+    brute = _SPECS["sim_cosine_topk"].fn(spark, sf_dir).collect()
+    ivf = _SPECS["sim_ivf_topk"].fn(spark, sf_dir).collect()
+    brute_sets = {}
+    for r in brute:
+        brute_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ivf_sets = {}
+    for r in ivf:
+        ivf_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(brute_sets[q] & ivf_sets.get(q, set())) / len(brute_sets[q])
+               for q in brute_sets]
+    assert sum(recalls) / len(recalls) > 0.2
