@@ -69,8 +69,18 @@ def doc_shred_assemble_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # A7 — reference typing rules applied to the F1 fixture ("time"-key ISO
-# heuristic on; int-string collapse behind its compat flag)
-@register("doc_typing_rules", oracle=None, tags=("A7", "A15"))
+# heuristic on; int-string collapse behind its compat flag).  The fixture is
+# a constant, so the oracle is the expected GOLDEN row — a regression pin on
+# the typing rules, not a recomputation.
+@register(
+    "doc_typing_rules",
+    oracle="""
+SELECT 'alice' AS name, 31 AS age, true AS active,
+       '2024-01-01 10:30:00' AS login_ts, 7 AS numeric_string,
+       140 AS bio_len
+""",
+    tags=("A7", "A15"),
+)
 def doc_typing_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = docs_df(spark, ALL_FIXTURES["f1"])
     typed = apply_reference_typing(df, compat_int_strings=True)
@@ -83,8 +93,29 @@ def doc_typing_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # b1.8 — JSON-lines rendering of re-nested relational docs (A2 output over
-# real tables: orders with their lineitems as nested arrays)
-@register("doc_tojson_lines", oracle=None, tags=("b1.8", "A2"))
+# real tables: orders with their lineitems as nested arrays).  Both engines
+# render compact JSON with shortest-round-trip doubles (44.0, 112946.26 —
+# verified byte-identical), so the rendered lines are oracle-checkable.
+@register(
+    "doc_tojson_lines",
+    oracle="""
+SELECT to_json(struct_pack(
+         o_orderkey := o.o_orderkey, o_orderstatus := o.o_orderstatus,
+         o_totalprice := o.o_totalprice, lines := coalesce(n.lines, [])))
+       AS doc
+FROM orders o LEFT JOIN (
+  SELECT l_orderkey,
+         list(struct_pack(l_linenumber := l_linenumber,
+                          l_quantity := l_quantity,
+                          l_extendedprice := l_extendedprice)
+              ORDER BY l_linenumber, l_quantity, l_extendedprice) AS lines
+  FROM lineitem GROUP BY l_orderkey
+) n ON o.o_orderkey = n.l_orderkey
+WHERE o.o_orderkey < 200
+ORDER BY o.o_orderkey
+""",
+    tags=("b1.8", "A2"),
+)
 def doc_tojson_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
     li = load_table(spark, sf_dir, "lineitem")

@@ -321,12 +321,27 @@ def fn_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# b8.7 map functions — map key iteration order is engine-specific, so the
-# query surfaces deterministic projections (sorted keys / direct lookups)
-# but stays rows-only.
+# b8.7 map functions — props is single-key ({"k": int}, FIXTURES.md), so
+# every map projection is deterministic.  Oracle builds structs where Spark
+# builds maps: DuckDB MAPs reach pandas as {key: [...], value: [...]}, while
+# single-entry structs canonicalize to the same {k: v} shape as Spark maps.
 # ---------------------------------------------------------------------------
 
-@register("fn_map", oracle=None, tags=("b8.7",))
+@register(
+    "fn_map",
+    oracle="""
+SELECT event_id,
+       struct_pack(k := CAST(json_extract(props, '$.k') AS BIGINT))
+         AS props_map,
+       ['k'] AS keys,
+       [CAST(json_extract(props, '$.k') AS BIGINT)] AS values,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+       struct_pack(event_type := event_type) AS meta_map
+FROM events
+ORDER BY event_id
+""",
+    tags=("b8.7",),
+)
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     m = F.from_json(F.col("props"), T.MapType(T.StringType(), T.LongType()))
@@ -383,9 +398,24 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# b8.8b to_json / from_json round-trip + schema_of_json (string formatting is
-# engine-specific → rows-only; round-trip equality asserted in unit tests)
-@register("fn_json_roundtrip", oracle=None, tags=("b8.8",))
+# b8.8b to_json / from_json round-trip + schema_of_json.  Both engines
+# render compact {"k":69} JSON for structs (verified cell-for-cell), and
+# schema_of_json of a literal is a constant, so the round-trip is
+# oracle-checkable.
+@register(
+    "fn_json_roundtrip",
+    oracle="""
+SELECT event_id, props,
+       to_json(struct_pack(k := CAST(json_extract(props, '$.k') AS BIGINT)))
+         AS rebuilt,
+       'STRUCT<k: BIGINT>' AS inferred_schema,
+       to_json(struct_pack(event_id := event_id, event_type := event_type))
+         AS event_doc
+FROM events
+ORDER BY event_id
+""",
+    tags=("b8.8",),
+)
 def fn_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     schema = T.StructType([T.StructField("k", T.LongType())])

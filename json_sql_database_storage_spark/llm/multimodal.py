@@ -85,8 +85,30 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, _FEATURE_SCHEMA)
 
 
-# b11.8 — binary payload + typed metadata + Arrow-batched feature extraction
-@register("mm_feature_extract", oracle=None, tags=("b11.8", "b10.5"))
+# b11.8 — binary payload + typed metadata + Arrow-batched feature extraction.
+# The fake decoder is sha256-derived, so DuckDB can recompute every feature:
+# checksum = first 8 payload bytes = first 16 hex chars of sha256(text),
+# reinterpreted as signed big-endian int64.
+@register(
+    "mm_feature_extract",
+    oracle="""
+WITH h AS (
+  SELECT doc_id, ('0x' || substr(sha256(text), 1, 16))::UBIGINT AS u
+  FROM documents
+)
+SELECT doc_id,
+       'image/fake' AS media_type,
+       64 AS n_bytes,
+       CAST((doc_id % 4) * 64 + 64 AS INT) AS width,
+       CAST((doc_id % 3) * 64 + 64 AS INT) AS height,
+       CASE WHEN u >= 9223372036854775808
+            THEN CAST(u::HUGEINT - 18446744073709551616::HUGEINT AS BIGINT)
+            ELSE CAST(u AS BIGINT) END AS checksum
+FROM h
+ORDER BY doc_id
+""",
+    tags=("b11.8", "b10.5"),
+)
 def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthetic_media(spark, sf_dir)
     return extract_features(media).orderBy("doc_id")

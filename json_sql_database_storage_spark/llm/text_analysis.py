@@ -196,7 +196,10 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # b11.5c n-gram-heuristic language ID: score each candidate language by its
 # marker-token hit rate, pick argmax.  Markers are corpus-derived (top terms
 # per labeled lang) in a real pipeline; literals here keep it deterministic.
-# Rows-only (argmax over engine-specific list ops); accuracy asserted in
+# Oracle: the same score/argmax in DuckDB — struct comparison is
+# lexicographic by field order in both engines, so max over (score, lang)
+# pairs ties-break identically; confidence stays a raw int/int quotient
+# (identical IEEE division both sides).  Accuracy additionally asserted in
 # tests against the labeled lang column.
 # ---------------------------------------------------------------------------
 
@@ -209,7 +212,31 @@ _LANG_MARKERS = {
 }
 
 
-@register("text_lang_id", oracle=None, tags=("b11.5",))
+def _lang_id_oracle() -> str:
+    score = ("(CAST(len(list_filter(toks, x -> list_contains({markers}, x))) "
+             "AS DOUBLE) / len(toks))")
+    pairs = ", ".join(
+        "struct_pack(s := " + score.format(
+            markers="[" + ", ".join(f"'{m}'" for m in markers) + "]")
+        + f", l := '{lang}')"
+        for lang, markers in _LANG_MARKERS.items())
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(lower(text), '\\s+') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang, list_max([{pairs}]) AS best FROM t
+)
+SELECT doc_id, lang,
+       CASE WHEN best.s > 0 THEN best.l ELSE 'unknown' END AS predicted_lang,
+       best.s AS confidence
+FROM scored
+ORDER BY doc_id
+"""
+
+
+@register("text_lang_id", oracle=_lang_id_oracle(), tags=("b11.5",))
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
@@ -232,7 +259,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lang",
             F.when(best["s"] > 0, best["l"]).otherwise(F.lit("unknown"))
              .alias("predicted_lang"),
-            F.round(best["s"], 6).alias("confidence"))
+            best["s"].alias("confidence"))
         .orderBy("doc_id")
     )
 

@@ -400,7 +400,25 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregation producing nested rows.  Nested output → rows-only check.
 # ---------------------------------------------------------------------------
 
-@register("join_renest_documents", oracle=None, tags=("b3.11", "A2", "A11"))
+@register(
+    "join_renest_documents",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
+       coalesce(n.lines, []) AS lines
+FROM orders o LEFT JOIN (
+  SELECT l_orderkey,
+         list(struct_pack(
+                l_linenumber := l_linenumber, l_partkey := l_partkey,
+                l_quantity := l_quantity, l_extendedprice := l_extendedprice,
+                l_discount := l_discount)
+              ORDER BY l_linenumber, l_partkey, l_quantity,
+                       l_extendedprice, l_discount) AS lines
+  FROM lineitem GROUP BY l_orderkey
+) n ON o.o_orderkey = n.l_orderkey
+ORDER BY o_orderkey
+""",
+    tags=("b3.11", "A2", "A11"),
+)
 def join_renest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")

@@ -107,8 +107,18 @@ def scan_in_memory(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # b1.6 parquet append sink (A4 parity): two appends → read back must hold
-# both batches exactly once each
-@register("sink_parquet_append", oracle=None, tags=("b1.6", "A4", "A6"))
+# both batches exactly once each.  Oracle = what the read-back must equal if
+# append-exactly-once holds: one full copy of region per batch.
+@register(
+    "sink_parquet_append",
+    oracle="""
+SELECT 1 AS batch, count(*) AS n_rows FROM region
+UNION ALL
+SELECT 2 AS batch, count(*) AS n_rows FROM region
+ORDER BY batch
+""",
+    tags=("b1.6", "A4", "A6"),
+)
 def sink_parquet_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     path = _sink("region_append")
@@ -124,8 +134,20 @@ def sink_parquet_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # b1.7 partitioned sink: hive-style partition dirs; reading one partition
 # back must prune to that directory (partition pruning at the file listing,
-# the 100-TB-critical access path)
-@register("sink_partitioned", oracle=None, tags=("b1.7",))
+# the 100-TB-critical access path).  Oracle = the same aggregate straight
+# off the source table: the write→prune→read cycle must be lossless.
+@register(
+    "sink_partitioned",
+    oracle="""
+SELECT l_returnflag, count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS qty
+FROM lineitem
+WHERE l_returnflag = 'R'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("b1.7",),
+)
 def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     path = _sink("lineitem_by_flag")
@@ -142,8 +164,19 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # b1.2 JSON file ingest with schema inference (A1 parity at file level):
-# write documents as JSON lines, re-ingest with inference
-@register("scan_json_ingest_inference", oracle=None, tags=("b1.2", "A1"))
+# write documents as JSON lines, re-ingest with inference.  Oracle = the
+# same aggregate on the source rows: the JSON round-trip must be lossless.
+@register(
+    "scan_json_ingest_inference",
+    oracle="""
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents
+WHERE doc_id < 100
+GROUP BY lang
+ORDER BY lang
+""",
+    tags=("b1.2", "A1"),
+)
 def scan_json_ingest_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     path = _sink("documents_jsonl")

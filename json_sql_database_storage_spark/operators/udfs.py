@@ -6,12 +6,20 @@ Preference order when extending the engine for real: built-in composition →
 Arrow-vectorized pandas UDF → applyInPandas/mapInPandas → row-at-a-time UDF
 (last resort; kept here only as the b10.1 exhibit).
 
-All rows-only for the driver (no SQL twin); tests/test_udfs.py asserts each
-UDF result equals its built-in equivalent.
+Oracle parity: every UDF does its float math in an order both engines
+reproduce exactly — integer token counts, decimal-domain cents (events.value
+is exactly 2-decimal, FIXTURES.md), sequential `np.cumsum` sums (DuckDB's
+list_sum is the same left-to-right fold — the invariant the cosine oracles
+in llm/similarity.py already rely on), and single IEEE ops (x*x, /, sqrt)
+on identical inputs.  All intermediate integer sums stay < 2^53 (max 99
+events/user × 49_002 max cents), so BIGINT/HUGEINT↔float64 conversions are
+exact.  tests/test_udfs.py additionally asserts each UDF equals its
+built-in equivalent.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -26,7 +34,17 @@ from ..sources import load_table
 
 
 # b10.1 scalar row-at-a-time Python UDF (the slow path, deliberately)
-@register("udf_scalar_python", oracle=None, tags=("b10.1",))
+@register(
+    "udf_scalar_python",
+    oracle="""
+SELECT doc_id,
+       coalesce(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x != '')), 0) AS n_tokens
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("b10.1",),
+)
 def udf_scalar_python(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.udf(T.IntegerType())
     def token_count(text: str) -> int:
@@ -37,28 +55,58 @@ def udf_scalar_python(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("doc_id"))
 
 
-# b10.2 Arrow-vectorized scalar pandas UDF: embedding L2 norm via numpy
-@register("udf_pandas_vectorized", oracle=None, tags=("b10.2",))
+# b10.2 Arrow-vectorized scalar pandas UDF: embedding L2 norm via numpy.
+# np.cumsum is a strict left-to-right fold — the same summation order as
+# DuckDB's list_sum — so the norms agree bit-for-bit.
+@register(
+    "udf_pandas_vectorized",
+    oracle="""
+SELECT vec_id,
+       sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+         AS norm
+FROM embeddings
+ORDER BY vec_id
+""",
+    tags=("b10.2",),
+)
 def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf(T.DoubleType())
     def l2_norm(vecs: pd.Series) -> pd.Series:
-        return vecs.map(lambda v: float(np.sqrt(np.dot(
-            np.asarray(v, dtype=np.float64), np.asarray(v, dtype=np.float64)))))
+        return vecs.map(lambda v: float(math.sqrt(
+            np.cumsum(np.square(np.asarray(v, dtype=np.float64)))[-1])))
 
     e = load_table(spark, sf_dir, "embeddings")
     return (e.select("vec_id", l2_norm("embedding").alias("norm"))
             .orderBy("vec_id"))
 
 
-# b10.3 grouped-aggregate pandas UDF (UDAF): trimmed mean per user
-@register("udf_grouped_agg", oracle=None, tags=("b10.3",))
+# b10.3 grouped-aggregate pandas UDF (UDAF): trimmed mean per user.
+# trimmed mean of sorted[1:-1] == (sum - min - max) / (n - 2); computed in
+# exact integer cents so both engines divide the same two exact numbers.
+@register(
+    "udf_grouped_agg",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS c FROM events
+)
+SELECT user_id,
+       CASE WHEN count(*) < 3
+            THEN sum(c) / (100.0 * count(*))
+            ELSE (sum(c) - min(c) - max(c)) / (100.0 * (count(*) - 2))
+       END AS trimmed_mean_value
+FROM e GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("b10.3",),
+)
 def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     @F.pandas_udf(T.DoubleType())
     def trimmed_mean(v: pd.Series) -> float:
-        if len(v) < 3:
-            return float(v.mean())
-        s = v.sort_values()
-        return float(s.iloc[1:-1].mean())
+        c = np.rint(v.to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        n = len(c)
+        if n < 3:
+            return float(int(c.sum()) / (100.0 * n))
+        return float(int(c.sum() - c.min() - c.max()) / (100.0 * (n - 2)))
 
     ev = load_table(spark, sf_dir, "events")
     return (ev.groupBy("user_id")
@@ -66,12 +114,40 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id"))
 
 
-# b10.4 grouped-map applyInPandas (UDTF-like): per-user z-score normalize
-@register("udf_apply_in_pandas", oracle=None, tags=("b10.4",))
+# b10.4 grouped-map applyInPandas (UDTF-like): per-user z-score normalize.
+# Deviations are kept as exact integers (d_i = c_i*n - S in cents·n), so
+# z_i = d_i / sqrt(SS/n) is the same op sequence in both engines.
+@register(
+    "udf_apply_in_pandas",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, value,
+         CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), g AS (
+  SELECT user_id, count(*) AS n, sum(c) AS s FROM e GROUP BY user_id
+), d AS (
+  SELECT e.event_id, e.user_id, e.value, e.c * g.n - g.s AS dd, g.n
+  FROM e JOIN g USING (user_id)
+), ss AS (
+  SELECT user_id, sum(dd * dd) AS ss FROM d GROUP BY user_id
+)
+SELECT d.user_id, d.event_id, d.value,
+       CASE WHEN ss.ss = 0 THEN 0.0
+            ELSE d.dd / sqrt(ss.ss / d.n) END AS value_z
+FROM d JOIN ss USING (user_id)
+ORDER BY event_id
+""",
+    tags=("b10.4",),
+)
 def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
-        std = pdf["value"].std(ddof=0)
-        pdf["value_z"] = 0.0 if std == 0 else (pdf["value"] - pdf["value"].mean()) / std
+        c = np.rint(pdf["value"].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        n = len(c)
+        s = int(c.sum())
+        d = c * n - s
+        ss = int((d * d).sum())
+        pdf["value_z"] = 0.0 if ss == 0 else d / math.sqrt(ss / n)
         return pdf[["user_id", "event_id", "value", "value_z"]]
 
     ev = load_table(spark, sf_dir, "events")
@@ -84,7 +160,15 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # b10.5 mapInPandas (table function over Arrow batches): running flags +
 # derived columns without a shuffle
-@register("udf_map_in_pandas", oracle=None, tags=("b10.5",))
+@register(
+    "udf_map_in_pandas",
+    oracle="""
+SELECT event_id, value, value * value AS value_sq, value > 100.0 AS is_high
+FROM events
+ORDER BY event_id
+""",
+    tags=("b10.5",),
+)
 def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     def enrich(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -71,10 +71,21 @@ def _strip(obj):
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(docs=st.lists(_doc_strategy(), min_size=1, max_size=3))
 def test_random_docs_roundtrip(spark, docs):
-    result = shred(docs_df(spark, docs), "prop_root")
+    """shred→assemble must be lossless relative to the INGESTED documents.
+
+    The expectation is computed from the ingested DataFrame, not the raw
+    dicts, because `spark.read.json` schema inference is itself lossy in
+    one corner hypothesis found: an empty string merged with a numeric
+    field infers the numeric type and parses "" to null ({"p1": 0} +
+    {"p1": ""} → LongType, null).  That is ingest semantics upstream of
+    the document model; the property owned by shred/assemble starts at
+    the ingested representation."""
+    ingested = docs_df(spark, docs)
+    result = shred(ingested, "prop_root")
     out = [json.loads(r["doc"])
            for r in to_documents(assemble(result)).collect()]
     assert len(out) == len(docs)
     got = sorted(json.dumps(_strip(d), sort_keys=True) for d in out)
-    want = sorted(json.dumps(_strip(d), sort_keys=True) for d in docs)
+    want = sorted(json.dumps(_strip(json.loads(s)), sort_keys=True)
+                  for s in ingested.toJSON().collect())
     assert got == want
