@@ -124,11 +124,15 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     rev = dec("l_extendedprice") * dec_factor(1 - F.col("l_discount"))
     return (
+        # explicit broadcast ONLY for the constant-size dims (nation=25,
+        # region=5 rows at every SF); orders/customer/supplier grow with SF,
+        # so their strategy is left to stats+AQE — broadcast at bench scale,
+        # shuffle join at the 100-TB regime where they no longer fit
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
         .agg(F.count(F.lit(1)).alias("n_lines"),
              F.round(F.sum(rev), 2).cast("double").alias("revenue"))
