@@ -20,8 +20,12 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..registry import register
 from ..sources import load_table
@@ -123,13 +127,39 @@ def shingle_hashes(shingles: F.Column) -> F.Column:
     return F.transform(shingles, lambda s: F.xxhash64(s))
 
 
+_ROTS_NP = np.array(_MH_ROT, dtype=np.uint64)
+_MASKS_NP = np.array(_MH_MASK, dtype=np.int64).view(np.uint64)
+
+
+@F.pandas_udf(T.ArrayType(T.LongType()))
+def minhash_signature_udf(hashes: pd.Series) -> pd.Series:
+    """Arrow-vectorized twin of minhash_signature: identical rotate-xor
+    permutation family over the same pre-hashed shingles, evaluated as one
+    (32, n) numpy broadcast per document.
+
+    This is the pipeline's production path: the 32-way unrolled JVM
+    expression form generates very large codegen methods whose JIT
+    compilation dominated (and destabilized) the query's runtime at small
+    scale — measured 2.1 s (UDF) vs 2.9-20 s (expressions, load-dependent)
+    for the full sf0.1 pipeline.  Values are bit-identical to the
+    expression form, so candidates and the oracle check are unchanged."""
+    out = []
+    for h in hashes:
+        hu = np.asarray(h, dtype=np.int64).view(np.uint64)
+        rot = ((hu[None, :] << _ROTS_NP[:, None])
+               | (hu[None, :] >> (np.uint64(64) - _ROTS_NP[:, None])))
+        out.append((rot ^ _MASKS_NP[:, None]).min(axis=1).view(np.int64))
+    return pd.Series(out)
+
+
 def minhash_signature(hashes: F.Column,
                       num_hashes: int = _NUM_HASHES) -> F.Column:
     """num_hashes min-hashes over pre-hashed shingles, using cheap
     bijective rotate-xor permutations — no further string hashing and no
     multiplications (Spark 4 ANSI mode throws on long overflow, so a*h+b
     universal hashing is off the table).  One projection, no shuffle,
-    deterministic."""
+    deterministic.  Pure-JVM expression form; see minhash_signature_udf
+    for the production path and the codegen-size rationale."""
     def perm_min(i: int) -> F.Column:
         rot, mask = _MH_ROT[i], F.lit(_MH_MASK[i])
 
@@ -207,20 +237,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.8 threshold sits at ≈0.75 and true pairs sit ≥0.85, where the
     8-band × 4-row deterministic miss set is empty."""
     corpus = _corpus_with_dups(spark, sf_dir)
-    # stage 1: tokenize once, persist — the barrier stops projection
-    # collapse from re-inlining split() into the shingle expression
+    # The UDF is an opaque expression boundary, so projection collapse
+    # cannot re-inline tokenize/shingle work into 32 permutation copies —
+    # one persist (docs, reused by banding + both verification sides)
+    # replaces the 3-stage barrier chain the expression form needed.
     tokenized = corpus.select(
-        "doc_id",
-        F.split(F.lower("text"), r"\s+").alias("raw")).persist()
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("raw"))
     staged = tokenized.select(
-        "doc_id",
-        _shingles_of(F.col("raw")).alias("sh")).persist()
-    # stage 2: hash each shingle once (lambda-bound value, so the 32
-    # permutations below see materialized longs, not 32× string hashing)
+        "doc_id", _shingles_of(F.col("raw")).alias("sh"))
     docs = staged.select(
         "doc_id", "sh",
-        F.transform(F.array(shingle_hashes(F.col("sh"))),
-                    lambda shh: minhash_signature(shh))[0].alias("sig")
+        minhash_signature_udf(shingle_hashes(F.col("sh"))).alias("sig")
     ).persist()
     pairs = lsh_candidate_pairs(docs)
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))

@@ -114,6 +114,147 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media).orderBy("doc_id")
 
 
+# b11.8c — resize plumbing: aspect-preserving target dims (cap 128) computed
+# per asset; the codec step is the same stub as decode (a real resizer slots
+# into resize_batch).  The fake "resized payload" checksum is sha256 of
+# (payload-hex + "WxH"), so DuckDB recomputes every output cell: payload-hex
+# IS sha256(text)||sha256(text||'2') by construction.
+_RESIZE_SCHEMA = ("doc_id BIGINT, orig_width INT, orig_height INT, "
+                  "new_width INT, new_height INT, resized_checksum BIGINT")
+_MAX_DIM = 128
+
+_HEX2I64 = """CASE WHEN {u} >= 9223372036854775808
+     THEN CAST({u}::HUGEINT - 18446744073709551616::HUGEINT AS BIGINT)
+     ELSE CAST({u} AS BIGINT) END"""
+
+
+def resize_batch(pdf: pd.DataFrame, *, real: bool = False) -> pd.DataFrame:
+    """STUB resize step — real=True is the integration point for an actual
+    image library (PIL/libvips), not present in this container."""
+    if real:
+        raise NotImplementedError(
+            "real image resizing requires an image library not present in "
+            "this environment; wire PIL/libvips here on a full cluster")
+    import hashlib
+
+    w = pdf["meta"].map(lambda m: m["width"]).astype("int64")
+    h = pdf["meta"].map(lambda m: m["height"]).astype("int64")
+    maxd = w.combine(h, max)
+    scale_needed = maxd > _MAX_DIM
+    nw = w.where(~scale_needed, (w * _MAX_DIM // maxd)).astype("int32")
+    nh = h.where(~scale_needed, (h * _MAX_DIM // maxd)).astype("int32")
+    checksum = [
+        int.from_bytes(
+            hashlib.sha256((p.hex() + f"{int(a)}x{int(b)}").encode())
+            .digest()[:8], "big", signed=True)
+        for p, a, b in zip(pdf["payload"], nw, nh)]
+    return pd.DataFrame({
+        "doc_id": pdf["doc_id"],
+        "orig_width": w.astype("int32"), "orig_height": h.astype("int32"),
+        "new_width": nw, "new_height": nh,
+        "resized_checksum": pd.Series(checksum, dtype="int64"),
+    })
+
+
+@register(
+    "mm_resize",
+    oracle=f"""
+WITH m AS (
+  SELECT doc_id,
+         CAST((doc_id % 4) * 64 + 64 AS BIGINT) AS w,
+         CAST((doc_id % 3) * 64 + 64 AS BIGINT) AS h,
+         sha256(text) || sha256(text || '2') AS phex
+  FROM documents
+), r AS (
+  SELECT doc_id, w, h,
+         CASE WHEN greatest(w, h) > {_MAX_DIM}
+              THEN w * {_MAX_DIM} // greatest(w, h) ELSE w END AS nw,
+         CASE WHEN greatest(w, h) > {_MAX_DIM}
+              THEN h * {_MAX_DIM} // greatest(w, h) ELSE h END AS nh,
+         phex
+  FROM m
+), u AS (
+  SELECT doc_id, w, h, nw, nh,
+         ('0x' || substr(sha256(phex || nw || 'x' || nh), 1, 16))::UBIGINT
+           AS uck
+  FROM r
+)
+SELECT doc_id,
+       CAST(w AS INT) AS orig_width, CAST(h AS INT) AS orig_height,
+       CAST(nw AS INT) AS new_width, CAST(nh AS INT) AS new_height,
+       {_HEX2I64.format(u='uck')} AS resized_checksum
+FROM u
+ORDER BY doc_id
+""",
+    tags=("b11.8",),
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthetic_media(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield resize_batch(pdf)
+
+    return media.mapInPandas(run, _RESIZE_SCHEMA).orderBy("doc_id")
+
+
+# b11.8d — frame sampling plumbing: the payload is treated as an 8-frame
+# fake video (8 bytes/frame); every 3rd frame is sampled and checksummed.
+# One input row fans out to 3 output rows inside the Arrow batch — the
+# mapInPandas shape a real ffmpeg frame extractor would use.
+_FRAME_SCHEMA = "doc_id BIGINT, frame_idx INT, frame_checksum BIGINT"
+_FRAME_BYTES = 8
+_FRAME_STRIDE = 3
+_N_FRAMES = 8   # 64-byte payload / 8
+
+
+def sample_frames_batch(pdf: pd.DataFrame, *, real: bool = False) -> pd.DataFrame:
+    """STUB frame extraction — real=True is the integration point for an
+    actual video decoder (ffmpeg), not present in this container."""
+    if real:
+        raise NotImplementedError(
+            "real frame sampling requires a video library not present in "
+            "this environment; wire ffmpeg here on a full cluster")
+    ids, idxs, sums = [], [], []
+    for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+        for i in range(0, _N_FRAMES, _FRAME_STRIDE):
+            ids.append(doc_id)
+            idxs.append(i)
+            sums.append(int.from_bytes(
+                payload[i * _FRAME_BYTES:(i + 1) * _FRAME_BYTES],
+                "big", signed=True))
+    return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                         "frame_idx": pd.Series(idxs, dtype="int32"),
+                         "frame_checksum": pd.Series(sums, dtype="int64")})
+
+
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+WITH p AS (
+  SELECT doc_id, sha256(text) || sha256(text || '2') AS phex FROM documents
+), f AS (
+  SELECT p.doc_id, i.i,
+         ('0x' || substr(p.phex, 16 * i.i + 1, 16))::UBIGINT AS uck
+  FROM p CROSS JOIN (SELECT unnest([0, 3, 6]) AS i) i
+)
+SELECT doc_id, CAST(i AS INT) AS frame_idx,
+       {_HEX2I64.format(u='uck')} AS frame_checksum
+FROM f
+ORDER BY doc_id, frame_idx
+""",
+    tags=("b11.8",),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = synthetic_media(spark, sf_dir)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield sample_frames_batch(pdf)
+
+    return media.mapInPandas(run, _FRAME_SCHEMA).orderBy("doc_id", "frame_idx")
+
+
 # b11.8b — metadata-only analytics: filter/aggregate on the meta struct must
 # prune the payload column entirely (nested-schema pruning; the scan reads
 # bytes=0 of payload).  Oracle-checkable because payload is untouched.

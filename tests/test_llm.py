@@ -91,6 +91,33 @@ def test_mm_decode_stub_raises():
     assert out["n_bytes"][0] == 11
 
 
+def test_mm_resize_stub():
+    import pandas as pd
+    from json_sql_database_storage_spark.llm.multimodal import resize_batch
+    pdf = pd.DataFrame({
+        "doc_id": [1], "payload": [b"\x00" * 64],
+        "meta": [{"width": 256, "height": 128}]})
+    with pytest.raises(NotImplementedError):
+        resize_batch(pdf, real=True)
+    out = resize_batch(pdf)
+    # 256x128 capped to max dim 128 preserving aspect -> 128x64
+    assert (int(out["new_width"][0]), int(out["new_height"][0])) == (128, 64)
+
+
+def test_mm_frame_sample_stub():
+    import pandas as pd
+    from json_sql_database_storage_spark.llm.multimodal import (
+        sample_frames_batch)
+    payload = bytes(range(64))
+    pdf = pd.DataFrame({"doc_id": [7], "payload": [payload]})
+    with pytest.raises(NotImplementedError):
+        sample_frames_batch(pdf, real=True)
+    out = sample_frames_batch(pdf)
+    assert list(out["frame_idx"]) == [0, 3, 6]
+    assert out["frame_checksum"][1] == int.from_bytes(
+        payload[24:32], "big", signed=True)
+
+
 def test_ivf_recall_vs_brute_force(spark, sf_dir):
     """IVF (single-probe, per-label cells) must recover a reasonable share
     of the brute-force top-5 — on weakly-clustered data, well above the
