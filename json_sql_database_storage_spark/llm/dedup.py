@@ -265,7 +265,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # b11.2b SimHash near-dup: 64-bit signature; candidates share one of four
-# 16-bit chunks; verified by hamming distance ≤ 6.
+# 16-bit chunks; verified by hamming distance ≤ 3.  The threshold and the
+# banding are coupled by pigeonhole: ≤3 bit flips over 4 chunks leave at
+# least one chunk untouched, so chunk-collision candidate generation has
+# recall 1.0 at this radius (at ≤6 it would not — 6 flips can touch all 4
+# chunks — and on this template-heavy corpus radius 6 also explodes to
+# ~1M pairs from 5k docs, a quadratic blow-up no banding can absorb).
 # ---------------------------------------------------------------------------
 
 def simhash64(tokens: F.Column) -> F.Column:
@@ -293,14 +298,33 @@ def simhash64(tokens: F.Column) -> F.Column:
     return out
 
 
+_BIT_IDX = np.arange(64, dtype=np.uint64)
+
+
+@F.pandas_udf(T.LongType())
+def simhash64_udf(token_hashes: pd.Series) -> pd.Series:
+    """Arrow-vectorized twin of simhash64 (bit-identical values) — the
+    production path, for the same codegen-size reason as
+    minhash_signature_udf: the 64-way unrolled expression form spends more
+    time in JIT than in data at small scale."""
+    out = np.empty(len(token_hashes), dtype=np.int64)
+    for i, h in enumerate(token_hashes):
+        hu = np.asarray(h, dtype=np.int64).view(np.uint64)
+        bits = (hu[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)   # (n, 64)
+        votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        out[i] = ((votes > 0).astype(np.uint64)
+                  << _BIT_IDX).sum(dtype=np.uint64).astype(np.int64)
+    return pd.Series(out)
+
+
 @register("dedup_simhash", oracle=None, tags=("b11.2",))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_with_dups(spark, sf_dir)
     # persist: sig is referenced 4× by the chunk explode and twice by the
-    # self-join — without the barrier each reference recomputes the full
-    # token aggregate
+    # self-join — the barrier stops each reference re-running the UDF
     docs = (corpus.select("doc_id", _tokens(F.col("text")).alias("toks"))
-            .withColumn("sig", simhash64(F.col("toks")))
+            .withColumn("sig", simhash64_udf(
+                F.transform("toks", lambda t: F.xxhash64(F.lit(7), t))))
             .persist())
     # 4 chunks of 16 bits as LSH keys
     chunks = docs.select(
@@ -320,7 +344,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cands.withColumn("hamming",
                          F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
-        .filter(F.col("hamming") <= 6)
+        .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
     )
