@@ -55,6 +55,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     # warm the JVM/scan path once so timings measure the engine, not JIT
     specs[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # ...and the Python/Arrow worker pool (first pandas UDF otherwise pays
+    # a one-time worker fork inside whichever query hits it first)
+    from pyspark.sql import functions as F
+
+    _warm = F.pandas_udf(lambda x: x, "long")
+    spark.range(32).select(_warm("id")).write.format("noop").mode("overwrite").save()
 
     total = 0.0
     for name in names:
