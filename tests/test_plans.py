@@ -65,3 +65,33 @@ def test_q1_wholestage_codegen(spark, sf_dir):
 def test_topk_uses_take_ordered(spark, sf_dir):
     df = _SPECS["sort_global_top_k"].fn(spark, sf_dir)
     assert "TakeOrderedAndProject" in explain_formatted(df)
+
+
+def test_mm_metadata_prunes_payload_derivation(spark, sf_dir):
+    """Metadata-only analytics must never compute the payload: the scan
+    reads only the columns the meta struct needs — at 100 TB this is the
+    difference between touching bytes of binary blobs or none."""
+    df = _SPECS["mm_metadata_pruning"].fn(spark, sf_dir)
+    for cols in read_schema_columns(df):
+        assert "text" not in cols  # payload = f(text); pruned with it
+
+
+def test_lsh_candidate_join_is_equi(spark, sf_dir):
+    """Banding exists to turn near-dup search into an equi-join on
+    (band, hash) — a plan regression to a nested-loop/cartesian join is
+    the O(n²) failure banding is supposed to prevent."""
+    for name in ("dedup_minhash_lsh", "dedup_simhash"):
+        plan = explain_formatted(_SPECS[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_pandas_udfs_use_arrow_eval(spark, sf_dir):
+    """Vectorized exhibits must stay on the Arrow path; the deliberate
+    row-at-a-time exhibit must be the only BatchEvalPython user."""
+    assert "ArrowEvalPython" in explain_formatted(
+        _SPECS["udf_pandas_vectorized"].fn(spark, sf_dir))
+    assert "BatchEvalPython" in explain_formatted(
+        _SPECS["udf_scalar_python"].fn(spark, sf_dir))
+    assert "ArrowEvalPython" in explain_formatted(
+        _SPECS["dedup_minhash_lsh"].fn(spark, sf_dir))
