@@ -236,6 +236,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures recall — on this corpus the nearest organic pair below the
     0.8 threshold sits at ≈0.75 and true pairs sit ≥0.85, where the
     8-band × 4-row deterministic miss set is empty."""
+    return _minhash_verified_pairs(spark, sf_dir).orderBy("id_a", "id_b")
+
+
+def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, jaccard) near-dup pairs: LSH candidates verified by
+    exact shingle-Jaccard ≥ 0.8.  Shared by dedup_minhash_lsh (emits the
+    pairs) and dedup_cc_survivors (clusters them)."""
     corpus = _corpus_with_dups(spark, sf_dir)
     # The UDF is an opaque expression boundary, so projection collapse
     # cannot re-inline tokenize/shingle work into 32 permutation copies —
@@ -252,7 +259,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = lsh_candidate_pairs(docs)
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
-    verified = (
+    return (
         pairs.join(a, "id_a").join(b, "id_b")
         .withColumn("jaccard",
                     F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -260,7 +267,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.8)
         .select("id_a", "id_b", "jaccard")
     )
-    return verified.orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -347,6 +353,108 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b11.2e dedup survivors: connected components over the verified near-dup
+# pairs — the step a real pipeline runs after pair generation (keep ONE doc
+# per duplicate cluster).  Spark side: iterative min-label propagation
+# (O(diameter) rounds, each one equi-join + partial-agg groupBy;
+# localCheckpoint truncates lineage per round — the standard distributed CC
+# at any scale).  Oracle: DuckDB recursive-CTE transitive closure over the
+# same edge set (identical by the dedup_minhash_lsh recall argument).
+# ---------------------------------------------------------------------------
+
+_CC_MAX_ITERS = 25
+
+
+@register(
+    "dedup_cc_survivors",
+    oracle="""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 30
+  UNION ALL
+  SELECT doc_id + 200000, text || ' zzzz' FROM documents
+  WHERE doc_id >= 30 AND doc_id < 60
+), raw AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS r FROM corpus
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(r) >= 3
+              THEN list_distinct(list_transform(range(1, len(r)-1),
+                     i -> r[i] || ' ' || r[i+1] || ' ' || r[i+2]))
+              ELSE [array_to_string(r, ' ')] END AS s
+  FROM raw
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / len(list_distinct(flatten([a.s, b.s]))) AS jacc
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+), edges AS MATERIALIZED (
+  -- MATERIALIZED (here and on sym): edges feeds two sym branches and sym
+  -- is re-scanned every recursion round; without the hints DuckDB inlines
+  -- the whole all-pairs jaccard join into each reference (measured
+  -- 40-60 s; materialized, ~5 s)
+  SELECT id_a, id_b FROM pairs WHERE jacc >= 0.8
+), sym AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM edges
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM edges
+), nodes AS (
+  SELECT DISTINCT a AS n FROM sym
+), reach(n, m) AS (
+  SELECT n, n FROM nodes
+  UNION
+  SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
+), comp AS (
+  SELECT n, min(m) AS comp FROM reach GROUP BY n
+)
+SELECT comp AS survivor_id, count(*) AS n_members,
+       list(n ORDER BY n) AS members
+FROM comp GROUP BY comp
+ORDER BY survivor_id
+""",
+    tags=("b11.2",),
+)
+def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _minhash_verified_pairs(spark, sf_dir).select("id_a", "id_b")
+    sym = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")) \
+        .unionByName(pairs.select(F.col("id_b").alias("a"),
+                                  F.col("id_a").alias("b"))).persist()
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node")).localCheckpoint())
+    for _ in range(_CC_MAX_ITERS):
+        # phase 1: min over direct neighbours
+        neigh = (sym.join(labels, sym.b == labels.node)
+                 .groupBy("a").agg(F.min("label").alias("nl")))
+        prop = (labels.join(neigh, labels.node == neigh.a, "left")
+                .select(labels.node, labels.label,
+                        F.least(labels.label,
+                                F.coalesce(F.col("nl"), labels.label))
+                        .alias("mid")))
+        # phase 2: pointer jumping (label := label of my label) — halves
+        # component diameter per round, so convergence is O(log d) rounds
+        # instead of O(d) on chain-shaped clusters
+        lut = prop.select(F.col("node").alias("hn"),
+                          F.col("mid").alias("hl"))
+        staged = (prop.join(lut, prop.mid == lut.hn, "left")
+                  .select(prop.node, prop.label,
+                          F.least(F.col("mid"),
+                                  F.coalesce(F.col("hl"), F.col("mid")))
+                          .alias("new_label"))
+                  .localCheckpoint())
+        if staged.filter(F.col("new_label") < F.col("label")).count() == 0:
+            break
+        labels = staged.select("node", F.col("new_label").alias("label"))
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_members"),
+             F.array_sort(F.collect_list("node")).alias("members"))
+        .select(F.col("label").alias("survivor_id"), "n_members", "members")
+        .orderBy("survivor_id")
     )
 
 
