@@ -11,6 +11,7 @@ exercise watermark late-data semantics.
 
 from __future__ import annotations
 
+import atexit
 import os
 import shutil
 import tempfile
@@ -25,11 +26,23 @@ _EVENTS_SCHEMA = ("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
                   "event_type STRING, value DOUBLE, props STRING")
 
 
+_STAGE_CACHE: dict[tuple, str] = {}
+
+
 def stage_event_chunks(spark: SparkSession, sf_dir: str, *,
                        n_chunks: int = 4, late_chunk: bool = False) -> str:
     """Write events into n_chunks files ordered by ts (each chunk = one
     micro-batch).  With late_chunk=True the FIRST (oldest) slice is written
-    LAST, arriving after the watermark has advanced past it."""
+    LAST, arriving after the watermark has advanced past it.
+
+    Staged dirs are memoized per (sf_dir, n_chunks, late_chunk): the chunk
+    content is a pure function of the static events table, and each replay
+    reads it with a fresh query/checkpoint, so every stream query in a
+    session reuses one staging pass."""
+    key = (os.path.abspath(sf_dir), n_chunks, late_chunk)
+    cached = _STAGE_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
     ev = load_table(spark, sf_dir, "events").orderBy("ts")
     rows = ev.count()
     per = rows // n_chunks + 1
@@ -53,6 +66,7 @@ def stage_event_chunks(spark: SparkSession, sf_dir: str, *,
                 ts = time.time() + seq
                 os.utime(dst, (ts, ts))
         shutil.rmtree(tmp)
+    _STAGE_CACHE[key] = base
     return base
 
 
@@ -80,4 +94,15 @@ def run_stream_to_table(result: DataFrame, *, output_mode: str) -> DataFrame:
 
 
 def cleanup(staged_dir: str) -> None:
+    """Memoized staged dirs live for the session (deleted atexit) so later
+    stream queries skip restaging; anything unmemoized goes right away."""
+    if staged_dir in _STAGE_CACHE.values():
+        return
     shutil.rmtree(staged_dir, ignore_errors=True)
+
+
+@atexit.register
+def _cleanup_stage_cache() -> None:
+    for d in _STAGE_CACHE.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _STAGE_CACHE.clear()
