@@ -10,10 +10,12 @@ Scale design:
   once: cost O(|corpus|·|queries|·dim) flops, one shuffle for the per-query
   top-k window — the right baseline ≤ a few hundred queries;
 - the scale path is random-hyperplane LSH bucketing (sim_lsh_buckets):
-  16-bit signatures from seeded pseudo-random hyperplanes restrict
-  comparisons to same-bucket pairs (vs all-pairs O(n²)); the same shape
+  12-bit signatures from arithmetic pseudo-random hyperplanes restrict
+  comparisons to same-bucket pairs (vs all-pairs O(n²)) —
+  dedup_embedding_lsh is that bucketed near-dup end-to-end; the same shape
   extends to IVF by swapping bucket-id for nearest-centroid-id
-  (sim_nearest_centroid is exactly that assignment step).
+  (sim_nearest_centroid is the assignment step, sim_ivf_topk the
+  multi-probe search).
 """
 
 from __future__ import annotations
@@ -157,23 +159,57 @@ def sim_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # b11.3b scale path: random-hyperplane LSH bucketing.  Hyperplane h_i[pos] is
-# a deterministic pseudo-random ±1 from xxhash64(i, pos) — reproducible
-# across runs/cluster sizes, no driver-side randomness.
+# a deterministic pseudo-random ±1 from a multiplicative-mod-prime sequence —
+# pure int64 arithmetic both engines evaluate identically (unlike xxhash64),
+# so bucket assignment and everything built on it is oracle-checkable;
+# reproducible across runs/cluster sizes, no driver-side randomness.
 # ---------------------------------------------------------------------------
 
 _LSH_BITS = 12
+_LSH_MULT = 2654435761           # Knuth's 2^32 golden-ratio multiplier
+_LSH_PRIME = 4294967291          # largest prime < 2^32
 
 
 def _hyperplane_bit(vec: F.Column, i: int) -> F.Column:
     signs = F.transform(
         F.sequence(F.lit(0), F.size(vec) - 1),
         lambda pos: F.when(
-            F.xxhash64(F.lit(i), pos).bitwiseAND(F.lit(1)) == 1,
+            F.pmod((F.lit(i * 64 + 1) + pos) * F.lit(_LSH_MULT),
+                   F.lit(_LSH_PRIME)).bitwiseAND(F.lit(1)) == 1,
             F.lit(1.0)).otherwise(F.lit(-1.0)))
     return F.when(dot(vec, signs) >= 0, F.lit(1)).otherwise(F.lit(0))
 
 
-@register("sim_lsh_buckets", oracle=None, tags=("b11.3",))
+def _bucket_sql(vec: str) -> str:
+    """DuckDB twin of the 12-bit bucket id over column `vec` (DOUBLE[])."""
+    bits = []
+    for i in range(_LSH_BITS):
+        signs = (f"list_transform(range(0, len({vec})), pos -> "
+                 f"CASE WHEN (({i * 64 + 1} + pos) * {_LSH_MULT}) "
+                 f"% {_LSH_PRIME} % 2 = 1 THEN 1.0 ELSE -1.0 END)")
+        d = (f"list_sum(list_transform(list_zip({vec}, {signs}), "
+             f"p -> p[1] * p[2]))")
+        bits.append(f"(CASE WHEN {d} >= 0 THEN {1 << i} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")"
+
+
+@register(
+    "sim_lsh_buckets",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+), b AS (
+  SELECT vec_id, label, {_bucket_sql("e")}::BIGINT AS bucket FROM v
+)
+SELECT bucket, count(*) AS n_vectors,
+       count(DISTINCT label) AS n_labels,
+       list(vec_id ORDER BY vec_id) AS members
+FROM b GROUP BY bucket
+HAVING count(*) >= 2
+ORDER BY bucket
+""",
+    tags=("b11.3",),
+)
 def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double(F.col("embedding")).alias("e"))
@@ -192,6 +228,51 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# b11.3b2 scale-path embedding near-dup: compare ONLY within an LSH bucket
+# (vs dedup_embedding_cosine's bounded all-pairs) — the sub-quadratic
+# formulation that survives a 100-TB corpus, oracle-checked end-to-end
+# because the bucket family above is plain arithmetic.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), b AS (
+  SELECT vec_id, e, {_bucket_sql("e")}::BIGINT AS bucket FROM v
+)
+SELECT a.vec_id AS id_a, x.vec_id AS id_b,
+       {_COSINE_SQL.format(a="a.e", b="x.e")} AS cos_sim
+FROM b a JOIN b x ON a.bucket = x.bucket AND a.vec_id < x.vec_id
+WHERE {_COSINE_SQL.format(a="a.e", b="x.e")} >= 0.35
+ORDER BY id_a, id_b
+""",
+    tags=("b11.2", "b11.3"),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e"))
+    assigned = v.withColumn(
+        "bucket",
+        sum((_hyperplane_bit(F.col("e"), i) * F.lit(1 << i))
+            for i in range(_LSH_BITS)).cast("long")).persist()
+    a = assigned.select(F.col("vec_id").alias("id_a"),
+                        F.col("e").alias("ea"), "bucket")
+    b = assigned.select(F.col("vec_id").alias("id_b"),
+                        F.col("e").alias("eb"),
+                        F.col("bucket").alias("bucket_b"))
+    return (
+        a.join(b, (F.col("bucket") == F.col("bucket_b"))
+               & (F.col("id_a") < F.col("id_b")))
+        .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos_sim") >= 0.35)
+        .select("id_a", "id_b", "cos_sim")
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # b11.2d embedding-cosine near-duplicate pairs (the vector-space member of
 # the dedup family): all pairs above a cosine threshold on a bounded id
 # range — oracle-checked with the identical summation order.
@@ -204,7 +285,7 @@ WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id 
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        {_COSINE_SQL.format(a="a.e", b="b.e")} AS cos_sim
 FROM v a JOIN v b ON a.vec_id < b.vec_id
-WHERE {_COSINE_SQL.format(a="a.e", b="b.e")} >= 0.5
+WHERE {_COSINE_SQL.format(a="a.e", b="b.e")} >= 0.35
 ORDER BY id_a, id_b
 """,
     tags=("b11.2", "b11.3"),
@@ -217,7 +298,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .withColumn("cos_sim", cosine(F.col("ea"), F.col("eb")))
-        .filter(F.col("cos_sim") >= 0.5)
+        .filter(F.col("cos_sim") >= 0.35)
         .select("id_a", "id_b", "cos_sim")
         .orderBy("id_a", "id_b")
     )
