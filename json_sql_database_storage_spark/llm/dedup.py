@@ -220,6 +220,10 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          / len(list_distinct(flatten([a.s, b.s]))) AS jaccard
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  -- size-ratio prefilter: jaccard <= min(|A|,|B|)/max(|A|,|B|), so pairs
+  -- failing the 4/5 ratio cannot reach 0.8 — prunes most of the O(n^2)
+  -- list work without changing the result set
+  AND len(a.s) * 5 >= len(b.s) * 4 AND len(b.s) * 5 >= len(a.s) * 4
 WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
         / len(list_distinct(flatten([a.s, b.s]))) >= 0.8
 ORDER BY id_a, id_b
@@ -393,6 +397,8 @@ WITH RECURSIVE corpus AS (
          CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
            / len(list_distinct(flatten([a.s, b.s]))) AS jacc
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    -- same size-ratio prefilter as the dedup_minhash_lsh oracle
+    AND len(a.s) * 5 >= len(b.s) * 4 AND len(b.s) * 5 >= len(a.s) * 4
 ), edges AS MATERIALIZED (
   -- MATERIALIZED (here and on sym): edges feeds two sym branches and sym
   -- is re-scanned every recursion round; without the hints DuckDB inlines
