@@ -37,6 +37,21 @@ def test_minhash_finds_planted_near_dups(spark, sf_dir):
     assert all(r["jaccard"] >= 0.8 for r in pairs)
 
 
+def test_cc_survivors_collapse_planted_clusters(spark, sf_dir):
+    """Every planted copy (id+100000 exact, id+200000 near) must land in a
+    cluster whose survivor is the ORIGINAL doc id (min id wins), and no
+    planted copy may itself be a survivor."""
+    out = _SPECS["dedup_cc_survivors"].fn(spark, sf_dir).collect()
+    survivor_of = {}
+    for r in out:
+        for m in r["members"]:
+            survivor_of[m] = r["survivor_id"]
+    for base in range(30):                      # exact copies
+        assert survivor_of.get(base + 100000, base) <= base
+    assert all(s < 100000 for s in (r["survivor_id"] for r in out))
+    assert all(r["n_members"] == len(r["members"]) >= 2 for r in out)
+
+
 def test_simhash_finds_planted_dups(spark, sf_dir):
     pairs = _SPECS["dedup_simhash"].fn(spark, sf_dir).collect()
     found = {(r["id_a"], r["id_b"]) for r in pairs}
