@@ -99,10 +99,10 @@ def doc_typing_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_tojson_lines",
     oracle="""
-SELECT to_json(struct_pack(
+SELECT CAST(to_json(struct_pack(
          o_orderkey := o.o_orderkey, o_orderstatus := o.o_orderstatus,
          o_totalprice := o.o_totalprice, lines := coalesce(n.lines, [])))
-       AS doc
+       AS VARCHAR) AS doc
 FROM orders o LEFT JOIN (
   SELECT l_orderkey,
          list(struct_pack(l_linenumber := l_linenumber,

@@ -90,7 +90,7 @@ SELECT
   month(o_orderdate)                                  AS m,
   day(o_orderdate)                                    AS d,
   CAST(quarter(o_orderdate) AS INTEGER)               AS q,
-  date_trunc('month', o_orderdate)                    AS month_start,
+  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
   date_diff('day', o_orderdate,
             TIMESTAMP '2000-01-01 00:00:00')          AS days_to_y2k,
   CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR)     AS due_date,
@@ -259,6 +259,14 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dense float vectors as first-class ArrayType columns)
 # ---------------------------------------------------------------------------
 
+def _micro_json(arr: F.Column) -> F.Column:
+    """Render a float array as a JSON string of exact micro-unit BIGINTs."""
+    return F.to_json(F.transform(
+        arr,
+        lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5))
+                   .cast("bigint")))
+
+
 @register(
     "fn_array",
     oracle="""
@@ -268,10 +276,16 @@ SELECT
   embedding[1]                                      AS first_coord,
   list_max(embedding)                               AS coord_max,
   list_min(embedding)                               AS coord_min,
-  embedding[1:4]                                    AS head4,
-  list_sort(embedding[1:4])                         AS head4_sorted,
+  CAST(to_json(list_transform(embedding[1:4],
+       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))
+       AS VARCHAR)                                  AS head4,
+  CAST(to_json(list_transform(list_sort(embedding[1:4]),
+       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))
+       AS VARCHAR)                                  AS head4_sorted,
   list_contains(embedding, 0.0)                     AS has_zero,
-  flatten([embedding[1:2], embedding[3:4]])         AS recombined,
+  CAST(to_json(list_transform(flatten([embedding[1:2], embedding[3:4]]),
+       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))
+       AS VARCHAR)                                  AS recombined,
   list_distinct(embedding[1:3]) IS NOT NULL         AS distinct_ok
 FROM embeddings
 ORDER BY vec_id
@@ -288,10 +302,16 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             a[0].alias("first_coord"),
             F.array_max(a).alias("coord_max"),
             F.array_min(a).alias("coord_min"),
-            F.slice(a, 1, 4).alias("head4"),
-            F.array_sort(F.slice(a, 1, 4)).alias("head4_sorted"),
+            # Array outputs render as JSON strings of exact micro-units:
+            # float32→double widening is exact, and floor(x*1e6+0.5) is the
+            # same IEEE op in both engines, so the int arrays are
+            # bit-identical — raw double arrays are NOT (the engines differ
+            # on double→JSON scientific-notation thresholds).
+            _micro_json(F.slice(a, 1, 4)).alias("head4"),
+            _micro_json(F.array_sort(F.slice(a, 1, 4))).alias("head4_sorted"),
             F.array_contains(a, F.lit(0.0)).alias("has_zero"),
-            F.flatten(F.array(F.slice(a, 1, 2), F.slice(a, 3, 2))).alias("recombined"),
+            _micro_json(F.flatten(F.array(F.slice(a, 1, 2), F.slice(a, 3, 2))))
+            .alias("recombined"),
             F.array_distinct(F.slice(a, 1, 3)).isNotNull().alias("distinct_ok"),
         )
         .orderBy("vec_id")
@@ -331,31 +351,37 @@ def fn_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map",
     oracle="""
 SELECT event_id,
-       struct_pack(k := CAST(json_extract(props, '$.k') AS BIGINT))
+       CAST(to_json(struct_pack(
+         k := CAST(json_extract(props, '$.k') AS BIGINT))) AS VARCHAR)
          AS props_map,
-       ['k'] AS keys,
-       [CAST(json_extract(props, '$.k') AS BIGINT)] AS values,
+       CAST(to_json(['k']) AS VARCHAR) AS keys,
+       CAST(to_json([CAST(json_extract(props, '$.k') AS BIGINT)]) AS VARCHAR)
+         AS values,
        CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
-       struct_pack(event_type := event_type) AS meta_map
+       CAST(to_json(struct_pack(event_type := event_type)) AS VARCHAR)
+         AS meta_map
 FROM events
 ORDER BY event_id
 """,
     tags=("b8.7",),
 )
 def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Map/array outputs render as canonical JSON strings (driver hasher
+    # cannot hash lists/dicts); single-key maps make the key order — Spark
+    # map order vs DuckDB struct field order — trivially identical.
     ev = load_table(spark, sf_dir, "events")
     m = F.from_json(F.col("props"), T.MapType(T.StringType(), T.LongType()))
     return (
         ev.select(
             "event_id",
-            m.alias("props_map"),
-            F.map_keys(m).alias("keys"),
-            F.map_values(m).alias("values"),
+            F.to_json(m).alias("props_map"),
+            F.to_json(F.map_keys(m)).alias("keys"),
+            F.to_json(F.map_values(m)).alias("values"),
             F.element_at(m, "k").alias("k_value"),
-            F.map_from_entries(
+            F.to_json(F.map_from_entries(
                 F.array(F.struct(F.lit("event_type").alias("key"),
                                  F.col("event_type").alias("value")))
-            ).alias("meta_map"),
+            )).alias("meta_map"),
         )
         .orderBy("event_id")
     )
@@ -406,10 +432,12 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_json_roundtrip",
     oracle="""
 SELECT event_id, props,
-       to_json(struct_pack(k := CAST(json_extract(props, '$.k') AS BIGINT)))
+       CAST(to_json(struct_pack(
+         k := CAST(json_extract(props, '$.k') AS BIGINT))) AS VARCHAR)
          AS rebuilt,
        'STRUCT<k: BIGINT>' AS inferred_schema,
-       to_json(struct_pack(event_id := event_id, event_type := event_type))
+       CAST(to_json(struct_pack(event_id := event_id,
+                                event_type := event_type)) AS VARCHAR)
          AS event_doc
 FROM events
 ORDER BY event_id

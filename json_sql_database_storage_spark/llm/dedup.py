@@ -419,7 +419,7 @@ WITH RECURSIVE corpus AS (
   SELECT n, min(m) AS comp FROM reach GROUP BY n
 )
 SELECT comp AS survivor_id, count(*) AS n_members,
-       list(n ORDER BY n) AS members
+       CAST(to_json(list(n ORDER BY n)) AS VARCHAR) AS members
 FROM comp GROUP BY comp
 ORDER BY survivor_id
 """,
@@ -458,7 +458,7 @@ def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_members"),
-             F.array_sort(F.collect_list("node")).alias("members"))
+             F.to_json(F.array_sort(F.collect_list("node"))).alias("members"))
         .select(F.col("label").alias("survivor_id"), "n_members", "members")
         .orderBy("survivor_id")
     )
@@ -473,7 +473,7 @@ def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle="""
 WITH toks AS (
-  SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS t
+  SELECT doc_id, list_distinct(regexp_split_to_array(lower(text), '\s+')) AS t
   FROM documents WHERE doc_id < 40
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,

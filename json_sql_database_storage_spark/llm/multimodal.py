@@ -263,7 +263,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT lang AS source_lang,
        count(*) AS n_assets,
-       sum(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END) AS n_wide
+       CAST(sum(CASE WHEN doc_id % 4 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_wide
 FROM documents
 GROUP BY lang
 ORDER BY source_lang

@@ -203,7 +203,7 @@ WITH v AS (
 )
 SELECT bucket, count(*) AS n_vectors,
        count(DISTINCT label) AS n_labels,
-       list(vec_id ORDER BY vec_id) AS members
+       CAST(to_json(list(vec_id ORDER BY vec_id)) AS VARCHAR) AS members
 FROM b GROUP BY bucket
 HAVING count(*) >= 2
 ORDER BY bucket
@@ -221,7 +221,7 @@ def sim_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vectors"),
              F.countDistinct("label").alias("n_labels"),
-             F.array_sort(F.collect_list("vec_id")).alias("members"))
+             F.to_json(F.array_sort(F.collect_list("vec_id"))).alias("members"))
         .filter(F.col("n_vectors") >= 2)
         .orderBy("bucket")
     )

@@ -30,10 +30,10 @@ def tokens(col: F.Column) -> F.Column:
 SELECT
   lang,
   count(*)                                        AS n_docs,
-  sum(n_chars)                                    AS total_chars,
+  CAST(sum(n_chars) AS BIGINT)                    AS total_chars,
   CAST(sum(n_chars) AS DOUBLE) / count(*)         AS avg_chars,
-  sum(len(string_split(lower(text), ' ')))        AS total_tokens,
-  sum(len(list_distinct(string_split(lower(text), ' ')))) AS total_distinct_tokens
+  CAST(sum(len(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT) AS total_tokens,
+  CAST(sum(len(list_distinct(regexp_split_to_array(lower(text), '\s+')))) AS BIGINT) AS total_distinct_tokens
 FROM documents
 GROUP BY lang
 ORDER BY lang
@@ -65,7 +65,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_top_terms",
     oracle="""
 SELECT term, count(*) AS freq, count(DISTINCT doc_id) AS n_docs
-FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
       FROM documents)
 GROUP BY term
 ORDER BY freq DESC, term
@@ -95,7 +95,7 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH tf AS (
   SELECT doc_id, term, count(*) AS tf
-  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
         FROM documents)
   GROUP BY doc_id, term
 ), df AS (
@@ -150,7 +150,7 @@ _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
     oracle=f"""
 WITH t AS (
   SELECT doc_id, n_chars,
-         string_split(lower(text), ' ') AS toks,
+         regexp_split_to_array(lower(text), '\s+') AS toks,
          len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct
   FROM documents
 )
@@ -294,8 +294,9 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         grammed.select(
             "doc_id",
-            F.array_sort(F.array_distinct(windows)).alias("fingerprint"))
-        .withColumn("fp_size", F.size("fingerprint"))
+            F.array_sort(F.array_distinct(windows)).alias("fp"))
+        .withColumn("fp_size", F.size("fp"))
+        .select("doc_id", F.to_json("fp").alias("fingerprint"), "fp_size")
         .orderBy("doc_id")
     )
 

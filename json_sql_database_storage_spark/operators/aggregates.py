@@ -357,8 +357,8 @@ def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   l_orderkey,
-  list_sort(list(l_linenumber))          AS linenumbers,
-  list_sort(list(DISTINCT l_returnflag)) AS flags
+  CAST(to_json(list_sort(list(l_linenumber))) AS VARCHAR)          AS linenumbers,
+  CAST(to_json(list_sort(list(DISTINCT l_returnflag))) AS VARCHAR) AS flags
 FROM lineitem
 WHERE l_orderkey <= 100
 GROUP BY l_orderkey
@@ -367,13 +367,19 @@ ORDER BY l_orderkey
     tags=("b4.9",),
 )
 def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Array outputs are rendered to canonical JSON strings (identical compact
+    # form in Spark and DuckDB for int/string arrays) so the driver's value
+    # hasher can hash them; the array semantics stay covered as real arrays
+    # in tests/test_operators.py.
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(F.col("l_orderkey") <= 100)
         .groupBy("l_orderkey")
         .agg(
-            F.array_sort(F.collect_list("l_linenumber")).alias("linenumbers"),
-            F.array_sort(F.collect_set("l_returnflag")).alias("flags"),
+            F.to_json(F.array_sort(F.collect_list("l_linenumber")))
+             .alias("linenumbers"),
+            F.to_json(F.array_sort(F.collect_set("l_returnflag")))
+             .alias("flags"),
         )
         .orderBy("l_orderkey")
     )

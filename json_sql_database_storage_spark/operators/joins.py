@@ -408,13 +408,14 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_renest_documents",
     oracle="""
 SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_totalprice,
-       coalesce(n.lines, []) AS lines
+       coalesce(CAST(to_json(n.lines) AS VARCHAR), '[]') AS lines
 FROM orders o LEFT JOIN (
   SELECT l_orderkey,
          list(struct_pack(
-                l_linenumber := l_linenumber, l_partkey := l_partkey,
-                l_quantity := l_quantity, l_extendedprice := l_extendedprice,
-                l_discount := l_discount)
+                ln := l_linenumber, pk := l_partkey,
+                qty_c := CAST(CAST(l_quantity AS DECIMAL(12,4)) * 100 AS BIGINT),
+                price_c := CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 100 AS BIGINT),
+                disc_c := CAST(CAST(l_discount AS DECIMAL(12,4)) * 100 AS BIGINT))
               ORDER BY l_linenumber, l_partkey, l_quantity,
                        l_extendedprice, l_discount) AS lines
   FROM lineitem GROUP BY l_orderkey
@@ -424,10 +425,26 @@ ORDER BY o_orderkey
     tags=("b3.11", "A2", "A11"),
 )
 def join_renest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Nested array-of-struct output is rendered to a canonical JSON string so
+    # the driver's value hasher (which cannot hash lists) still gets the full
+    # nested payload.  Decimal fields go through exact integer cents — Spark
+    # and DuckDB disagree on double→JSON rendering (1.0E9 vs 1000000000.0)
+    # but agree bit-for-bit on integers.  The struct sort compares all five
+    # fields (cents scaling is monotone, so the oracle can order by the raw
+    # values), making the array order deterministic on both engines.
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    line_struct = F.struct("l_linenumber", "l_partkey", "l_quantity",
-                           "l_extendedprice", "l_discount")
+
+    def _cents(col: str):
+        return (F.col(col).cast("decimal(12,4)") * 100).cast("bigint")
+
+    line_struct = F.struct(
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_partkey").alias("pk"),
+        _cents("l_quantity").alias("qty_c"),
+        _cents("l_extendedprice").alias("price_c"),
+        _cents("l_discount").alias("disc_c"),
+    )
     nested = (
         li.groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_list(line_struct)).alias("lines"))
@@ -435,7 +452,7 @@ def join_renest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(nested, o.o_orderkey == nested.l_orderkey, "left")
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-                F.coalesce("lines", F.array()).alias("lines"))
+                F.coalesce(F.to_json("lines"), F.lit("[]")).alias("lines"))
         .orderBy("o_orderkey")
     )
 

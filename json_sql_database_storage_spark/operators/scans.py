@@ -91,7 +91,7 @@ _CALENDAR = [(1, "Q1"), (2, "Q1"), (3, "Q1"), (4, "Q2"), (5, "Q2"), (6, "Q2"),
     "scan_in_memory",
     oracle="""
 WITH cal(m, quarter) AS (VALUES {values})
-SELECT quarter, count(*) AS n_months, sum(m) AS month_sum
+SELECT quarter, count(*) AS n_months, CAST(sum(m) AS BIGINT) AS month_sum
 FROM cal GROUP BY quarter ORDER BY quarter
 """.format(values=", ".join(f"({m}, '{q}')" for m, q in _CALENDAR)),
     tags=("b1.5",),
@@ -169,7 +169,7 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scan_json_ingest_inference",
     oracle="""
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 WHERE doc_id < 100
 GROUP BY lang

@@ -126,7 +126,7 @@ WITH gaps AS (
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM gaps
 )
-SELECT user_id, session_id, count(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
        min(ts) AS session_start, max(ts) AS session_end
 FROM numbered
 GROUP BY user_id, session_id

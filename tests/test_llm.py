@@ -41,15 +41,18 @@ def test_cc_survivors_collapse_planted_clusters(spark, sf_dir):
     """Every planted copy (id+100000 exact, id+200000 near) must land in a
     cluster whose survivor is the ORIGINAL doc id (min id wins), and no
     planted copy may itself be a survivor."""
+    import json
+
     out = _SPECS["dedup_cc_survivors"].fn(spark, sf_dir).collect()
     survivor_of = {}
     for r in out:
-        for m in r["members"]:
+        for m in json.loads(r["members"]):      # members is a JSON string
             survivor_of[m] = r["survivor_id"]
     for base in range(30):                      # exact copies
         assert survivor_of.get(base + 100000, base) <= base
     assert all(s < 100000 for s in (r["survivor_id"] for r in out))
-    assert all(r["n_members"] == len(r["members"]) >= 2 for r in out)
+    assert all(r["n_members"] == len(json.loads(r["members"])) >= 2
+               for r in out)
 
 
 def test_simhash_finds_planted_dups(spark, sf_dir):
