@@ -70,12 +70,55 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
+    # Second (warm) pass: first-pass numbers include one-time whole-stage
+    # codegen + JIT per query, which at this scale is most of the wall time
+    # and swings ±40% with machine load.  The warm pass measures steady-state
+    # engine throughput — the number that actually extrapolates to a
+    # long-running cluster — so round-over-round regressions are
+    # attributable to plan changes rather than JIT noise.
+    warm: dict[str, float] = {}
+    warm_total = 0.0
+    for name in names:
+        t0 = time.perf_counter()
+        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        warm[name] = round(dt, 3)
+        warm_total += dt
+
+    # DuckDB single-node reference on the same queries' oracle SQL — the
+    # honest comparison point for absolute overhead at this scale.
+    duck_total = None
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in ("region", "nation", "customer", "supplier", "part",
+                  "orders", "lineitem", "events", "documents", "embeddings"):
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            if os.path.exists(path):
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        # dedup_minhash_lsh's oracle is the O(n²) all-pairs jaccard SPEC,
+        # not an equivalent algorithm (512 s at sf0.1) — timing it would
+        # misattribute a correctness artifact as an engine comparison.
+        skip = {"dedup_minhash_lsh"}
+        t0 = time.perf_counter()
+        for name in names:
+            if name not in skip and specs[name].oracle is not None:
+                con.execute(specs[name].oracle).fetchall()
+        duck_total = round(time.perf_counter() - t0, 3)
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "queries_warm": warm,
+        "value_warm": round(warm_total, 3),
+        "duckdb_oracle_total_sec": duck_total,
     }))
     spark.stop()
 

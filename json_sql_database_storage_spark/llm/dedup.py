@@ -173,10 +173,24 @@ def minhash_signature(hashes: F.Column,
     return F.array(*[perm_min(i) for i in range(num_hashes)])
 
 
+# Buckets above this size switch from full intra-bucket pair explosion
+# (quadratic in bucket size) to star pairs against the bucket minimum
+# (linear).  Star pairs preserve the connected components that downstream
+# dedup consumes, so survivor selection is unaffected; only the explicit
+# pair listing of a >cap bucket is thinned.  At the tested scales no bucket
+# comes near the cap (asserted in tests), so the oracle stays exact.
+_BUCKET_CAP = 1024
+
+
 def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
                         sig_col: str = "sig") -> DataFrame:
     """Band the signatures and emit distinct id pairs that collide in ≥1
-    band.  Join is equi on (band_idx, band_hash) — sub-quadratic."""
+    band.  ONE shuffle: groupBy (band_idx, band_hash) → sorted member
+    list → intra-bucket pair explosion.  Unlike the bands⋈bands self-join
+    this never materializes the band table twice, and a hot band (template
+    corpora put thousands of docs in one bucket, where a self-join's output
+    is quadratic *within the key* — AQE splits partitions, not join output)
+    is bounded by _BUCKET_CAP via the star-pair fallback."""
     bands = docs.select(
         F.col(id_col),
         F.posexplode(F.array(*[
@@ -184,14 +198,27 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
                          for r in range(_ROWS_PER_BAND)])
             for b in range(_BANDS)
         ])).alias("band_idx", "band_hash"))
-    a = bands.alias("a")
-    b = bands.alias("b")
+    buckets = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    ids = F.col("ids")
+
+    def pair(x: F.Column, y: F.Column) -> F.Column:
+        return F.struct(x.alias("id_a"), y.alias("id_b"))
+
+    full_pairs = F.flatten(F.transform(
+        ids,
+        lambda x, i: F.transform(F.slice(ids, i + 2, F.size(ids)),
+                                 lambda y: pair(x, y))))
+    star_pairs = F.transform(F.slice(ids, 2, F.size(ids)),
+                             lambda y: pair(ids[0], y))
+    pairs = F.when(F.size(ids) <= _BUCKET_CAP, full_pairs) \
+             .otherwise(star_pairs)
     return (
-        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-               & (F.col("a.band_hash") == F.col("b.band_hash"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

@@ -151,3 +151,47 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     recalls = [len(brute_sets[q] & ivf_sets.get(q, set())) / len(brute_sets[q])
                for q in brute_sets]
     assert sum(recalls) / len(recalls) > 0.2
+
+
+def test_lsh_bucket_cap_bounds_hot_buckets(spark, sf_dir):
+    """A band-bucket larger than _BUCKET_CAP must emit linear star pairs
+    (min-id ↔ rest), not a quadratic pair explosion; a normal bucket must
+    emit all pairs.  Also asserts the real corpus never hits the cap, which
+    is what keeps the oracle exact."""
+    from pyspark.sql import functions as F
+
+    from json_sql_database_storage_spark.llm import dedup as D
+
+    n_hot = D._BUCKET_CAP + 200
+    # identical signatures → every doc lands in the same bucket in all bands
+    sig = list(range(D._NUM_HASHES))
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("doc_id"),
+        F.lit(sig).cast("array<bigint>").alias("sig"))
+    pairs = D.lsh_candidate_pairs(hot).collect()
+    assert len(pairs) == n_hot - 1            # star, not (n choose 2)
+    assert all(r["id_a"] == 0 for r in pairs)  # all anchored at the min id
+
+    small = spark.range(5).select(
+        F.col("id").alias("doc_id"),
+        F.lit(sig).cast("array<bigint>").alias("sig"))
+    assert len(D.lsh_candidate_pairs(small).collect()) == 10  # full 5C2
+
+    # real corpus: largest band-bucket far below the cap
+    docs = D._corpus_with_dups(spark, sf_dir)
+    staged = docs.select(
+        "doc_id",
+        D._shingles_of(F.split(F.lower("text"), r"\s+")).alias("sh"))
+    sigs = staged.select(
+        "doc_id",
+        D.minhash_signature_udf(D.shingle_hashes(F.col("sh"))).alias("sig"))
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*[
+            F.xxhash64(*[F.col("sig")[b * D._ROWS_PER_BAND + r]
+                         for r in range(D._ROWS_PER_BAND)])
+            for b in range(D._BANDS)
+        ])).alias("band_idx", "band_hash"))
+    biggest = (bands.groupBy("band_idx", "band_hash").count()
+               .agg(F.max("count")).collect()[0][0])
+    assert biggest <= D._BUCKET_CAP // 4
