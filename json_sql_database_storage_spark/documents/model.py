@@ -36,10 +36,22 @@ Key assignment (A8 parity): rows with rowNum <= 0/missing get engine ids.
 Root rows use monotonically_increasing_id() — partition-parallel, unique
 across a cluster, no coordination (the reference serializes every insert to
 read SQLite's last_insert_rowid, :221-223).  Child keys are derived
-*deterministically from the parent key* (parent*8+slot etc.), which both
-avoids re-evaluation hazards between the parent's FK column and the child
-table, and fixes reference bug #3 (parent storing a grandchild's rowid,
-SURVEY.md §2-A) by construction.
+*deterministically from the parent key* as xxhash64(parent, slot, pos)
+mapped into a reserved high range, which both avoids re-evaluation hazards
+between the parent's FK column and the child table, and fixes reference
+bug #3 (parent storing a grandchild's rowid, SURVEY.md §2-A) by
+construction.  (An earlier arithmetic packing, (parent*64+pos)*8+slot,
+silently collided for arrays longer than 64 elements; hashing removes the
+bound — residual 64-bit-birthday collision odds are ~N²/2^61, negligible
+below ~10^8 engine-assigned children per shred and strictly better than a
+guaranteed collision.)
+
+Round-trip caveat (documented, matches the absent-vs-null note below): an
+EMPTY array of objects does not survive shred→assemble.  posexplode emits
+no child rows for ``field: []``, so assemble's left join reads it back as
+``field: null`` — the same collapse the schema-union rule already applies
+to absent fields.  (The reference behaves identically: its per-element
+write loop, :180-198, writes nothing for an empty array.)
 
 Scale: recursion walks the SCHEMA (driver-side, tiny); all data movement is
 DataFrame ops — posexplode for array children, column selects for
@@ -60,10 +72,28 @@ from pyspark.sql import types as T
 KEY = "rowNum"
 SEP = "$"            # reference's flatten separator (DatabaseManager.java:162)
 TYPE_FIELD = "type"  # array-element discriminator (:180-184)
+# internal order column on array-child tables: the reference preserves array
+# order via its in-band `{check:[...]}` manifest (:196-198); our out-of-band
+# equivalent is an explicit element position, which also survives hash-derived
+# child keys (the old packed keys were accidentally order-encoding)
+POS = "__arraypos"
 
 _ROOT_OFFSET = 1_000_000_000
-_REF_OFFSET = 2_000_000_000
-_ARR_OFFSET = 3_000_000_000
+# engine-derived child keys live in [2^62, 2^62 + 2^61): far above root ids
+# (monotonically_increasing_id tops out near 2^53 for realistic partition
+# counts) and any plausible user-supplied rowNum, so the ranges can't mix
+_DERIVED_BASE = 1 << 62
+_DERIVED_SPAN = 1 << 61
+
+
+def _derived_child_key(parent: F.Column, slot: int,
+                       pos: F.Column | None = None) -> F.Column:
+    """Deterministic engine key for a child row: xxhash64 of (parent key,
+    child-field slot, array position) folded into the reserved range.
+    Unbounded in array length and fan-out, unlike arithmetic packing."""
+    h = F.xxhash64(parent.cast("long"), F.lit(slot),
+                   (pos if pos is not None else F.lit(-1)).cast("long"))
+    return F.pmod(h, F.lit(_DERIVED_SPAN)) + F.lit(_DERIVED_BASE)
 
 
 @dataclass
@@ -137,7 +167,7 @@ def _shred_level(df: DataFrame, table: str, result: ShredResult) -> None:
         ck = F.col(f"{name}.{KEY}").cast("long")
         resolved = F.when(
             _needs_key(ck),
-            F.col(KEY) * 8 + F.lit(slot) + F.lit(_REF_OFFSET)).otherwise(ck)
+            _derived_child_key(F.col(KEY), slot)).otherwise(ck)
         df = df.withColumn(
             name,
             F.when(F.col(name).isNull(), F.col(name))
@@ -157,6 +187,8 @@ def _shred_level(df: DataFrame, table: str, result: ShredResult) -> None:
             df.select(F.col(KEY).alias("__pk"),
                       F.posexplode(name).alias("__pos", "__e"))
             .select("__pk", "__pos", F.col("__e.*")))
+        assert POS not in exploded.columns[2:], (
+            f"user field collides with reserved order column {POS!r}")
         if KEY not in exploded.columns:
             exploded = exploded.withColumn(KEY, F.lit(None).cast("long"))
         ck = F.col(KEY).cast("long")
@@ -164,11 +196,11 @@ def _shred_level(df: DataFrame, table: str, result: ShredResult) -> None:
             exploded.withColumn(
                 KEY,
                 F.when(_needs_key(ck),
-                       (F.col("__pk") * 64 + F.col("__pos")) * 8
-                       + F.lit(slot) + F.lit(_ARR_OFFSET))
+                       _derived_child_key(F.col("__pk"), slot,
+                                          pos=F.col("__pos")))
                  .otherwise(ck))
             .withColumnRenamed("__pk", table)
-            .drop("__pos"))
+            .withColumnRenamed("__pos", POS))
         has_type = any(f.name == TYPE_FIELD for f in elem.fields)
         if has_type:
             # bounded driver-side collect: the set of document types is small
@@ -251,10 +283,10 @@ def assemble(result: ShredResult, table: str | None = None, *,
         parts = []
         for rel in rels:
             child = assemble(result, rel.table)
-            elem_cols = [c for c in child.columns if c != table]
+            elem_cols = [c for c in child.columns if c not in (table, POS)]
             parts.append(child.select(
                 F.col(table).alias("__pk"),
-                F.col(KEY).cast("long").alias("__ck"),
+                F.col(POS).cast("long").alias("__ck"),
                 F.parse_json(F.to_json(F.struct(*[F.col(c) for c in elem_cols])))
                  .alias("__elem")))
         merged = parts[0]
@@ -279,6 +311,7 @@ def to_documents(df: DataFrame) -> DataFrame:
     shape; pairs with the b1.8 JSON-lines sink).  ignoreNullFields=false:
     real nulls survive the round trip (divergence from ref :203/:309-311
     which drops them on write and coerces to "" on read)."""
+    cols = [c for c in df.columns if c != POS]
     return df.select(
-        F.to_json(F.struct(*[F.col(c) for c in df.columns]),
+        F.to_json(F.struct(*[F.col(c) for c in cols]),
                   {"ignoreNullFields": "false"}).alias("doc"))

@@ -19,6 +19,8 @@ to strings); this engine keeps them natively typed — a documented divergence
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -42,7 +44,10 @@ def classify(key: str, value) -> str:
     if isinstance(value, float):
         return "FLOAT"            # divergence: reference stores as string
     s = str(value)
-    if s.lstrip("+-").isdigit():
+    # anchored ASCII-digit rule, same predicate _all_match uses for the
+    # column rewrite — lstrip('+-').isdigit() wrongly accepted '+-12' and
+    # unicode digits, which the reference's getAsInt rejects
+    if re.fullmatch(r"[+-]?\d+", s, re.ASCII):
         return "NUMBER"           # the "007" collapse (:517-521)
     if is_time_key(key) and ":" in s and "T" in s:
         return "DATE"

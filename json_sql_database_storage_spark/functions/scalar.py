@@ -230,7 +230,7 @@ SELECT
   CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT)         AS key_roundtrip,
   CAST(CAST(o_orderdate AS DATE) AS VARCHAR)          AS od_str,
   CAST(o_orderstatus = 'F' AS INTEGER)                AS is_f_int,
-  CAST(CAST(o_custkey AS SMALLINT) AS INTEGER)        AS custkey_16
+  CAST(CAST(o_custkey % 32768 AS SMALLINT) AS INTEGER) AS custkey_16
 FROM orders
 ORDER BY o_orderkey
 """,
@@ -248,7 +248,10 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
             F.col("o_orderdate").cast("date").cast("string").alias("od_str"),
             (F.col("o_orderstatus") == "F").cast("int").alias("is_f_int"),
-            F.col("o_custkey").cast("short").cast("int").alias("custkey_16"),
+            # bounded before the narrowing cast: raw custkeys exceed int16
+            # above sf~0.25 and ANSI mode would throw instead of wrapping
+            F.pmod(F.col("o_custkey"), F.lit(32768)).cast("short").cast("int")
+             .alias("custkey_16"),
         )
         .orderBy("o_orderkey")
     )

@@ -89,6 +89,29 @@ def test_update_keeps_positive_rownum(spark):
     assert result.tables["f7"].collect()[0][KEY] == 1
 
 
+def test_long_array_child_keys_unique(spark):
+    """Regression: the old arithmetic child-key packing (parent*64+pos)*8+slot
+    collided for arrays longer than 64 elements when parents had consecutive
+    rowNums.  Hash-derived keys must stay unique across exactly that shape."""
+    docs = [
+        {"rowNum": p, "name": f"p{p}",
+         "items": [{"rowNum": -1, "v": i} for i in range(70)]}
+        for p in (1, 2, 3)
+    ]
+    result = shred(docs_df(spark, docs), "lots")
+    items = result.tables["items"]
+    assert items.count() == 210
+    assert items.select(KEY).distinct().count() == 210
+    # back-pointers still attribute every child to the right parent
+    per_parent = {r["lots"]: r["n"] for r in
+                  items.groupBy("lots").count().withColumnRenamed(
+                      "count", "n").collect()}
+    assert per_parent == {1: 70, 2: 70, 3: 70}
+    # and the grandchild-free roundtrip still reassembles cleanly
+    out = assemble(result).collect()
+    assert sorted(len(r["items"]) for r in out) == [70, 70, 70]
+
+
 def test_classify_golden():
     """Golden fixture for §1.3 type inference (F1 expectations)."""
     assert classify("age", 31) == "NUMBER"
