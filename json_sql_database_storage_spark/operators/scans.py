@@ -194,9 +194,132 @@ def scan_json_ingest_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
 def jdbc_source(spark: SparkSession, url: str, table: str,
                 **options) -> DataFrame:
     """b1.10 JDBC source (the reference's SQLite analog, DatabaseManager.java
-    :59-69).  Requires the matching JDBC driver jar on the classpath — not
-    bundled in this environment; callers get a clear error otherwise."""
+    :59-69).  Requires the matching JDBC driver jar on the classpath; see
+    ensure_jdbc_driver for runtime loading from a local artifact cache."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+_DUCKDB_DRIVER = "org.duckdb.DuckDBDriver"
+
+
+def find_jdbc_jar(pattern: str = "duckdb_jdbc*.jar") -> str | None:
+    """Locate a JDBC driver jar in the standard local artifact-cache layouts
+    (coursier / ivy / maven).  Environment discovery only — nothing is
+    downloaded."""
+    import glob as _glob
+
+    for base in ("~/.cache/coursier", "~/.ivy2", "~/.m2"):
+        hits = _glob.glob(os.path.expanduser(f"{base}/**/{pattern}"),
+                          recursive=True)
+        if hits:
+            return sorted(hits)[-1]
+    return None
+
+
+def ensure_jdbc_driver(spark: SparkSession, jar: str,
+                       driver_class: str = _DUCKDB_DRIVER) -> None:
+    """Make a JDBC driver loadable in an already-running session.
+
+    Spark's context classloader is a MutableURLClassLoader, so a jar can be
+    appended at runtime — the only way to attach a driver when the session
+    was built by an external harness (classpath fixed at JVM launch).  In
+    local mode the driver and executors share this loader; on a real cluster
+    you'd ship the jar with --jars instead (executor side needs it too).
+    Idempotent: returns fast if the class already resolves."""
+    jvm = spark._jvm
+    loader = jvm.java.lang.Thread.currentThread().getContextClassLoader()
+    try:
+        jvm.java.lang.Class.forName(driver_class, False, loader)
+        return
+    except Exception:
+        pass
+    loader.addURL(jvm.java.net.URL("file://" + jar))
+    jvm.java.lang.Class.forName(driver_class, False, loader)
+
+
+def _jdbc_execute(spark: SparkSession, url: str, *statements: str) -> None:
+    """Run DDL over a direct driver connection (py4j).  Needed because
+    Spark's JDBC writer probes table existence with a SELECT that some
+    embedded engines report as a catalog *error* rather than empty — so we
+    create the target table ourselves and append."""
+    jvm = spark._jvm
+    loader = jvm.java.lang.Thread.currentThread().getContextClassLoader()
+    cls = jvm.java.lang.Class.forName(_DUCKDB_DRIVER, True, loader)
+    driver = cls.newInstance()
+    conn = driver.connect(url, jvm.java.util.Properties())
+    try:
+        st = conn.createStatement()
+        for sql in statements:
+            st.execute(sql)
+        st.close()
+    finally:
+        conn.close()
+
+
+# b1.10 JDBC source + sink round trip.  The reference's entire storage layer
+# is an embedded SQL database reached over JDBC (SQLite,
+# DatabaseManager.java:59-69); the parity exhibit writes a table out through
+# Spark's JDBC sink into an embedded DuckDB file, reads it back through the
+# JDBC *source* with a partitioned (parallel) scan, and aggregates — so both
+# directions and the partition-pushdown path are exercised.  The aggregate
+# recomputed from the original parquet is the oracle.
+@register(
+    "scan_jdbc_roundtrip",
+    oracle="""
+SELECT n_regionkey,
+       count(*)                         AS n_nations,
+       CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+       min(n_name)                      AS first_name
+FROM nation
+GROUP BY n_regionkey
+ORDER BY n_regionkey
+""",
+    tags=("b1.10",),
+)
+def scan_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    jar = find_jdbc_jar()
+    if jar is None:
+        raise EnvironmentError(
+            "no duckdb_jdbc jar found in local artifact caches — "
+            "b1.10 requires a JDBC driver jar (see COVERAGE.md)")
+    ensure_jdbc_driver(spark, jar)
+
+    db = _sink("jdbc_roundtrip.duckdb")
+    for suffix in ("", ".wal"):
+        if os.path.exists(db + suffix):
+            os.remove(db + suffix)
+    url = f"jdbc:duckdb:{db}"
+    _jdbc_execute(
+        spark, url,
+        "CREATE TABLE nation_jdbc (n_nationkey INTEGER, n_name VARCHAR, "
+        "n_regionkey INTEGER)")
+
+    n = load_table(spark, sf_dir, "nation")
+    (n.select("n_nationkey", "n_name", "n_regionkey")
+     .coalesce(1)   # embedded single-file target: one writer connection
+     .write.format("jdbc")
+     .option("url", url).option("dbtable", "nation_jdbc")
+     .option("driver", _DUCKDB_DRIVER)
+     .mode("append").save())
+
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url).option("dbtable", "nation_jdbc")
+        .option("driver", _DUCKDB_DRIVER)
+        # partitioned read: 4 parallel range-pruned scans, the shape a
+        # sharded JDBC ingest takes on a cluster
+        .option("partitionColumn", "n_nationkey")
+        .option("lowerBound", "0").option("upperBound", "25")
+        .option("numPartitions", "4")
+        .load())
+    return (
+        back.groupBy(F.col("n_regionkey").cast("int").alias("n_regionkey"))
+        .agg(F.count(F.lit(1)).alias("n_nations"),
+             F.sum(F.col("n_nationkey").cast("bigint")).cast("bigint")
+              .alias("key_sum"),
+             F.min("n_name").alias("first_name"))
+        .orderBy("n_regionkey")
+    )
