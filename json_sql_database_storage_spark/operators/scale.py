@@ -115,3 +115,166 @@ def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 8,
     if sort_by:
         writer = writer.sortBy(sort_by)
     writer.saveAsTable(table)
+
+
+# ---------------------------------------------------------------------------
+# Two-pass GLOBAL window computations (VERDICT r1 "scale-killer flags"):
+# window_running_total / window_percent_rank use a globally-ordered,
+# unpartitioned window — semantically what SURVEY b5.3/b5.5 ask for, but
+# Spark moves ALL rows to a single task (`WARN WindowExec: No Partition
+# Defined`), which serializes at 100×.  These twins compute the identical
+# result with the classic distributed prefix-sum shape:
+#
+#   1. bucket rows by a range of the leading sort key (a monotone bucket id
+#      derived from collected min/max — no sampling, so the bucketing is
+#      deterministic across jobs);
+#   2. per-bucket window, partitioned by bucket id → parallel, local;
+#   3. per-bucket partial aggregates, collected (≤ _N_RANGE_BUCKETS rows —
+#      this is the broadcast of cumulative offsets, not a data collect) and
+#      folded back in as a literal bucket→offset map;
+#   4. local value + bucket offset = exact global value (decimal arithmetic,
+#      so two-phase summation is bit-equal to the one-pass form).
+#
+# The oracles are the SAME SQL as the global-window forms — the pair
+# (window_*, scale_*) hash-matching one oracle is the proof the rewrite is
+# semantics-preserving.  tests/test_plans.py asserts no SinglePartition
+# exchange appears in these plans.
+# ---------------------------------------------------------------------------
+
+_N_RANGE_BUCKETS = 32
+
+
+def _bucket_offsets(rows: list, n_buckets: int) -> tuple[dict, dict]:
+    """Exclusive prefix (sum, count) per bucket from per-bucket partials."""
+    psum = {int(r["__b"]): r["psum"] for r in rows}
+    pcnt = {int(r["__b"]): int(r["pn"]) for r in rows}
+    import decimal
+    off_sum, off_cnt = {}, {}
+    acc_s, acc_c = decimal.Decimal(0), 0
+    for b in range(n_buckets):
+        off_sum[b], off_cnt[b] = acc_s, acc_c
+        acc_s += psum.get(b, decimal.Decimal(0)) or decimal.Decimal(0)
+        acc_c += pcnt.get(b, 0)
+    return off_sum, off_cnt
+
+
+@register(
+    "scale_running_total",
+    oracle="""
+SELECT
+  o_orderkey, o_orderdate,
+  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,4))) OVER (
+    ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_total,
+  row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS seq
+FROM orders
+WHERE o_custkey < 50
+ORDER BY seq
+""",
+    tags=("scale", "b5.3"),
+)
+def scale_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_custkey") < 50)
+         .select("o_orderkey", "o_orderdate",
+                 dec("o_totalprice").alias("__p")))
+    lo_hi = o.agg(F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+                  F.max(F.col("o_orderdate").cast("date")).alias("hi")
+                  ).collect()[0]
+    lo, hi = lo_hi["lo"], lo_hi["hi"]
+    if lo is None:                       # empty input: single trivial bucket
+        base = o.withColumn("__b", F.lit(0))
+    else:
+        span = max((hi - lo).days, 0) + 1
+        width = -(-span // _N_RANGE_BUCKETS) or 1          # ceil
+        base = o.withColumn(
+            "__b",
+            (F.datediff(F.col("o_orderdate").cast("date"), F.lit(lo))
+             / F.lit(width)).cast("int"))
+
+    partials = (base.groupBy("__b")
+                .agg(F.sum("__p").alias("psum"),
+                     F.count(F.lit(1)).alias("pn"))
+                .collect())
+    off_sum, off_cnt = _bucket_offsets(partials, _N_RANGE_BUCKETS)
+    # literal bucket→offset maps; decimal offsets travel as exact strings
+    sum_map = F.create_map(*[x for b in range(_N_RANGE_BUCKETS)
+                             for x in (F.lit(b), F.lit(str(off_sum[b])))])
+    cnt_map = F.create_map(*[x for b in range(_N_RANGE_BUCKETS)
+                             for x in (F.lit(b), F.lit(off_cnt[b]))])
+
+    wloc = (W.partitionBy("__b").orderBy("o_orderdate", "o_orderkey")
+            .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wseq = W.partitionBy("__b").orderBy("o_orderdate", "o_orderkey")
+    return (
+        base.select(
+            "o_orderkey", "o_orderdate",
+            F.round(F.sum("__p").over(wloc)
+                    + sum_map[F.col("__b")].cast("decimal(22,4)"), 2)
+             .cast("double").alias("running_total"),
+            (F.row_number().over(wseq) + cnt_map[F.col("__b")])
+            .cast("long").alias("seq"),
+        )
+        .orderBy("seq")
+    )
+
+
+@register(
+    "scale_percent_rank",
+    oracle="""
+SELECT
+  c_custkey, c_acctbal,
+  percent_rank() OVER (ORDER BY c_acctbal) AS pr,
+  cume_dist() OVER (ORDER BY c_acctbal)    AS cd
+FROM customer
+ORDER BY c_custkey
+""",
+    tags=("scale", "b5.5"),
+)
+def scale_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    lo_hi = c.agg(F.min("c_acctbal").alias("lo"),
+                  F.max("c_acctbal").alias("hi")).collect()[0]
+    lo, hi = lo_hi["lo"], lo_hi["hi"]
+    if lo is None or lo == hi:
+        base = c.withColumn("__b", F.lit(0))
+    else:
+        width = (hi - lo) / _N_RANGE_BUCKETS
+        # bucket is a function of the VALUE alone, so ties can never
+        # straddle a bucket boundary (rank/cume_dist stay exact)
+        base = c.withColumn(
+            "__b",
+            F.least(F.lit(_N_RANGE_BUCKETS - 1),
+                    F.floor((F.col("c_acctbal") - F.lit(lo)) / F.lit(width))
+                     .cast("int")))
+
+    partials = (base.groupBy("__b").agg(F.count(F.lit(1)).alias("pn"))
+                .collect())
+    pcnt = {int(r["__b"]): int(r["pn"]) for r in partials}
+    n_total = sum(pcnt.values())
+    off, acc = {}, 0
+    for b in range(_N_RANGE_BUCKETS):
+        off[b] = acc
+        acc += pcnt.get(b, 0)
+    cnt_map = F.create_map(*[x for b in range(_N_RANGE_BUCKETS)
+                             for x in (F.lit(b), F.lit(off[b]))])
+
+    wrank = W.partitionBy("__b").orderBy("c_acctbal")
+    grank = (F.rank().over(wrank) + cnt_map[F.col("__b")] - 1).cast("double")
+    # default frame of an ordered window is RANGE UNBOUNDED→CURRENT, which
+    # includes ties — exactly cume_dist's numerator
+    gcume = (F.count(F.lit(1)).over(wrank) + cnt_map[F.col("__b")]).cast("double")
+    return (
+        base.select(
+            "c_custkey", "c_acctbal",
+            (F.when(F.lit(n_total) > 1,
+                    grank / F.lit(float(n_total - 1)))
+              .otherwise(F.lit(0.0))).alias("pr"),
+            (gcume / F.lit(float(n_total))).alias("cd"),
+        )
+        .orderBy("c_custkey")
+    )

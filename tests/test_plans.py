@@ -95,3 +95,17 @@ def test_pandas_udfs_use_arrow_eval(spark, sf_dir):
         _SPECS["udf_scalar_python"].fn(spark, sf_dir))
     assert "ArrowEvalPython" in explain_formatted(
         _SPECS["dedup_minhash_lsh"].fn(spark, sf_dir))
+
+
+def test_scale_windows_have_no_single_partition_exchange(spark, sf_dir):
+    """The two-pass global-window twins must never serialize on one task:
+    their windows are partitioned by the range-bucket id, and offsets come
+    back as literal maps, so no SinglePartition exchange may appear (the
+    global-window forms each have exactly one — that is the thing the
+    rewrite removes)."""
+    for name in ("scale_running_total", "scale_percent_rank"):
+        plan = explain_formatted(_SPECS[name].fn(spark, sf_dir))
+        assert "SinglePartition" not in plan, f"{name}:\n{plan}"
+    # sanity: the global forms DO have it (else this test checks nothing)
+    plan = explain_formatted(_SPECS["window_running_total"].fn(spark, sf_dir))
+    assert "SinglePartition" in plan
