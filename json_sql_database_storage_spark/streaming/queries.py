@@ -40,11 +40,10 @@ def _tumbling_agg(ev: DataFrame) -> DataFrame:
     )
 
 
-# b9.1 tumbling window — batch twin (oracle: time_bucket aligns to the same
-# epoch-multiple boundaries as Spark's window())
-@register(
-    "stream_tumbling_window_batch",
-    oracle="""
+# Shared by the batch twin AND the streaming replay: a complete-mode
+# streaming aggregate's final table equals the batch aggregate over the same
+# input, so both registrations check against the identical SQL.
+_TUMBLING_ORACLE = """
 SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
        event_type,
        count(*) AS n,
@@ -52,17 +51,24 @@ SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
 FROM events
 GROUP BY 1, 2
 ORDER BY window_start, event_type
-""",
-    tags=("b9.1",),
-)
+"""
+
+
+# b9.1 tumbling window — batch twin (oracle: time_bucket aligns to the same
+# epoch-multiple boundaries as Spark's window())
+@register("stream_tumbling_window_batch", oracle=_TUMBLING_ORACLE,
+          tags=("b9.1",))
 def stream_tumbling_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return _tumbling_agg(ev).orderBy("window_start", "event_type")
 
 
-# b9.1s tumbling window — true streaming replay (rows-only); the result must
-# equal the batch twin, asserted in tests/test_streaming.py
-@register("stream_tumbling_window", oracle=None, tags=("b9.1", "b9.8", "b1.11"))
+# b9.1s tumbling window — true streaming replay.  Complete mode: the final
+# sink table is the full aggregate over every micro-batch, so the batch
+# twin's oracle applies verbatim (the replay path itself is what's under
+# test — file source, 4 micro-batches, memory sink).
+@register("stream_tumbling_window", oracle=_TUMBLING_ORACLE,
+          tags=("b9.1", "b9.8", "b1.11"))
 def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = stage_event_chunks(spark, sf_dir)
     try:
@@ -75,8 +81,30 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # b9.2 sliding window (10 min window / 5 min slide) — streaming replay;
-# append mode with watermark so closed windows emit exactly once
-@register("stream_sliding_window", oracle=None, tags=("b9.2", "b9.4"))
+# append mode with watermark so closed windows emit exactly once.
+#
+# Append-mode oracle: chunks arrive in ts order, so no row is ever late and
+# every window's count is complete; the emitted set is exactly the windows
+# finalized by the last watermark, i.e. window_end <= max(ts) - 1 hour
+# (boundary verified empirically; ts has microsecond granularity so an exact
+# end==watermark coincidence does not occur in the data).  Each event falls
+# in two 10-min/5-min-slide windows: starts floor5(ts) and floor5(ts)-5min.
+@register(
+    "stream_sliding_window",
+    oracle="""
+WITH hits AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS s FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL 5 MINUTE FROM events
+)
+SELECT s AS window_start, count(*) AS n
+FROM hits
+WHERE s + INTERVAL 10 MINUTE <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+GROUP BY s
+ORDER BY window_start
+""",
+    tags=("b9.2", "b9.4"),
+)
 def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = stage_event_chunks(spark, sf_dir)
     try:
@@ -91,8 +119,39 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         cleanup(staged)
 
 
-# b9.3 session windows (30-minute gap) — streaming session_window
-@register("stream_session_window", oracle=None, tags=("b9.3",))
+# b9.3 session windows (30-minute gap) — streaming session_window.
+# Append-mode oracle: in-order replay means sessions are exact; emitted =
+# sessions whose end (last event + 30 min gap, Spark's session_window end)
+# has passed the final watermark max(ts) - 2 hours.  The session set itself
+# is the same lag/gap-cumsum closure the batch twin below uses.
+@register(
+    "stream_session_window",
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM gaps
+), sess AS (
+  SELECT user_id, min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         count(*) AS n_events
+  FROM numbered GROUP BY user_id, sid
+)
+SELECT user_id, session_start, session_end, n_events
+FROM sess
+WHERE session_end <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+ORDER BY user_id, session_start
+""",
+    tags=("b9.3",),
+)
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = stage_event_chunks(spark, sf_dir)
     try:
@@ -156,8 +215,35 @@ def stream_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # b9.4 watermark + late-data drop: the oldest chunk arrives last, after the
 # watermark has advanced past it → its windows are final and the late rows
-# are discarded (asserted in tests: late replay yields fewer counted rows)
-@register("stream_watermark_late_drop", oracle=None, tags=("b9.4",))
+# are discarded.
+#
+# Oracle: replays the staging math.  stage_event_chunks splits the ts-sorted
+# table into 4 chunks of per = n//4 + 1 rows via cast(row_number/per AS int),
+# so chunk 0 = rows with rn < per; with late_chunk=True those arrive last,
+# when the watermark is already max(ts)-30min (the oldest chunk tops out
+# around the 25% quantile of a 30-day span — far below it), so every one is
+# dropped on input.  Emitted = 1-hour windows over the surviving rows whose
+# end has passed the final watermark.  Per-window counts are insensitive to
+# ts ties at the chunk boundary: tied rows are interchangeable for a
+# count-by-window, so the row_number tie-break order doesn't matter.
+@register(
+    "stream_watermark_late_drop",
+    oracle="""
+WITH ordered AS (
+  SELECT ts, row_number() OVER (ORDER BY ts) AS rn, count(*) OVER () AS n_total
+  FROM events
+), kept AS (
+  SELECT ts FROM ordered WHERE rn >= n_total // 4 + 1
+)
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, count(*) AS n
+FROM kept
+GROUP BY window_start
+HAVING window_start + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 30 MINUTE
+                                          FROM events)
+ORDER BY window_start
+""",
+    tags=("b9.4",),
+)
 def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = stage_event_chunks(spark, sf_dir, late_chunk=True)
     try:
@@ -172,8 +258,20 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         cleanup(staged)
 
 
-# b9.5 streaming dedup with watermarked key expiry
-@register("stream_dedup", oracle=None, tags=("b9.5",))
+# b9.5 streaming dedup with watermarked key expiry.  Oracle: the self-union
+# doubles every event_id within the same micro-batch, so no duplicate ever
+# arrives after its key expires — dropDuplicates restores exactly-once and
+# the final complete-mode table is a plain distinct count per type.
+@register(
+    "stream_dedup",
+    oracle="""
+SELECT event_type, count(DISTINCT event_id) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("b9.5",),
+)
 def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = stage_event_chunks(spark, sf_dir)
     try:
@@ -191,26 +289,41 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # b9.6 custom stateful operator: running per-user event count + total via
-# applyInPandasWithState (state survives across micro-batches)
-@register("stream_stateful_running_count", oracle=None, tags=("b9.6",))
+# applyInPandasWithState (state survives across micro-batches).
+#
+# The running total accumulates integer CENTS, not floats: micro-batch
+# arrival order would otherwise fix a float summation order no oracle can
+# reproduce (values are exact 2-decimal amounts, so cents are lossless).
+# Oracle: final state per user == whole-table aggregate.
+@register(
+    "stream_stateful_running_count",
+    oracle="""
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("b9.6",),
+)
 def stream_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     def update(key: Any, batches: Iterator[pd.DataFrame],
                state: GroupState) -> Iterator[pd.DataFrame]:
-        (n, total) = state.get if state.exists else (0, 0.0)
+        (n, cents) = state.get if state.exists else (0, 0)
         for pdf in batches:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            cents += int(pdf["value"].mul(100).round().sum())
+        state.update((n, cents))
         yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
-                            "total_value": [total]})
+                            "total_cents": [cents]})
 
     staged = stage_event_chunks(spark, sf_dir)
     try:
         ev = read_event_stream(spark, staged)
         out = (ev.groupBy("user_id").applyInPandasWithState(
             update,
-            outputStructType="user_id BIGINT, n_events BIGINT, total_value DOUBLE",
-            stateStructType="n BIGINT, total DOUBLE",
+            outputStructType="user_id BIGINT, n_events BIGINT, total_cents BIGINT",
+            stateStructType="n BIGINT, cents BIGINT",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout))
         sink = run_stream_to_table(out, output_mode="update")
@@ -225,8 +338,19 @@ def stream_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # b9.7 stream–static join: enrich the event stream with the static customer
-# dimension (no state needed; static side broadcast per micro-batch)
-@register("stream_static_join", oracle=None, tags=("b9.7",))
+# dimension (no state needed; static side broadcast per micro-batch).
+# Complete-mode oracle: the final aggregate over all micro-batches equals the
+# batch left-join + group-by over the same tables.
+@register(
+    "stream_static_join",
+    oracle="""
+SELECT c.c_mktsegment, count(*) AS n_events
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+    tags=("b9.7",),
+)
 def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = stage_event_chunks(spark, sf_dir)
     try:
