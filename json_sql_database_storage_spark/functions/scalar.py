@@ -492,17 +492,49 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # b8.9b spark-specific hashes (xxhash64 / murmur3 / crc32 /
-# monotonically_increasing_id) — no DuckDB twin → rows-only
-@register("fn_hash_spark_native", oracle=None, tags=("b8.9",))
+# monotonically_increasing_id).  The raw values have no DuckDB twin, so the
+# registered output is the invariant summary DuckDB CAN check: distinct-text
+# count (recomputed exactly by the oracle), xxhash64 injectivity over the
+# corpus (64-bit: collision odds ~2e-10 at sf0.1; deterministic for the fixed
+# corpus — verified at all three sfs), hash determinism (two evaluations
+# agree per-row), crc32 within uint32 range, and monotonically_increasing_id
+# unique per row.  murmur3 is 32-bit — injectivity is NOT asserted (birthday
+# bound makes collisions plausible at sf0.1), only determinism.
+@register(
+    "fn_hash_spark_native",
+    oracle="""
+SELECT CAST(count(*) AS BIGINT)               AS n_docs,
+       CAST(count(DISTINCT text) AS BIGINT)   AS n_distinct_texts,
+       CAST(1 AS BIGINT) AS xx64_injective,
+       CAST(1 AS BIGINT) AS hashes_deterministic,
+       CAST(1 AS BIGINT) AS crc_in_uint32_range,
+       CAST(1 AS BIGINT) AS mono_id_unique
+FROM documents
+""",
+    tags=("b8.9",),
+)
 def fn_hash_spark_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select(
-            "doc_id",
-            F.hash("text").alias("murmur3"),
-            F.xxhash64("text").alias("xx64"),
-            F.crc32("text").alias("crc"),
-            F.monotonically_increasing_id().alias("mono_id"),
-        )
-        .orderBy("doc_id")
+    hashed = d.select(
+        "text",
+        F.hash("text").alias("murmur3"),
+        F.hash("text").alias("murmur3_again"),
+        F.xxhash64("text").alias("xx64"),
+        F.xxhash64("text").alias("xx64_again"),
+        F.crc32("text").alias("crc"),
+        F.monotonically_increasing_id().alias("mono_id"),
+    )
+    flag = lambda c: F.min(c.cast("bigint"))
+    return hashed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+        (F.countDistinct("xx64") == F.countDistinct("text"))
+            .cast("bigint").alias("xx64_injective"),
+        flag((F.col("murmur3") == F.col("murmur3_again"))
+             & (F.col("xx64") == F.col("xx64_again")))
+            .alias("hashes_deterministic"),
+        flag((F.col("crc") >= 0) & (F.col("crc") <= F.lit(4294967295)))
+            .alias("crc_in_uint32_range"),
+        (F.countDistinct("mono_id") == F.count(F.lit(1)))
+            .cast("bigint").alias("mono_id_unique"),
     )

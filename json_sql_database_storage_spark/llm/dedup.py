@@ -354,8 +354,9 @@ def simhash64_udf(token_hashes: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-@register("dedup_simhash", oracle=None, tags=("b11.2",))
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All near-dup pairs within hamming radius 3 — the full simhash exhibit;
+    pytest asserts planted-dup coverage over this (tests/test_llm.py)."""
     corpus = _corpus_with_dups(spark, sf_dir)
     # persist: sig is referenced 4× by the chunk explode and twice by the
     # self-join — the barrier stops each reference re-running the UDF
@@ -384,6 +385,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
         .orderBy("id_a", "id_b")
+    )
+
+
+# Registered output = the oracle-computable slice of the pair set: the
+# planted exact copies (doc_id d < 30 duplicated as d+100000).  Identical
+# text ⇒ identical token hashes ⇒ identical signature ⇒ all 4 chunks match ⇒
+# the pair MUST surface with hamming 0 — so DuckDB can enumerate the expected
+# rows without knowing xxhash64.  A bug anywhere in the pipeline (tokenize,
+# signature UDF, chunk banding, join, hamming) loses rows or breaks
+# hamming=0.  The unrestricted pair set stays asserted in pytest.
+@register(
+    "dedup_simhash",
+    oracle="""
+SELECT doc_id AS id_a, doc_id + 100000 AS id_b, CAST(0 AS BIGINT) AS hamming
+FROM documents WHERE doc_id < 30
+ORDER BY id_a
+""",
+    tags=("b11.2",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = simhash_pairs(spark, sf_dir)
+    return (
+        pairs.filter((F.col("id_a") < 30)
+                     & (F.col("id_b") == F.col("id_a") + 100000))
+        .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+        .orderBy("id_a")
     )
 
 

@@ -313,7 +313,56 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_NPROBE = 3
 
 
-@register("sim_ivf_topk", oracle=None, tags=("b11.3",))
+# Full SQL twin of the IVF pipeline: every step is deterministic arithmetic
+# (per-label mean centroids, argmax cell assignment, top-NPROBE probes,
+# same-cell cosine ranking), so DuckDB can recompute it end-to-end.  Float
+# robustness: centroid cosines carry ~1e-15 engine noise but cell-assignment
+# and probe-ranking gaps are O(1e-2) (same argument as sim_nearest_centroid);
+# the output cos_sim is computed from raw embedding values with the identical
+# left-to-right fold in both engines → bit-identical (sim_cosine_topk
+# precedent).
+@register(
+    "sim_ivf_topk",
+    oracle=f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+     flat AS (
+  SELECT label, unnest(range(len(e))) AS pos, unnest(e) AS val FROM v
+), cent AS (
+  SELECT label AS c_label, list(avg_val ORDER BY pos) AS ce
+  FROM (SELECT label, pos, sum(val) / count(*) AS avg_val
+        FROM flat GROUP BY label, pos)
+  GROUP BY label
+), sims AS (
+  SELECT v.vec_id, v.e, c.c_label,
+         {_COSINE_SQL.format(a="v.e", b="c.ce")} AS cs
+  FROM v CROSS JOIN cent c
+), assigned AS (
+  SELECT vec_id, arg_max(c_label, cs) AS cell, any_value(e) AS e
+  FROM sims GROUP BY vec_id
+), probes AS (
+  SELECT vec_id AS query_id, c_label AS qcell, e AS qe
+  FROM (SELECT vec_id, c_label, e,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, c_label) AS prk
+        FROM sims WHERE vec_id < 10)
+  WHERE prk <= 3
+), scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_COSINE_SQL.format(a="p.qe", b="a.e")} AS cos_sim
+  FROM assigned a JOIN probes p
+    ON a.cell = p.qcell AND a.vec_id != p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rk
+FROM ranked WHERE rk <= 5
+ORDER BY query_id, rk
+""",
+    tags=("b11.3",),
+)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double(F.col("embedding")).alias("e"))
@@ -355,7 +404,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
-        .select("query_id", "neighbor_id",
-                F.round("cos_sim", 9).alias("cos_sim"), "rk")
+        # raw double, not rounded: both engines fold the identical raw
+        # vectors left-to-right, so cos_sim is bit-identical (and round()
+        # itself disagrees between engines on half boundaries)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
         .orderBy("query_id", "rk")
     )

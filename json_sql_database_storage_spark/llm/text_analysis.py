@@ -270,17 +270,18 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 # specific hash → rows-only.
 # ---------------------------------------------------------------------------
 
-@register("text_fingerprint", oracle=None, tags=("b11.5",))
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Each stage materializes behind a persist barrier: the window-minima
+def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
+    """Per-doc winnowing fingerprint (doc_id, fingerprint JSON, fp_size)
+    over any (doc_id, text) frame.
+
+    Each stage materializes behind a persist barrier: the window-minima
     transform references the gram array once per window position, and the
     gram transform indexes the token array 4× per gram — left as one
     projection, Catalyst's collapse re-inlines the full upstream expression
     at every reference (tokens re-split per gram per window), which
     measured 160 s for 500 docs at sf0.01; staged, it is sub-second."""
-    d = load_table(spark, sf_dir, "documents")
     k, win = 4, 5
-    toked = d.select("doc_id", tokens(F.col("text")).alias("toks")).persist()
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks")).persist()
     t = F.col("toks")
     grams_expr = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(t) - k, F.lit(0))),
@@ -297,7 +298,47 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.array_distinct(windows)).alias("fp"))
         .withColumn("fp_size", F.size("fp"))
         .select("doc_id", F.to_json("fp").alias("fingerprint"), "fp_size")
-        .orderBy("doc_id")
+    )
+
+
+# The raw fingerprints are xxhash64-specific (no DuckDB twin), so the
+# registered output is the oracle-computable invariant: run the fingerprint
+# over the corpus WITH planted exact copies (doc d < 30 duplicated as
+# d+100000 — same construction as the dedup family) and emit, per planted
+# pair, whether the two fingerprint sets are identical and non-trivial.
+# Identical text ⇒ identical grams ⇒ identical winnowed minima, so a correct
+# pipeline yields fp_equal=1 for every pair; any nondeterminism or indexing
+# bug in the gram/window stages breaks it.  The per-doc fingerprint shape
+# stays covered by winnowing_fingerprints + pytest.
+@register(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id AS id_orig, doc_id + 100000 AS id_copy,
+       CAST(1 AS BIGINT) AS fp_equal, CAST(1 AS BIGINT) AS fp_nonempty
+FROM documents WHERE doc_id < 30
+ORDER BY id_orig
+""",
+    tags=("b11.5",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionByName(
+        d.filter(F.col("doc_id") < 30)
+        .withColumn("doc_id", F.col("doc_id") + 100000))
+    fp = winnowing_fingerprints(corpus)
+    orig = fp.filter(F.col("doc_id") < 30).alias("o")
+    copy = fp.filter(F.col("doc_id") >= 100000).alias("c")
+    return (
+        orig.join(copy,
+                  F.col("c.doc_id") == F.col("o.doc_id") + 100000)
+        .select(
+            F.col("o.doc_id").alias("id_orig"),
+            F.col("c.doc_id").alias("id_copy"),
+            (F.col("o.fingerprint") == F.col("c.fingerprint"))
+                .cast("bigint").alias("fp_equal"),
+            (F.col("o.fp_size") > 0).cast("bigint").alias("fp_nonempty"),
+        )
+        .orderBy("id_orig")
     )
 
 

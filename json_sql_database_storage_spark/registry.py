@@ -60,7 +60,7 @@ _OPERATOR_MODULES = (
 # already-green remainder.
 _REVERIFY_FIRST = (
     "scan_in_memory", "scan_json_ingest_inference",
-    "join_renest_documents", "agg_collect",
+    "join_renest_documents", "agg_collect", "agg_approx_count_distinct",
 )
 _CHECKED_R01 = frozenset({
     "scan_parquet", "scan_json_column", "scan_csv_roundtrip",

@@ -56,7 +56,8 @@ def test_cc_survivors_collapse_planted_clusters(spark, sf_dir):
 
 
 def test_simhash_finds_planted_dups(spark, sf_dir):
-    pairs = _SPECS["dedup_simhash"].fn(spark, sf_dir).collect()
+    from json_sql_database_storage_spark.llm.dedup import simhash_pairs
+    pairs = simhash_pairs(spark, sf_dir).collect()
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     exact_expected = {(i, i + 100000) for i in range(30)}
     assert exact_expected <= found
