@@ -57,6 +57,15 @@ F8_EXTENDED = {
     "deep": {"a": {"rowNum": -1, "b": {"rowNum": -1, "c": 1}}},
 }
 
+# one doc with a populated object-array, one with the SAME field empty:
+# `[]` must survive shred→assemble (empty-array marker), while the sibling
+# forces the field's schema to array<struct> so the empty list is ambiguous
+# without it
+F9_EMPTY_ARRAY = [
+    {"rowNum": -1, "name": "full", "entries": [{"rowNum": -1, "v": 1}]},
+    {"rowNum": -1, "name": "hollow", "entries": []},
+]
+
 ALL_FIXTURES = {
     "f1": [F1_FLAT],
     "f2": [F2_NESTED_REF],
@@ -66,6 +75,7 @@ ALL_FIXTURES = {
     "f6": [F6_NULL_ADVERSARIAL],
     "f7": [F7_UPDATE],
     "f8": [F8_EXTENDED],
+    "f9": F9_EMPTY_ARRAY,
 }
 
 

@@ -46,12 +46,12 @@ bound — residual 64-bit-birthday collision odds are ~N²/2^61, negligible
 below ~10^8 engine-assigned children per shred and strictly better than a
 guaranteed collision.)
 
-Round-trip caveat (documented, matches the absent-vs-null note below): an
-EMPTY array of objects does not survive shred→assemble.  posexplode emits
-no child rows for ``field: []``, so assemble's left join reads it back as
-``field: null`` — the same collapse the schema-union rule already applies
-to absent fields.  (The reference behaves identically: its per-element
-write loop, :180-198, writes nothing for an empty array.)
+Empty arrays of objects DO round-trip (divergence-fix #4, improving on the
+reference whose per-element write loop, :180-198, writes nothing for an
+empty array and reads it back as absent): posexplode emits no child rows
+for ``field: []``, so the parent table keeps an out-of-band boolean marker
+column ``<field>$__isempty`` and assemble restores ``[]`` (marker true) vs
+``null``/absent (marker false) when the child join finds no rows.
 
 Scale: recursion walks the SCHEMA (driver-side, tiny); all data movement is
 DataFrame ops — posexplode for array children, column selects for
@@ -77,6 +77,9 @@ TYPE_FIELD = "type"  # array-element discriminator (:180-184)
 # equivalent is an explicit element position, which also survives hash-derived
 # child keys (the old packed keys were accidentally order-encoding)
 POS = "__arraypos"
+# parent-side marker distinguishing `field: []` (true) from absent/null
+# (false) for struct-array fields, where zero child rows are ambiguous
+EMPTY_MARK = "__isempty"
 
 _ROOT_OFFSET = 1_000_000_000
 # engine-derived child keys live in [2^62, 2^62 + 2^61): far above root ids
@@ -158,6 +161,8 @@ def _shred_level(df: DataFrame, table: str, result: ShredResult) -> None:
         elif isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
             array_children.append((arr_slot, f.name, dt.elementType))
             arr_slot += 1
+            keep.append((F.col(f.name).isNotNull() & (F.size(f.name) == 0))
+                        .alias(f"{f.name}{SEP}{EMPTY_MARK}"))
         else:
             keep.append(F.col(f.name))
 
@@ -239,10 +244,12 @@ def assemble(result: ShredResult, table: str | None = None, *,
     # (`<child>$rowNum`) are consumed by the ref-join below, not regrouped
     fk_cols = {f"{r.table}{SEP}{KEY}" for r in result.rels
                if r.parent == table and r.kind == "ref"}
+    marker_cols = {f"{r.source_field}{SEP}{EMPTY_MARK}" for r in result.rels
+                   if r.parent == table and r.kind == "array"}
     flat_groups: dict[str, list[str]] = {}
     plain: list[str] = []
     for c in df.columns:
-        if c in fk_cols:
+        if c in fk_cols or c in marker_cols:
             continue
         if SEP in c:
             flat_groups.setdefault(c.split(SEP, 1)[0], []).append(c)
@@ -301,7 +308,18 @@ def assemble(result: ShredResult, table: str | None = None, *,
             .select("__pk",
                     F.transform("__tmp", lambda s: s["__elem"]).alias(field_name)))
         df = df.join(grouped, df[KEY] == grouped["__pk"], "left").drop("__pk")
-        sel.append(F.col(field_name))
+        # no child rows joined: `[]` if the marker says the array was present
+        # but empty, else null (absent/null — schema-union collapse)
+        marker = f"{field_name}{SEP}{EMPTY_MARK}"
+        if marker in df.columns:     # absent on pre-marker persisted tables
+            empty_arr = F.array().cast(T.ArrayType(T.VariantType()))
+            sel.append(
+                F.when(F.col(field_name).isNotNull(), F.col(field_name))
+                 .when(F.col(marker), empty_arr)
+                 .otherwise(F.lit(None).cast(T.ArrayType(T.VariantType())))
+                 .alias(field_name))
+        else:
+            sel.append(F.col(field_name))
 
     return df.select(*sel)
 

@@ -51,21 +51,47 @@ def doc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.orderBy("o_orderkey")
 
 
-# A1+A2 — full shred → assemble → JSON round trip over every fixture family
-# (rows-only; strict equality asserted in tests)
-@register("doc_shred_assemble_roundtrip", oracle=None,
-          tags=("A1", "A2", "A8", "A9", "A10", "A11", "A12", "A13", "A14",
-                "b1.2"))
+# A1+A2 — full shred → assemble → JSON round trip over every fixture family.
+# The reassembled JSON itself contains engine-assigned rowNums (root keys are
+# monotonically_increasing_id-based → partition-layout-sensitive), so the
+# hashable output is the per-fixture invariant: doc count plus strict
+# key-stripped canonical-JSON multiset equality, computed here exactly as
+# tests/test_documents.py asserts it.  The fixtures are constant in-code
+# documents (a handful of rows), so the driver-side collect is bounded by
+# construction — this is fixture verification, not a data-scan path.
+@register(
+    "doc_shred_assemble_roundtrip",
+    oracle="""
+SELECT fixture, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(1 AS BIGINT) AS roundtrip_ok
+FROM (VALUES ('f1', 1), ('f2', 1), ('f3', 1), ('f4', 1), ('f5', 1),
+             ('f6', 1), ('f7', 1), ('f8', 1), ('f9', 2)) t(fixture, n_docs)
+ORDER BY fixture
+""",
+    tags=("A1", "A2", "A8", "A9", "A10", "A11", "A12", "A13", "A14", "b1.2"),
+)
 def doc_shred_assemble_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    outs = []
+    import json as _json
+
+    def strip_keys(obj):
+        if isinstance(obj, dict):
+            return {k: strip_keys(v) for k, v in obj.items() if k != "rowNum"}
+        if isinstance(obj, list):
+            return [strip_keys(x) for x in obj]
+        return obj
+
+    def canon(docs):
+        return sorted(_json.dumps(strip_keys(d), sort_keys=True) for d in docs)
+
+    rows = []
     for root, docs in ALL_FIXTURES.items():
         result = shred(docs_df(spark, docs), root)
-        outs.append(to_documents(assemble(result))
-                    .withColumn("fixture", F.lit(root)))
-    df = outs[0]
-    for o in outs[1:]:
-        df = df.unionByName(o)
-    return df.orderBy("fixture")
+        out = [_json.loads(r["doc"])
+               for r in to_documents(assemble(result)).collect()]
+        rows.append((root, len(out), int(canon(out) == canon(docs))))
+    return spark.createDataFrame(
+        rows, "fixture string, n_docs bigint, roundtrip_ok bigint"
+    ).orderBy("fixture")
 
 
 # A7 — reference typing rules applied to the F1 fixture ("time"-key ISO
