@@ -370,3 +370,67 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# b11 LM-style quality scoring in the exact-integer domain: rare-bigram
+# novelty.  The production pattern (CCNet-style perplexity filtering) scores
+# each document against an n-gram model of the corpus; log-prob outputs are
+# engine-divergent at the ulp level (Math.log vs libm), so the registered
+# form counts corpus-rare bigrams instead — the same signal (template text
+# scores low, noisy/novel text high) with BIGINT outputs both engines agree
+# on exactly.
+#
+# Scale shape: bigram explode → map-side-combinable count, then a
+# co-partitioned join back on (w1, w2) and a per-doc agg — three shuffles,
+# all on keys with corpus-count cardinality, no driver-side state.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_bigram_novelty",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents
+), idx AS (
+  SELECT doc_id, t, unnest(range(len(t) - 1)) AS i FROM toks WHERE len(t) >= 2
+), pairs AS (
+  SELECT doc_id, t[CAST(i AS INT) + 1] AS w1, t[CAST(i AS INT) + 2] AS w2
+  FROM idx
+), cnt AS (
+  SELECT w1, w2, count(*) AS c FROM pairs GROUP BY w1, w2
+)
+SELECT p.doc_id,
+       count(*)                         AS n_bigrams,
+       count(*) FILTER (WHERE c.c = 1)  AS n_hapax,
+       count(*) FILTER (WHERE c.c <= 2) AS n_rare
+FROM pairs p JOIN cnt c ON p.w1 = c.w1 AND p.w2 = c.w2
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+""",
+    tags=("b11.5",),
+)
+def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # persist: the token array is referenced twice by the slice pair (HOF
+    # re-inlining rule — see winnowing_fingerprints)
+    toked = (d.select("doc_id", tokens(F.col("text")).alias("t"))
+             .filter(F.size("t") >= 2).persist())
+    t = F.col("t")
+    pairs = (
+        toked.select(
+            "doc_id",
+            F.explode(F.arrays_zip(
+                F.slice(t, 1, F.size(t) - 1).alias("w1"),
+                F.slice(t, 2, F.size(t) - 1).alias("w2"))).alias("p"))
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")))
+    cnt = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        pairs.join(cnt, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"),
+             F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+              .cast("bigint").alias("n_hapax"),
+             F.sum(F.when(F.col("c") <= 2, 1).otherwise(0))
+              .cast("bigint").alias("n_rare"))
+        .orderBy("doc_id")
+    )

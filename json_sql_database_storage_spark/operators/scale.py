@@ -278,3 +278,43 @@ def scale_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# Bucketed co-located join as a registry exhibit: both sides are persisted
+# bucketed+sorted by the join key, so the merge-hinted SMJ reads co-located
+# buckets with ZERO exchange — on a 100 TB fact table this is the difference
+# between re-shuffling the table per query and never shuffling it at all
+# (plan asserted in tests/test_scale.py::test_bucketed_join_has_no_exchange
+# over the same write_bucketed helper).  The oracle recomputes the join from
+# the parquet originals, proving bucketed write→read loses nothing.
+@register(
+    "scale_bucketed_join",
+    oracle="""
+SELECT o.o_orderstatus, count(*) AS n_lines,
+       CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(12,4))), 2) AS DOUBLE)
+         AS revenue
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+ORDER BY o.o_orderstatus
+""",
+    tags=("scale", "b3.2", "b1.7"),
+)
+def scale_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    write_bucketed(load_table(spark, sf_dir, "orders")
+                   .select("o_orderkey", "o_orderstatus"),
+                   "bq_orders", "o_orderkey", n_buckets=8,
+                   sort_by="o_orderkey")
+    write_bucketed(load_table(spark, sf_dir, "lineitem")
+                   .select("l_orderkey", "l_extendedprice"),
+                   "bq_lineitem", "l_orderkey", n_buckets=8,
+                   sort_by="l_orderkey")
+    bo = spark.table("bq_orders")
+    bl = spark.table("bq_lineitem")
+    joined = bl.join(bo.hint("merge"), bl.l_orderkey == bo.o_orderkey)
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             F.round(F.sum(dec("l_extendedprice")), 2).cast("double")
+              .alias("revenue"))
+        .orderBy("o_orderstatus")
+    )

@@ -4,6 +4,8 @@ refactor that silently loses one fails CI (SURVEY.md §4.3)."""
 
 from __future__ import annotations
 
+import re
+
 from json_sql_database_storage_spark import registry
 from json_sql_database_storage_spark.plans import (
     explain_formatted, pushed_filters, read_schema_columns,
@@ -109,3 +111,15 @@ def test_scale_windows_have_no_single_partition_exchange(spark, sf_dir):
     # sanity: the global forms DO have it (else this test checks nothing)
     plan = explain_formatted(_SPECS["window_running_total"].fn(spark, sf_dir))
     assert "SinglePartition" in plan
+
+
+def test_partitioned_sink_read_prunes_partitions(spark, sf_dir):
+    """b1.7: the read side of the partitioned sink must prune at the
+    directory level — the l_returnflag='R' predicate appears as a
+    PartitionFilter on the scan, not a post-scan Filter over all
+    partitions (at 100 TB, reading 1/3 of the directories instead of
+    all of them)."""
+    plan = explain_formatted(_SPECS["sink_partitioned"].fn(spark, sf_dir))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    assert "l_returnflag" in m.group(1), plan

@@ -61,3 +61,21 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         assert joined.count() == load_table(spark, sf_dir, "lineitem").count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_registered_bucketed_join_shuffles_only_for_the_agg(spark, sf_dir):
+    """The registry form: no Exchange below the SortMergeJoin (bucketed
+    sides are read co-located); the only Exchange in the whole plan is the
+    final aggregate's."""
+    import re
+
+    df = _SPECS["scale_bucketed_join"].fn(spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "SortMergeJoin" in plan
+    # both scans read co-located buckets (no exchange feeds the join)...
+    assert plan.count("Bucketed: true") == 2, plan
+    assert plan.count("SelectedBucketsCount: 8 out of 8") == 2, plan
+    # ...so the only exchanges are ABOVE the join: the final agg's and the
+    # output orderBy's
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 2, plan
