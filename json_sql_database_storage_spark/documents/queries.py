@@ -101,9 +101,9 @@ def doc_shred_assemble_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_typing_rules",
     oracle="""
-SELECT 'alice' AS name, 31 AS age, true AS active,
-       '2024-01-01 10:30:00' AS login_ts, 7 AS numeric_string,
-       140 AS bio_len
+SELECT 'alice' AS name, CAST(31 AS BIGINT) AS age, CAST(1 AS BIGINT) AS active,
+       '2024-01-01 10:30:00' AS login_ts, CAST(7 AS BIGINT) AS numeric_string,
+       CAST(140 AS BIGINT) AS bio_len
 """,
     tags=("A7", "A15"),
 )
@@ -111,10 +111,11 @@ def doc_typing_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = docs_df(spark, ALL_FIXTURES["f1"])
     typed = apply_reference_typing(df, compat_int_strings=True)
     return typed.select(
-        "name", "age", "active",
+        "name", F.col("age").cast("bigint").alias("age"),
+        F.col("active").cast("bigint").alias("active"),
         F.col("loginTime").cast("string").alias("login_ts"),
-        "numeric_string",
-        F.length("bio").alias("bio_len"),
+        F.col("numeric_string").cast("bigint").alias("numeric_string"),
+        F.length("bio").cast("bigint").alias("bio_len"),
     )
 
 

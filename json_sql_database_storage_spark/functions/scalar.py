@@ -147,7 +147,7 @@ SELECT
   round(log10(l_extendedprice), 6)                      AS price_log10,
   round(exp(l_discount), 6)                             AS disc_exp,
   ((CAST(l_linenumber AS BIGINT) - 4) % 3 + 3) % 3      AS line_pmod,
-  sign(l_quantity - 25)                                 AS qty_sign
+  CAST(sign(l_quantity - 25) AS BIGINT)                 AS qty_sign
 FROM lineitem
 WHERE l_orderkey <= 300
 ORDER BY l_orderkey, l_linenumber
@@ -169,7 +169,7 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
             F.round(F.exp("l_discount"), 6).alias("disc_exp"),
             F.pmod(F.col("l_linenumber").cast("bigint") - 4, F.lit(3)).alias("line_pmod"),
-            F.signum(F.col("l_quantity") - 25).alias("qty_sign"),
+            F.signum(F.col("l_quantity") - 25).cast("bigint").alias("qty_sign"),
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
@@ -285,11 +285,11 @@ SELECT
   CAST(to_json(list_transform(list_sort(embedding[1:4]),
        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))
        AS VARCHAR)                                  AS head4_sorted,
-  list_contains(embedding, 0.0)                     AS has_zero,
+  CAST(list_contains(embedding, 0.0) AS BIGINT)     AS has_zero,
   CAST(to_json(list_transform(flatten([embedding[1:2], embedding[3:4]]),
        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))
        AS VARCHAR)                                  AS recombined,
-  list_distinct(embedding[1:3]) IS NOT NULL         AS distinct_ok
+  CAST(list_distinct(embedding[1:3]) IS NOT NULL AS BIGINT) AS distinct_ok
 FROM embeddings
 ORDER BY vec_id
 """,
@@ -312,10 +312,11 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
             # on double→JSON scientific-notation thresholds).
             _micro_json(F.slice(a, 1, 4)).alias("head4"),
             _micro_json(F.array_sort(F.slice(a, 1, 4))).alias("head4_sorted"),
-            F.array_contains(a, F.lit(0.0)).alias("has_zero"),
+            F.array_contains(a, F.lit(0.0)).cast("bigint").alias("has_zero"),
             _micro_json(F.flatten(F.array(F.slice(a, 1, 2), F.slice(a, 3, 2))))
             .alias("recombined"),
-            F.array_distinct(F.slice(a, 1, 3)).isNotNull().alias("distinct_ok"),
+            F.array_distinct(F.slice(a, 1, 3)).isNotNull().cast("bigint")
+            .alias("distinct_ok"),
         )
         .orderBy("vec_id")
     )
@@ -405,7 +406,7 @@ SELECT
   json_extract_string(props, '$.k')                 AS k_str,
   CAST(json_extract(props, '$.k') AS BIGINT)        AS k_int,
   json_extract_string(props, '$.missing')           AS missing_val,
-  CAST(json_valid(props) AS BOOLEAN)                AS is_valid
+  CAST(json_valid(props) AS BIGINT)                 AS is_valid
 FROM events
 ORDER BY event_id
 """,
@@ -421,7 +422,8 @@ def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get_json_object("props", "$.k").alias("k_str"),
             parsed["k"].alias("k_int"),
             F.get_json_object("props", "$.missing").alias("missing_val"),
-            F.get_json_object("props", "$").isNotNull().alias("is_valid"),
+            F.get_json_object("props", "$").isNotNull().cast("bigint")
+             .alias("is_valid"),
         )
         .orderBy("event_id")
     )

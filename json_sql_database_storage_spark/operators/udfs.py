@@ -163,7 +163,8 @@ def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "udf_map_in_pandas",
     oracle="""
-SELECT event_id, value, value * value AS value_sq, value > 100.0 AS is_high
+SELECT event_id, value, value * value AS value_sq,
+       CAST(value > 100.0 AS BIGINT) AS is_high
 FROM events
 ORDER BY event_id
 """,
@@ -174,11 +175,11 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = pdf[["event_id", "value"]].copy()
             out["value_sq"] = pdf["value"] ** 2
-            out["is_high"] = pdf["value"] > 100.0
+            out["is_high"] = (pdf["value"] > 100.0).astype("int64")
             yield out
 
     ev = load_table(spark, sf_dir, "events")
     return (ev.mapInPandas(enrich,
                            "event_id BIGINT, value DOUBLE, "
-                           "value_sq DOUBLE, is_high BOOLEAN")
+                           "value_sq DOUBLE, is_high BIGINT")
             .orderBy("event_id"))

@@ -35,13 +35,16 @@ _ALL = sorted(_SPECS)
 # "BIGINT[]" — a list — is correctly rejected.
 _DUCK_OK_TYPES = frozenset({
     "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "UBIGINT", "UINTEGER",
-    "DOUBLE", "FLOAT", "VARCHAR", "BOOLEAN",
+    "DOUBLE", "FLOAT", "VARCHAR",
     "TIMESTAMP", "TIMESTAMP_NS", "TIMESTAMP_MS", "TIMESTAMP_S",
 })
+# BOOLEAN is deliberately absent: the driver's hasher is proven on
+# int/double/string/timestamp (CORRECTNESS_r01 green rows) but no green row
+# has ever carried a boolean — registered outputs use BIGINT 0/1 instead.
 
 _SPARK_OK_TYPES = (
     T.LongType, T.IntegerType, T.ShortType, T.ByteType,
-    T.DoubleType, T.FloatType, T.StringType, T.BooleanType,
+    T.DoubleType, T.FloatType, T.StringType,
     T.TimestampType, T.TimestampNTZType,
 )
 
@@ -66,3 +69,40 @@ def test_spark_output_types_hashable(spark, sf_dir, name):
         f"{name}: Spark output columns with driver-hasher-hazard types "
         f"{bad}; render arrays/maps/structs with to_json and decimals/dates "
         f"as double/timestamp")
+
+
+# Cross-engine KIND parity: integer widths canonicalize identically through
+# the driver's hash (window_ranking was green in r01 with BIGINT-vs-int), but
+# int-vs-float (e.g. DuckDB sign() TINYINT vs Spark signum() DOUBLE) renders
+# "1" vs "1.0" under type-sensitive hashing — catch the class statically.
+_DUCK_KIND = {
+    "BIGINT": "i", "INTEGER": "i", "SMALLINT": "i", "TINYINT": "i",
+    "UBIGINT": "i", "UINTEGER": "i",
+    "DOUBLE": "f", "FLOAT": "f", "VARCHAR": "s",
+    "TIMESTAMP": "t", "TIMESTAMP_NS": "t", "TIMESTAMP_MS": "t",
+    "TIMESTAMP_S": "t",
+}
+
+
+def _spark_kind(dt):
+    if isinstance(dt, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        return "i"
+    if isinstance(dt, (T.DoubleType, T.FloatType)):
+        return "f"
+    if isinstance(dt, T.StringType):
+        return "s"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "t"
+    return "?"
+
+
+@pytest.mark.parametrize("name", _WITH_ORACLE)
+def test_cross_engine_kind_parity(spark, duck, sf_dir, name):
+    duck_kinds = {c[0]: _DUCK_KIND.get(str(c[1]).upper(), "?")
+                  for c in duck.execute(f"DESCRIBE {_SPECS[name].oracle}").fetchall()}
+    spark_kinds = {f.name: _spark_kind(f.dataType)
+                   for f in _SPECS[name].fn(spark, sf_dir).schema.fields}
+    mismatched = {c: (duck_kinds[c], spark_kinds[c])
+                  for c in duck_kinds if c in spark_kinds
+                  and duck_kinds[c] != spark_kinds[c]}
+    assert not mismatched, f"{name}: cross-engine kind mismatch {mismatched}"
