@@ -410,3 +410,54 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cos_sim", "rk")
         .orderBy("query_id", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# b11.3 int8 embedding quantization (ANN index prep): per-vector symmetric
+# scale = 127 / max|x|, quantized values via floor(x*scale + 0.5) — the same
+# IEEE ops in both engines (fn_array precedent), so the int arrays are
+# bit-identical and render as JSON strings.  Quantization is a pure
+# projection: no shuffle, columnar-friendly, exactly the shape a 100 TB
+# index build wants.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sim_quantize_int8",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), s AS (
+  SELECT vec_id, e,
+         127.0 / list_max(list_transform(e, x -> abs(x))) AS scale
+  FROM v
+)
+SELECT vec_id, scale,
+       CAST(to_json(list_transform(e,
+            x -> CAST(floor(x * scale + 0.5) AS BIGINT))) AS VARCHAR) AS q8,
+       CAST(len(list_filter(e,
+            x -> abs(floor(x * scale + 0.5)) > 127)) AS BIGINT) AS n_clipped
+FROM s
+ORDER BY vec_id
+""",
+    tags=("b11.3",),
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e"))
+    # persist barrier: e and scale are each referenced by two HOFs below
+    # (Catalyst re-inlines per reference — see the minhash lesson)
+    s = v.select(
+        "vec_id", "e",
+        (F.lit(127.0) / F.array_max(F.transform("e", F.abs))).alias("scale"),
+    ).persist()
+    q = F.transform("e", lambda x: F.floor(x * F.col("scale") + 0.5)
+                    .cast("bigint"))
+    return (
+        s.select(
+            "vec_id", "scale",
+            F.to_json(q).alias("q8"),
+            F.size(F.filter(q, lambda qx: F.abs(qx) > 127))
+             .cast("bigint").alias("n_clipped"),
+        )
+        .orderBy("vec_id")
+    )

@@ -434,3 +434,118 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
               .cast("bigint").alias("n_rare"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# b11 PII-style scrubbing: pattern redaction with an audit count.  The
+# production op replaces emails/phones/ids; the synthetic corpus is word
+# soup, so the registered pattern redacts marker tokens — the pipeline shape
+# (global regexp_replace + per-doc audit count, one projection, no shuffle)
+# is identical.  \b word boundaries behave the same in Java regex and RE2.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_redact",
+    oracle=r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\b(customer|supplier)\b'))     AS n_redactions,
+       regexp_replace(text, '\b(customer|supplier)\b', '<REDACTED>', 'g')
+         AS redacted
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("b11.5",),
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pat = r"\b(customer|supplier)\b"
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.regexp_extract_all("text", F.lit(pat), 0))
+             .cast("bigint").alias("n_redactions"),
+            F.regexp_replace("text", pat, "<REDACTED>").alias("redacted"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b11 deterministic stratified sampling (training-mixture weighting): keep a
+# per-language quota of documents, selected by an arithmetic hash of doc_id
+# (multiplicative Knuth hash mod 1000 — no rand(), so task retries and both
+# engines agree exactly).  This is the data-mixing primitive: re-weight
+# language/source shares without materializing a shuffle (a filter, fully
+# pushdown-friendly).
+# ---------------------------------------------------------------------------
+
+_SAMPLE_QUOTA = {"en": 500, "de": 300, "fr": 300}     # per-mille keep rates
+_SAMPLE_DEFAULT = 100
+
+
+@register(
+    "text_stratified_sample",
+    oracle=f"""
+WITH hashed AS (
+  SELECT doc_id, lang, ((doc_id * 2654435761) % 1000 + 1000) % 1000 AS h
+  FROM documents
+)
+SELECT doc_id, lang FROM hashed
+WHERE h < CASE lang
+  {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _SAMPLE_QUOTA.items())}
+  ELSE {_SAMPLE_DEFAULT} END
+ORDER BY doc_id
+""",
+    tags=("b11.5",),
+)
+def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000))
+    quota = F.coalesce(
+        F.create_map(*[F.lit(x) for kv in _SAMPLE_QUOTA.items() for x in kv])
+         [F.col("lang")],
+        F.lit(_SAMPLE_DEFAULT))
+    return (d.filter(h < quota).select("doc_id", "lang").orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# b11 sequence packing (training-batch assignment): within each language
+# shard, documents are packed greedily in doc_id order into bins of
+# ~2048 tokens — bin id = floor((cumsum - own) / 2048) over a PARTITIONED
+# window (per-lang, never a global single-task window; cross-shard packing
+# is embarrassingly parallel by construction).
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_seq_packing",
+    oracle=r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(lower(text), '\s+')) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin_id
+FROM c
+ORDER BY doc_id
+""",
+    tags=("b11.5",),
+)
+def text_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang",
+                 F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"))
+    w = (W.partitionBy("lang").orderBy("doc_id")
+         .rowsBetween(W.unboundedPreceding, 0))
+    return (
+        t.withColumn("cum", F.sum("n_tokens").over(w))
+        .select("doc_id", "lang", "n_tokens",
+                F.floor((F.col("cum") - F.col("n_tokens")) / 2048)
+                 .cast("bigint").alias("bin_id"))
+        .orderBy("doc_id")
+    )
