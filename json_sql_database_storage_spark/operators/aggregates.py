@@ -513,3 +513,98 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0, list(_EVENT_TYPES))
         .orderBy("dow")
     )
+
+
+# ---------------------------------------------------------------------------
+# b4.8b approximate percentiles (t-digest class) with a derived-invariant
+# oracle (same pattern as agg_approx_count_distinct): Spark's
+# approx_percentile sketch is engine-specific, so the registered output is
+# the exact percentile (hash-checked) plus a flag that the approximation
+# stayed within the rank-error band.  accuracy=10000 → rank error <= 1e-4;
+# the flag checks the VALUE sits within the exact p±1% rank window — loose
+# enough to be deterministic, tight enough to catch a broken sketch.
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_approx_percentile",
+    oracle="""
+SELECT
+  o_orderstatus,
+  quantile_cont(floor(o_totalprice * 10000 + 0.5), 0.50) / 10000 AS p50_exact,
+  quantile_cont(floor(o_totalprice * 10000 + 0.5), 0.95) / 10000 AS p95_exact,
+  CAST(1 AS BIGINT) AS p50_in_band,
+  CAST(1 AS BIGINT) AS p95_in_band
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("b4.8", "b4.4"),
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = cents("o_totalprice")
+    in_band = lambda approx, lo, hi: ((approx >= lo) & (approx <= hi)) \
+        .cast("bigint")
+    agg = o.groupBy("o_orderstatus").agg(
+        (F.percentile(c, F.lit(0.50)) / 10000).alias("p50_exact"),
+        (F.percentile(c, F.lit(0.95)) / 10000).alias("p95_exact"),
+        (F.percentile_approx(c, F.lit(0.50), F.lit(10000)) / 10000)
+            .alias("p50_approx"),
+        (F.percentile_approx(c, F.lit(0.95), F.lit(10000)) / 10000)
+            .alias("p95_approx"),
+        (F.percentile(c, F.lit(0.49)) / 10000).alias("p50_lo"),
+        (F.percentile(c, F.lit(0.51)) / 10000).alias("p50_hi"),
+        (F.percentile(c, F.lit(0.94)) / 10000).alias("p95_lo"),
+        (F.percentile(c, F.lit(0.96)) / 10000).alias("p95_hi"),
+    )
+    return (
+        agg.select(
+            "o_orderstatus", "p50_exact", "p95_exact",
+            in_band(F.col("p50_approx"), F.col("p50_lo"), F.col("p50_hi"))
+                .alias("p50_in_band"),
+            in_band(F.col("p95_approx"), F.col("p95_lo"), F.col("p95_hi"))
+                .alias("p95_in_band"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b4 addendum: table profiling — the stats-collection pass every pipeline
+# runs before/after a big write (null rates, distinct counts, ranges).  One
+# scan, all aggregates map-side-combinable; the exact-decimal sum keeps the
+# double column hashable.
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_profile_table",
+    oracle="""
+SELECT
+  count(*)                                         AS n_rows,
+  CAST(count(o_custkey) AS BIGINT)                 AS custkey_nonnull,
+  CAST(count(DISTINCT o_custkey) AS BIGINT)        AS custkey_distinct,
+  CAST(count(DISTINCT o_orderstatus) AS BIGINT)    AS status_distinct,
+  min(o_orderdate)                                 AS first_order,
+  max(o_orderdate)                                 AS last_order,
+  CAST(min(o_totalprice) AS DOUBLE)                AS price_min,
+  CAST(max(o_totalprice) AS DOUBLE)                AS price_max,
+  CAST(round(sum(CAST(o_totalprice AS DECIMAL(14,4))), 2) AS DOUBLE)
+                                                   AS price_sum
+FROM orders
+""",
+    tags=("b4.2",),
+)
+def agg_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").cast("bigint").alias("custkey_nonnull"),
+        F.countDistinct("o_custkey").cast("bigint").alias("custkey_distinct"),
+        F.countDistinct("o_orderstatus").cast("bigint").alias("status_distinct"),
+        F.min("o_orderdate").alias("first_order"),
+        F.max("o_orderdate").alias("last_order"),
+        F.min("o_totalprice").cast("double").alias("price_min"),
+        F.max("o_totalprice").cast("double").alias("price_max"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(14,4)")), 2)
+            .cast("double").alias("price_sum"),
+    )

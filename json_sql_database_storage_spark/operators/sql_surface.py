@@ -1,0 +1,86 @@
+"""SQL-entry-path exhibits: queries submitted as ANSI SQL text via
+spark.sql() rather than the DataFrame API, over temp views of the same
+parquet tables.
+
+The reference's query surface IS SQL strings handed to its embedded engine
+(DatabaseManager.java:87-106 queueing raw SQL tasks); these rows prove the
+Spark build accepts the same entry path.  Each query here uses ONE SQL text
+verbatim as both the Spark query and the DuckDB oracle — dialect-shared
+ANSI (recursive CTEs, correlated EXISTS, window functions), so any parse or
+semantics divergence fails the hash check directly.
+
+Scale notes: a recursive CTE executes as iterative joins (one per step,
+same shape as dedup_cc_survivors' label propagation); Spark 4 bounds it
+with spark.sql.cteRecursionLevelLimit.  The chain depth here is bounded by
+max orders per customer, not data volume, and each step is a co-partitioned
+equi-join on the previous frontier — frontier size only shrinks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..sources import load_table
+
+_TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+           "lineitem", "events", "documents", "embeddings")
+
+
+def _register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in _TABLES:
+        try:
+            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        except Exception:
+            pass    # optional table absent at this sf
+
+
+# One SQL text, two engines: per-customer order-succession depth via a
+# RECURSIVE walk over lag()-derived edges (depth == position in the
+# customer's order chain, computed by reachability instead of row_number —
+# the point is exercising the recursion machinery on both sides).
+_RECURSIVE_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT o_custkey, o_orderkey,
+         lag(o_orderkey) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS prev_key
+  FROM orders WHERE o_custkey < 200
+), chain AS (
+  SELECT o_custkey, o_orderkey, CAST(1 AS BIGINT) AS depth
+  FROM edges WHERE prev_key IS NULL
+  UNION ALL
+  SELECT e.o_custkey, e.o_orderkey, c.depth + CAST(1 AS BIGINT)
+  FROM edges e JOIN chain c ON e.prev_key = c.o_orderkey
+)
+SELECT o_custkey, o_orderkey, depth
+FROM chain
+ORDER BY o_custkey, depth
+"""
+
+
+@register("sql_recursive_cte", oracle=_RECURSIVE_SQL, tags=("b2", "b3.9"))
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir)
+    return spark.sql(_RECURSIVE_SQL)
+
+
+# Correlated EXISTS / NOT EXISTS — decorrelated by Catalyst into semi/anti
+# joins (the DataFrame twins are join_left_semi/join_left_anti; this row
+# proves the SQL path plans them too).
+_EXISTS_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_orderstatus = 'F'
+                    AND o2.o_totalprice < 50000)
+ORDER BY c_custkey
+"""
+
+
+@register("sql_exists_subquery", oracle=_EXISTS_SQL, tags=("b2", "b3.5", "b3.6"))
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir)
+    return spark.sql(_EXISTS_SQL)

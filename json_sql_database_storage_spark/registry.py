@@ -50,6 +50,7 @@ _OPERATOR_MODULES = (
     "json_sql_database_storage_spark.streaming.queries",
     "json_sql_database_storage_spark.operators.udfs",
     "json_sql_database_storage_spark.operators.scale",
+    "json_sql_database_storage_spark.operators.sql_surface",
 )
 
 # The driver's per-round correctness check covers the first ~50 registry
@@ -65,7 +66,8 @@ _REVERIFY_FIRST = (
     "scan_in_memory", "scan_json_ingest_inference",
     "join_renest_documents", "agg_collect", "agg_approx_count_distinct",
 )
-_HIGH_RISK_PREFIXES = ("stream_", "udf_", "scale_", "mm_", "scan_jdbc")
+_HIGH_RISK_PREFIXES = ("stream_", "udf_", "scale_", "mm_", "scan_jdbc",
+                       "sql_")
 _CHECKED_R01 = frozenset({
     "scan_parquet", "scan_json_column", "scan_csv_roundtrip",
     "scan_in_memory", "sink_parquet_append", "sink_partitioned",
