@@ -608,3 +608,41 @@ def agg_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("o_totalprice").cast("decimal(14,4)")), 2)
             .cast("double").alias("price_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# b4.12b unpivot/melt — the inverse reshape of agg_pivot: wide metric
+# columns to (metric, value) rows.  Spark's unpivot is a zero-shuffle
+# row-expansion (like explode); the oracle uses the portable UNION ALL form.
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_unpivot",
+    oracle="""
+SELECT l_orderkey, l_linenumber, metric, value FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+         CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'extendedprice',
+         CAST(l_extendedprice AS DOUBLE) FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount',
+         CAST(l_discount AS DOUBLE) FROM lineitem
+)
+WHERE l_orderkey <= 200
+ORDER BY l_orderkey, l_linenumber, metric
+""",
+    tags=("b4.12",),
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 200)
+    return (
+        li.select("l_orderkey", "l_linenumber",
+                  F.col("l_quantity").alias("quantity"),
+                  F.col("l_extendedprice").alias("extendedprice"),
+                  F.col("l_discount").alias("discount"))
+        .unpivot(["l_orderkey", "l_linenumber"],
+                 ["quantity", "extendedprice", "discount"],
+                 "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    )

@@ -21,18 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
-from ..sources import load_table
-
-_TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
-           "lineitem", "events", "documents", "embeddings")
-
-
-def _register_views(spark: SparkSession, sf_dir: str) -> None:
-    for t in _TABLES:
-        try:
-            load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-        except Exception:
-            pass    # optional table absent at this sf
+from ..sources.tables import register_views as _register_views
 
 
 # One SQL text, two engines: per-customer order-succession depth via a

@@ -236,3 +236,71 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# b5 addendum: time-series gap fill with forward fill (hypertable-rollup
+# shape): per-user hourly grid from first to last event, hourly mean in
+# exact-decimal cents, empty hours forward-filled from the last observed
+# hour via last_value IGNORE NULLS over a PARTITIONED window.  The grid
+# explode is per-user (embarrassingly parallel); nothing global.
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_gap_fill",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE user_id < 3
+), hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         count(*) AS n_events,
+         CAST(sum(cents) AS DOUBLE) / count(*) / 100.0 AS avg_value
+  FROM ev GROUP BY user_id, date_trunc('hour', ts)
+), bounds AS (
+  SELECT user_id, date_trunc('hour', min(ts)) AS t0, max(ts) AS t1
+  FROM ev GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS h
+  FROM bounds
+)
+SELECT g.user_id, g.h AS hour,
+       coalesce(hy.n_events, 0) AS n_events,
+       last_value(hy.avg_value IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.h
+               ROWS UNBOUNDED PRECEDING) AS avg_value_ffill
+FROM grid g LEFT JOIN hourly hy
+  ON g.user_id = hy.user_id AND g.h = hy.h
+ORDER BY g.user_id, g.h
+""",
+    tags=("b5.7", "b9.1"),
+)
+def window_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .filter(F.col("user_id") < 3)
+          .select("user_id", "ts",
+                  F.round(F.col("value") * 100).cast("bigint").alias("cents")))
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             (F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0)
+             .alias("avg_value")))
+    bounds = (
+        ev.groupBy("user_id")
+        .agg(F.date_trunc("hour", F.min("ts")).alias("t0"),
+             F.max("ts").alias("t1")))
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR")))
+         .alias("h"))
+    return (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id", F.col("h").alias("hour"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("avg_value", ignorenulls=True).over(
+                W.partitionBy("user_id").orderBy("h")
+                 .rowsBetween(W.unboundedPreceding, 0))
+             .alias("avg_value_ffill"))
+        .orderBy("user_id", "hour")
+    )
