@@ -364,3 +364,63 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("c_mktsegment")
     finally:
         cleanup(staged)
+
+
+# b9.8 foreachBatch incremental materialized view: each micro-batch's
+# partial aggregate merges into a versioned parquet view (read v_i, union,
+# re-aggregate, write v_{i+1} — alternating versions, never reading the
+# file being overwritten).  This is the canonical foreachBatch upsert
+# pattern for sinks without native streaming support; integer cents keep
+# the merge exactly associative, so the final view equals the whole-table
+# aggregate regardless of batch boundaries.
+@register(
+    "stream_foreach_batch_matview",
+    oracle="""
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("b9.8", "b1.11"),
+)
+def stream_foreach_batch_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    staged = stage_event_chunks(spark, sf_dir)
+    view_dir = tempfile.mkdtemp(prefix="matview_")
+    state = {"v": -1}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        part = (batch_df
+                .withColumn("cents",
+                            F.round(F.col("value") * 100).cast("bigint"))
+                .groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("cents").alias("cents")))
+        if state["v"] >= 0:
+            prev = spark.read.parquet(f"{view_dir}/v{state['v']}")
+            part = (prev.unionByName(part)
+                    .groupBy("event_type")
+                    .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents")))
+        part.write.mode("overwrite").parquet(f"{view_dir}/v{state['v'] + 1}")
+        state["v"] += 1
+
+    try:
+        q = (read_event_stream(spark, staged)
+             .writeStream.foreachBatch(merge)
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = spark.read.parquet(f"{view_dir}/v{state['v']}")
+        # materialize before the temp dir disappears
+        out = spark.createDataFrame(final.collect(), final.schema)
+        return (out.select("event_type", "n",
+                           F.col("cents").cast("bigint").alias("cents"))
+                .orderBy("event_type"))
+    finally:
+        cleanup(staged)
+        shutil.rmtree(view_dir, ignore_errors=True)
