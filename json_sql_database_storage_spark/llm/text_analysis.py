@@ -549,3 +549,97 @@ def text_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("bigint").alias("bin_id"))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# b11 benchmark decontamination: flag training documents sharing any 8-token
+# gram with the held-out eval set (doc_id < 20 plays the eval split).  The
+# canonical pretraining hygiene pass (GPT-3/CCNet style).  Join key is the
+# gram TEXT itself — no hashing — so the whole pipeline is exactly
+# recomputable in SQL; at 100 TB you'd swap the key for xxhash64(gram) and
+# keep the identical shape (explode → distinct eval side → equi-join →
+# per-doc count), broadcast-ing the eval gram set when it fits.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_decontaminate",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents
+), grams AS (
+  SELECT doc_id,
+         array_to_string(t[CAST(i AS INT) + 1:CAST(i AS INT) + 8], ' ') AS gram
+  FROM (SELECT doc_id, t, unnest(range(len(t) - 7)) AS i
+        FROM toks WHERE len(t) >= 8)
+), eval_grams AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id < 20
+)
+SELECT g.doc_id, count(DISTINCT g.gram) AS n_shared_grams
+FROM grams g JOIN eval_grams e ON g.gram = e.gram
+WHERE g.doc_id >= 20
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+""",
+    tags=("b11.2", "b11.5"),
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toked = (d.select("doc_id", tokens(F.col("text")).alias("t"))
+             .filter(F.size("t") >= 8).persist())
+    t = F.col("t")
+    grams = toked.select(
+        "doc_id",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.size(t) - 8),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, 8)))).alias("gram"))
+    eval_grams = (grams.filter(F.col("doc_id") < 20)
+                  .select("gram").distinct())
+    return (
+        grams.filter(F.col("doc_id") >= 20)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").alias("n_shared_grams"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b11 RAG/training chunking: overlapping 64-token windows, stride 48.  A
+# pure per-doc expansion (no shuffle until a downstream op needs one); both
+# engines clamp slice-past-end identically, so chunk text hash-matches.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_chunk_windows",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t FROM documents
+), idx AS (
+  SELECT doc_id, t, unnest(range(0, len(t), 48)) AS s FROM toks
+)
+SELECT doc_id,
+       CAST(s // 48 AS BIGINT) AS chunk_id,
+       array_to_string(t[CAST(s AS INT) + 1:CAST(s AS INT) + 64], ' ')
+         AS chunk_text,
+       CAST(least(64, len(t) - s) AS BIGINT) AS n_tokens
+FROM idx
+ORDER BY doc_id, chunk_id
+""",
+    tags=("b11.5", "b11.8"),
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tokens(F.col("text")).alias("t")).persist()
+    t = F.col("t")
+    starts = F.sequence(F.lit(0), F.size(t) - 1, F.lit(48))
+    return (
+        toked.select("doc_id", "t", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.floor(F.col("s") / 48).cast("bigint").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(t, F.col("s") + 1, 64)).alias("chunk_text"),
+            F.least(F.lit(64), F.size(t) - F.col("s")).cast("bigint")
+             .alias("n_tokens"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
