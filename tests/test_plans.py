@@ -123,3 +123,32 @@ def test_partitioned_sink_read_prunes_partitions(spark, sf_dir):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m, plan
     assert "l_returnflag" in m.group(1), plan
+
+
+def test_no_unintended_scale_flags(spark, sf_dir):
+    """Whole-registry plan sweep: no CartesianProduct, row-at-a-time Python
+    eval, or single-partition exchange outside the queries where it is the
+    documented design (cross-join/BNLJ exhibits, the deliberate b10.1
+    Python-UDF exhibit, global aggregates over already-tiny inputs, the
+    SURVEY-mandated global-window forms).  BroadcastNestedLoopJoin is NOT
+    flagged: every occurrence is a deliberate tiny-side broadcast
+    (centroids, salt tables, 10-row query sets, bounded exact baselines)."""
+    allow = {
+        "CartesianProduct": {"join_cross", "join_bnlj_price_bands"},
+        "BatchEvalPython": {"udf_scalar_python"},
+        "SinglePartition": {
+            "window_running_total", "window_percent_rank",
+            "sort_global_top_k", "agg_global", "agg_approx_count_distinct",
+            "agg_profile_table", "fn_hash_spark_native", "doc_typing_rules",
+            "scan_in_memory",
+        },
+    }
+    bad = []
+    for name, spec in sorted(_SPECS.items()):
+        if name.startswith("stream_") and not name.endswith("_batch"):
+            continue    # streaming replays execute eagerly; skip explain
+        plan = explain_formatted(spec.fn(spark, sf_dir))
+        for label in allow:
+            if label in plan and name not in allow[label]:
+                bad.append((name, label))
+    assert not bad, bad
