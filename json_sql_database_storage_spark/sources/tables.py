@@ -50,12 +50,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects.  Read nanos as long (legacy conf, settable at
-    runtime) and convert exactly — the generator emits whole microseconds, and
-    even if it didn't, truncation to micros is Spark's native timestamp
-    precision."""
+    """Normalize events.ts to TIMESTAMP regardless of the parquet physical
+    type.  The generator has emitted two encodings across rounds:
+
+    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects — read nanos
+      as long (legacy conf) and convert exactly;
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads as
+      TIMESTAMP_NTZ — cast to TIMESTAMP, exact under the pinned-UTC session
+      (_pin_session above), since an NTZ wall-clock reinterpreted in UTC is
+      the same instant the UTC-naive generator meant.
+
+    Downstream code (windows, sessionization) does instant arithmetic via
+    F.unix_micros, which requires TIMESTAMP — this loader is the single
+    place that guarantees it."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     ts_type = dict(df.dtypes).get("ts")
@@ -63,6 +72,11 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # integer division: epoch-ns values exceed double's 2^53 mantissa,
         # so a float divide here silently drifts timestamps by ±1 µs
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    assert isinstance(df.schema["ts"].dataType, TimestampType), (
+        f"events.ts must normalize to TIMESTAMP, got {df.schema['ts'].dataType}"
+    )
     return df
 
 

@@ -1,0 +1,42 @@
+"""Loader invariants for the driver's parquet testdata.
+
+The events.parquet ``ts`` physical type has changed between rounds
+(TIMESTAMP(NANOS) -> TIMESTAMP(MICROS, isAdjustedToUTC=false)); downstream
+instant arithmetic (F.unix_micros in windows/sessionization) requires
+TIMESTAMP, so ``_load_events`` must normalize whatever encoding the current
+generator emits.  This test fails loudly on the *next* re-encoding instead of
+letting three queries and the bench die at driver time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampType
+
+from json_sql_database_storage_spark.sources import load_table
+
+
+def test_events_ts_normalizes_to_timestamp(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    assert isinstance(ev.schema["ts"].dataType, TimestampType)
+    # unix_micros is the operation that broke in round 2 — prove it resolves
+    # and yields sane epoch values (post-2000, pre-2100).
+    row = ev.select(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).first()
+    assert row["lo"] is not None
+    assert 946_684_800_000_000 < row["lo"] <= row["hi"] < 4_102_444_800_000_000
+
+
+def test_events_ts_matches_duckdb_instant(spark, duck, sf_dir):
+    """The normalized Spark instants must agree with what the DuckDB oracle
+    reads from the same parquet — the correctness gate compares hashed values,
+    so a timezone shift here would silently fail every ts-valued oracle."""
+    s = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("m")
+    ).first()["m"]
+    d = duck.execute(
+        "SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') FROM events"
+    ).fetchone()[0]
+    assert s == d
