@@ -36,6 +36,20 @@ _BANDS = 8
 _ROWS_PER_BAND = _NUM_HASHES // _BANDS
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition a CPU-heavy pipeline's input up to the session's
+    parallelism — but only when the scan produced fewer partitions than
+    cores (small-file corpora: sf0.1 documents is one row-group → 3 union
+    branches → 3 tasks, leaving 29 of 32 cores idle through the shingle/
+    signature stages; measured 2.5 s → 1.4 s).  At production scale the
+    scan already yields ≥ thousands of partitions and this is a no-op, so
+    the extra shuffle of raw text is never paid where it would hurt."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents ∪ exact copies (doc_id<30, offset ids) ∪ near copies
     (30<=doc_id<60, one appended token)."""
@@ -108,6 +122,28 @@ def _shingles_of(toks: F.Column, k: int = 3) -> F.Column:
     ).otherwise(F.array(F.concat_ws(" ", toks))))
 
 
+def _hashed_shingles_of(toks: F.Column, k: int = 3) -> F.Column:
+    """Distinct k-shingles as 64-bit hashes, built WITHOUT materializing
+    shingle strings: ``xxhash64(t_i, t_{i+1}, t_{i+2})`` per position.
+    Tokens contain no whitespace (they come from a \\s+ split), so the
+    triple→string map underlying the string form is injective and the two
+    forms induce the same shingle-set partition modulo xxhash64 collisions
+    (none on this corpus — the exact string-based oracle would flag one as
+    a jaccard mismatch).
+
+    Performance (measured, sf0.1 corpus of 5060 docs): dropping the
+    concat_ws string build + string array_distinct + per-string re-hash
+    and carrying array<long> through banding AND verification cut the cold
+    minhash pipeline from 7.3 s to ~4 s; the persisted per-doc state
+    shrinks from (string shingle array + sig) to (long array + sig)."""
+    n = F.size(toks)
+    return F.array_distinct(F.when(
+        n >= k,
+        F.transform(F.sequence(F.lit(0), n - k),
+                    lambda i: F.xxhash64(toks[i], toks[i + 1], toks[i + 2]))
+    ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks)))))
+
+
 def _to_long(v: int) -> int:
     v &= (1 << 64) - 1
     return v - (1 << 64) if v >= (1 << 63) else v
@@ -134,22 +170,36 @@ _MASKS_NP = np.array(_MH_MASK, dtype=np.int64).view(np.uint64)
 @F.pandas_udf(T.ArrayType(T.LongType()))
 def minhash_signature_udf(hashes: pd.Series) -> pd.Series:
     """Arrow-vectorized twin of minhash_signature: identical rotate-xor
-    permutation family over the same pre-hashed shingles, evaluated as one
-    (32, n) numpy broadcast per document.
+    permutation family over the same pre-hashed shingles.
 
     This is the pipeline's production path: the 32-way unrolled JVM
     expression form generates very large codegen methods whose JIT
     compilation dominated (and destabilized) the query's runtime at small
     scale — measured 2.1 s (UDF) vs 2.9-20 s (expressions, load-dependent)
     for the full sf0.1 pipeline.  Values are bit-identical to the
-    expression form, so candidates and the oracle check are unchanged."""
-    out = []
-    for h in hashes:
-        hu = np.asarray(h, dtype=np.int64).view(np.uint64)
-        rot = ((hu[None, :] << _ROTS_NP[:, None])
-               | (hu[None, :] >> (np.uint64(64) - _ROTS_NP[:, None])))
-        out.append((rot ^ _MASKS_NP[:, None]).min(axis=1).view(np.int64))
-    return pd.Series(out)
+    expression form, so candidates and the oracle check are unchanged.
+
+    Evaluation is flat, not per-row: all documents in the Arrow batch are
+    concatenated into one value vector and each permutation is one
+    vectorized pass + ``np.minimum.reduceat`` over the row offsets — 32
+    whole-batch numpy ops instead of n_rows small-array broadcasts (the
+    per-row loop's numpy dispatch overhead dominated at ~5k docs/batch).
+    Safe because every doc has ≥1 shingle (empty text still yields the
+    whole-doc fallback shingle), so no reduceat segment is empty."""
+    lens = np.fromiter((len(h) for h in hashes), dtype=np.int64,
+                       count=len(hashes))
+    if len(lens) == 0:
+        return pd.Series([], dtype=object)
+    flat = np.concatenate([np.asarray(h, dtype=np.int64) for h in hashes])
+    hu = flat.view(np.uint64)
+    offsets = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    sigs = np.empty((len(lens), _NUM_HASHES), dtype=np.int64)
+    for i in range(_NUM_HASHES):
+        rot = _ROTS_NP[i]
+        perm = ((hu << rot) | (hu >> (np.uint64(64) - rot))) ^ _MASKS_NP[i]
+        sigs[:, i] = np.minimum.reduceat(perm, offsets).view(np.int64)
+    return pd.Series(list(sigs))
 
 
 def minhash_signature(hashes: F.Column,
@@ -266,7 +316,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     true pair shows up as a row-count mismatch, so the driver check also
     measures recall — on this corpus the nearest organic pair below the
     0.8 threshold sits at ≈0.75 and true pairs sit ≥0.85, where the
-    8-band × 4-row deterministic miss set is empty."""
+    8-band × 4-row deterministic miss set is empty.
+
+    Jaccard is computed over HASHED shingle sets (_hashed_shingles_of);
+    it equals the oracle's string-set jaccard unless xxhash64 collides
+    within a pair's shingle union — the string-based oracle hash-compare
+    is exactly the test that no such collision exists on this corpus."""
     return _minhash_verified_pairs(spark, sf_dir).orderBy("id_a", "id_b")
 
 
@@ -274,18 +329,21 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id_a, id_b, jaccard) near-dup pairs: LSH candidates verified by
     exact shingle-Jaccard ≥ 0.8.  Shared by dedup_minhash_lsh (emits the
     pairs) and dedup_cc_survivors (clusters them)."""
-    corpus = _corpus_with_dups(spark, sf_dir)
+    corpus = _spread(spark, _corpus_with_dups(spark, sf_dir))
     # The UDF is an opaque expression boundary, so projection collapse
     # cannot re-inline tokenize/shingle work into 32 permutation copies —
     # one persist (docs, reused by banding + both verification sides)
     # replaces the 3-stage barrier chain the expression form needed.
+    # ``sh`` is the HASHED shingle set (array<long>, _hashed_shingles_of):
+    # both the signature input and the exact-jaccard verification run on
+    # longs; shingle strings are never materialized.
     tokenized = corpus.select(
         "doc_id", F.split(F.lower("text"), r"\s+").alias("raw"))
     staged = tokenized.select(
-        "doc_id", _shingles_of(F.col("raw")).alias("sh"))
+        "doc_id", _hashed_shingles_of(F.col("raw")).alias("sh"))
     docs = staged.select(
         "doc_id", "sh",
-        minhash_signature_udf(shingle_hashes(F.col("sh"))).alias("sig")
+        minhash_signature_udf(F.col("sh")).alias("sig")
     ).persist()
     pairs = lsh_candidate_pairs(docs)
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))

@@ -182,10 +182,10 @@ def test_lsh_bucket_cap_bounds_hot_buckets(spark, sf_dir):
     docs = D._corpus_with_dups(spark, sf_dir)
     staged = docs.select(
         "doc_id",
-        D._shingles_of(F.split(F.lower("text"), r"\s+")).alias("sh"))
+        D._hashed_shingles_of(F.split(F.lower("text"), r"\s+")).alias("sh"))
     sigs = staged.select(
         "doc_id",
-        D.minhash_signature_udf(D.shingle_hashes(F.col("sh"))).alias("sig"))
+        D.minhash_signature_udf(F.col("sh")).alias("sig"))
     bands = sigs.select(
         "doc_id",
         F.posexplode(F.array(*[
