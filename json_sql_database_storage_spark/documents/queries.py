@@ -94,6 +94,83 @@ def doc_shred_assemble_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("fixture")
 
 
+# A1+A2 at DATA scale — the fixture round trip above proves structural
+# parity on a handful of constant docs; this one drives the same shred →
+# assemble machinery through the sf-scaled `documents` table with
+# synthesized nesting (flattened sub-object, ref child, struct-array
+# child), end-to-end distributed: no collect, verification is a join of
+# the assembled output back onto the recomputed input plus a per-lang
+# aggregate.  The oracle states the invariant (every doc round-trips),
+# so any lost/duplicated child row, broken FK, or reordered array chunk
+# shows up as a count mismatch on the driver's hash compare.
+@register(
+    "doc_shred_scale_roundtrip",
+    oracle="""
+SELECT lang, count(*) AS n_docs, count(*) AS n_meta_ok,
+       count(*) AS n_chunks_ok, count(*) AS n_body_ok,
+       count(*) AS n_source_ok
+FROM documents GROUP BY lang ORDER BY lang
+""",
+    tags=("A1", "A2", "A8", "A9", "A10", "A12"),
+)
+def doc_shred_scale_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(_CHUNK))
+    # nested shape: meta = keyless sub-object ($-flattened, A9); src = struct
+    # WITH rowNum (ref child table + real FK, A10); chunks = struct array
+    # (posexplode child with derived keys, A11/A8) of 32-token slices
+    nested = d.select(
+        (F.col("doc_id") + 1).alias("rowNum"),   # doc_id 0 would read as "assign me"
+        "lang",
+        F.struct(F.length("text").alias("n_chars"),
+                 F.size(toks).alias("n_tokens")).alias("meta"),
+        F.struct(F.lit(None).cast("long").alias("rowNum"),
+                 F.concat_ws(":", "lang", "doc_id").alias("tag")).alias("src"),
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                F.concat_ws(" ", F.slice(toks, i * _CHUNK + 1, _CHUNK))
+                 .alias("body"),
+                F.least(F.size(toks) - i * _CHUNK, F.lit(_CHUNK)).alias("n")),
+        ).alias("chunks"))
+    assembled = assemble(shred(nested, "docs_scale"))
+    bodies = F.array_join(
+        F.transform("chunks",
+                    lambda c: F.try_variant_get(c, "$.body", "string")), " ")
+    chunk_tok_sum = F.aggregate(
+        F.transform("chunks",
+                    lambda c: F.try_variant_get(c, "$.n", "long")),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    flat = assembled.select(
+        (F.col("rowNum") - 1).alias("doc_id"),
+        F.col("lang").alias("r_lang"),
+        F.col("meta.n_chars").alias("r_chars"),
+        F.col("meta.n_tokens").alias("r_toks"),
+        F.col("src.tag").alias("r_tag"),
+        F.size("chunks").alias("r_nchunks"),
+        bodies.alias("r_body"),
+        chunk_tok_sum.alias("r_toksum"))
+    joined = d.join(flat, "doc_id")
+    ok = lambda c: F.sum(c.cast("long")).alias  # noqa: E731
+    return (
+        joined.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             ok((F.col("r_chars") == F.length("text"))
+                & (F.col("r_toks") == F.size(toks))
+                & (F.col("r_lang") == F.col("lang")))("n_meta_ok"),
+             ok((F.col("r_nchunks") == n_chunks)
+                & (F.col("r_toksum") == F.size(toks)))("n_chunks_ok"),
+             ok(F.col("r_body") == F.array_join(toks, " "))("n_body_ok"),
+             ok(F.col("r_tag") == F.concat_ws(":", "lang", "doc_id"))
+             ("n_source_ok"))
+        .orderBy("lang")
+    )
+
+
+_CHUNK = 32
+
+
 # A7 — reference typing rules applied to the F1 fixture ("time"-key ISO
 # heuristic on; int-string collapse behind its compat flag).  The fixture is
 # a constant, so the oracle is the expected GOLDEN row — a regression pin on

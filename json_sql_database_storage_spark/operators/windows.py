@@ -102,6 +102,12 @@ ORDER BY seq
     tags=("b5.3",),
 )
 def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (unpartitioned) running total — the SURVEY-mandated b5.3
+    semantics; Spark plans a SinglePartition WindowExec, so input must be
+    bounded (here: one customer slice).  At scale use the oracle-identical
+    two-pass form `scale_running_total` (operators/scale.py), which
+    range-buckets, windows per bucket, and broadcasts per-bucket offsets —
+    no single-partition exchange (asserted in tests/test_plans.py)."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
     w = (W.orderBy("o_orderdate", "o_orderkey")
          .rowsBetween(W.unboundedPreceding, W.currentRow))
@@ -167,6 +173,10 @@ ORDER BY c_custkey
     tags=("b5.5",),
 )
 def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global rank-based window — b5.5 semantics over a broadcastable
+    dimension (customer).  For fact-scale input use the two-pass twin
+    `scale_percent_rank` (operators/scale.py): per-bucket ranks + ≤32-row
+    cumulative-count broadcast, no SinglePartition exchange."""
     c = load_table(spark, sf_dir, "customer")
     w = W.orderBy("c_acctbal")
     return (
