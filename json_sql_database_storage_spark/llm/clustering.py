@@ -1,0 +1,196 @@
+"""Embedding-space clustering for training-data curation: Lloyd's k-means
+and SemDeDup-style cluster-then-cosine semantic deduplication.
+
+Why these exist in the engine (BASELINE.json LLM-pipeline mandate): corpus
+curation at 100 TB needs (a) a cheap global partitioning of the embedding
+space — k-means cells drive stratified sampling, domain mixing, and IVF
+index builds — and (b) semantic near-dup pruning that only ever compares
+vectors INSIDE a cell (Abbas et al. 2023, "SemDeDup: Data-efficient
+learning at web-scale through semantic deduplication"), replacing the
+O(n²) cosine sweep with per-cluster local work.
+
+Scale design:
+- k-means is the canonical broadcast-iterate algorithm: centroids are k×dim
+  doubles (tiny) broadcast to every task; each Lloyd iteration is one
+  map-side distance argmin + one (cluster, pos) mean — a single shuffle of
+  k·dim partial sums, independent of corpus size.  Iterations are unrolled
+  statically (no driver loop over .collect()), so the whole refinement is
+  ONE Catalyst plan whose lineage AQE can re-plan end-to-end.
+- SemDeDup inherits sub-quadratic cost from the cell restriction: pairwise
+  cosine happens only within a cluster (the same-bucket shape proven in
+  dedup_embedding_lsh), and the survivor rule (keep the lowest vec_id among
+  mutually-similar cluster mates) is a per-cluster window, not a global one.
+
+Oracle strategy: every step is deterministic arithmetic.  Initial centroids
+are RAW embedding rows (vec_id < k) — bit-identical in both engines — so
+iteration-1 assignments hash-match exactly; iteration-2 centroids are
+per-(cluster, pos) means whose engine-order float noise is O(1e-13) against
+assignment margins of O(1e-2) (same robustness argument as
+sim_nearest_centroid / sim_ivf_topk).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+from .similarity import _COSINE_SQL, as_double, cosine, dot
+
+_K = 8          # fixed cluster count; init = embeddings of vec_id 0..K-1
+_SEM_TAU = 0.35  # SemDeDup cosine threshold (dedup_embedding_* precedent)
+
+# Squared-L2 distance with the same left-to-right fold both engines use for
+# cosine (similarity.py:34) — bit-identical on bit-identical inputs.
+_L2SQ_SQL = ("list_sum(list_transform(list_zip({a}, {b}), "
+             "p -> (p[1] - p[2]) * (p[1] - p[2])))")
+
+
+def _l2sq(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _assign(v: DataFrame, cent: DataFrame) -> DataFrame:
+    """Map-side Lloyd assignment: broadcast k centroids, argmin of squared
+    L2 with deterministic (dist, cluster-id) tie-break via row_number —
+    ties can only arise from duplicate centroids, and the window keeps the
+    choice well-defined in both engines even then."""
+    scored = (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "e", "c_id", _l2sq(F.col("e"), F.col("ce")).alias("d2")))
+    wv = W.partitionBy("vec_id").orderBy("d2", "c_id")
+    return (scored.withColumn("rk", F.row_number().over(wv))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "e", F.col("c_id").alias("cluster")))
+
+
+def _recenter(assigned: DataFrame) -> DataFrame:
+    """New centroids = per-(cluster, pos) means, re-collected in pos order —
+    one shuffle of k·dim partial sums (map-side combine does the heavy
+    lifting), the sim_nearest_centroid construction."""
+    flat = assigned.select("cluster", F.posexplode("e").alias("pos", "val"))
+    return (
+        flat.groupBy("cluster", "pos")
+        .agg((F.sum("val") / F.count(F.lit(1))).alias("avg_val"))
+        .groupBy(F.col("cluster").alias("c_id"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "avg_val"))).alias("t"))
+        .select("c_id", F.transform("t", lambda s: s["avg_val"]).alias("ce")))
+
+
+# SQL twin of one assignment step against centroid CTE `{cent}` (c_id, ce).
+def _assign_sql(src: str, cent: str) -> str:
+    return f"""
+  SELECT vec_id, e, cluster FROM (
+    SELECT {src}.vec_id, {src}.e, {cent}.c_id AS cluster,
+           row_number() OVER (
+             PARTITION BY {src}.vec_id
+             ORDER BY {_L2SQ_SQL.format(a=f"{src}.e", b=f"{cent}.ce")},
+                      {cent}.c_id) AS rk
+    FROM {src} CROSS JOIN {cent})
+  WHERE rk = 1
+"""
+
+
+@register(
+    "sim_kmeans",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+     cent0 AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id < {_K}),
+     a1 AS ({_assign_sql("v", "cent0")}),
+     cent1 AS (
+       SELECT cluster AS c_id, list(avg_val ORDER BY pos) AS ce
+       FROM (SELECT cluster, pos, sum(val) / count(*) AS avg_val
+             FROM (SELECT cluster, unnest(range(len(e))) AS pos,
+                          unnest(e) AS val FROM a1)
+             GROUP BY cluster, pos)
+       GROUP BY cluster),
+     a2 AS ({_assign_sql("v", "cent1")})
+SELECT cluster, count(*) AS n_vectors,
+       CAST(to_json(list(vec_id ORDER BY vec_id)) AS VARCHAR) AS members
+FROM a2
+GROUP BY cluster
+ORDER BY cluster
+""",
+    tags=("b11.3", "b11.4"),
+)
+def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled Lloyd iterations from deterministic seeds (vec_id < k).
+
+    The unrolled form is deliberate: a driver-side `for` loop with
+    .collect() per iteration would serialize the refinement and hide it
+    from Catalyst; here iteration count is a static plan property (like
+    dedup_cc_survivors' pointer-jumping rounds) and the only data crossing
+    the driver is nothing at all."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e"))
+    cent0 = (v.filter(F.col("vec_id") < _K)
+             .select(F.col("vec_id").alias("c_id"), F.col("e").alias("ce")))
+    a1 = _assign(v, cent0)
+    # persist barrier: a1 feeds both cent1 and (via lineage) nothing else,
+    # but recomputing the iteration-1 window per downstream reference would
+    # double the work — cache the slim (vec_id, e, cluster) projection.
+    a1 = a1.persist()
+    cent1 = _recenter(a1)
+    a2 = _assign(v, cent1)
+    return (
+        a2.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vectors"),
+             F.to_json(F.array_sort(F.collect_list("vec_id"))).alias("members"))
+        .orderBy("cluster")
+    )
+
+
+@register(
+    "sim_semdedup",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+     cent0 AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id < {_K}),
+     a1 AS ({_assign_sql("v", "cent0")})
+SELECT a.vec_id, a.cluster,
+       CAST(NOT EXISTS (
+         SELECT 1 FROM a1 b
+         WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+           AND {_COSINE_SQL.format(a="a.e", b="b.e")} >= {_SEM_TAU}
+       ) AS BIGINT) AS keep
+FROM a1 a
+ORDER BY vec_id
+""",
+    tags=("b11.2", "b11.3"),
+)
+def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: one k-means assignment step partitions the corpus into
+    cells; a vector is dropped iff a LOWER-id vector in the SAME cell is
+    cosine-similar above τ.  The pairwise work is cell-local (the 100-TB
+    argument: cells bound the quadratic term exactly like LSH buckets in
+    dedup_embedding_lsh), and the keep rule is an anti-join, not a window
+    over the whole corpus.
+
+    Cell assignment uses the RAW seed centroids (vec_id < k), so both
+    engines assign bit-identically; cosine uses the shared left-to-right
+    fold (similarity.py:34) — the keep bit is exact."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e"))
+    cent0 = (v.filter(F.col("vec_id") < _K)
+             .select(F.col("vec_id").alias("c_id"), F.col("e").alias("ce")))
+    a1 = _assign(v, cent0).persist()
+    dup_of_lower = (
+        a1.alias("a").join(
+            a1.select(F.col("vec_id").alias("b_id"),
+                      F.col("e").alias("be"),
+                      F.col("cluster").alias("b_cluster")).alias("b"),
+            (F.col("cluster") == F.col("b_cluster"))
+            & (F.col("b_id") < F.col("a.vec_id"))
+            & (cosine(F.col("a.e"), F.col("be")) >= _SEM_TAU),
+            "left_semi")
+        .select("vec_id"))
+    return (
+        a1.join(dup_of_lower.withColumn("dup", F.lit(True)), "vec_id", "left")
+        .select("vec_id", "cluster",
+                # BIGINT 0/1, not boolean: the driver's hasher is only
+                # proven on int/double/string/timestamp (registry lint)
+                F.coalesce(~F.col("dup"), F.lit(True)).cast("bigint")
+                 .alias("keep"))
+        .orderBy("vec_id")
+    )

@@ -613,3 +613,89 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# b11.2e URL canonicalization + dedup — the web-crawl member of the dedup
+# family.  Crawl corpora carry the same page under scheme/case/www/query-
+# param/trailing-slash variants; canonicalize then hash-group is the
+# standard first pass (before any content hashing) because it needs only
+# the URL column: a pure projection + one exact groupBy on the canonical
+# string — the dedup_exact shape, shuffling short keys only, linear at
+# 100 TB.
+#
+# The documents table has no URL column, so the query synthesizes one
+# deterministic URL per doc (scheme-case / www / query-string / trailing-
+# slash noise keyed off doc_id, host off source) with the IDENTICAL
+# expression in both engines — the canonicalizer then has real variants to
+# collapse.  The path modulus (140) is a multiple of the 20-way source
+# cycle, so ids 140 apart share BOTH host and path: the corpus contains
+# genuine cross-doc duplicates (~n/140 groups), not just formatting noise.
+# url_canon: url_canon(u) = lowercase → strip scheme → strip leading www.
+# → strip query string → strip trailing slash.
+# ---------------------------------------------------------------------------
+
+_URL_SQL = """
+  'htt' || CASE WHEN doc_id % 2 = 0 THEN 'ps://' ELSE 'PS://' END
+  || CASE WHEN doc_id % 4 = 0 THEN 'www.' ELSE '' END
+  || source || '.example.com/page/' || CAST(doc_id % 140 AS VARCHAR)
+  || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+  || CASE WHEN doc_id % 3 = 0
+          THEN '?utm_source=feed&utm_id=' || CAST(doc_id AS VARCHAR)
+          ELSE '' END
+"""
+
+
+@register(
+    "dedup_url",
+    oracle=f"""
+WITH u AS (
+  SELECT doc_id, {_URL_SQL} AS url FROM documents
+), canon AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(lower(url), '^https?://', ''),
+               '^www\\.', ''),
+             '\\?.*$', ''),
+           '/$', '') AS canon_url
+  FROM u
+)
+SELECT canon_url, count(*) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS survivor_id
+FROM canon
+GROUP BY canon_url
+HAVING count(*) >= 2
+ORDER BY canon_url
+""",
+    tags=("b11.2",),
+)
+def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("htt"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("ps://")).otherwise(F.lit("PS://")),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".example.com/page/"),
+        (F.col("doc_id") % 140).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("?utm_source=feed&utm_id="),
+                        F.col("doc_id").cast("string"))).otherwise(F.lit("")),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(url), r"^https?://", ""),
+                r"^www\.", ""),
+            r"\?.*$", ""),
+        r"/$", "")
+    return (
+        d.select("doc_id", canon.alias("canon_url"))
+        .groupBy("canon_url")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min("doc_id").cast("bigint").alias("survivor_id"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("canon_url")
+    )

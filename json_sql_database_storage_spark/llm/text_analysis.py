@@ -643,3 +643,96 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# b11.5c repetition-based quality rules (Gopher-style, Rae et al. 2021
+# §A1.1): a document dominated by one token or one bigram is boilerplate /
+# spam, and a low distinct-token ratio marks degenerate repetition.  Per
+# doc: top-token fraction, top-bigram fraction, distinct-token ratio, and
+# the keep verdict.
+#
+# Scale shape: explode → groupBy(doc_id, gram) → max-count per doc is the
+# map-side-combinable counting shape (text_top_terms precedent) — two
+# shuffles keyed by doc_id, no global state, linear in corpus size.  The
+# fractions are exact-integer divisions (identical doubles both engines);
+# the keep thresholds compare those exact doubles to shared literals.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_repetition_quality",
+    oracle=r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+  FROM documents
+), base AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         len(list_distinct(t)) AS n_distinct
+  FROM toks
+), uni AS (
+  SELECT doc_id, max(cnt) AS top_token_cnt
+  FROM (SELECT doc_id, term, count(*) AS cnt
+        FROM (SELECT doc_id, unnest(t) AS term FROM toks)
+        GROUP BY doc_id, term)
+  GROUP BY doc_id
+), big AS (
+  SELECT doc_id, max(cnt) AS top_bigram_cnt
+  FROM (SELECT doc_id, bg, count(*) AS cnt
+        FROM (SELECT doc_id,
+                     unnest(list_transform(range(0, len(t) - 1),
+                            i -> t[i + 1] || ' ' || t[i + 2])) AS bg
+              FROM toks WHERE len(t) >= 2)
+        GROUP BY doc_id, bg)
+  GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       CAST(u.top_token_cnt AS DOUBLE) / b.n_tokens AS top_token_frac,
+       CAST(coalesce(g.top_bigram_cnt, 0) AS DOUBLE)
+         / greatest(b.n_tokens - 1, 1) AS top_bigram_frac,
+       CAST(b.n_distinct AS DOUBLE) / b.n_tokens AS distinct_ratio,
+       CAST(CAST(u.top_token_cnt AS DOUBLE) / b.n_tokens <= 0.12
+        AND CAST(coalesce(g.top_bigram_cnt, 0) AS DOUBLE)
+              / greatest(b.n_tokens - 1, 1) <= 0.08
+        AND CAST(b.n_distinct AS DOUBLE) / b.n_tokens >= 0.45 AS BIGINT) AS keep
+FROM base b JOIN uni u USING (doc_id) LEFT JOIN big g USING (doc_id)
+ORDER BY doc_id
+""",
+    tags=("b11.5",),
+)
+def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    toks = d.select("doc_id", t.alias("t"))
+    base = toks.select(
+        "doc_id", F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_distinct"))
+    uni = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .groupBy("doc_id", "term").count()
+        .groupBy("doc_id").agg(F.max("count").alias("top_token_cnt")))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("t") - 2),
+        lambda i: F.concat_ws(" ", F.col("t")[i], F.col("t")[i + 1]))
+    big = (
+        toks.filter(F.size("t") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg").count()
+        .groupBy("doc_id").agg(F.max("count").alias("top_bigram_cnt")))
+    top_token_frac = (F.col("top_token_cnt").cast("double")
+                      / F.col("n_tokens"))
+    top_bigram_frac = (F.coalesce(F.col("top_bigram_cnt"), F.lit(0))
+                       .cast("double")
+                       / F.greatest(F.col("n_tokens") - 1, F.lit(1)))
+    distinct_ratio = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    return (
+        base.join(uni, "doc_id").join(big, "doc_id", "left")
+        .select(
+            "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            top_token_frac.alias("top_token_frac"),
+            top_bigram_frac.alias("top_bigram_frac"),
+            distinct_ratio.alias("distinct_ratio"),
+            # BIGINT 0/1, not boolean (driver-hasher lint)
+            ((top_token_frac <= 0.12) & (top_bigram_frac <= 0.08)
+             & (distinct_ratio >= 0.45)).cast("bigint").alias("keep"))
+        .orderBy("doc_id")
+    )

@@ -323,3 +323,36 @@ def scan_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("n_name").alias("first_name"))
         .orderBy("n_regionkey")
     )
+
+
+# b1.12 ORC sink + scan round trip: Spark's second first-class columnar
+# format (vectorized reader, predicate pushdown, column pruning — the same
+# 100-TB access-path properties as parquet, and the interchange format a
+# Hive-era warehouse hands you).  orders → ORC → read back with pushdown
+# filter → aggregate; oracle = the identical aggregate straight off the
+# parquet source, so the write→read cycle must be lossless.
+@register(
+    "scan_orc_roundtrip",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("b1.12",),
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    path = _sink("orders_orc")
+    (o.select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+       .write.mode("overwrite").orc(path))
+    back = spark.read.orc(path).filter(F.col("o_orderstatus") == "O")
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double")
+              .alias("total_price"))
+        .orderBy("o_orderpriority")
+    )

@@ -73,3 +73,30 @@ ORDER BY c_custkey
 def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir)
     return spark.sql(_EXISTS_SQL)
+
+
+# GROUPING SETS — the generalized form of rollup/cube (b4.5 covers those
+# via the DataFrame API; this row exercises the arbitrary-set SQL form both
+# engines implement as ANSI).  The set list mixes a two-column set, two
+# single-column sets, and the grand total; grouping() disambiguates
+# "NULL because aggregated away" from data NULLs.  Physically Spark plans
+# one Expand + one hash aggregate — the expansion factor is the number of
+# grouping sets (4 here), the map-side-combinable shape that scales the
+# same way the plain groupBy does.
+_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS BIGINT) AS g_flag,
+       CAST(grouping(l_linestatus) AS BIGINT) AS g_status,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                        (l_returnflag), (l_linestatus), ())
+ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+"""
+
+
+@register("sql_grouping_sets", oracle=_GROUPING_SETS_SQL, tags=("b4.5",))
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _register_views(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)

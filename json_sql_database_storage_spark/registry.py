@@ -45,6 +45,7 @@ _OPERATOR_MODULES = (
     "json_sql_database_storage_spark.documents.queries",
     "json_sql_database_storage_spark.llm.dedup",
     "json_sql_database_storage_spark.llm.similarity",
+    "json_sql_database_storage_spark.llm.clustering",
     "json_sql_database_storage_spark.llm.text_analysis",
     "json_sql_database_storage_spark.llm.multimodal",
     "json_sql_database_storage_spark.streaming.queries",
