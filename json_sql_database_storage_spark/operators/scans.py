@@ -356,3 +356,85 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("total_price"))
         .orderBy("o_orderpriority")
     )
+
+
+# b1.13 small-file compaction — the table-maintenance job every long-lived
+# 100-TB table needs: streaming appends and partitioned writes accrete
+# thousands of small files whose per-file open/footer cost eventually
+# dominates scan time, and compaction rewrites them into few large files.
+# Here: fragment a lineitem projection into 64 files, compact to 4, and
+# emit (planned vs measured file counts, row count, exact quantity sum) —
+# the oracle pins the invariant that compaction moved bytes without
+# creating/dropping/duplicating a single row.  At scale the same job runs
+# per table-partition with a target file SIZE; the explicit counts here
+# keep the exhibit deterministic for the hash check.
+@register(
+    "sink_compaction",
+    oracle="""
+SELECT CAST(64 AS BIGINT) AS n_files_before, CAST(4 AS BIGINT) AS n_files_after,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+""",
+    tags=("b1.13",),
+)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag")
+    frag = _sink("lineitem_fragmented")
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    comp = _sink("lineitem_compacted")
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(comp)
+
+    def _n_part_files(path: str) -> int:
+        return len([f for f in os.listdir(path)
+                    if f.startswith("part-") and f.endswith(".parquet")])
+
+    back = spark.read.parquet(comp)
+    return back.agg(
+        F.lit(_n_part_files(frag)).cast("bigint").alias("n_files_before"),
+        F.lit(_n_part_files(comp)).cast("bigint").alias("n_files_after"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(12,4)")).cast("double")
+         .alias("sum_qty"),
+    )
+
+
+# b1.14 range-sorted write for data skipping — the layout-maintenance twin
+# of compaction: repartitionByRange + sortWithinPartitions on the filter
+# column clusters each value range into few files AND few row groups, so a
+# time-range scan reads a fraction of the table from parquet min/max stats
+# alone (the 100-TB access pattern behind every date-partitioned fact
+# table).  The read-back filter must land in PushedFilters (asserted in
+# tests/test_plans.py); the oracle is the same aggregate off the unsorted
+# source — layout changes bytes on disk, never results.
+@register(
+    "sink_range_sorted_skipping",
+    oracle="""
+SELECT l_returnflag, count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("b1.14",),
+)
+def sink_range_sorted_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_quantity", "l_returnflag")
+    path = _sink("lineitem_range_sorted")
+    (li.repartitionByRange(8, "l_shipdate")
+       .sortWithinPartitions("l_shipdate")
+       .write.mode("overwrite").parquet(path))
+    back = (spark.read.parquet(path)
+            .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                    & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))))
+    return (
+        back.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum(F.col("l_quantity").cast("decimal(12,4)")).cast("double")
+              .alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )

@@ -111,7 +111,30 @@ _CHECKED_R02 = frozenset({
     "setop_except_all", "fn_string", "fn_datetime", "fn_math",
     "fn_null_conditional", "fn_cast", "fn_array",
 })
-_CHECKED = _CHECKED_R01 | _CHECKED_R02
+def _driver_checked_names() -> frozenset[str]:
+    """Union of query names with a driver row in any CORRECTNESS_r*.json at
+    the repo root — the authoritative "already has hard signal" set.  Self-
+    maintaining: each round's driver output extends it automatically, so the
+    rotation can never again starve a family because a hardcoded set went
+    stale (the round-2 verdict's structural finding).  The hardcoded
+    _CHECKED_R0x sets above remain as the fallback when the files are
+    absent (fresh checkout)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    names: set[str] = set()
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                names.update(json.load(f))
+        except Exception:
+            continue
+    return frozenset(names)
+
+
+_CHECKED = _CHECKED_R01 | _CHECKED_R02 | _driver_checked_names()
 
 
 def _export_order(names: list[str]) -> list[str]:

@@ -125,6 +125,16 @@ def test_partitioned_sink_read_prunes_partitions(spark, sf_dir):
     assert "l_returnflag" in m.group(1), plan
 
 
+def test_range_sorted_read_pushes_date_filter(spark, sf_dir):
+    """b1.14: the whole point of the range-sorted layout is that the
+    read-back date filter reaches the parquet scan (min/max row-group
+    skipping) — a post-scan Filter over decoded rows would make the
+    rewrite pointless at 100 TB."""
+    df = _SPECS["sink_range_sorted_skipping"].fn(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed, pushed
+
+
 def test_no_unintended_scale_flags(spark, sf_dir):
     """Whole-registry plan sweep: no CartesianProduct, row-at-a-time Python
     eval, or single-partition exchange outside the queries where it is the
@@ -140,7 +150,7 @@ def test_no_unintended_scale_flags(spark, sf_dir):
             "window_running_total", "window_percent_rank",
             "sort_global_top_k", "agg_global", "agg_approx_count_distinct",
             "agg_profile_table", "fn_hash_spark_native", "doc_typing_rules",
-            "scan_in_memory",
+            "scan_in_memory", "sink_compaction",  # global one-row invariant agg
         },
     }
     bad = []
