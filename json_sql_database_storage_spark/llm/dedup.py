@@ -20,6 +20,8 @@ Scale design:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -36,16 +38,30 @@ _BANDS = 8
 _ROWS_PER_BAND = _NUM_HASHES // _BANDS
 
 
-def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+def _spread(spark: SparkSession, df: DataFrame,
+            input_bytes: int) -> DataFrame:
     """Repartition a CPU-heavy pipeline's input up to the session's
-    parallelism — but only when the scan produced fewer partitions than
-    cores (small-file corpora: sf0.1 documents is one row-group → 3 union
-    branches → 3 tasks, leaving 29 of 32 cores idle through the shingle/
-    signature stages; measured 2.5 s → 1.4 s).  At production scale the
-    scan already yields ≥ thousands of partitions and this is a no-op, so
-    the extra shuffle of raw text is never paid where it would hurt."""
+    parallelism — but only when the scan would produce fewer partitions
+    than cores (small-file corpora: sf0.1 documents is one row-group → 3
+    union branches → 3 tasks, leaving 29 of 32 cores idle through the
+    shingle/signature stages; measured 2.5 s → 1.4 s).  At production
+    scale the scan already yields ≥ thousands of partitions and this is a
+    no-op, so the extra shuffle of raw text is never paid where it would
+    hurt.
+
+    The decision uses the caller-supplied input byte size against the
+    session's split size (the same quantity Spark's file-scan planner
+    divides by), NOT a partition count read off the physical plan:
+    materializing the plan just to count its tasks (``df.rdd`` or even the
+    JVM-side ``_jdf.rdd()``) costs ~1.3 s of driver-side planning on this
+    union-of-scans shape — pure overhead the file size answers for free."""
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        split = int(spark.conf.get("spark.sql.files.maxPartitionBytes")
+                    .rstrip("b"))
+    except Exception:
+        split = 128 * 1024 * 1024
+    if input_bytes < target * split:
         return df.repartition(target)
     return df
 
@@ -329,7 +345,9 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id_a, id_b, jaccard) near-dup pairs: LSH candidates verified by
     exact shingle-Jaccard ≥ 0.8.  Shared by dedup_minhash_lsh (emits the
     pairs) and dedup_cc_survivors (clusters them)."""
-    corpus = _spread(spark, _corpus_with_dups(spark, sf_dir))
+    # corpus input ≈ 3 scans over documents.parquet (union branches)
+    doc_bytes = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
+    corpus = _spread(spark, _corpus_with_dups(spark, sf_dir), 3 * doc_bytes)
     # The UDF is an opaque expression boundary, so projection collapse
     # cannot re-inline tokenize/shingle work into 32 permutation copies —
     # one persist (docs, reused by banding + both verification sides)
