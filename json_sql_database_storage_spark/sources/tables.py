@@ -40,13 +40,28 @@ def _pin_session(spark: SparkSession) -> None:
         pass
 
 
+# Memoized source-table plans, keyed by (application id, sf dir, table).
+# Each spark.read.parquet call costs ~75 ms of driver-side file listing +
+# footer schema read; a multi-query run re-loads the same immutable tables
+# dozens of times (the testdata is read-only, so a cached logical plan
+# stays valid for the life of the session).  The applicationId key scopes
+# entries to one SparkContext — a DataFrame is only ever reused inside the
+# session that built it.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _pin_session(spark)
-    if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key not in _TABLE_CACHE:
+        if name == "events":
+            _TABLE_CACHE[key] = _load_events(spark, sf_dir)
+        else:
+            _TABLE_CACHE[key] = spark.read.parquet(
+                os.path.join(sf_dir, f"{name}.parquet"))
+    return _TABLE_CACHE[key]
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

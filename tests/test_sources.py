@@ -40,3 +40,17 @@ def test_events_ts_matches_duckdb_instant(spark, duck, sf_dir):
         "SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') FROM events"
     ).fetchone()[0]
     assert s == d
+
+
+def test_load_table_memoizes_per_session(spark, sf_dir):
+    """Repeat loads of an immutable source table reuse the cached logical
+    plan (each spark.read.parquet costs ~75 ms of driver-side listing +
+    footer read — material across a multi-query run); distinct tables and
+    sf dirs stay distinct entries."""
+    a = load_table(spark, sf_dir, "nation")
+    b = load_table(spark, sf_dir, "nation")
+    assert a is b
+    assert load_table(spark, sf_dir, "region") is not a
+    other = "/root/testdata/sf0.001"
+    if other != sf_dir:
+        assert load_table(spark, other, "nation") is not a
