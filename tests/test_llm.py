@@ -196,3 +196,117 @@ def test_lsh_bucket_cap_bounds_hot_buckets(spark, sf_dir):
     biggest = (bands.groupBy("band_idx", "band_hash").count()
                .agg(F.max("count")).collect()[0][0])
     assert biggest <= D._BUCKET_CAP // 4
+
+
+def test_kmeans_is_a_partition_and_improves(spark, sf_dir):
+    """Every vector lands in exactly one of the k seed-derived clusters,
+    and the second Lloyd iteration does not increase total within-cluster
+    squared distance (the monotonic-improvement property that makes
+    Lloyd's algorithm an algorithm and not a shuffle)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from json_sql_database_storage_spark.llm import clustering as C
+    from json_sql_database_storage_spark.sources import load_table
+
+    out = C.sim_kmeans(spark, sf_dir).collect()
+    n_total = load_table(spark, sf_dir, "embeddings").count()
+    members = [m for r in out for m in json.loads(r["members"])]
+    assert len(members) == n_total and len(set(members)) == n_total
+    assert sum(r["n_vectors"] for r in out) == n_total
+    assert {r["cluster"] for r in out} <= set(range(C._K))
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", C.as_double(F.col("embedding")).alias("e"))
+    cent0 = (v.filter(F.col("vec_id") < C._K)
+             .select(F.col("vec_id").alias("c_id"), F.col("e").alias("ce")))
+    a1 = C._assign(v, cent0)
+    cent1 = C._recenter(a1)
+    a2 = C._assign(v, cent1)
+
+    def sse(assigned, cents):
+        joined = assigned.join(
+            cents.withColumnRenamed("c_id", "cluster"), "cluster")
+        return joined.select(
+            F.sum(C._l2sq(F.col("e"), F.col("ce"))).alias("s")).first()["s"]
+
+    # iteration-2 assignment against cent1 cannot be worse than iteration-1
+    # assignment against cent1 (each vector independently picked its argmin)
+    assert sse(a2, cent1) <= sse(a1, cent1) + 1e-9
+
+
+def test_semdedup_keep_rule(spark, sf_dir):
+    """keep=0 exactly when a lower-id vector in the SAME cluster is
+    cosine-similar above τ — recompute the rule in pandas and compare."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from json_sql_database_storage_spark.llm import clustering as C
+    from json_sql_database_storage_spark.sources import load_table
+
+    out = {r["vec_id"]: (r["cluster"], r["keep"])
+           for r in C.sim_semdedup(spark, sf_dir).collect()}
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding").collect()}
+    by_cluster: dict[int, list[int]] = {}
+    for vid, (cl, _) in sorted(out.items()):
+        by_cluster.setdefault(cl, []).append(vid)
+    dropped = 0
+    for cl, ids in by_cluster.items():
+        for i, vid in enumerate(ids):
+            expect_keep = 1
+            for prev in ids[:i]:
+                a, b = vecs[vid], vecs[prev]
+                cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+                if cos >= C._SEM_TAU:
+                    expect_keep = 0
+                    break
+            assert out[vid][1] == expect_keep, vid
+            dropped += 1 - expect_keep
+    assert dropped > 0  # the corpus contains semantic near-dups to prune
+
+
+def test_repetition_quality_fractions_consistent(spark, sf_dir):
+    """Fractions are internally consistent and the keep verdict equals the
+    thresholds applied to the emitted fractions; the rule splits the corpus
+    (some kept, some dropped) rather than degenerating to all-pass."""
+    from json_sql_database_storage_spark.llm.text_analysis import (
+        text_repetition_quality)
+
+    rows = text_repetition_quality(spark, sf_dir).collect()
+    assert rows
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept < len(rows)
+    for r in rows:
+        assert 0 < r["top_token_frac"] <= 1
+        assert 0 <= r["top_bigram_frac"] <= 1
+        assert 0 < r["distinct_ratio"] <= 1
+        expect = int(r["top_token_frac"] <= 0.12
+                     and r["top_bigram_frac"] <= 0.08
+                     and r["distinct_ratio"] >= 0.45)
+        assert r["keep"] == expect
+
+
+def test_url_dedup_groups_are_real_duplicates(spark, sf_dir):
+    """Members of a canonical-URL group must agree on (source, doc_id mod
+    140) — i.e. the canonicalizer collapses exactly the planted variants,
+    never unrelated URLs — and the survivor is the group's min doc_id."""
+    from pyspark.sql import functions as F
+
+    from json_sql_database_storage_spark.llm.dedup import dedup_url
+    from json_sql_database_storage_spark.sources import load_table
+
+    out = dedup_url(spark, sf_dir).collect()
+    assert out
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    for r in out:
+        # canon_url = src{k}.example.com/page/{m} with k = m % 20
+        host, _, path = r["canon_url"].partition(".example.com/page/")
+        k, m = int(host.removeprefix("src")), int(path)
+        assert k == m % 20
+        group = [d for d in range(n_docs) if d % 140 == m]
+        assert r["n_docs"] == len(group)
+        assert r["survivor_id"] == min(group)
