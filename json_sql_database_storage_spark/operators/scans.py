@@ -438,3 +438,82 @@ def sink_range_sorted_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("sum_qty"))
         .orderBy("l_returnflag")
     )
+
+
+def _morton16(a: F.Column, b: F.Column) -> F.Column:
+    """Morton (Z-order) code interleaving the low 16 bits of two keys:
+    bit i of `a` → position 2i, bit i of `b` → 2i+1.  Pure JVM bit
+    arithmetic — one projection, no shuffle, exactly the OPTIMIZE ZORDER
+    primitive lakehouse table formats run, expressed on plain parquet.
+
+    Callers must feed NORMALIZED keys (same bit width): raw keys of
+    different magnitudes degenerate the code to a sort on the wider key —
+    measured on lineitem, raw (partkey 11-bit, suppkey 7-bit) interleaving
+    left suppkey spanning its full range in every output file because
+    partkey's high bits outrank every suppkey bit."""
+    z = F.lit(0).cast("long")
+    for i in range(16):
+        z = z.bitwiseOR(F.shiftleft(
+            F.shiftrightunsigned(a, i).bitwiseAND(F.lit(1)), 2 * i))
+        z = z.bitwiseOR(F.shiftleft(
+            F.shiftrightunsigned(b, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    return z
+
+
+def _norm16(col: F.Column, lo: int, hi: int) -> F.Column:
+    """Scale a key from [lo, hi] onto the full 16-bit [0, 65535] range so
+    both interleaved dimensions carry equal weight at every bit position.
+    At 100 TB the bounds come from table statistics; here a 2-value agg."""
+    span = max(hi - lo, 1)
+    return ((col - F.lit(lo)).cast("double") * F.lit(65535.0 / span)) \
+        .cast("long")
+
+
+# b1.15 Z-order clustered write — multi-dimensional data skipping, the
+# layout move range-sorting (b1.14) cannot make: sorting on one key leaves
+# the other scattered through every file, so only one dimension ever skips.
+# Interleaving the bit patterns of BOTH join/filter keys into one Morton
+# code and range-sorting on it keeps each file's min/max tight on each key
+# simultaneously — a (partkey AND suppkey) box predicate prunes files/row
+# groups on either dimension at 100 TB.  Layout never changes results: the
+# oracle is the identical box aggregate straight off the unsorted source.
+@register(
+    "sink_zorder_skipping",
+    oracle="""
+SELECT count(*) AS n_rows,
+       CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty,
+       CAST(min(l_partkey) AS BIGINT) AS min_pk,
+       CAST(max(l_suppkey) AS BIGINT) AS max_sk
+FROM lineitem
+WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 60
+""",
+    tags=("b1.15",),
+)
+def sink_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    path = _sink("lineitem_zorder")
+    # key bounds for normalization: a 4-value agg (the layout job's
+    # equivalent of reading table stats — bounded driver traffic)
+    bounds = li.agg(
+        F.min("l_partkey").alias("pk_lo"), F.max("l_partkey").alias("pk_hi"),
+        F.min("l_suppkey").alias("sk_lo"), F.max("l_suppkey").alias("sk_hi"),
+    ).first()
+    z = _morton16(
+        _norm16(F.col("l_partkey"), bounds["pk_lo"], bounds["pk_hi"]),
+        _norm16(F.col("l_suppkey"), bounds["sk_lo"], bounds["sk_hi"]))
+    (li.withColumn("zcode", z)
+       .repartitionByRange(8, "zcode")
+       .sortWithinPartitions("zcode")
+       .drop("zcode")
+       .write.mode("overwrite").parquet(path))
+    back = (spark.read.parquet(path)
+            .filter(F.col("l_partkey").between(100, 400)
+                    & F.col("l_suppkey").between(10, 60)))
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("decimal(12,4)")).cast("double")
+         .alias("sum_qty"),
+        F.min("l_partkey").cast("bigint").alias("min_pk"),
+        F.max("l_suppkey").cast("bigint").alias("max_sk"),
+    )

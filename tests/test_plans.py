@@ -135,6 +135,15 @@ def test_range_sorted_read_pushes_date_filter(spark, sf_dir):
     assert "l_shipdate" in pushed, pushed
 
 
+def test_zorder_read_pushes_both_dims(spark, sf_dir):
+    """b1.15: the Morton layout exists so BOTH box-predicate dimensions
+    reach the parquet scan's min/max skipping — each must appear in
+    PushedFilters on the read-back."""
+    df = _SPECS["sink_zorder_skipping"].fn(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_partkey" in pushed and "l_suppkey" in pushed, pushed
+
+
 def test_no_unintended_scale_flags(spark, sf_dir):
     """Whole-registry plan sweep: no CartesianProduct, row-at-a-time Python
     eval, or single-partition exchange outside the queries where it is the
@@ -150,7 +159,9 @@ def test_no_unintended_scale_flags(spark, sf_dir):
             "window_running_total", "window_percent_rank",
             "sort_global_top_k", "agg_global", "agg_approx_count_distinct",
             "agg_profile_table", "fn_hash_spark_native", "doc_typing_rules",
-            "scan_in_memory", "sink_compaction",  # global one-row invariant agg
+            "scan_in_memory",
+            # global one-row invariant aggregates over already-filtered input
+            "sink_compaction", "sink_zorder_skipping",
         },
     }
     bad = []

@@ -79,3 +79,38 @@ def test_registered_bucketed_join_shuffles_only_for_the_agg(spark, sf_dir):
     # output orderBy's
     n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_exchanges == 2, plan
+
+
+def test_zorder_layout_tightens_both_dimensions(spark, sf_dir):
+    """The normalized Morton layout must constrain BOTH keys' per-file
+    min/max stats (raw-key interleaving degenerates to a sort on the wider
+    key and leaves the narrow key spanning its full range everywhere —
+    the failure mode this test guards).  Skipping power = files whose
+    stats exclude the b1.15 box predicate entirely."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from json_sql_database_storage_spark.operators.scans import (
+        _SINK_ROOT, sink_zorder_skipping)
+
+    sink_zorder_skipping(spark, sf_dir).collect()
+    files = sorted(glob.glob(
+        os.path.join(_SINK_ROOT, "lineitem_zorder", "part-*.parquet")))
+    assert len(files) >= 4
+    pk_spans, sk_spans, skippable = [], [], 0
+    for f in files:
+        row = pq.ParquetFile(f).metadata.row_group(0)
+        cols = {row.column(i).path_in_schema: row.column(i).statistics
+                for i in range(row.num_columns)}
+        pk, sk = cols["l_partkey"], cols["l_suppkey"]
+        pk_spans.append(pk.max - pk.min)
+        sk_spans.append(sk.max - sk.min)
+        if pk.max < 100 or pk.min > 400 or sk.max < 10 or sk.min > 60:
+            skippable += 1
+    full_pk = max(pk_spans)
+    full_sk = max(sk_spans)
+    assert sum(1 for s in pk_spans if s < full_pk) >= len(files) // 2
+    assert sum(1 for s in sk_spans if s < full_sk) >= len(files) // 2
+    assert skippable >= 1  # the box predicate prunes whole files by stats
