@@ -112,29 +112,69 @@ _CHECKED_R02 = frozenset({
     "fn_null_conditional", "fn_cast", "fn_array",
 })
 def _driver_checked_names() -> frozenset[str]:
-    """Union of query names with a driver row in any CORRECTNESS_r*.json at
-    the repo root — the authoritative "already has hard signal" set.  Self-
-    maintaining: each round's driver output extends it automatically, so the
-    rotation can never again starve a family because a hardcoded set went
-    stale (the round-2 verdict's structural finding).  The hardcoded
-    _CHECKED_R0x sets above remain as the fallback when the files are
-    absent (fresh checkout)."""
+    """Query names whose MOST RECENT driver row in CORRECTNESS_r*.json
+    passed — the authoritative "already has green hard signal" set.  Self-
+    maintaining in both directions: each round's driver output extends it
+    automatically (the round-2 verdict's structural finding: a hardcoded
+    set went stale and starved the LLM families), and a name whose latest
+    row ERR'd or mismatched drops OUT of the set, so the next round's
+    ordering re-fronts it without anyone editing _REVERIFY_FIRST.  The
+    hardcoded _CHECKED_R0x sets above remain as the fallback when the
+    files are absent (fresh checkout)."""
+    import glob
+    import json
+    import os
+    import re
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, tuple[int, bool]] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except Exception:
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            ok = True
+            if isinstance(row, dict):
+                # None = not applicable (rows-only check); only an explicit
+                # False/error marks the row failed
+                ok = (row.get("err") is None
+                      and row.get("rows_match") is not False
+                      and row.get("schema_match") is not False
+                      and row.get("hash_match") is not False)
+            if name not in latest or rnd >= latest[name][0]:
+                latest[name] = (rnd, ok)
+    return frozenset(n for n, (_, ok) in latest.items() if ok)
+
+
+def _driver_failed_latest() -> frozenset[str]:
+    """Complement of _driver_checked_names over the names that have any
+    driver row: failed-in-their-latest-round.  Subtracted from _CHECKED so
+    a hardcoded fallback entry can't mask a regression the files record."""
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    names: set[str] = set()
+    seen: set[str] = set()
     for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
         try:
             with open(path) as f:
-                names.update(json.load(f))
+                seen.update(json.load(f))
         except Exception:
             continue
-    return frozenset(names)
+    return frozenset(seen - _driver_checked_names())
 
 
-_CHECKED = _CHECKED_R01 | _CHECKED_R02 | _driver_checked_names()
+_CHECKED = ((_CHECKED_R01 | _CHECKED_R02 | _driver_checked_names())
+            - _driver_failed_latest())
 
 
 def _export_order(names: list[str]) -> list[str]:

@@ -106,3 +106,21 @@ def test_cross_engine_kind_parity(spark, duck, sf_dir, name):
                   for c in duck_kinds if c in spark_kinds
                   and duck_kinds[c] != spark_kinds[c]}
     assert not mismatched, f"{name}: cross-engine kind mismatch {mismatched}"
+
+
+def test_driver_check_bookkeeping_is_outcome_aware():
+    """The rotation derives its "already green" set from the committed
+    CORRECTNESS_r*.json files: a name whose latest driver row passed counts
+    checked; a name whose latest row ERR'd (stream_sessionize_batch in r2)
+    must NOT count checked even though the hardcoded fallback lists it —
+    and every name with no driver row at all must sort into the front
+    window ahead of every checked name."""
+    checked = registry._CHECKED
+    assert "scan_in_memory" in checked          # green in r2
+    assert "stream_sessionize_batch" not in checked  # ERR in its latest row
+    order = list(registry.specs())
+    never_checked = [n for n in order if n not in checked]
+    last_unchecked = max(order.index(n) for n in never_checked)
+    first_checked = min(order.index(n) for n in order if n in checked)
+    assert last_unchecked < 50, "an unchecked query fell outside the window"
+    assert first_checked > order.index("stream_sessionize_batch")
