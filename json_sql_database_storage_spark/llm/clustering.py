@@ -169,7 +169,15 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cell assignment uses the RAW seed centroids (vec_id < k), so both
     engines assign bit-identically; cosine uses the shared left-to-right
-    fold (similarity.py:34) — the keep bit is exact."""
+    fold (similarity.py:34) — the keep bit is exact.
+
+    Scale contract on k: the cluster id is the JOIN KEY of the pairwise
+    stage, so its cardinality bounds the shuffle's parallelism AND the
+    per-cell quadratic term.  k=8 fits this oracle corpus (500 vectors →
+    ~60/cell); a production run sizes k ≈ n/1000 (SemDeDup used 50k cells
+    for LAION-440M) so cells stay small and the key stays high-cardinality
+    — the pipeline shape is k-invariant, and AQE's skew-join split covers
+    residual hot cells either way."""
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("e"))
     cent0 = (v.filter(F.col("vec_id") < _K)

@@ -717,3 +717,92 @@ def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy("canon_url")
     )
+
+
+# ---------------------------------------------------------------------------
+# b11.2f exact-substring (span-level) dedup — the member of the dedup
+# family that finds REPEATED PASSAGES, not near-identical whole documents
+# (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+# Better": verbatim spans repeated across a corpus are what LMs memorize).
+# The reference implementation builds a monolithic suffix array; the
+# distributed formulation is fixed-length token grams: explode each doc
+# into its k-grams, count gram occurrences corpus-wide, and score each doc
+# by the fraction of its grams that appear elsewhere.  Same shapes as
+# text_top_terms/text_decontaminate — explode → map-side-combinable count
+# → equi-join back — every stage linear and shuffle-keyed on the gram.
+#
+# Oracle exactness: grams stay STRINGS end-to-end (10 tokens joined by a
+# space), so DuckDB recomputes the identical gram multiset; the planted
+# exact/near copies (_corpus_with_dups) guarantee the corpus actually
+# contains repeated spans.  At 100 TB the gram column would be
+# xxhash64(gram) — 8 bytes instead of ~60 through both shuffles — the
+# same swap text_decontaminate documents.
+# ---------------------------------------------------------------------------
+
+_SUBSTR_K = 10
+
+
+@register(
+    "dedup_exact_substring",
+    oracle=f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 30
+  UNION ALL
+  SELECT doc_id + 200000, text || ' zzzz' FROM documents
+  WHERE doc_id >= 30 AND doc_id < 60
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM corpus
+), grams AS (
+  SELECT doc_id, g, count(*) AS n_in_doc
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(0, len(t) - {_SUBSTR_K} + 1),
+                      i -> array_to_string(t[i + 1 : i + {_SUBSTR_K}], ' ')))
+                 AS g
+        FROM toks WHERE len(t) >= {_SUBSTR_K})
+  GROUP BY doc_id, g
+), global_cnt AS (
+  SELECT g, count(*) AS n_docs_with FROM grams GROUP BY g
+)
+SELECT gr.doc_id,
+       CAST(sum(gr.n_in_doc) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN gc.n_docs_with >= 2 THEN gr.n_in_doc ELSE 0 END)
+            AS BIGINT) AS n_dup_grams,
+       CAST(sum(CASE WHEN gc.n_docs_with >= 2 THEN gr.n_in_doc ELSE 0 END)
+            AS DOUBLE) / sum(gr.n_in_doc) AS dup_frac
+FROM grams gr JOIN global_cnt gc USING (g)
+GROUP BY gr.doc_id
+HAVING sum(CASE WHEN gc.n_docs_with >= 2 THEN gr.n_in_doc ELSE 0 END) > 0
+ORDER BY doc_id
+""",
+    tags=("b11.2",),
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_with_dups(spark, sf_dir)
+    t = F.split(F.lower("text"), r"\s+")
+    k = _SUBSTR_K
+    gram = F.transform(
+        F.sequence(F.lit(0), F.size("t") - k),
+        lambda i: F.concat_ws(
+            " ", *[F.col("t")[i + j] for j in range(k)]))
+    grams = (
+        corpus.select("doc_id", t.alias("t"))
+        .filter(F.size("t") >= k)
+        .select("doc_id", F.explode(gram).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("n_in_doc")))
+    global_cnt = (grams.groupBy("g")
+                  .agg(F.count(F.lit(1)).alias("n_docs_with")))
+    dup_in_doc = F.when(F.col("n_docs_with") >= 2, F.col("n_in_doc")) \
+                  .otherwise(F.lit(0))
+    return (
+        grams.join(global_cnt, "g")
+        .groupBy("doc_id")
+        .agg(F.sum("n_in_doc").cast("bigint").alias("n_grams"),
+             F.sum(dup_in_doc).cast("bigint").alias("n_dup_grams"),
+             (F.sum(dup_in_doc).cast("double") / F.sum("n_in_doc"))
+              .alias("dup_frac"))
+        .filter(F.col("n_dup_grams") > 0)
+        .orderBy("doc_id")
+    )
