@@ -540,3 +540,48 @@ def fn_hash_spark_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.countDistinct("mono_id") == F.count(F.lit(1)))
             .cast("bigint").alias("mono_id_unique"),
     )
+
+
+# ---------------------------------------------------------------------------
+# b8.10 VariantType JSON path (Spark 4): parse_json → binary variant →
+# typed variant_get extraction.  This is the engine-native successor to
+# both the reference's store-JSON-as-TEXT encoding
+# (DatabaseManager.java:187-193) and from_json-with-declared-schema
+# (scan_json_column): the variant binary keeps the full dynamic structure
+# with no schema declared, extraction is typed and lazy, and the parquet
+# writer shreds hot paths columnar — the schema-on-read endgame for
+# semi-structured columns at 100 TB.  Output columns are plain
+# BIGINT/VARCHAR (the lint forbids variant itself in results), and the
+# aggregate shape matches the DuckDB json_extract twin exactly.
+# ---------------------------------------------------------------------------
+
+@register(
+    "fn_variant_json",
+    oracle="""
+SELECT
+  CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+  count(*) AS n_events,
+  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+  CAST(min(json_type(json(props))) AS VARCHAR) AS variant_kind
+FROM events
+GROUP BY CAST(json_extract(props, '$.k') AS BIGINT) % 10
+ORDER BY k_mod
+""",
+    tags=("b8.10",),
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(F.parse_json("props").alias("v"))
+    k = F.variant_get(F.col("v"), "$.k", "bigint")
+    # schema_of_variant renders OBJECT<...>; map it to the oracle's kind
+    # label for a shared scalar output
+    kind = F.when(F.schema_of_variant(F.col("v")).startswith("OBJECT"),
+                  F.lit("OBJECT")).otherwise(F.lit("OTHER"))
+    return (
+        v.select((k % 10).alias("k_mod"), k.alias("k"), kind.alias("kind"))
+        .groupBy("k_mod")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("k").cast("bigint").alias("k_sum"),
+             F.min("kind").alias("variant_kind"))
+        .orderBy("k_mod")
+    )
