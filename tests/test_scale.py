@@ -114,3 +114,42 @@ def test_zorder_layout_tightens_both_dimensions(spark, sf_dir):
     assert sum(1 for s in pk_spans if s < full_pk) >= len(files) // 2
     assert sum(1 for s in sk_spans if s < full_sk) >= len(files) // 2
     assert skippable >= 1  # the box predicate prunes whole files by stats
+
+
+def test_runtime_bloom_filter_injection_available(spark, sf_dir):
+    """Runtime Bloom-filter injection — the shuffle-join analog of
+    partition pruning: the selective (filtered) side's join keys build a
+    Bloom filter that pre-filters the big side's scan output BEFORE the
+    shuffle, cutting shuffle bytes by the join's selectivity.  At 100 TB
+    the default thresholds (creation side < 10 MB, application side >
+    10 GB) trigger this on their own; the test scale sits below the
+    application-side threshold, so the thresholds are pinned down here to
+    prove the engine wiring end-to-end (conf on via session.py AQE
+    defaults, plan shows might_contain(bloom_filter_agg(...)) on the
+    fact-side scan)."""
+    from pyspark.sql import functions as F
+
+    from json_sql_database_storage_spark.sources import load_table
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold", "0")
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 500000)
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .groupBy("l_returnflag").count())
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan
+    finally:
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold")
+        if saved is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        else:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
