@@ -562,7 +562,8 @@ SELECT
   CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
   count(*) AS n_events,
   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
-  CAST(min(json_type(json(props))) AS VARCHAR) AS variant_kind
+  CAST(min(CASE WHEN json_type(json(props)) = 'OBJECT'
+                THEN 'OBJECT' ELSE 'OTHER' END) AS VARCHAR) AS variant_kind
 FROM events
 GROUP BY CAST(json_extract(props, '$.k') AS BIGINT) % 10
 ORDER BY k_mod
@@ -573,8 +574,10 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     v = ev.select(F.parse_json("props").alias("v"))
     k = F.variant_get(F.col("v"), "$.k", "bigint")
-    # schema_of_variant renders OBJECT<...>; map it to the oracle's kind
-    # label for a shared scalar output
+    # schema_of_variant renders OBJECT<...>; both engines collapse their
+    # native kind labels onto the same OBJECT/OTHER binary (the oracle
+    # applies the identical CASE to json_type), so a non-object props row
+    # maps to 'OTHER' on BOTH sides instead of diverging
     kind = F.when(F.schema_of_variant(F.col("v")).startswith("OBJECT"),
                   F.lit("OBJECT")).otherwise(F.lit("OTHER"))
     return (

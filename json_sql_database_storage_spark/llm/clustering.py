@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources import load_table
-from .similarity import _COSINE_SQL, as_double, cosine, dot
+from .similarity import _COSINE_SQL, as_double, cosine
 
 _K = 8          # fixed cluster count; init = embeddings of vec_id 0..K-1
 _SEM_TAU = 0.35  # SemDeDup cosine threshold (dedup_embedding_* precedent)
@@ -113,7 +113,7 @@ FROM a2
 GROUP BY cluster
 ORDER BY cluster
 """,
-    tags=("b11.3", "b11.4"),
+    tags=("b11.3", "b11.4", "b11.14"),
 )
 def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two unrolled Lloyd iterations from deterministic seeds (vec_id < k).
@@ -157,7 +157,7 @@ SELECT a.vec_id, a.cluster,
 FROM a1 a
 ORDER BY vec_id
 """,
-    tags=("b11.2", "b11.3"),
+    tags=("b11.2", "b11.3", "b11.15"),
 )
 def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: one k-means assignment step partitions the corpus into

@@ -121,31 +121,14 @@ def _tokens(col: F.Column) -> F.Column:
     return F.array_distinct(F.split(F.lower(col), r"\s+"))
 
 
-def _shingles_of(toks: F.Column, k: int = 3) -> F.Column:
-    """k-shingles from an ALREADY-MATERIALIZED token array column.
-
-    Performance note (measured): building shingles straight off
-    split(lower(text)) inside the 32-hash signature expression re-inlines
-    the split per reference — Catalyst's projection collapse turned the
-    sf0.1 pipeline into O(tokens²·hashes) string work (581 s).  Tokenize
-    into a real column behind a pipeline barrier first, then everything
-    downstream only indexes the array."""
-    n = F.size(toks)
-    return F.array_distinct(F.when(
-        n >= k,
-        F.transform(F.sequence(F.lit(0), n - k),
-                    lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]))
-    ).otherwise(F.array(F.concat_ws(" ", toks))))
-
-
 def _hashed_shingles_of(toks: F.Column, k: int = 3) -> F.Column:
     """Distinct k-shingles as 64-bit hashes, built WITHOUT materializing
-    shingle strings: ``xxhash64(t_i, t_{i+1}, t_{i+2})`` per position.
+    shingle strings: ``xxhash64(t_i, …, t_{i+k-1})`` per position.
     Tokens contain no whitespace (they come from a \\s+ split), so the
-    triple→string map underlying the string form is injective and the two
-    forms induce the same shingle-set partition modulo xxhash64 collisions
-    (none on this corpus — the exact string-based oracle would flag one as
-    a jaccard mismatch).
+    tuple→string map underlying a string-shingle form is injective and the
+    two forms induce the same shingle-set partition modulo xxhash64
+    collisions (none on this corpus — the exact string-based oracle would
+    flag one as a jaccard mismatch).
 
     Performance (measured, sf0.1 corpus of 5060 docs): dropping the
     concat_ws string build + string array_distinct + per-string re-hash
@@ -156,7 +139,7 @@ def _hashed_shingles_of(toks: F.Column, k: int = 3) -> F.Column:
     return F.array_distinct(F.when(
         n >= k,
         F.transform(F.sequence(F.lit(0), n - k),
-                    lambda i: F.xxhash64(toks[i], toks[i + 1], toks[i + 2]))
+                    lambda i: F.xxhash64(*[toks[i + j] for j in range(k)]))
     ).otherwise(F.array(F.xxhash64(F.concat_ws(" ", toks)))))
 
 
@@ -169,14 +152,6 @@ def _to_long(v: int) -> int:
 # constants) — deterministic across runs/engines
 _MH_MASK = [_to_long(0x9E3779B97F4A7C15 * (2 * i + 1)) for i in range(_NUM_HASHES)]
 _MH_ROT = [(13 * i + 7) % 63 + 1 for i in range(_NUM_HASHES)]
-
-
-def shingle_hashes(shingles: F.Column) -> F.Column:
-    """One xxhash64 per shingle (full avalanche).  Materialize THIS column
-    (persist) before fanning out to the 32 permutations — Catalyst
-    re-inlines expressions per reference, so hashing inside the signature
-    would run 32×."""
-    return F.transform(shingles, lambda s: F.xxhash64(s))
 
 
 _ROTS_NP = np.array(_MH_ROT, dtype=np.uint64)
@@ -687,7 +662,7 @@ GROUP BY canon_url
 HAVING count(*) >= 2
 ORDER BY canon_url
 """,
-    tags=("b11.2",),
+    tags=("b11.2", "b11.16"),
 )
 def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -776,7 +751,7 @@ GROUP BY gr.doc_id
 HAVING sum(CASE WHEN gc.n_docs_with >= 2 THEN gr.n_in_doc ELSE 0 END) > 0
 ORDER BY doc_id
 """,
-    tags=("b11.2",),
+    tags=("b11.2", "b11.18"),
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_with_dups(spark, sf_dir)

@@ -697,7 +697,7 @@ SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
 FROM base b JOIN uni u USING (doc_id) LEFT JOIN big g USING (doc_id)
 ORDER BY doc_id
 """,
-    tags=("b11.5",),
+    tags=("b11.5", "b11.17"),
 )
 def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")

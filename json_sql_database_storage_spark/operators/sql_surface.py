@@ -96,7 +96,7 @@ ORDER BY g_flag, g_status, l_returnflag, l_linestatus
 """
 
 
-@register("sql_grouping_sets", oracle=_GROUPING_SETS_SQL, tags=("b4.5",))
+@register("sql_grouping_sets", oracle=_GROUPING_SETS_SQL, tags=("b4.5", "b4.13"))
 def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir)
     return spark.sql(_GROUPING_SETS_SQL)

@@ -111,16 +111,17 @@ _CHECKED_R02 = frozenset({
     "setop_except_all", "fn_string", "fn_datetime", "fn_math",
     "fn_null_conditional", "fn_cast", "fn_array",
 })
-def _driver_checked_names() -> frozenset[str]:
-    """Query names whose MOST RECENT driver row in CORRECTNESS_r*.json
-    passed — the authoritative "already has green hard signal" set.  Self-
-    maintaining in both directions: each round's driver output extends it
-    automatically (the round-2 verdict's structural finding: a hardcoded
-    set went stale and starved the LLM families), and a name whose latest
-    row ERR'd or mismatched drops OUT of the set, so the next round's
-    ordering re-fronts it without anyone editing _REVERIFY_FIRST.  The
-    hardcoded _CHECKED_R0x sets above remain as the fallback when the
-    files are absent (fresh checkout)."""
+def _driver_outcomes() -> tuple[frozenset[str], frozenset[str]]:
+    """(passed, failed) query names by their MOST RECENT driver row across
+    the CORRECTNESS_r*.json files — the authoritative hard-signal record.
+    Self-maintaining in both directions: each round's driver output
+    extends the passed set automatically (the round-2 verdict's structural
+    finding: a hardcoded set went stale and starved the LLM families), and
+    a name whose latest row ERR'd or mismatched lands in the failed set,
+    so the next round's ordering re-fronts it without anyone editing
+    _REVERIFY_FIRST.  One parse, one regex gate: a stray file matching the
+    glob but not ``CORRECTNESS_r(\\d+).json`` is ignored entirely rather
+    than contributing names to one set but not the other."""
     import glob
     import json
     import os
@@ -151,30 +152,16 @@ def _driver_checked_names() -> frozenset[str]:
                       and row.get("hash_match") is not False)
             if name not in latest or rnd >= latest[name][0]:
                 latest[name] = (rnd, ok)
-    return frozenset(n for n, (_, ok) in latest.items() if ok)
+    passed = frozenset(n for n, (_, ok) in latest.items() if ok)
+    failed = frozenset(n for n, (_, ok) in latest.items() if not ok)
+    return passed, failed
 
 
-def _driver_failed_latest() -> frozenset[str]:
-    """Complement of _driver_checked_names over the names that have any
-    driver row: failed-in-their-latest-round.  Subtracted from _CHECKED so
-    a hardcoded fallback entry can't mask a regression the files record."""
-    import glob
-    import json
-    import os
-
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: set[str] = set()
-    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
-        try:
-            with open(path) as f:
-                seen.update(json.load(f))
-        except Exception:
-            continue
-    return frozenset(seen - _driver_checked_names())
-
-
-_CHECKED = ((_CHECKED_R01 | _CHECKED_R02 | _driver_checked_names())
-            - _driver_failed_latest())
+_PASSED_LATEST, _FAILED_LATEST = _driver_outcomes()
+# Hardcoded fallback sets (for a checkout without the CORRECTNESS files)
+# extend the derived passed set, but a recorded latest-round failure always
+# wins — a stale fallback entry can't mask a regression the files record.
+_CHECKED = (_CHECKED_R01 | _CHECKED_R02 | _PASSED_LATEST) - _FAILED_LATEST
 
 
 def _export_order(names: list[str]) -> list[str]:

@@ -89,9 +89,13 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif ts_type == "timestamp_ntz":
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    assert isinstance(df.schema["ts"].dataType, TimestampType), (
-        f"events.ts must normalize to TIMESTAMP, got {df.schema['ts'].dataType}"
-    )
+    # hard raise, not assert: this contract must survive python -O — an
+    # unnormalized ts silently re-creates the round-2 three-query breakage
+    if not isinstance(df.schema["ts"].dataType, TimestampType):
+        raise TypeError(
+            f"events.ts must normalize to TIMESTAMP, got "
+            f"{df.schema['ts'].dataType} — new parquet encoding? extend "
+            f"_load_events")
     return df
 
 

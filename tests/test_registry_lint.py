@@ -117,10 +117,13 @@ def test_driver_check_bookkeeping_is_outcome_aware():
     window ahead of every checked name."""
     checked = registry._CHECKED
     assert "scan_in_memory" in checked          # green in r2
-    assert "stream_sessionize_batch" not in checked  # ERR in its latest row
+    # ERR'd in r2; stays unchecked until a LATER round's file records a pass
+    if "stream_sessionize_batch" not in registry._PASSED_LATEST:
+        assert "stream_sessionize_batch" not in checked
     order = list(registry.specs())
     never_checked = [n for n in order if n not in checked]
-    last_unchecked = max(order.index(n) for n in never_checked)
-    first_checked = min(order.index(n) for n in order if n in checked)
-    assert last_unchecked < 50, "an unchecked query fell outside the window"
-    assert first_checked > order.index("stream_sessionize_batch")
+    if never_checked:  # all-green registry: nothing left to front-load
+        last_unchecked = max(order.index(n) for n in never_checked)
+        assert last_unchecked < 50, "an unchecked query fell outside the window"
+        first_checked = min(order.index(n) for n in order if n in checked)
+        assert first_checked > min(order.index(n) for n in never_checked)
