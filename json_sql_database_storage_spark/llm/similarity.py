@@ -461,3 +461,109 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# b11.3d IVF index AS STORAGE LAYOUT: the assignment step's output persisted
+# as a cell-partitioned parquet table, probed through dynamic partition
+# pruning.  sim_ivf_topk shows the in-flight pipeline; THIS is how ANN
+# serves at 100 TB — the index is a directory layout, a probe query reads
+# ONLY its nprobe cell directories (DPP injects the probe subquery into the
+# scan's PartitionFilters at runtime; asserted in tests/test_plans.py), and
+# everything else never leaves disk.  Same cells, same probes, same math as
+# sim_ivf_topk, so the oracle is the identical deterministic-arithmetic SQL.
+# ---------------------------------------------------------------------------
+
+import os as _os
+import tempfile as _tempfile
+
+
+@register(
+    "sim_ivf_partitioned",
+    oracle=f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+     flat AS (
+  SELECT label, unnest(range(len(e))) AS pos, unnest(e) AS val FROM v
+), cent AS (
+  SELECT label AS c_label, list(avg_val ORDER BY pos) AS ce
+  FROM (SELECT label, pos, sum(val) / count(*) AS avg_val
+        FROM flat GROUP BY label, pos)
+  GROUP BY label
+), sims AS (
+  SELECT v.vec_id, v.e, c.c_label,
+         {_COSINE_SQL.format(a="v.e", b="c.ce")} AS cs
+  FROM v CROSS JOIN cent c
+), assigned AS (
+  SELECT vec_id, arg_max(c_label, cs) AS cell, any_value(e) AS e
+  FROM sims GROUP BY vec_id
+), probes AS (
+  SELECT vec_id AS query_id, c_label AS qcell, e AS qe
+  FROM (SELECT vec_id, c_label, e,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, c_label) AS prk
+        FROM sims WHERE vec_id < 10)
+  WHERE prk <= 3
+), scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_COSINE_SQL.format(a="p.qe", b="a.e")} AS cos_sim
+  FROM assigned a JOIN probes p
+    ON a.cell = p.qcell AND a.vec_id != p.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id) AS rk
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rk
+FROM ranked WHERE rk <= 5
+ORDER BY query_id, rk
+""",
+    tags=("b11.3", "b11.19"),
+)
+def sim_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("e"))
+    flat = v.select("label", F.posexplode("e").alias("pos", "val"))
+    cent = (
+        flat.groupBy("label", "pos")
+        .agg((F.sum("val") / F.count(F.lit(1))).alias("avg_val"))
+        .groupBy(F.col("label").alias("c_label"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "avg_val"))).alias("t"))
+        .select("c_label", F.transform("t", lambda s: s["avg_val"]).alias("ce")))
+    sims = (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "e", "c_label",
+                cosine(F.col("e"), F.col("ce")).alias("cs"))
+        .persist())
+    # 1) BUILD: cell assignment written as the index layout — one
+    #    directory per cell (at 100 TB: one directory per cell per shard)
+    assigned = (
+        sims.groupBy("vec_id")
+        .agg(F.max_by("c_label", F.col("cs")).alias("cell"),
+             F.first("e").alias("e")))
+    index_path = _os.path.join(_tempfile.gettempdir(),
+                               "json_sql_dbs_spark_sinks", "ivf_index")
+    (assigned.write.mode("overwrite").partitionBy("cell").parquet(index_path))
+    # 2) PROBE: the selective vec_id<10 filter on the probe side is what
+    #    lets DPP inject the probed-cell subquery into the index scan
+    wq = W.partitionBy("vec_id").orderBy(F.col("cs").desc(), "c_label")
+    probes = (
+        sims.filter(F.col("vec_id") < 10)
+        .withColumn("prk", F.row_number().over(wq))
+        .filter(F.col("prk") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("c_label").alias("qcell"), F.col("e").alias("qe")))
+    index = spark.read.parquet(index_path)
+    scored = (
+        index.join(F.broadcast(probes),
+                   (index.cell == probes.qcell)
+                   & (index.vec_id != probes.query_id))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cosine(F.col("qe"), F.col("e")).alias("cos_sim")))
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+        .orderBy("query_id", "rk")
+    )

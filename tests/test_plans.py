@@ -144,6 +144,17 @@ def test_zorder_read_pushes_both_dims(spark, sf_dir):
     assert "l_partkey" in pushed and "l_suppkey" in pushed, pushed
 
 
+def test_ivf_partitioned_probe_uses_dynamic_partition_pruning(spark, sf_dir):
+    """b11.19: the persisted IVF index is a cell-partitioned table and the
+    probe join runs on the partition column with a selective probe side —
+    DPP must inject the probed-cell subquery into the index scan, so a
+    probe reads only its nprobe cell directories (the ANN-serving access
+    path at 100 TB)."""
+    df = _SPECS["sim_ivf_partitioned"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
 def test_no_unintended_scale_flags(spark, sf_dir):
     """Whole-registry plan sweep: no CartesianProduct, row-at-a-time Python
     eval, or single-partition exchange outside the queries where it is the

@@ -123,7 +123,15 @@ def test_driver_check_bookkeeping_is_outcome_aware():
     order = list(registry.specs())
     never_checked = [n for n in order if n not in checked]
     if never_checked:  # all-green registry: nothing left to front-load
+        # Unchecked queries must form a contiguous block ahead of every
+        # checked query (minus the pinned reverify prefix): the driver
+        # checks a fixed-size prefix per round, so any checked name
+        # sorting before an unchecked one wastes a hard-signal slot.
+        # (More unchecked names than the ~50-slot window is legitimate —
+        # the overflow fronts itself next round via the outcome-aware
+        # bookkeeping.)
+        reverify = set(registry._REVERIFY_FIRST)
         last_unchecked = max(order.index(n) for n in never_checked)
-        assert last_unchecked < 50, "an unchecked query fell outside the window"
-        first_checked = min(order.index(n) for n in order if n in checked)
-        assert first_checked > min(order.index(n) for n in never_checked)
+        checked_before = [n for n in order[:last_unchecked]
+                          if n in checked and n not in reverify]
+        assert not checked_before, checked_before
