@@ -65,7 +65,10 @@ _OPERATOR_MODULES = (
 # (3) the remaining never-checked queries; (4) the already-green rest.
 # Round 3: the three TIMESTAMP_NTZ casualties (fixed in sources/tables.py
 # _load_events) go first so the driver re-verifies the fix; the r1 reverify
-# set all came back green in CORRECTNESS_r02 and rotates out.
+# set all came back green in CORRECTNESS_r02 and rotates out.  From round 4
+# on, _driver_outcomes() below makes this list belt-and-suspenders: a query
+# whose latest CORRECTNESS row failed drops out of _CHECKED automatically
+# and re-fronts itself.
 _REVERIFY_FIRST = (
     "stream_sessionize_batch", "window_lag_lead", "window_moving_avg",
 )
