@@ -1,0 +1,114 @@
+"""Slowly-changing-dimension type 2 (SCD2) versioning — the CDC/merge
+pattern every warehouse dimension table needs and plain parquet lacks a
+MERGE INTO for: applying a change batch closes the current version of each
+changed key (valid_to stamped) and opens a new open-ended version, while
+unchanged keys pass through untouched.
+
+Reference parity: the reference's only mutation is a row-level
+INSERT-or-UPDATE keyed on rowNum (DatabaseManager.java:211-229) — update in
+place, history lost.  SCD2 is the history-preserving refinement of that
+same upsert, expressed with the anti-join + union shape `doc_upsert`
+already uses, plus version interval columns.
+
+Scale design: one equi-join of the dimension against the (comparatively
+tiny, broadcastable) change batch plus one union — no windows over the
+whole dimension, no global state.  At 100 TB the dimension is partitioned
+by key range and the change batch broadcasts; the rewrite touches only
+files containing changed keys when the table format supports file-level
+pruning (the b1.14/b1.15 layouts).
+
+The change batch here is synthesized DETERMINISTICALLY from the customer
+table (keys ≡ 0 mod 7 move market segment; keys ≡ 3 mod 11 get an account
+credit) with the identical expressions in the DuckDB oracle, so the full
+versioned output hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+_BATCH_TS = 1  # the change batch's version timestamp (v0 = initial load)
+
+
+@register(
+    "scd2_dimension_versioning",
+    oracle=f"""
+WITH dim AS (
+  SELECT c_custkey, c_name, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents,
+         0 AS valid_from, CAST(NULL AS INT) AS valid_to
+  FROM customer WHERE c_custkey < 500
+), changes AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END
+           AS c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT)
+           + CASE WHEN c_custkey % 11 = 3 THEN 10000 ELSE 0 END AS acct_cents
+  FROM customer
+  WHERE c_custkey < 500 AND (c_custkey % 7 = 0 OR c_custkey % 11 = 3)
+), closed AS (
+  SELECT d.c_custkey, d.c_name, d.c_mktsegment, d.acct_cents,
+         d.valid_from, {_BATCH_TS} AS valid_to
+  FROM dim d WHERE EXISTS (SELECT 1 FROM changes c
+                           WHERE c.c_custkey = d.c_custkey)
+), untouched AS (
+  SELECT d.* FROM dim d
+  WHERE NOT EXISTS (SELECT 1 FROM changes c
+                    WHERE c.c_custkey = d.c_custkey)
+), opened AS (
+  SELECT c_custkey, c_name, c_mktsegment, acct_cents,
+         {_BATCH_TS} AS valid_from, CAST(NULL AS INT) AS valid_to
+  FROM changes
+)
+SELECT c_custkey, c_name, c_mktsegment,
+       CAST(acct_cents AS BIGINT) AS acct_cents,
+       CAST(valid_from AS INT) AS valid_from,
+       CAST(valid_to AS INT) AS valid_to
+FROM (SELECT * FROM untouched UNION ALL
+      SELECT * FROM closed UNION ALL
+      SELECT * FROM opened)
+ORDER BY c_custkey, valid_from
+""",
+    tags=("b1.9", "A5"),
+)
+def scd2_dimension_versioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Money is carried as integer cents (functions/exact.py convention) so
+    the credit arithmetic is exact in both engines; valid_to NULL marks the
+    open version.  Every source row appears in the output exactly once per
+    version — changed keys twice (closed v0 + open v1), unchanged once."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 500)
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    dim = cust.select(
+        "c_custkey", "c_name", "c_mktsegment",
+        cents.alias("acct_cents"),
+        F.lit(0).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"))
+    changes = (
+        cust.filter((F.col("c_custkey") % 7 == 0)
+                    | (F.col("c_custkey") % 11 == 3))
+        .select(
+            "c_custkey", "c_name",
+            F.when(F.col("c_custkey") % 7 == 0, F.lit("MOVED"))
+             .otherwise(F.col("c_mktsegment")).alias("c_mktsegment"),
+            (cents + F.when(F.col("c_custkey") % 11 == 3, F.lit(10000))
+                      .otherwise(F.lit(0))).alias("acct_cents")))
+    change_keys = F.broadcast(changes.select("c_custkey"))
+    closed = (dim.join(change_keys, "c_custkey", "left_semi")
+              .withColumn("valid_to", F.lit(_BATCH_TS).cast("int")))
+    untouched = dim.join(change_keys, "c_custkey", "left_anti")
+    opened = changes.select(
+        "c_custkey", "c_name", "c_mktsegment", "acct_cents",
+        F.lit(_BATCH_TS).alias("valid_from"),
+        F.lit(None).cast("int").alias("valid_to"))
+    return (
+        untouched.unionByName(closed).unionByName(opened)
+        .select("c_custkey", "c_name", "c_mktsegment",
+                F.col("acct_cents").cast("bigint").alias("acct_cents"),
+                F.col("valid_from").cast("int").alias("valid_from"),
+                F.col("valid_to").cast("int").alias("valid_to"))
+        .orderBy("c_custkey", "valid_from")
+    )

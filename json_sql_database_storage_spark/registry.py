@@ -52,6 +52,7 @@ _OPERATOR_MODULES = (
     "json_sql_database_storage_spark.operators.udfs",
     "json_sql_database_storage_spark.operators.scale",
     "json_sql_database_storage_spark.operators.sql_surface",
+    "json_sql_database_storage_spark.operators.scd",
 )
 
 # The driver's per-round correctness check covers the first ~50 registry
