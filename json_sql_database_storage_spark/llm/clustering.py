@@ -66,6 +66,34 @@ def _assign(v: DataFrame, cent: DataFrame) -> DataFrame:
             .select("vec_id", "e", F.col("c_id").alias("cluster")))
 
 
+def assign_cells(v: DataFrame, k: int) -> DataFrame:
+    """One Lloyd assignment step from the deterministic seed set (the
+    embeddings of ``vec_id < k``): (vec_id, e, cluster).  This is the
+    k-parameterized core of sim_kmeans / sim_semdedup — the registered
+    queries pin k=_K for the oracle corpus; tests/test_scale.py drives the
+    same code at production-shaped cell counts (k≈n/40) to keep the
+    k ≈ n/1000 scale contract executable instead of just documented."""
+    cent0 = (v.filter(F.col("vec_id") < k)
+             .select(F.col("vec_id").alias("c_id"), F.col("e").alias("ce")))
+    return _assign(v, cent0)
+
+
+def semdedup_pairs(assigned: DataFrame) -> DataFrame:
+    """The SemDeDup pairwise stage: lower-id cosine-similar cluster mates.
+    Cell-local by construction — the cluster id is the join key, so the
+    shuffle partitions by cell and the quadratic term is bounded per cell."""
+    return (
+        assigned.alias("a").join(
+            assigned.select(F.col("vec_id").alias("b_id"),
+                            F.col("e").alias("be"),
+                            F.col("cluster").alias("b_cluster")).alias("b"),
+            (F.col("cluster") == F.col("b_cluster"))
+            & (F.col("b_id") < F.col("a.vec_id"))
+            & (cosine(F.col("a.e"), F.col("be")) >= _SEM_TAU),
+            "left_semi")
+        .select("vec_id"))
+
+
 def _recenter(assigned: DataFrame) -> DataFrame:
     """New centroids = per-(cluster, pos) means, re-collected in pos order —
     one shuffle of k·dim partial sums (map-side combine does the heavy
@@ -125,12 +153,11 @@ def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver is nothing at all."""
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("e"))
-    cent0 = (v.filter(F.col("vec_id") < _K)
-             .select(F.col("vec_id").alias("c_id"), F.col("e").alias("ce")))
-    a1 = _assign(v, cent0)
+    a1 = assign_cells(v, _K)
     # persist barrier: a1 feeds both cent1 and (via lineage) nothing else,
     # but recomputing the iteration-1 window per downstream reference would
     # double the work — cache the slim (vec_id, e, cluster) projection.
+    # (Released by the registry wrapper at the next query invocation.)
     a1 = a1.persist()
     cent1 = _recenter(a1)
     a2 = _assign(v, cent1)
@@ -180,19 +207,8 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual hot cells either way."""
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("e"))
-    cent0 = (v.filter(F.col("vec_id") < _K)
-             .select(F.col("vec_id").alias("c_id"), F.col("e").alias("ce")))
-    a1 = _assign(v, cent0).persist()
-    dup_of_lower = (
-        a1.alias("a").join(
-            a1.select(F.col("vec_id").alias("b_id"),
-                      F.col("e").alias("be"),
-                      F.col("cluster").alias("b_cluster")).alias("b"),
-            (F.col("cluster") == F.col("b_cluster"))
-            & (F.col("b_id") < F.col("a.vec_id"))
-            & (cosine(F.col("a.e"), F.col("be")) >= _SEM_TAU),
-            "left_semi")
-        .select("vec_id"))
+    a1 = assign_cells(v, _K).persist()
+    dup_of_lower = semdedup_pairs(a1)
     return (
         a1.join(dup_of_lower.withColumn("dup", F.lit(True)), "vec_id", "left")
         .select("vec_id", "cluster",

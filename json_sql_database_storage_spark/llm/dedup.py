@@ -57,13 +57,31 @@ def _spread(spark: SparkSession, df: DataFrame,
     union-of-scans shape — pure overhead the file size answers for free."""
     target = spark.sparkContext.defaultParallelism
     try:
-        split = int(spark.conf.get("spark.sql.files.maxPartitionBytes")
-                    .rstrip("b"))
+        split = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
     except Exception:
         split = 128 * 1024 * 1024
     if input_bytes < target * split:
         return df.repartition(target)
     return df
+
+
+def _parse_bytes(value: str) -> int:
+    """Parse a Spark byte-size conf string: bare long = bytes, and the full
+    JVB suffix set (b, k/kb, m/mb, g/gb, t/tb, p/pb — case-insensitive) that
+    a human-set value like '128MB' or '64m' uses.  Mirrors
+    JavaUtils.byteStringAs so the fallback default only covers genuinely
+    malformed values, not well-formed configured ones."""
+    import re
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", value)
+    if not m:
+        raise ValueError(f"not a byte-size string: {value!r}")
+    num, suffix = int(m.group(1)), m.group(2).lower()
+    scale = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
+             "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
+             "t": 1 << 40, "tb": 1 << 40, "p": 1 << 50, "pb": 1 << 50}
+    if suffix not in scale:
+        raise ValueError(f"unknown byte-size suffix in {value!r}")
+    return num * scale[suffix]
 
 
 def _corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -576,7 +594,7 @@ def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ngram_jaccard",
-    oracle="""
+    oracle=r"""
 WITH toks AS (
   SELECT doc_id, list_distinct(regexp_split_to_array(lower(text), '\s+')) AS t
   FROM documents WHERE doc_id < 40

@@ -474,10 +474,6 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sim_ivf_topk, so the oracle is the identical deterministic-arithmetic SQL.
 # ---------------------------------------------------------------------------
 
-import os as _os
-import tempfile as _tempfile
-
-
 @register(
     "sim_ivf_partitioned",
     oracle=f"""
@@ -541,8 +537,11 @@ def sim_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims.groupBy("vec_id")
         .agg(F.max_by("c_label", F.col("cs")).alias("cell"),
              F.first("e").alias("e")))
-    index_path = _os.path.join(_tempfile.gettempdir(),
-                               "json_sql_dbs_spark_sinks", "ivf_index")
+    # applicationId-scoped sink path (shared helper): two concurrent
+    # sessions (pytest + bench) must not overwrite / half-read one
+    # another's index mid-probe.
+    from ..operators.scans import _sink
+    index_path = _sink("ivf_index", spark)
     (assigned.write.mode("overwrite").partitionBy("cell").parquet(index_path))
     # 2) PROBE: the selective vec_id<10 filter on the probe side is what
     #    lets DPP inject the probed-cell subquery into the index scan

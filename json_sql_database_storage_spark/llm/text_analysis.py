@@ -26,7 +26,7 @@ def tokens(col: F.Column) -> F.Column:
 
 @register(
     "text_stats",
-    oracle="""
+    oracle=r"""
 SELECT
   lang,
   count(*)                                        AS n_docs,
@@ -63,7 +63,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_top_terms",
-    oracle="""
+    oracle=r"""
 SELECT term, count(*) AS freq, count(DISTINCT doc_id) AS n_docs
 FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
       FROM documents)
@@ -92,7 +92,7 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_tfidf",
-    oracle="""
+    oracle=r"""
 WITH tf AS (
   SELECT doc_id, term, count(*) AS tf
   FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
@@ -147,7 +147,7 @@ _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
 @register(
     "text_quality_score",
-    oracle=f"""
+    oracle=rf"""
 WITH t AS (
   SELECT doc_id, n_chars,
          regexp_split_to_array(lower(text), '\s+') AS toks,

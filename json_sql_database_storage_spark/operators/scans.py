@@ -25,9 +25,16 @@ from ..sources import load_table
 _SINK_ROOT = os.path.join(tempfile.gettempdir(), "json_sql_dbs_spark_sinks")
 
 
-def _sink(name: str) -> str:
-    os.makedirs(_SINK_ROOT, exist_ok=True)
-    return os.path.join(_SINK_ROOT, name)
+def _sink(name: str, spark: SparkSession | None = None) -> str:
+    """Scratch-sink path for write-then-read exhibits.  When a session is
+    supplied the path is scoped by its applicationId so two concurrent
+    sessions (pytest + bench, or the driver alongside either) never
+    overwrite / half-read each other's sink mid-query."""
+    root = _SINK_ROOT
+    if spark is not None:
+        root = os.path.join(root, spark.sparkContext.applicationId)
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, name)
 
 
 # b1.1 parquet scan (vectorized columnar read)
@@ -71,7 +78,7 @@ def scan_json_column(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation")
-    path = _sink("nation_csv")
+    path = _sink("nation_csv", spark)
     n.write.mode("overwrite").option("header", "true").csv(path)
     schema = T.StructType([
         T.StructField("n_nationkey", T.IntegerType()),
@@ -121,7 +128,7 @@ ORDER BY batch
 )
 def sink_parquet_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
-    path = _sink("region_append")
+    path = _sink("region_append", spark)
     r.write.mode("overwrite").parquet(path)          # reset
     r.withColumn("batch", F.lit(2)).write.mode("append").parquet(path)
     back = spark.read.option("mergeSchema", "true").parquet(path)
@@ -150,7 +157,7 @@ ORDER BY l_returnflag
 )
 def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    path = _sink("lineitem_by_flag")
+    path = _sink("lineitem_by_flag", spark)
     (li.select("l_orderkey", "l_quantity", "l_returnflag")
        .write.mode("overwrite").partitionBy("l_returnflag").parquet(path))
     back = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
@@ -179,7 +186,7 @@ ORDER BY lang
 )
 def scan_json_ingest_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    path = _sink("documents_jsonl")
+    path = _sink("documents_jsonl", spark)
     d.select(F.to_json(F.struct("doc_id", "text", "lang", "n_chars"))
              .alias("value")).write.mode("overwrite").text(path)
     back = spark.read.json(path)   # schema inferred
@@ -287,7 +294,7 @@ def scan_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b1.10 requires a JDBC driver jar (see COVERAGE.md)")
     ensure_jdbc_driver(spark, jar)
 
-    db = _sink("jdbc_roundtrip.duckdb")
+    db = _sink("jdbc_roundtrip.duckdb", spark)
     for suffix in ("", ".wal"):
         if os.path.exists(db + suffix):
             os.remove(db + suffix)
@@ -345,7 +352,7 @@ ORDER BY o_orderpriority
 )
 def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    path = _sink("orders_orc")
+    path = _sink("orders_orc", spark)
     (o.select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
        .write.mode("overwrite").orc(path))
     back = spark.read.orc(path).filter(F.col("o_orderstatus") == "O")
@@ -381,9 +388,9 @@ FROM lineitem
 def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_returnflag")
-    frag = _sink("lineitem_fragmented")
+    frag = _sink("lineitem_fragmented", spark)
     li.repartition(64).write.mode("overwrite").parquet(frag)
-    comp = _sink("lineitem_compacted")
+    comp = _sink("lineitem_compacted", spark)
     spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(comp)
 
     def _n_part_files(path: str) -> int:
@@ -424,7 +431,7 @@ ORDER BY l_returnflag
 def sink_range_sorted_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_shipdate", "l_quantity", "l_returnflag")
-    path = _sink("lineitem_range_sorted")
+    path = _sink("lineitem_range_sorted", spark)
     (li.repartitionByRange(8, "l_shipdate")
        .sortWithinPartitions("l_shipdate")
        .write.mode("overwrite").parquet(path))
@@ -492,7 +499,7 @@ WHERE l_partkey BETWEEN 100 AND 400 AND l_suppkey BETWEEN 10 AND 60
 def sink_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
-    path = _sink("lineitem_zorder")
+    path = _sink("lineitem_zorder", spark)
     # key bounds for normalization: a 4-value agg (the layout job's
     # equivalent of reading table stats — bounded driver traffic)
     bounds = li.agg(

@@ -64,15 +64,12 @@ _OPERATOR_MODULES = (
 # Python-worker UDFs, bucketed-table writes, multimodal Arrow fan-out —
 # the families most likely to behave differently in the driver's session);
 # (3) the remaining never-checked queries; (4) the already-green rest.
-# Round 3: the three TIMESTAMP_NTZ casualties (fixed in sources/tables.py
-# _load_events) go first so the driver re-verifies the fix; the r1 reverify
-# set all came back green in CORRECTNESS_r02 and rotates out.  From round 4
-# on, _driver_outcomes() below makes this list belt-and-suspenders: a query
-# whose latest CORRECTNESS row failed drops out of _CHECKED automatically
-# and re-fronts itself.
-_REVERIFY_FIRST = (
-    "stream_sessionize_batch", "window_lag_lead", "window_moving_avg",
-)
+# Round 4: empty — the r3 NTZ reverify names all came back green in
+# CORRECTNESS_r03 and the outcome-aware _driver_outcomes() below now
+# re-fronts any query whose latest CORRECTNESS row failed automatically,
+# so a hand-maintained list would only burn window slots (r3 verdict §wrong
+# item 1).  Keep the hook for a future targeted re-check.
+_REVERIFY_FIRST: tuple[str, ...] = ()
 _HIGH_RISK_PREFIXES = ("stream_", "udf_", "scale_", "mm_", "scan_jdbc",
                        "sql_")
 _CHECKED_R01 = frozenset({
@@ -115,9 +112,10 @@ _CHECKED_R02 = frozenset({
     "setop_except_all", "fn_string", "fn_datetime", "fn_math",
     "fn_null_conditional", "fn_cast", "fn_array",
 })
-def _driver_outcomes() -> tuple[frozenset[str], frozenset[str]]:
-    """(passed, failed) query names by their MOST RECENT driver row across
-    the CORRECTNESS_r*.json files — the authoritative hard-signal record.
+def _driver_outcomes() -> tuple[frozenset[str], frozenset[str], dict[str, int]]:
+    """(passed, failed, latest_round) query names by their MOST RECENT driver
+    row across the CORRECTNESS_r*.json files — the authoritative hard-signal
+    record.
     Self-maintaining in both directions: each round's driver output
     extends the passed set automatically (the round-2 verdict's structural
     finding: a hardcoded set went stale and starved the LLM families), and
@@ -146,7 +144,6 @@ def _driver_outcomes() -> tuple[frozenset[str], frozenset[str]]:
         if not isinstance(rows, dict):
             continue
         for name, row in rows.items():
-            ok = True
             if isinstance(row, dict):
                 # None = not applicable (rows-only check); only an explicit
                 # False/error marks the row failed
@@ -154,14 +151,21 @@ def _driver_outcomes() -> tuple[frozenset[str], frozenset[str]]:
                       and row.get("rows_match") is not False
                       and row.get("schema_match") is not False
                       and row.get("hash_match") is not False)
+            else:
+                # A malformed / unexpected row shape is hard evidence of
+                # *something* wrong with the check — treat as failed so the
+                # query re-fronts, rather than silently landing it in the
+                # checked set ("recorded failure always wins").
+                ok = False
             if name not in latest or rnd >= latest[name][0]:
                 latest[name] = (rnd, ok)
     passed = frozenset(n for n, (_, ok) in latest.items() if ok)
     failed = frozenset(n for n, (_, ok) in latest.items() if not ok)
-    return passed, failed
+    rounds = {n: rnd for n, (rnd, _) in latest.items()}
+    return passed, failed, rounds
 
 
-_PASSED_LATEST, _FAILED_LATEST = _driver_outcomes()
+_PASSED_LATEST, _FAILED_LATEST, _LATEST_ROUND = _driver_outcomes()
 # Hardcoded fallback sets (for a checkout without the CORRECTNESS files)
 # extend the derived passed set, but a recorded latest-round failure always
 # wins — a stale fallback entry can't mask a regression the files record.
@@ -175,18 +179,45 @@ def _export_order(names: list[str]) -> list[str]:
     checked = [n for n in rest if n in _CHECKED]
     risky = [n for n in unchecked if n.startswith(_HIGH_RISK_PREFIXES)]
     calm = [n for n in unchecked if n not in risky]
+    # Within the checked group, stalest driver signal first: a query whose
+    # latest green row is from round 1 predates the round-2 testdata
+    # regeneration and deserves the window slot more than one re-checked
+    # last round.  Names known only via the hardcoded fallback sets sort as
+    # round 0 (stalest).  Python's sort is stable, so registration order
+    # breaks ties within a round.
+    checked.sort(key=lambda n: _LATEST_ROUND.get(n, 0))
     return fixed + risky + calm + checked
 
 _loaded = False
-
 
 def register(name: str, oracle: str | None = None,
              tags: tuple[str, ...] = ()) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = QuerySpec(name, fn, oracle, tuple(tags))
-        return fn
+
+        import functools
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Several exhibits persist() an intermediate that the RETURNED
+            # DataFrame's plan references — the action runs after the query
+            # function returns (the driver/bench collects the result), so
+            # unpersisting inside the function would drop the blocks before
+            # they're used.  Releasing at the START of the next query (by
+            # which point the previous result has been materialized) keeps
+            # a full-registry run from accumulating leaked cached blocks.
+            # Nothing in the library caches across queries (the source-table
+            # memo holds logical plans, not storage), so a blanket clear is
+            # exact, and lineage keeps any stray recompute correct.
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
+            return fn(spark, sf_dir)
+
+        _REGISTRY[name] = QuerySpec(name, wrapped, oracle, tuple(tags))
+        return wrapped
     return deco
 
 

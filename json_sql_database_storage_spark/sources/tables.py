@@ -40,28 +40,35 @@ def _pin_session(spark: SparkSession) -> None:
         pass
 
 
-# Memoized source-table plans, keyed by (application id, sf dir, table).
-# Each spark.read.parquet call costs ~75 ms of driver-side file listing +
-# footer schema read; a multi-query run re-loads the same immutable tables
-# dozens of times (the testdata is read-only, so a cached logical plan
-# stays valid for the life of the session).  The applicationId key scopes
-# entries to one SparkContext — a DataFrame is only ever reused inside the
-# session that built it.
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# Memoized source-table plans, keyed by SparkSession object → (sf dir,
+# table).  Each spark.read.parquet call costs ~75 ms of driver-side file
+# listing + footer schema read; a multi-query run re-loads the same
+# immutable tables dozens of times (the testdata is read-only, so a cached
+# logical plan stays valid for the life of the session).  Keying on the
+# session *object* (not applicationId) matters because newSession() clones
+# share one applicationId while carrying independent conf/timezone state —
+# a plan built under one session must not leak into another.  The weak
+# keys also give eviction for free: entries die with their session instead
+# of accumulating unboundedly across pytest sessions.
+import weakref
+
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary())
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _pin_session(spark)
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    if key not in _TABLE_CACHE:
+    per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key not in per_session:
         if name == "events":
-            _TABLE_CACHE[key] = _load_events(spark, sf_dir)
+            per_session[key] = _load_events(spark, sf_dir)
         else:
-            _TABLE_CACHE[key] = spark.read.parquet(
+            per_session[key] = spark.read.parquet(
                 os.path.join(sf_dir, f"{name}.parquet"))
-    return _TABLE_CACHE[key]
+    return per_session[key]
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:

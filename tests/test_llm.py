@@ -310,3 +310,76 @@ def test_url_dedup_groups_are_real_duplicates(spark, sf_dir):
         group = [d for d in range(n_docs) if d % 140 == m]
         assert r["n_docs"] == len(group)
         assert r["survivor_id"] == min(group)
+
+
+def test_multimodal_real_codec_paths_when_libs_present():
+    """Runs the real=True codec integration points whenever the
+    environment has the libraries (skips otherwise) — so the day the
+    sandbox gains PIL/cv2, these paths stop being dead code without
+    anyone editing a test.  Pure pandas-level check (no Spark needed):
+    the mapInPandas plumbing around these functions is already covered by
+    the mm_* oracle queries."""
+    import pandas as pd
+
+    from json_sql_database_storage_spark.llm.multimodal import (
+        decode_image_batch, resize_batch)
+
+    Image = pytest.importorskip("PIL.Image", reason="PIL not installed")
+    import io
+
+    def png_bytes(w, h, color):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, format="PNG")
+        return buf.getvalue()
+
+    payloads = pd.Series([png_bytes(200, 100, (10, 20, 30)),
+                          png_bytes(64, 64, (1, 2, 3))])
+    feats = decode_image_batch(payloads, real=True)
+    assert list(feats["width"]) == [200, 64]
+    assert list(feats["height"]) == [100, 64]
+    assert list(feats["n_bytes"]) == [len(p) for p in payloads]
+    # solid color → first 8 raw RGB bytes are the color repeated
+    first8 = bytes([10, 20, 30, 10, 20, 30, 10, 20])
+    assert feats["checksum"][0] == int.from_bytes(first8, "big", signed=True)
+
+    pdf = pd.DataFrame({
+        "doc_id": pd.Series([0, 1], dtype="int64"),
+        "payload": payloads,
+        "meta": [{"width": 200, "height": 100}, {"width": 64, "height": 64}],
+    })
+    rs = resize_batch(pdf, real=True)
+    # 200×100 capped to max-dim 128 aspect-preserving → 128×64; 64×64 kept
+    assert list(rs["new_width"]) == [128, 64]
+    assert list(rs["new_height"]) == [64, 64]
+    assert rs["resized_checksum"].dtype == "int64"
+
+
+def test_multimodal_real_frame_sampling_when_cv2_present():
+    import pandas as pd
+
+    from json_sql_database_storage_spark.llm.multimodal import (
+        sample_frames_batch)
+
+    cv2 = pytest.importorskip("cv2", reason="OpenCV not installed")
+    np_ = pytest.importorskip("numpy")
+    import os
+    import tempfile
+
+    # author a tiny 7-frame mp4 with cv2 itself, then sample every 3rd
+    fd, path = tempfile.mkstemp(suffix=".mp4")
+    os.close(fd)
+    try:
+        wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             5, (16, 16))
+        for i in range(7):
+            wr.write(np_.full((16, 16, 3), i * 30, dtype=np_.uint8))
+        wr.release()
+        with open(path, "rb") as f:
+            payload = f.read()
+    finally:
+        os.unlink(path)
+    pdf = pd.DataFrame({"doc_id": pd.Series([7], dtype="int64"),
+                        "payload": [payload]})
+    frames = sample_frames_batch(pdf, real=True)
+    assert list(frames["frame_idx"]) == [0, 3, 6]
+    assert (frames["doc_id"] == 7).all()

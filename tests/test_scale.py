@@ -153,3 +153,60 @@ def test_runtime_bloom_filter_injection_available(spark, sf_dir):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         else:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_semdedup_production_cell_counts(spark):
+    """Executable form of the SemDeDup k-scale contract (clustering.py
+    docstring): at production cell counts (k ≈ n/40 here — 50 cells over
+    the 2 000-vector sf0.1 corpus) the pairwise stage must stay cell-local
+    — bounded per-cell work, sub-quadratic total candidate pairs — and the
+    physical plan must shuffle on the cluster key (the property that lets
+    1000 executors each own a slice of cells at 100 TB)."""
+    import os
+
+    import pytest
+
+    from json_sql_database_storage_spark.llm.clustering import (
+        assign_cells, semdedup_pairs)
+    from json_sql_database_storage_spark.llm.similarity import as_double
+    from json_sql_database_storage_spark.sources import load_table
+
+    sf01 = "/root/testdata/sf0.1"
+    if not os.path.exists(os.path.join(sf01, "embeddings.parquet")):
+        pytest.skip("sf0.1 testdata not present")
+    k = 50
+    v = load_table(spark, sf01, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e"))
+    n = v.count()
+    assigned = assign_cells(v, k).persist()
+    try:
+        sizes = {r["cluster"]: r["c"] for r in
+                 assigned.groupBy("cluster").count()
+                 .withColumnRenamed("count", "c").collect()}
+        assert sum(sizes.values()) == n          # every vector in exactly 1 cell
+        # bounded cells: no cell hogs the corpus (a hot cell would turn the
+        # cell-local quadratic term global); 10× the mean is the skew alarm
+        mean = n / k
+        assert max(sizes.values()) <= 10 * mean, sizes
+        # sub-quadratic candidate work: sum of per-cell pair counts must be
+        # far under the all-pairs n²/2 sweep SemDeDup exists to avoid
+        cand_pairs = sum(c * (c - 1) // 2 for c in sizes.values())
+        assert cand_pairs < 0.1 * n * (n - 1) / 2, (cand_pairs, n)
+        # the pairwise stage still runs and keeps survivors well-defined
+        dup_ids = semdedup_pairs(assigned)
+        saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+        try:
+            # at 2k vectors Spark would broadcast; production sides don't
+            # fit — disable broadcast so the asserted plan is the 100-TB one
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            plan = explain_formatted(semdedup_pairs(assigned))
+            assert "hashpartitioning(cluster" in plan, plan[:2000]
+        finally:
+            if saved is not None:
+                spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+            else:
+                spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        n_dups = dup_ids.count()
+        assert 0 <= n_dups < n
+    finally:
+        assigned.unpersist()
