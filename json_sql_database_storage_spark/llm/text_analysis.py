@@ -736,3 +736,33 @@ def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
              & (distinct_ratio >= 0.45)).cast("bigint").alias("keep"))
         .orderBy("doc_id")
     )
+
+
+# b11.20 (r4 addendum) length-bucket histogram — curriculum / batch-shape
+# planning needs the corpus length distribution in coarse bins; integer
+# floor-division bucketing keeps the domain exact and the aggregation
+# map-side combinable (one short-key shuffle regardless of corpus size).
+@register(
+    "text_length_histogram",
+    oracle="""
+SELECT n_chars // 128 AS bucket,
+       (n_chars // 128) * 128 AS bucket_lo,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY n_chars // 128
+ORDER BY bucket
+""",
+    tags=("b11.20",),
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / 128).cast("bigint")
+    return (
+        d.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"))
+        .select("bucket", (F.col("bucket") * 128).alias("bucket_lo"),
+                "n_docs", "total_chars")
+        .orderBy("bucket")
+    )

@@ -646,3 +646,100 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "metric", "value")
         .orderBy("l_orderkey", "l_linenumber", "metric")
     )
+
+
+# b4.14 (r4 addendum) mergeable HLL sketch rollup — THE 100-TB distinct-
+# count primitive: per-shard sketches (here per nation) are tiny fixed-size
+# binaries that merge associatively to any coarser grain (region) without
+# re-touching the data, which is what makes distinct-count rollups,
+# incremental refresh, and cross-partition unions O(shards), not O(rows).
+# Spark's hll_sketch_agg / hll_union_agg / hll_sketch_estimate (Apache
+# DataSketches) are deterministic for a given input multiset, but DuckDB
+# estimates with a different sketch — so the driver-checkable contract is
+# the accuracy bound, not the estimate: the oracle computes the EXACT
+# distinct count and asserts the merged-sketch estimate lands within 5%
+# (lgConfigK=12 → σ ≈ 1.6%, 5% ≈ 3σ).  A local pytest pins the estimates
+# themselves.
+@register(
+    "agg_hll_sketch_rollup",
+    oracle="""
+SELECT n.n_regionkey AS r_key,
+       count(DISTINCT o.o_custkey) AS n_exact,
+       1 AS est_within_5pct
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_regionkey
+ORDER BY r_key
+""",
+    tags=("b4.14",),
+)
+def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    keyed = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
+    # stage 1: one sketch per nation (the per-shard build)
+    per_nation = keyed.groupBy("n_nationkey", "n_regionkey").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.countDistinct("o_custkey").alias("nd"))
+    # stage 2: merge nation sketches up to region — no row re-scan
+    per_region = per_nation.groupBy(F.col("n_regionkey").alias("r_key")).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        # exact distinct can NOT be summed over nations (a customer orders
+        # in one nation only here, but the contract shouldn't rely on it)
+        F.sum("nd").alias("_unused"))
+    exact = keyed.groupBy(F.col("n_regionkey").alias("r_key")).agg(
+        F.countDistinct("o_custkey").alias("n_exact"))
+    return (
+        exact.join(per_region, "r_key")
+        .select("r_key", "n_exact",
+                (F.abs(F.col("est") - F.col("n_exact"))
+                 <= 0.05 * F.col("n_exact")).cast("bigint")
+                .alias("est_within_5pct"))
+        .orderBy("r_key")
+    )
+
+
+# b4.15 (r4 addendum) incremental aggregate refresh: the O(delta)
+# materialized-view maintenance pattern — yesterday's finalized partial
+# aggregate merges with today's delta partial by RE-AGGREGATING the
+# partials (sum of counts, sum of sums), never re-scanning the base.  At
+# 100 TB the base partial is thousands of rows per grain while the base
+# data is the 100 TB; correctness rests on the aggregates being
+# associative/commutative, which the oracle (one full-scan aggregate over
+# everything) proves.  Money in integer cents (functions/exact.py).
+@register(
+    "agg_incremental_refresh",
+    oracle="""
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("b4.15",),
+)
+def agg_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    split = "1996-01-01"  # base = history before, delta = arrivals since
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("total_cents"))
+
+    base = partial(o.filter(F.col("o_orderdate") < split))
+    delta = partial(o.filter(F.col("o_orderdate") >= split))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("n_orders").alias("n_orders"),
+             F.sum("total_cents").cast("bigint").alias("total_cents"))
+        .orderBy("o_orderpriority")
+    )

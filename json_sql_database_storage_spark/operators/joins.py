@@ -489,3 +489,72 @@ def join_bnlj_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum(dec("p_retailprice")), 2).cast("double").alias("total_price"))
         .orderBy("band")
     )
+
+
+# b3.13 (r4 addendum) as-of join WITH TOLERANCE (pandas merge_asof's
+# `tolerance=`, QuestDB ASOF JOIN ... TOLERANCE): each event takes the
+# latest order at-or-before it ONLY if the gap is within 30 days, else
+# NULL.  Same scale-safe union+window shape as join_asof (one shuffle on
+# user_id, no inequality join), carrying the matched order's timestamp so
+# the gap test is a pure projection afterwards.  Gap arithmetic is exact
+# integer epoch-micros in both engines.
+_ASOF_TOL_US = 30 * 86400 * 1_000_000  # 30 days in microseconds
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+WITH unioned AS (
+  SELECT user_id, ts, event_id, NULL::BIGINT AS o_orderkey, 1 AS is_event
+  FROM events
+  UNION ALL
+  SELECT o_custkey AS user_id, o_orderdate AS ts, NULL::BIGINT AS event_id,
+         o_orderkey, 0 AS is_event
+  FROM orders
+), tagged AS (
+  SELECT user_id, ts, event_id, is_event,
+         last_value(o_orderkey IGNORE NULLS) OVER w AS asof_orderkey,
+         last_value(CASE WHEN is_event = 0 THEN ts END IGNORE NULLS)
+           OVER w AS asof_ts
+  FROM unioned
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY ts, is_event, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN epoch_us(ts) - epoch_us(asof_ts) <= {_ASOF_TOL_US}
+            THEN asof_orderkey END AS asof_orderkey_30d
+FROM tagged WHERE is_event = 1
+ORDER BY event_id
+""",
+    tags=("b3.13", "b3.10"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(1).alias("is_event"))
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "o_orderkey",
+        F.lit(0).alias("is_event"))
+    w = (W.partitionBy("user_id")
+         .orderBy("ts", "is_event", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    tagged = (
+        ev.unionByName(o)
+        .withColumn("asof_orderkey",
+                    F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn("asof_ts",
+                    F.last(F.when(F.col("is_event") == 0, F.col("ts")),
+                           ignorenulls=True).over(w)))
+    return (
+        tagged.filter(F.col("is_event") == 1)
+        .select("event_id", "user_id", "ts",
+                F.when(F.unix_micros("ts") - F.unix_micros("asof_ts")
+                       <= _ASOF_TOL_US,
+                       F.col("asof_orderkey")).alias("asof_orderkey_30d"))
+        .orderBy("event_id")
+    )

@@ -112,3 +112,45 @@ def scd2_dimension_versioning(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("valid_to").cast("int").alias("valid_to"))
         .orderBy("c_custkey", "valid_from")
     )
+
+
+# b1.17 (r4 addendum) CDC read-side compaction: latest row per key.  The
+# standard "changelog → current state" read every CDC-fed table needs
+# (QUALIFY row_number() = 1 in warehouse dialects, "upsert view" in table
+# formats).  ONE shuffle on the key, rank inside the partition, keep the
+# top row — the deterministic (ts, event_id) tiebreak makes the survivor
+# well-defined even with equal timestamps.  At 100 TB this runs per
+# partition of a key-partitioned changelog, and AQE's skew handling covers
+# hot keys; no global sort, no self-join against max(ts).
+@register(
+    "cdc_latest_by_key",
+    oracle="""
+SELECT user_id, event_type, ts AS last_ts, event_id AS last_event_id,
+       CAST(round(value * 100) AS BIGINT) AS last_value_cents
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type
+    ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id, event_type
+""",
+    tags=("b1.17", "A5"),
+)
+def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (W.partitionBy("user_id", "event_type")
+         .orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type",
+                F.col("ts").alias("last_ts"),
+                F.col("event_id").alias("last_event_id"),
+                F.round(F.col("value") * 100).cast("bigint")
+                 .alias("last_value_cents"))
+        .orderBy("user_id", "event_type")
+    )

@@ -314,3 +314,63 @@ def window_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("avg_value_ffill"))
         .orderBy("user_id", "hour")
     )
+
+
+# b5.8 (r4 addendum) ordered event funnel: per user, the strictly
+# time-ordered chain view → click → purchase.  ONE real shuffle: a stack of
+# whole-partition window minima over user_id (t2 references t1, t3
+# references t2 — Catalyst plans them as consecutive Window operators over
+# the same Exchange), then the per-user rows collapse to funnel-step
+# counts.  The 100-TB shape: no self-joins over the event log (the
+# compositional 3-join funnel re-shuffles the log per step), partials
+# combine map-side, and the user_id partitioning is reused end-to-end.
+@register(
+    "window_funnel_steps",
+    oracle="""
+WITH t1 AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM events GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t1
+  GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+  GROUP BY e.user_id
+)
+SELECT count(t1.t1)  AS n_view,
+       count(t2.t2)  AS n_view_click,
+       count(t3.t3)  AS n_full_funnel,
+       CAST(count(t2.t2) AS DOUBLE) / count(t1.t1) AS click_rate,
+       CAST(count(t3.t3) AS DOUBLE) / count(t2.t2) AS purchase_rate
+FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
+        LEFT JOIN t3 ON t1.user_id = t3.user_id
+""",
+    tags=("b5.8",),
+)
+def window_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = W.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    per = ev.withColumn("t1", t1)
+    t2 = F.min(F.when((F.col("event_type") == "click")
+                      & (F.col("ts") > F.col("t1")), F.col("ts"))).over(w)
+    per = per.withColumn("t2", t2)
+    t3 = F.min(F.when((F.col("event_type") == "purchase")
+                      & (F.col("ts") > F.col("t2")), F.col("ts"))).over(w)
+    per = per.withColumn("t3", t3)
+    # rows within a user agree on t1/t2/t3; collapse reuses the user_id
+    # partitioning (no second exchange), then one tiny global aggregate
+    per_user = per.groupBy("user_id").agg(
+        F.first("t1").alias("t1"), F.first("t2").alias("t2"),
+        F.first("t3").alias("t3"))
+    return per_user.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_full_funnel"),
+        (F.count("t2").cast("double") / F.count("t1")).alias("click_rate"),
+        (F.count("t3").cast("double") / F.count("t2")).alias("purchase_rate"),
+    )

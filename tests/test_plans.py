@@ -173,6 +173,9 @@ def test_no_unintended_scale_flags(spark, sf_dir):
             "scan_in_memory",
             # global one-row invariant aggregates over already-filtered input
             "sink_compaction", "sink_zorder_skipping",
+            # final funnel totals: global aggregate over the ~|users| rows
+            # the one real user_id shuffle already reduced to
+            "window_funnel_steps",
         },
     }
     bad = []
@@ -184,3 +187,16 @@ def test_no_unintended_scale_flags(spark, sf_dir):
             if label in plan and name not in allow[label]:
                 bad.append((name, label))
     assert not bad, bad
+
+
+def test_funnel_single_data_shuffle(spark, sf_dir):
+    """window_funnel_steps stacks its three dependent window minima over
+    ONE user_id exchange (plus the trivial final single-partition
+    aggregate) — the property that keeps the funnel from re-shuffling a
+    100-TB event log once per step."""
+    import re
+
+    df = _SPECS["window_funnel_steps"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    kinds = re.findall(r"Exchange (\w+)", plan)
+    assert kinds.count("hashpartitioning") == 1, kinds

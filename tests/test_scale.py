@@ -210,3 +210,18 @@ def test_semdedup_production_cell_counts(spark):
         assert 0 <= n_dups < n
     finally:
         assigned.unpersist()
+
+
+def test_hll_sketch_estimates_pinned(spark, sf_dir):
+    """The merged-sketch estimates are deterministic (DataSketches HLL is
+    order-insensitive for register maxima) and satisfy the 5% accuracy
+    contract the oracle asserts — pinned here so a Spark upgrade that
+    changes the sketch surfaces locally, not first in the driver check."""
+    est1 = {r["r_key"]: r for r in
+            _SPECS["agg_hll_sketch_rollup"].fn(spark, sf_dir).collect()}
+    est2 = {r["r_key"]: r for r in
+            _SPECS["agg_hll_sketch_rollup"].fn(spark, sf_dir).collect()}
+    assert est1.keys() == est2.keys() and len(est1) >= 1
+    for k in est1:
+        assert est1[k] == est2[k]          # deterministic across runs
+        assert est1[k]["est_within_5pct"] == 1
