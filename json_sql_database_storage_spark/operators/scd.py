@@ -117,11 +117,14 @@ def scd2_dimension_versioning(spark: SparkSession, sf_dir: str) -> DataFrame:
 # b1.17 (r4 addendum) CDC read-side compaction: latest row per key.  The
 # standard "changelog → current state" read every CDC-fed table needs
 # (QUALIFY row_number() = 1 in warehouse dialects, "upsert view" in table
-# formats).  ONE shuffle on the key, rank inside the partition, keep the
-# top row — the deterministic (ts, event_id) tiebreak makes the survivor
-# well-defined even with equal timestamps.  At 100 TB this runs per
-# partition of a key-partitioned changelog, and AQE's skew handling covers
-# hot keys; no global sort, no self-join against max(ts).
+# formats).  Implemented as max_by over a lexicographic (ts, event_id)
+# struct rather than the window-rank form the SQL dialects write: an
+# AGGREGATE gets map-side partial combine — each scan task reduces its
+# slice to one candidate row per key before the shuffle — so shuffle bytes
+# are O(distinct keys), not O(changelog), and no partition-wide sort
+# happens at all.  The deterministic (ts, event_id) tiebreak keeps the
+# survivor well-defined with equal timestamps; the oracle states the same
+# semantics in the QUALIFY-style form, proving the two formulations agree.
 @register(
     "cdc_latest_by_key",
     oracle="""
@@ -139,18 +142,18 @@ ORDER BY user_id, event_type
     tags=("b1.17", "A5"),
 )
 def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     ev = load_table(spark, sf_dir, "events")
-    w = (W.partitionBy("user_id", "event_type")
-         .orderBy(F.col("ts").desc(), F.col("event_id").desc()))
+    ordkey = F.struct("ts", "event_id")
+    latest = F.max_by(
+        F.struct(F.col("ts").alias("last_ts"),
+                 F.col("event_id").alias("last_event_id"),
+                 F.round(F.col("value") * 100).cast("bigint")
+                  .alias("last_value_cents")),
+        ordkey)
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "event_type",
-                F.col("ts").alias("last_ts"),
-                F.col("event_id").alias("last_event_id"),
-                F.round(F.col("value") * 100).cast("bigint")
-                 .alias("last_value_cents"))
+        ev.groupBy("user_id", "event_type")
+        .agg(latest.alias("r"))
+        .select("user_id", "event_type", "r.last_ts", "r.last_event_id",
+                "r.last_value_cents")
         .orderBy("user_id", "event_type")
     )

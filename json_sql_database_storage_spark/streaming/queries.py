@@ -424,3 +424,77 @@ def stream_foreach_batch_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         cleanup(staged)
         shutil.rmtree(view_dir, ignore_errors=True)
+
+
+# b9.9 (r4 addendum) streaming CDC upsert: foreachBatch maintains a keyed
+# "current state" table — each micro-batch compacts itself to one candidate
+# per (user_id, event_type) via the same map-side-combinable max_by as
+# cdc_latest_by_key (operators/scd.py), then merges with the previous
+# version by re-applying max_by over the union.  Latest-row-wins is
+# associative, so chunked arrival order cannot change the final table —
+# which is exactly what the oracle asserts: the streamed state equals the
+# batch QUALIFY-form compaction over everything.  At 100 TB each version is
+# O(distinct keys), the merge never re-reads the changelog, and the sink
+# would be a MERGE INTO on a keyed table format.
+@register(
+    "stream_cdc_upsert",
+    oracle="""
+SELECT user_id, event_type, ts AS last_ts, event_id AS last_event_id,
+       CAST(round(value * 100) AS BIGINT) AS last_value_cents
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type
+    ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+ORDER BY user_id, event_type
+""",
+    tags=("b9.9", "b1.17", "A5"),
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    staged = stage_event_chunks(spark, sf_dir)
+    state_dir = tempfile.mkdtemp(prefix="cdc_state_")
+    state = {"v": -1}
+    latest = F.max_by(
+        F.struct(F.col("ts").alias("last_ts"),
+                 F.col("event_id").alias("last_event_id"),
+                 F.round(F.col("value") * 100).cast("bigint")
+                  .alias("last_value_cents")),
+        F.struct("ts", "event_id"))
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        part = (batch_df.groupBy("user_id", "event_type")
+                .agg(latest.alias("r")))
+        if state["v"] >= 0:
+            prev = spark.read.parquet(f"{state_dir}/v{state['v']}")
+            part = (prev.unionByName(part)
+                    .groupBy("user_id", "event_type")
+                    # max_by over the version union re-applies the same
+                    # (last_ts, last_event_id) order on the packed struct
+                    .agg(F.max_by(F.col("r"),
+                                  F.struct(F.col("r.last_ts"),
+                                           F.col("r.last_event_id")))
+                          .alias("r")))
+        part.write.mode("overwrite").parquet(f"{state_dir}/v{state['v'] + 1}")
+        state["v"] += 1
+
+    try:
+        q = (read_event_stream(spark, staged)
+             .writeStream.foreachBatch(upsert)
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        final = spark.read.parquet(f"{state_dir}/v{state['v']}")
+        out = spark.createDataFrame(final.collect(), final.schema)
+        return (out.select("user_id", "event_type", "r.last_ts",
+                           "r.last_event_id", "r.last_value_cents")
+                .orderBy("user_id", "event_type"))
+    finally:
+        cleanup(staged)
+        shutil.rmtree(state_dir, ignore_errors=True)

@@ -200,3 +200,14 @@ def test_funnel_single_data_shuffle(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     kinds = re.findall(r"Exchange (\w+)", plan)
     assert kinds.count("hashpartitioning") == 1, kinds
+
+
+def test_cdc_latest_uses_partial_aggregation(spark, sf_dir):
+    """cdc_latest_by_key must compact via an aggregate with map-side
+    partial combine (partial_max_by before the exchange) and never a
+    partition-wide window sort — the property that makes shuffle bytes
+    O(distinct keys) instead of O(changelog) at 100 TB."""
+    df = _SPECS["cdc_latest_by_key"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max_by" in plan, plan[:2000]
+    assert "Window" not in plan
