@@ -558,3 +558,49 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("asof_orderkey")).alias("asof_orderkey_30d"))
         .orderBy("event_id")
     )
+
+
+# b3.14 (r4 addendum) big-big interval join via time binning.  Unlike
+# join_range_theta (small side broadcast) this is the case with NO equi
+# key and BOTH sides large — purchases falling inside ±1 h incident
+# windows around error events — where the naive inequality join is a
+# broadcast-nested-loop O(n·m) at scale.  The standard rewrite: bin time
+# into fixed hour buckets, replicate each interval to the 2-3 buckets it
+# overlaps (bounded fan-out = ceil(len/bucket)+1), tag each point with its
+# single bucket, EQUI-join on the bucket, then apply the exact range
+# predicate as a residual filter.  A point lives in exactly one bucket, so
+# no pair dedup is needed.  Plan-asserted equi-join (no BNLJ/cartesian) in
+# tests/test_plans.py.
+@register(
+    "join_interval_binned",
+    oracle="""
+SELECT e.event_id AS incident_id, p.event_id AS purchase_id
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+JOIN (SELECT event_id, ts FROM events WHERE event_type = 'purchase') p
+  ON p.ts >= e.ts - INTERVAL 1 HOUR AND p.ts < e.ts + INTERVAL 1 HOUR
+ORDER BY incident_id, purchase_id
+""",
+    tags=("b3.14", "b3.8"),
+)
+def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        (F.col("ts") - F.expr("INTERVAL 1 HOUR")).alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"))
+    # replicate each window to every hour bucket it overlaps (here 2-3)
+    binned = err.select(
+        "incident_id", "w_start", "w_end",
+        F.explode(F.sequence(F.date_trunc("hour", "w_start"),
+                             F.date_trunc("hour", "w_end"),
+                             F.expr("INTERVAL 1 HOUR"))).alias("b"))
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts"),
+        F.date_trunc("hour", "ts").alias("b"))
+    return (
+        binned.join(pur, "b")
+        .filter((F.col("pts") >= F.col("w_start"))
+                & (F.col("pts") < F.col("w_end")))
+        .select("incident_id", "purchase_id")
+        .orderBy("incident_id", "purchase_id")
+    )

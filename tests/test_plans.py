@@ -211,3 +211,22 @@ def test_cdc_latest_uses_partial_aggregation(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "partial_max_by" in plan, plan[:2000]
     assert "Window" not in plan
+
+
+def test_interval_binned_join_is_equi(spark, sf_dir):
+    """b3.14: the bucket rewrite must produce a shuffled EQUI-join — a
+    regression to BroadcastNestedLoopJoin/CartesianProduct is the O(n·m)
+    blow-up the binning exists to prevent (with no equi key, Spark plans
+    a raw inequality join as BNLJ regardless of side sizes)."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = explain_formatted(_SPECS["join_interval_binned"].fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan[:1500]
+    finally:
+        if saved is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+        else:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
