@@ -230,3 +230,35 @@ def test_interval_binned_join_is_equi(spark, sf_dir):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
         else:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_top_n_per_group_uses_window_group_limit(spark, sf_dir):
+    """b5.6: the rank<=k filter must trigger Spark's WindowGroupLimit
+    pushdown — a PARTIAL group-limit before the shuffle keeps only k rows
+    per group per input partition, so the exchange carries O(groups·k)
+    rows instead of the whole table (the difference between sorting 100 TB
+    and sorting top-3s at scale)."""
+    df = _SPECS["window_top_n_per_group"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "Partial" in plan.split("WindowGroupLimit")[-1] or \
+        plan.count("WindowGroupLimit") >= 2, plan[:2000]
+
+
+def test_hll_rollup_builds_sketches_map_side(spark, sf_dir):
+    """b4.14: the per-nation sketch build must run as a PARTIAL aggregate —
+    each scan task reduces its slice to fixed-size sketch buffers before
+    the shuffle, which is the whole point of a mergeable sketch."""
+    df = _SPECS["agg_hll_sketch_rollup"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_hll_sketch_agg" in plan, plan[:2000]
+
+
+def test_incremental_refresh_pushes_split_filters(spark, sf_dir):
+    """b4.15: both the base and delta branches must push their date
+    predicate into the parquet scan — the delta branch reading O(delta)
+    bytes is what makes incremental refresh incremental."""
+    df = _SPECS["agg_incremental_refresh"].fn(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "LessThan(o_orderdate" in pushed
+    assert "GreaterThanOrEqual(o_orderdate" in pushed
