@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import register, scoped_persist
 from ..sources import load_table
 from .similarity import _COSINE_SQL, as_double, cosine
 
@@ -158,7 +158,7 @@ def sim_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # but recomputing the iteration-1 window per downstream reference would
     # double the work — cache the slim (vec_id, e, cluster) projection.
     # (Released by the registry wrapper at the next query invocation.)
-    a1 = a1.persist()
+    a1 = a1.transform(scoped_persist)
     cent1 = _recenter(a1)
     a2 = _assign(v, cent1)
     return (
@@ -207,7 +207,7 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual hot cells either way."""
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("e"))
-    a1 = assign_cells(v, _K).persist()
+    a1 = assign_cells(v, _K).transform(scoped_persist)
     dup_of_lower = semdedup_pairs(a1)
     return (
         a1.join(dup_of_lower.withColumn("dup", F.lit(True)), "vec_id", "left")

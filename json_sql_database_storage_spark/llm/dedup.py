@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..registry import register
+from ..registry import register, scoped_persist
 from ..sources import load_table
 
 # MinHash parameters: 32 permutations in 8 bands × 4 rows.
@@ -355,7 +355,7 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = staged.select(
         "doc_id", "sh",
         minhash_signature_udf(F.col("sh")).alias("sig")
-    ).persist()
+    ).transform(scoped_persist)
     pairs = lsh_candidate_pairs(docs)
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -432,7 +432,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (corpus.select("doc_id", _tokens(F.col("text")).alias("toks"))
             .withColumn("sig", simhash64_udf(
                 F.transform("toks", lambda t: F.xxhash64(F.lit(7), t))))
-            .persist())
+            .transform(scoped_persist))
     # 4 chunks of 16 bits as LSH keys
     chunks = docs.select(
         "doc_id", "sig",
@@ -552,7 +552,7 @@ def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _minhash_verified_pairs(spark, sf_dir).select("id_a", "id_b")
     sym = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")) \
         .unionByName(pairs.select(F.col("id_b").alias("a"),
-                                  F.col("id_a").alias("b"))).persist()
+                                  F.col("id_a").alias("b"))).transform(scoped_persist)
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .withColumn("label", F.col("node")).localCheckpoint())
     for _ in range(_CC_MAX_ITERS):

@@ -7,11 +7,13 @@ bytes).  Decode/feature-extraction runs as Arrow-batched pandas iterators
 (mapInPandas): one Python worker per partition, whole Arrow batches in
 memory, no per-row serialization.
 
-The container has no image/audio libraries (by design), so the actual codec
-step is STUBBED: `decode_image_batch` raises NotImplementedError when a real
-decoder is requested, and the default pipeline uses a deterministic fake
-decoder (header parse of the synthetic payload) so the Spark-side plumbing —
-schema, batching, partitioning, UDF signature — is real and tested.
+The codec step has two paths: `real=True` decodes with PIL / OpenCV when
+those libraries are importable (conditional tests in tests/test_llm.py
+activate the day the environment gains them) and raises NotImplementedError
+only where they are genuinely absent; the default pipeline uses a
+deterministic fake decoder (header parse of the synthetic payload) so the
+Spark-side plumbing — schema, batching, partitioning, UDF signature — is
+real and tested in any environment.
 
 The synthetic payloads are derived deterministically from documents.text
 (sha256-seeded bytes), so every engine/run sees identical binaries.
@@ -77,11 +79,15 @@ def decode_image_batch(payloads: pd.Series, *, real: bool = False) -> pd.DataFra
             heights.append(img.height)
             sums.append(int.from_bytes(raw[:8].ljust(8, b"\0"),
                                        "big", signed=True))
+        # share payloads.index everywhere: mixing an index-preserving
+        # Series with fresh RangeIndex Series would row-misalign on a
+        # sliced input batch
+        idx = payloads.index
         return pd.DataFrame({
             "n_bytes": payloads.str.len().astype("int32"),
-            "checksum": pd.Series(sums, dtype="int64"),
-            "width": pd.Series(widths, dtype="int32"),
-            "height": pd.Series(heights, dtype="int32"),
+            "checksum": pd.Series(sums, dtype="int64", index=idx),
+            "width": pd.Series(widths, dtype="int32", index=idx),
+            "height": pd.Series(heights, dtype="int32", index=idx),
         })
     # deterministic fake: length + first-8-bytes checksum
     return pd.DataFrame({
@@ -280,19 +286,21 @@ def sample_frames_batch(pdf: pd.DataFrame, *, real: bool = False) -> pd.DataFram
                 with os.fdopen(fd, "wb") as f:
                     f.write(bytes(payload))
                 cap = cv2.VideoCapture(path)
-                i = 0
-                while True:
-                    ok, frame = cap.read()
-                    if not ok:
-                        break
-                    if i % _FRAME_STRIDE == 0:
-                        ids.append(doc_id)
-                        idxs.append(i)
-                        sums.append(int.from_bytes(
-                            hashlib.sha256(frame.tobytes()).digest()[:8],
-                            "big", signed=True))
-                    i += 1
-                cap.release()
+                try:
+                    i = 0
+                    while True:
+                        ok, frame = cap.read()
+                        if not ok:
+                            break
+                        if i % _FRAME_STRIDE == 0:
+                            ids.append(doc_id)
+                            idxs.append(i)
+                            sums.append(int.from_bytes(
+                                hashlib.sha256(frame.tobytes()).digest()[:8],
+                                "big", signed=True))
+                        i += 1
+                finally:
+                    cap.release()  # a corrupt payload must not leak handles
             finally:
                 os.unlink(path)
         return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import register, scoped_persist
 from ..sources import load_table
 
 
@@ -256,7 +256,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = v.withColumn(
         "bucket",
         sum((_hyperplane_bit(F.col("e"), i) * F.lit(1 << i))
-            for i in range(_LSH_BITS)).cast("long")).persist()
+            for i in range(_LSH_BITS)).cast("long")).transform(scoped_persist)
     a = assigned.select(F.col("vec_id").alias("id_a"),
                         F.col("e").alias("ea"), "bucket")
     b = assigned.select(F.col("vec_id").alias("id_b"),
@@ -383,7 +383,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sims.groupBy("vec_id")
         .agg(F.max_by("c_label", F.col("cs")).alias("cell"),
              F.first("e").alias("e"))
-        .persist())
+        .transform(scoped_persist))
     # query vectors (vec_id < 10) probe their NPROBE nearest cells —
     # multi-probe is the standard recall lever when a cell boundary cuts
     # through a query's true-neighbor set.
@@ -449,7 +449,7 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = v.select(
         "vec_id", "e",
         (F.lit(127.0) / F.array_max(F.transform("e", F.abs))).alias("scale"),
-    ).persist()
+    ).transform(scoped_persist)
     q = F.transform("e", lambda x: F.floor(x * F.col("scale") + 0.5)
                     .cast("bigint"))
     return (
@@ -530,7 +530,7 @@ def sim_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.crossJoin(F.broadcast(cent))
         .select("vec_id", "e", "c_label",
                 cosine(F.col("e"), F.col("ce")).alias("cs"))
-        .persist())
+        .transform(scoped_persist))
     # 1) BUILD: cell assignment written as the index layout — one
     #    directory per cell (at 100 TB: one directory per cell per shard)
     assigned = (

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..registry import register
+from ..registry import register, scoped_persist
 from ..sources import load_table
 
 
@@ -281,13 +281,13 @@ def winnowing_fingerprints(docs: DataFrame) -> DataFrame:
     at every reference (tokens re-split per gram per window), which
     measured 160 s for 500 docs at sf0.01; staged, it is sub-second."""
     k, win = 4, 5
-    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks")).persist()
+    toked = docs.select("doc_id", tokens(F.col("text")).alias("toks")).transform(scoped_persist)
     t = F.col("toks")
     grams_expr = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(t) - k, F.lit(0))),
         lambda i: F.xxhash64(F.lit(3), F.concat_ws(
             " ", t[i], t[i + 1], t[i + 2], t[i + 3])))
-    grammed = toked.select("doc_id", grams_expr.alias("grams")).persist()
+    grammed = toked.select("doc_id", grams_expr.alias("grams")).transform(scoped_persist)
     g = F.col("grams")
     windows = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(g) - win, F.lit(0))),
@@ -414,7 +414,7 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the token array is referenced twice by the slice pair (HOF
     # re-inlining rule — see winnowing_fingerprints)
     toked = (d.select("doc_id", tokens(F.col("text")).alias("t"))
-             .filter(F.size("t") >= 2).persist())
+             .filter(F.size("t") >= 2).transform(scoped_persist))
     t = F.col("t")
     pairs = (
         toked.select(
@@ -585,7 +585,7 @@ ORDER BY g.doc_id
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toked = (d.select("doc_id", tokens(F.col("text")).alias("t"))
-             .filter(F.size("t") >= 8).persist())
+             .filter(F.size("t") >= 8).transform(scoped_persist))
     t = F.col("t")
     grams = toked.select(
         "doc_id",
@@ -629,7 +629,7 @@ ORDER BY doc_id, chunk_id
 )
 def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toked = d.select("doc_id", tokens(F.col("text")).alias("t")).persist()
+    toked = d.select("doc_id", tokens(F.col("text")).alias("t")).transform(scoped_persist)
     t = F.col("t")
     starts = F.sequence(F.lit(0), F.size(t) - 1, F.lit(48))
     return (

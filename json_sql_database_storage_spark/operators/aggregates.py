@@ -680,16 +680,16 @@ def agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     keyed = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
              .join(F.broadcast(n), c.c_nationkey == n.n_nationkey))
-    # stage 1: one sketch per nation (the per-shard build)
+    # stage 1: one sketch per nation (the per-shard build).  Note the
+    # sketch is the ONLY distinct-tracking state carried forward: exact
+    # per-nation distincts could not be summed to region anyway (a customer
+    # appearing under two nations would double-count), which is precisely
+    # why the mergeable sketch exists.
     per_nation = keyed.groupBy("n_nationkey", "n_regionkey").agg(
-        F.hll_sketch_agg("o_custkey").alias("sk"),
-        F.countDistinct("o_custkey").alias("nd"))
+        F.hll_sketch_agg("o_custkey").alias("sk"))
     # stage 2: merge nation sketches up to region — no row re-scan
     per_region = per_nation.groupBy(F.col("n_regionkey").alias("r_key")).agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
-        # exact distinct can NOT be summed over nations (a customer orders
-        # in one nation only here, but the contract shouldn't rely on it)
-        F.sum("nd").alias("_unused"))
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
     exact = keyed.groupBy(F.col("n_regionkey").alias("r_key")).agg(
         F.countDistinct("o_custkey").alias("n_exact"))
     return (

@@ -25,14 +25,39 @@ from ..sources import load_table
 _SINK_ROOT = os.path.join(tempfile.gettempdir(), "json_sql_dbs_spark_sinks")
 
 
+_CLEANUP_REGISTERED: set[str] = set()
+_STALE_SINK_SECONDS = 24 * 3600
+
+
 def _sink(name: str, spark: SparkSession | None = None) -> str:
     """Scratch-sink path for write-then-read exhibits.  When a session is
     supplied the path is scoped by its applicationId so two concurrent
     sessions (pytest + bench, or the driver alongside either) never
-    overwrite / half-read each other's sink mid-query."""
+    overwrite / half-read each other's sink mid-query.
+
+    Lifecycle: each process removes its own applicationId directory at
+    exit, and the first _sink call also sweeps sibling directories older
+    than a day (left by crashed runs) — without this, every run would
+    leak a full set of sink outputs in the temp dir."""
     root = _SINK_ROOT
     if spark is not None:
-        root = os.path.join(root, spark.sparkContext.applicationId)
+        app_id = spark.sparkContext.applicationId
+        root = os.path.join(root, app_id)
+        if app_id not in _CLEANUP_REGISTERED:
+            _CLEANUP_REGISTERED.add(app_id)
+            import atexit
+            import shutil
+            import time
+
+            atexit.register(shutil.rmtree, root, ignore_errors=True)
+            try:
+                cutoff = time.time() - _STALE_SINK_SECONDS
+                for entry in os.scandir(_SINK_ROOT):
+                    if (entry.is_dir() and entry.name != app_id
+                            and entry.stat().st_mtime < cutoff):
+                        shutil.rmtree(entry.path, ignore_errors=True)
+            except OSError:
+                pass
     os.makedirs(root, exist_ok=True)
     return os.path.join(root, name)
 

@@ -190,6 +190,35 @@ def _export_order(names: list[str]) -> list[str]:
 
 _loaded = False
 
+# Deferred cache release.  Several exhibits persist() an intermediate that
+# the RETURNED DataFrame's plan references — the action runs after the
+# query function returns (the driver/bench collects the result), so
+# unpersisting inside the function would drop the blocks before they're
+# used.  Persist sites call scoped_persist(); the next registered-query
+# invocation (by which point the previous result has been materialized)
+# releases everything pending, so a full-registry run never accumulates
+# leaked cached blocks.  Scoped to OUR persists only — a context-wide
+# catalog.clearCache() here would also drop sibling sessions' and the
+# host application's own caches (Spark cache state is per-context, not
+# per-session).
+_PENDING_UNPERSIST: list[DataFrame] = []
+
+
+def scoped_persist(df: DataFrame) -> DataFrame:
+    df.persist()
+    _PENDING_UNPERSIST.append(df)
+    return df
+
+
+def release_caches() -> None:
+    while _PENDING_UNPERSIST:
+        df = _PENDING_UNPERSIST.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — the blocks are gone anyway
+
+
 def register(name: str, oracle: str | None = None,
              tags: tuple[str, ...] = ()) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
@@ -200,20 +229,7 @@ def register(name: str, oracle: str | None = None,
 
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            # Several exhibits persist() an intermediate that the RETURNED
-            # DataFrame's plan references — the action runs after the query
-            # function returns (the driver/bench collects the result), so
-            # unpersisting inside the function would drop the blocks before
-            # they're used.  Releasing at the START of the next query (by
-            # which point the previous result has been materialized) keeps
-            # a full-registry run from accumulating leaked cached blocks.
-            # Nothing in the library caches across queries (the source-table
-            # memo holds logical plans, not storage), so a blanket clear is
-            # exact, and lineage keeps any stray recompute correct.
-            try:
-                spark.catalog.clearCache()
-            except Exception:
-                pass
+            release_caches()
             return fn(spark, sf_dir)
 
         _REGISTRY[name] = QuerySpec(name, wrapped, oracle, tuple(tags))

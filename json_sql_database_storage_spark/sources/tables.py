@@ -47,20 +47,32 @@ def _pin_session(spark: SparkSession) -> None:
 # logical plan stays valid for the life of the session).  Keying on the
 # session *object* (not applicationId) matters because newSession() clones
 # share one applicationId while carrying independent conf/timezone state —
-# a plan built under one session must not leak into another.  The weak
-# keys also give eviction for free: entries die with their session instead
-# of accumulating unboundedly across pytest sessions.
-import weakref
+# a plan built under one session must not leak into another.
+#
+# Eviction is by a small LRU bound, NOT weak references: a cached
+# DataFrame strongly references its session (DataFrame._session), so a
+# WeakKeyDictionary keyed by the session could never collect an entry —
+# the value would keep its own key alive.  Bounding to the last few
+# sessions caps the retained plans (a handful of KB each plus their JVM
+# refs) no matter how many sessions a long-lived process creates.
+from collections import OrderedDict
 
-_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
-    weakref.WeakKeyDictionary())
+_TABLE_CACHE: "OrderedDict[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    OrderedDict())
+_TABLE_CACHE_MAX_SESSIONS = 4
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _pin_session(spark)
-    per_session = _TABLE_CACHE.setdefault(spark, {})
+    if spark not in _TABLE_CACHE:
+        _TABLE_CACHE[spark] = {}
+        while len(_TABLE_CACHE) > _TABLE_CACHE_MAX_SESSIONS:
+            _TABLE_CACHE.popitem(last=False)   # drop least-recent session
+    else:
+        _TABLE_CACHE.move_to_end(spark)
+    per_session = _TABLE_CACHE[spark]
     key = (sf_dir, name)
     if key not in per_session:
         if name == "events":
