@@ -20,6 +20,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from json_sql_database_storage_spark import registry
 from json_sql_database_storage_spark.session import build_session
 
+# Extra exhibits timed AFTER the two headline passes and reported under
+# "queries_extra": per-query perf evidence for the round-4 operator
+# families without changing the headline total that round-over-round
+# comparisons key on.
+EXTRA = [
+    "window_funnel_steps",
+    "cdc_latest_by_key",
+    "agg_hll_sketch_rollup",
+    "join_asof_tolerance",
+    "agg_incremental_refresh",
+    "join_interval_binned",
+    "sim_kmeans",
+    "sim_semdedup",
+    "dedup_simhash",
+]
+
 # Headline set: one representative per operator family, weighted toward the
 # scan/join/agg/window/LLM paths that dominate at 100 TB.
 HEADLINE = [
@@ -85,7 +101,7 @@ def main() -> None:
     # warmth.  Skipped silently if the small SF dir is absent.
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
-        for name in names:
+        for name in names + [n for n in EXTRA if n in specs]:
             try:
                 specs[name].fn(spark, warm_dir).write.format("noop") \
                     .mode("overwrite").save()
@@ -114,6 +130,14 @@ def main() -> None:
         dt = time.perf_counter() - t0
         warm[name] = round(dt, 3)
         warm_total += dt
+
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        if name not in specs:
+            continue
+        t0 = time.perf_counter()
+        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        extra[name] = round(time.perf_counter() - t0, 3)
 
     # DuckDB single-node reference on the same queries' oracle SQL — the
     # honest comparison point for absolute overhead at this scale.
@@ -148,6 +172,7 @@ def main() -> None:
         "sf": sf,
         "queries_warm": warm,
         "value_warm": round(warm_total, 3),
+        "queries_extra": extra,
         "duckdb_oracle_total_sec": duck_total,
     }))
     spark.stop()
