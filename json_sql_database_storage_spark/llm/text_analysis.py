@@ -766,3 +766,115 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_docs", "total_chars")
         .orderBy("bucket")
     )
+
+
+# b11.21 (r4 addendum) composed curation pipeline: the end-to-end corpus
+# pass a training-data team actually ships — ingest (with planted dups) →
+# exact dedup → quality gate → stratified sample → packing budget — as ONE
+# Catalyst plan, with a per-language "data card" row reporting the corpus
+# at every stage.  Each stage reuses the exact-integer rule of its
+# standalone exhibit (sha256 min-id survivors = dedup_exact; cross-
+# multiplied uniq-ratio gate; the arithmetic-hash per-mille quota of
+# text_stratified_sample), so the whole card hash-matches the oracle.
+# Composability is the point: stages chain as DataFrame transforms with no
+# materialization barriers between them, and the per-stage aggregates are
+# map-side-combinable counts joined on the tiny lang key.
+_PIPE_QUOTA = {"en": 500, "de": 300, "fr": 300}   # per-mille keep rates
+_PIPE_DEFAULT = 100
+_PIPE_BIN_TOKENS = 2048
+
+
+@register(
+    "pipeline_curation_summary",
+    oracle=rf"""
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id < 30
+  UNION ALL
+  SELECT doc_id + 200000, text || ' zzzz', lang FROM documents
+  WHERE doc_id >= 30 AND doc_id < 60
+), deduped AS (
+  SELECT min(doc_id) AS doc_id, any_value(lang) AS lang,
+         any_value(text) AS text
+  FROM corpus GROUP BY sha256(text)
+), quality AS (
+  SELECT doc_id, lang, n_tokens FROM (
+    SELECT doc_id, lang, length(text) AS n_chars,
+           len(regexp_split_to_array(lower(text), '\s+')) AS n_tokens,
+           len(list_distinct(regexp_split_to_array(lower(text), '\s+')))
+             AS n_distinct
+    FROM deduped)
+  WHERE n_chars >= 64 AND n_chars <= 100000
+    AND n_tokens >= 10 AND 2 * n_distinct >= n_tokens
+), sampled AS (
+  SELECT doc_id, lang, n_tokens FROM quality
+  WHERE ((doc_id * 2654435761) % 1000 + 1000) % 1000 < CASE lang
+    {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _PIPE_QUOTA.items())}
+    ELSE {_PIPE_DEFAULT} END
+)
+SELECT c.lang,
+       count(*) AS n_ingested,
+       (SELECT count(*) FROM deduped d WHERE d.lang = c.lang) AS n_after_dedup,
+       (SELECT count(*) FROM quality q WHERE q.lang = c.lang) AS n_after_quality,
+       (SELECT count(*) FROM sampled s WHERE s.lang = c.lang) AS n_sampled,
+       (SELECT coalesce(CAST(sum(n_tokens) AS BIGINT), 0)
+        FROM sampled s WHERE s.lang = c.lang) AS total_tokens,
+       (SELECT CAST(ceil(coalesce(sum(n_tokens), 0)
+                         / {_PIPE_BIN_TOKENS}.0) AS BIGINT)
+        FROM sampled s WHERE s.lang = c.lang) AS min_bins_2048
+FROM corpus c
+GROUP BY c.lang
+ORDER BY c.lang
+""",
+    tags=("b11.21", "b11.1", "b11.5", "b11.11", "b11.12"),
+)
+def pipeline_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _corpus_with_dups
+
+    corpus = _corpus_with_dups(spark, sf_dir)
+    deduped = (
+        corpus.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"),
+             F.any_value("lang").alias("lang"),
+             F.any_value("text").alias("text")))
+    toks = tokens(F.col("text"))
+    scored = deduped.select(
+        "doc_id", "lang",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"))
+    quality = scored.filter(
+        (F.col("n_chars") >= 64) & (F.col("n_chars") <= 100000)
+        & (F.col("n_tokens") >= 10)
+        & (2 * F.col("n_distinct") >= F.col("n_tokens")))
+    h = F.pmod(F.pmod(F.col("doc_id") * F.lit(2654435761), 1000) + 1000, 1000)
+    quota = F.lit(_PIPE_DEFAULT)
+    for k, v in _PIPE_QUOTA.items():
+        quota = F.when(F.col("lang") == k, F.lit(v)).otherwise(quota)
+    sampled = quality.filter(h < quota)
+
+    def per_lang(df: DataFrame, out: str) -> DataFrame:
+        return df.groupBy("lang").agg(F.count(F.lit(1)).alias(out))
+
+    tok_stats = sampled.groupBy("lang").agg(
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint")
+         .alias("total_tokens"))
+    card = (
+        per_lang(corpus, "n_ingested")
+        .join(per_lang(deduped, "n_after_dedup"), "lang", "left")
+        .join(per_lang(quality, "n_after_quality"), "lang", "left")
+        .join(per_lang(sampled, "n_sampled"), "lang", "left")
+        .join(tok_stats, "lang", "left"))
+    return (
+        card.select(
+            "lang", "n_ingested",
+            F.coalesce("n_after_dedup", F.lit(0)).alias("n_after_dedup"),
+            F.coalesce("n_after_quality", F.lit(0)).alias("n_after_quality"),
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("total_tokens", F.lit(0)).alias("total_tokens"),
+            F.ceil(F.coalesce("total_tokens", F.lit(0))
+                   / float(_PIPE_BIN_TOKENS)).cast("bigint")
+             .alias("min_bins_2048"))
+        .orderBy("lang")
+    )
