@@ -81,3 +81,24 @@ def test_asof_tolerance_matches_pandas_merge_asof(spark, sf_dir):
             assert have is None, (eid, have)
         else:
             assert have == want, (eid, have, want)
+
+
+def test_interval_binned_matches_bruteforce(spark, sf_dir):
+    """The binned equi-join rewrite must equal the direct O(n·m)
+    comparison — verified here with numpy broadcasting over the same
+    data, independent of both the Spark plan and the DuckDB oracle."""
+    import numpy as np
+
+    ev = _events_pdf(sf_dir)
+    err = ev[ev.event_type == "error"]
+    pur = ev[ev.event_type == "purchase"]
+    its = err.ts.values.astype("datetime64[us]").astype("int64")
+    pts = pur.ts.values.astype("datetime64[us]").astype("int64")
+    hour = 3600 * 1_000_000
+    mask = (pts[None, :] >= its[:, None] - hour) & \
+           (pts[None, :] < its[:, None] + hour)
+    ei, pi = np.nonzero(mask)
+    expect = set(zip(err.event_id.values[ei], pur.event_id.values[pi]))
+    got = {(r["incident_id"], r["purchase_id"]) for r in
+           _SPECS["join_interval_binned"].fn(spark, sf_dir).collect()}
+    assert got == expect
