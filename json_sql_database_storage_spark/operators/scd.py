@@ -125,6 +125,21 @@ def scd2_dimension_versioning(spark: SparkSession, sf_dir: str) -> DataFrame:
 # happens at all.  The deterministic (ts, event_id) tiebreak keeps the
 # survivor well-defined with equal timestamps; the oracle states the same
 # semantics in the QUALIFY-style form, proving the two formulations agree.
+def latest_by_key(df: DataFrame, keys: list[str], order_by: list[F.Column],
+                  payload: list[F.Column]) -> DataFrame:
+    """Generic changelog→current-state compaction: per key group, keep the
+    payload of the row with the lexicographically greatest order_by tuple.
+    One map-side-combinable aggregate (partial_max_by) — shuffle bytes are
+    O(distinct keys).  order_by must be a deterministic total order within
+    each key (append a unique id column to break timestamp ties)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.max_by(F.struct(*payload), F.struct(*order_by)).alias("r"))
+        .select(*keys, "r.*")
+    )
+
+
+
 @register(
     "cdc_latest_by_key",
     oracle="""
@@ -143,17 +158,11 @@ ORDER BY user_id, event_type
 )
 def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    ordkey = F.struct("ts", "event_id")
-    latest = F.max_by(
-        F.struct(F.col("ts").alias("last_ts"),
+    return latest_by_key(
+        ev, ["user_id", "event_type"],
+        order_by=[F.col("ts"), F.col("event_id")],
+        payload=[F.col("ts").alias("last_ts"),
                  F.col("event_id").alias("last_event_id"),
                  F.round(F.col("value") * 100).cast("bigint")
-                  .alias("last_value_cents")),
-        ordkey)
-    return (
-        ev.groupBy("user_id", "event_type")
-        .agg(latest.alias("r"))
-        .select("user_id", "event_type", "r.last_ts", "r.last_event_id",
-                "r.last_value_cents")
-        .orderBy("user_id", "event_type")
-    )
+                  .alias("last_value_cents")],
+    ).orderBy("user_id", "event_type")

@@ -324,6 +324,34 @@ def window_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 # counts.  The 100-TB shape: no self-joins over the event log (the
 # compositional 3-join funnel re-shuffles the log per step), partials
 # combine map-side, and the user_id partitioning is reused end-to-end.
+def funnel_times(ev: DataFrame, steps: list[str], *,
+                 user_col: str = "user_id", type_col: str = "event_type",
+                 ts_col: str = "ts") -> DataFrame:
+    """Generic strictly-ordered funnel: one row per user with columns
+    t1..tN = earliest completion time of each step given the previous step
+    completed strictly before it (null = never reached).  N dependent
+    whole-partition window minima stack over a single user_col exchange
+    regardless of step count — the registered 3-step query pins this shape
+    and tests/test_event_ops.py drives a 4-step instance against a
+    brute-force model."""
+    w = W.partitionBy(user_col)
+    per = ev
+    prev: str | None = None
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        name = f"t{i + 1}"
+        per = per.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = name
+    cols = [f"t{i + 1}" for i in range(len(steps))]
+    # rows within a user agree on t1..tN; collapse reuses the user_col
+    # partitioning (no second exchange)
+    return per.groupBy(user_col).agg(
+        *[F.first(c).alias(c) for c in cols])
+
+
+
 @register(
     "window_funnel_steps",
     oracle="""
@@ -353,20 +381,7 @@ FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
 )
 def window_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    w = W.partitionBy("user_id")
-    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
-    per = ev.withColumn("t1", t1)
-    t2 = F.min(F.when((F.col("event_type") == "click")
-                      & (F.col("ts") > F.col("t1")), F.col("ts"))).over(w)
-    per = per.withColumn("t2", t2)
-    t3 = F.min(F.when((F.col("event_type") == "purchase")
-                      & (F.col("ts") > F.col("t2")), F.col("ts"))).over(w)
-    per = per.withColumn("t3", t3)
-    # rows within a user agree on t1/t2/t3; collapse reuses the user_id
-    # partitioning (no second exchange), then one tiny global aggregate
-    per_user = per.groupBy("user_id").agg(
-        F.first("t1").alias("t1"), F.first("t2").alias("t2"),
-        F.first("t3").alias("t3"))
+    per_user = funnel_times(ev, ["view", "click", "purchase"])
     return per_user.agg(
         F.count("t1").alias("n_view"),
         F.count("t2").alias("n_view_click"),

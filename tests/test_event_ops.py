@@ -102,3 +102,35 @@ def test_interval_binned_matches_bruteforce(spark, sf_dir):
     got = {(r["incident_id"], r["purchase_id"]) for r in
            _SPECS["join_interval_binned"].fn(spark, sf_dir).collect()}
     assert got == expect
+
+
+def test_generic_funnel_four_steps(spark, sf_dir):
+    """funnel_times at a step count the registered query doesn't use:
+    4-step view→click→signup→purchase vs a brute-force pandas replay."""
+    from json_sql_database_storage_spark.operators.windows import funnel_times
+    from json_sql_database_storage_spark.sources import load_table
+
+    steps = ["view", "click", "signup", "purchase"]
+    got = {r["user_id"]: tuple(r[f"t{i+1}"] for i in range(4))
+           for r in funnel_times(
+               load_table(spark, sf_dir, "events"), steps).collect()}
+    ev = _events_pdf(sf_dir)
+    for uid, g in ev.groupby("user_id"):
+        prev = None
+        expect = []
+        for s in steps:
+            sel = g[g.event_type == s]
+            if prev is not None:
+                sel = sel[sel.ts > prev]
+            t = sel.ts.min()
+            expect.append(None if pd.isna(t) else t)
+            prev = t
+            if prev is pd.NaT or pd.isna(prev):
+                expect.extend([None] * (len(steps) - len(expect)))
+                break
+        have = got[uid]
+        for h, e in zip(have, expect):
+            if e is None:
+                assert h is None, (uid, have, expect)
+            else:
+                assert pd.Timestamp(h) == e, (uid, have, expect)
