@@ -436,6 +436,34 @@ def stream_foreach_batch_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 # batch QUALIFY-form compaction over everything.  At 100 TB each version is
 # O(distinct keys), the merge never re-reads the changelog, and the sink
 # would be a MERGE INTO on a keyed table format.
+def cdc_compact_batch(batch_df: DataFrame) -> DataFrame:
+    """One micro-batch → one candidate row per (user_id, event_type),
+    packed as struct ``r`` ordered by (ts, event_id)."""
+    latest = F.max_by(
+        F.struct(F.col("ts").alias("last_ts"),
+                 F.col("event_id").alias("last_event_id"),
+                 F.round(F.col("value") * 100).cast("bigint")
+                  .alias("last_value_cents")),
+        F.struct("ts", "event_id"))
+    return batch_df.groupBy("user_id", "event_type").agg(latest.alias("r"))
+
+
+def cdc_merge_state(prev: DataFrame, part: DataFrame) -> DataFrame:
+    """Merge a previous state version with a new compacted batch by
+    re-applying the same (last_ts, last_event_id) order over the union —
+    the latest-row-wins monoid whose associativity/commutativity makes
+    the final state invariant to chunk arrival order
+    (tests/test_streaming.py proves fold(chunks) == fold(reversed) ==
+    batch compaction)."""
+    return (prev.unionByName(part)
+            .groupBy("user_id", "event_type")
+            .agg(F.max_by(F.col("r"),
+                          F.struct(F.col("r.last_ts"),
+                                   F.col("r.last_event_id")))
+                  .alias("r")))
+
+
+
 @register(
     "stream_cdc_upsert",
     oracle="""
@@ -459,26 +487,12 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = stage_event_chunks(spark, sf_dir)
     state_dir = tempfile.mkdtemp(prefix="cdc_state_")
     state = {"v": -1}
-    latest = F.max_by(
-        F.struct(F.col("ts").alias("last_ts"),
-                 F.col("event_id").alias("last_event_id"),
-                 F.round(F.col("value") * 100).cast("bigint")
-                  .alias("last_value_cents")),
-        F.struct("ts", "event_id"))
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        part = (batch_df.groupBy("user_id", "event_type")
-                .agg(latest.alias("r")))
+        part = cdc_compact_batch(batch_df)
         if state["v"] >= 0:
             prev = spark.read.parquet(f"{state_dir}/v{state['v']}")
-            part = (prev.unionByName(part)
-                    .groupBy("user_id", "event_type")
-                    # max_by over the version union re-applies the same
-                    # (last_ts, last_event_id) order on the packed struct
-                    .agg(F.max_by(F.col("r"),
-                                  F.struct(F.col("r.last_ts"),
-                                           F.col("r.last_event_id")))
-                          .alias("r")))
+            part = cdc_merge_state(prev, part)
         part.write.mode("overwrite").parquet(f"{state_dir}/v{state['v'] + 1}")
         state["v"] += 1
 

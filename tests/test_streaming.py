@@ -50,3 +50,34 @@ def test_stream_static_join_totals(spark, sf_dir):
     out = _SPECS["stream_static_join"].fn(spark, sf_dir).collect()
     assert sum(r["n_events"] for r in out) == \
         load_table(spark, sf_dir, "events").count()
+
+
+def test_cdc_upsert_state_is_chunk_order_invariant(spark, sf_dir):
+    """The b9.9 associativity claim, executed: folding the CDC merge over
+    event chunks in arrival order, in REVERSE order, and as one batch all
+    produce the identical final state — so no retry/reorder of
+    micro-batches can change the maintained table."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    from json_sql_database_storage_spark.sources import load_table
+    from json_sql_database_storage_spark.streaming.queries import (
+        cdc_compact_batch, cdc_merge_state)
+
+    ev = load_table(spark, sf_dir, "events")
+    chunks = [ev.filter(F.pmod("event_id", F.lit(4)) == i) for i in range(4)]
+
+    def fold(parts):
+        return functools.reduce(cdc_merge_state,
+                                [cdc_compact_batch(p) for p in parts])
+
+    def rows(df):
+        return {(r["user_id"], r["event_type"]): tuple(r["r"])
+                for r in df.collect()}
+
+    in_order = rows(fold(chunks))
+    reversed_ = rows(fold(list(reversed(chunks))))
+    one_batch = rows(cdc_compact_batch(ev))
+    assert in_order == reversed_ == one_batch
+    assert len(in_order) > 0
