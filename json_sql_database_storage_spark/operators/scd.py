@@ -139,6 +139,24 @@ def latest_by_key(df: DataFrame, keys: list[str], order_by: list[F.Column],
     )
 
 
+def event_latest_state(df: DataFrame) -> DataFrame:
+    """The one source of truth for the events-changelog compaction spec
+    shared by cdc_latest_by_key and the streaming upsert
+    (streaming/queries.py): keys (user_id, event_type), order (ts,
+    event_id), payload (last_ts, last_event_id, last_value_cents) — kept
+    PACKED as struct ``r`` so streaming state versions can merge by
+    re-applying the same order.  Precondition for any merge built on
+    this: event_id is unique within a key, so (ts, event_id) is a total
+    order and max_by never tie-breaks arbitrarily."""
+    return df.groupBy("user_id", "event_type").agg(
+        F.max_by(
+            F.struct(F.col("ts").alias("last_ts"),
+                     F.col("event_id").alias("last_event_id"),
+                     F.round(F.col("value") * 100).cast("bigint")
+                      .alias("last_value_cents")),
+            F.struct("ts", "event_id")).alias("r"))
+
+
 
 @register(
     "cdc_latest_by_key",
@@ -158,11 +176,6 @@ ORDER BY user_id, event_type
 )
 def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    return latest_by_key(
-        ev, ["user_id", "event_type"],
-        order_by=[F.col("ts"), F.col("event_id")],
-        payload=[F.col("ts").alias("last_ts"),
-                 F.col("event_id").alias("last_event_id"),
-                 F.round(F.col("value") * 100).cast("bigint")
-                  .alias("last_value_cents")],
-    ).orderBy("user_id", "event_type")
+    return (event_latest_state(ev)
+            .select("user_id", "event_type", "r.*")
+            .orderBy("user_id", "event_type"))

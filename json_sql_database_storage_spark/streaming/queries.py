@@ -438,14 +438,11 @@ def stream_foreach_batch_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 # would be a MERGE INTO on a keyed table format.
 def cdc_compact_batch(batch_df: DataFrame) -> DataFrame:
     """One micro-batch → one candidate row per (user_id, event_type),
-    packed as struct ``r`` ordered by (ts, event_id)."""
-    latest = F.max_by(
-        F.struct(F.col("ts").alias("last_ts"),
-                 F.col("event_id").alias("last_event_id"),
-                 F.round(F.col("value") * 100).cast("bigint")
-                  .alias("last_value_cents")),
-        F.struct("ts", "event_id"))
-    return batch_df.groupBy("user_id", "event_type").agg(latest.alias("r"))
+    packed as struct ``r`` — the shared spec from operators/scd.py, so the
+    batch and streaming forms cannot silently diverge."""
+    from ..operators.scd import event_latest_state
+
+    return event_latest_state(batch_df)
 
 
 def cdc_merge_state(prev: DataFrame, part: DataFrame) -> DataFrame:
@@ -454,7 +451,11 @@ def cdc_merge_state(prev: DataFrame, part: DataFrame) -> DataFrame:
     the latest-row-wins monoid whose associativity/commutativity makes
     the final state invariant to chunk arrival order
     (tests/test_streaming.py proves fold(chunks) == fold(reversed) ==
-    batch compaction)."""
+    batch compaction).  Precondition (event_latest_state docstring):
+    (ts, event_id) must be a total order within a key — a duplicate
+    (ts, event_id) carrying a DIFFERENT value (at-least-once replay
+    after an upstream rewrite) would make the max_by tie-break, and
+    therefore the merged state, nondeterministic."""
     return (prev.unionByName(part)
             .groupBy("user_id", "event_type")
             .agg(F.max_by(F.col("r"),

@@ -61,7 +61,6 @@ def test_cdc_upsert_state_is_chunk_order_invariant(spark, sf_dir):
 
     from pyspark.sql import functions as F
 
-    from json_sql_database_storage_spark.sources import load_table
     from json_sql_database_storage_spark.streaming.queries import (
         cdc_compact_batch, cdc_merge_state)
 
