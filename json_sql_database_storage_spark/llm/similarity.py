@@ -52,6 +52,31 @@ list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))
  * sqrt(list_sum(list_transform(list_zip({b}, {b}), p -> p[1] * p[2]))))
 """.strip()
 
+def label_centroids(v):
+    """Per-label mean vectors (c_label, ce) — the shared cell/centroid
+    construction of sim_nearest_centroid, sim_ivf_topk, and
+    sim_ivf_partitioned: posexplode + (label, pos) mean + re-collect in
+    pos order.  One k·dim-partial-sum shuffle; map-side combine does the
+    heavy lifting.  Single-sourced so the three oracles that restate this
+    arithmetic can never diverge from each other."""
+    flat = v.select("label", F.posexplode("e").alias("pos", "val"))
+    return (
+        flat.groupBy("label", "pos")
+        .agg((F.sum("val") / F.count(F.lit(1))).alias("avg_val"))
+        .groupBy(F.col("label").alias("c_label"))
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "avg_val"))).alias("t"))
+        .select("c_label", F.transform("t", lambda s: s["avg_val"]).alias("ce")))
+
+
+def cell_similarities(v, cent):
+    """(vec_id, e, c_label, cs): cosine of every vector against every
+    (broadcast) centroid — the assignment/probe input for the IVF pair."""
+    return (
+        v.crossJoin(F.broadcast(cent))
+        .select("vec_id", "e", "c_label",
+                cosine(F.col("e"), F.col("ce")).alias("cs")))
+
+
 
 # ---------------------------------------------------------------------------
 # b11.3 brute-force cosine top-k: 10 query vectors × full corpus, top-5 each.
@@ -135,13 +160,7 @@ def sim_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # centroids: posexplode + (label,pos) mean + re-collect ordered by pos.
     # Float-sum caveat: sum order differs between engines, but centroid
     # coordinates only steer an argmax whose margins dwarf the noise.
-    flat = v.select("label", F.posexplode("e").alias("pos", "val"))
-    cent = (
-        flat.groupBy("label", "pos")
-        .agg((F.sum("val") / F.count(F.lit(1))).alias("avg_val"))
-        .groupBy(F.col("label").alias("c_label"))
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "avg_val"))).alias("t"))
-        .select("c_label", F.transform("t", lambda s: s["avg_val"]).alias("ce")))
+    cent = label_centroids(v)
     assigned = (
         v.crossJoin(F.broadcast(cent))
         .select("vec_id", "label", "c_label",
@@ -368,17 +387,8 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", as_double(F.col("embedding")).alias("e"))
     # build cells = per-label centroids (same construction as
     # sim_nearest_centroid); assign every vector to its nearest cell
-    flat = v.select("label", F.posexplode("e").alias("pos", "val"))
-    cent = (
-        flat.groupBy("label", "pos")
-        .agg((F.sum("val") / F.count(F.lit(1))).alias("avg_val"))
-        .groupBy(F.col("label").alias("c_label"))
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "avg_val"))).alias("t"))
-        .select("c_label", F.transform("t", lambda s: s["avg_val"]).alias("ce")))
-    sims = (
-        v.crossJoin(F.broadcast(cent))
-        .select("vec_id", "e", "c_label",
-                cosine(F.col("e"), F.col("ce")).alias("cs")))
+    cent = label_centroids(v)
+    sims = cell_similarities(v, cent)
     assigned = (
         sims.groupBy("vec_id")
         .agg(F.max_by("c_label", F.col("cs")).alias("cell"),
@@ -519,18 +529,8 @@ ORDER BY query_id, rk
 def sim_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double(F.col("embedding")).alias("e"))
-    flat = v.select("label", F.posexplode("e").alias("pos", "val"))
-    cent = (
-        flat.groupBy("label", "pos")
-        .agg((F.sum("val") / F.count(F.lit(1))).alias("avg_val"))
-        .groupBy(F.col("label").alias("c_label"))
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "avg_val"))).alias("t"))
-        .select("c_label", F.transform("t", lambda s: s["avg_val"]).alias("ce")))
-    sims = (
-        v.crossJoin(F.broadcast(cent))
-        .select("vec_id", "e", "c_label",
-                cosine(F.col("e"), F.col("ce")).alias("cs"))
-        .transform(scoped_persist))
+    cent = label_centroids(v)
+    sims = cell_similarities(v, cent).transform(scoped_persist)
     # 1) BUILD: cell assignment written as the index layout — one
     #    directory per cell (at 100 TB: one directory per cell per shard)
     assigned = (
