@@ -95,16 +95,12 @@ def semdedup_pairs(assigned: DataFrame) -> DataFrame:
 
 
 def _recenter(assigned: DataFrame) -> DataFrame:
-    """New centroids = per-(cluster, pos) means, re-collected in pos order —
-    one shuffle of k·dim partial sums (map-side combine does the heavy
-    lifting), the sim_nearest_centroid construction."""
-    flat = assigned.select("cluster", F.posexplode("e").alias("pos", "val"))
-    return (
-        flat.groupBy("cluster", "pos")
-        .agg((F.sum("val") / F.count(F.lit(1))).alias("avg_val"))
-        .groupBy(F.col("cluster").alias("c_id"))
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "avg_val"))).alias("t"))
-        .select("c_id", F.transform("t", lambda s: s["avg_val"]).alias("ce")))
+    """New centroids = per-(cluster, pos) means via the single-sourced
+    mean-vector arithmetic (similarity.py::mean_vectors) — one shuffle of
+    k·dim partial sums, map-side combine does the heavy lifting."""
+    from .similarity import mean_vectors
+
+    return mean_vectors(assigned, "cluster", "c_id")
 
 
 # SQL twin of one assignment step against centroid CTE `{cent}` (c_id, ce).

@@ -52,20 +52,26 @@ list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))
  * sqrt(list_sum(list_transform(list_zip({b}, {b}), p -> p[1] * p[2]))))
 """.strip()
 
-def label_centroids(v):
-    """Per-label mean vectors (c_label, ce) — the shared cell/centroid
-    construction of sim_nearest_centroid, sim_ivf_topk, and
-    sim_ivf_partitioned: posexplode + (label, pos) mean + re-collect in
+def mean_vectors(df, key: str, out_key: str, vec_col: str = "e",
+                 out_vec: str = "ce"):
+    """Per-key mean vectors: posexplode + (key, pos) mean + re-collect in
     pos order.  One k·dim-partial-sum shuffle; map-side combine does the
-    heavy lifting.  Single-sourced so the three oracles that restate this
-    arithmetic can never diverge from each other."""
-    flat = v.select("label", F.posexplode("e").alias("pos", "val"))
+    heavy lifting.  The ONE declaration of the centroid arithmetic behind
+    sim_nearest_centroid / sim_ivf_topk / sim_ivf_partitioned (key =
+    label) AND k-means recentering (key = cluster, clustering.py) — the
+    five oracles restating it can never diverge from each other."""
+    flat = df.select(key, F.posexplode(vec_col).alias("pos", "val"))
     return (
-        flat.groupBy("label", "pos")
+        flat.groupBy(key, "pos")
         .agg((F.sum("val") / F.count(F.lit(1))).alias("avg_val"))
-        .groupBy(F.col("label").alias("c_label"))
+        .groupBy(F.col(key).alias(out_key))
         .agg(F.array_sort(F.collect_list(F.struct("pos", "avg_val"))).alias("t"))
-        .select("c_label", F.transform("t", lambda s: s["avg_val"]).alias("ce")))
+        .select(out_key, F.transform("t", lambda s: s["avg_val"]).alias(out_vec)))
+
+
+def label_centroids(v):
+    """Per-label mean vectors (c_label, ce) — the cell/centroid table."""
+    return mean_vectors(v, "label", "c_label")
 
 
 def cell_similarities(v, cent):
