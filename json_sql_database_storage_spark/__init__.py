@@ -24,3 +24,16 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Convenience top-level surface: what a user switching from the reference
+# touches first — the session builder, the document store (the reference's
+# save/fetch API re-expressed), the shred/assemble pair, and the table
+# loaders.  Deliberately light: importing this package must NOT trigger
+# the full operator-registry load (that happens via registry.load_all()
+# only when the query surface is actually requested).
+from .documents import DocumentStore, assemble, shred  # noqa: E402
+from .session import build_session  # noqa: E402
+from .sources import load_table  # noqa: E402
+
+__all__ = ["DocumentStore", "assemble", "build_session", "load_table",
+           "shred", "__version__"]
