@@ -23,6 +23,14 @@ def test_oracle_match(spark, duck, sf_dir, name):
     assert_frames_match(spark_pdf, oracle_pdf, name=name)
 
 
+# Every registered query currently carries an oracle (COVERAGE.md), so
+# the weaker rows-only path has nothing to check — assert that state
+# instead of emitting an empty-parametrize skip, and keep the smoke body
+# for the day a genuinely non-SQL-expressible query registers.
+def test_no_rows_only_queries_remain():
+    assert _ROWS_ONLY == [], _ROWS_ONLY
+
+
 @pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_rows_only_smoke(spark, sf_dir, name):
     df = _SPECS[name].fn(spark, sf_dir)
