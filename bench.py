@@ -174,6 +174,10 @@ def main() -> None:
         "value_warm": round(warm_total, 3),
         "queries_extra": extra,
         "duckdb_oracle_total_sec": duck_total,
+        "first_pass_label": "plan-warmed",
+        "note": ("first pass runs after an sf0.001 plan prewarm (codegen "
+                 "compiled, data-proportional work timed); not comparable "
+                 "to the genuinely-cold r1-r3 first-pass figures"),
     }))
     spark.stop()
 

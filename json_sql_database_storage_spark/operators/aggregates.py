@@ -665,7 +665,7 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT n.n_regionkey AS r_key,
        count(DISTINCT o.o_custkey) AS n_exact,
-       1 AS est_within_5pct
+       CAST(1 AS BIGINT) AS est_within_5pct
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey

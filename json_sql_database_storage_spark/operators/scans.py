@@ -38,7 +38,11 @@ def _sink(name: str, spark: SparkSession | None = None) -> str:
     Lifecycle: each process removes its own applicationId directory at
     exit, and the first _sink call also sweeps sibling directories older
     than a day (left by crashed runs) — without this, every run would
-    leak a full set of sink outputs in the temp dir."""
+    leak a full set of sink outputs in the temp dir.  Every call touches
+    the live session's own directory (directory mtime otherwise only
+    moves on direct-entry changes), so a >24h session whose sinks have
+    gone idle is never mistaken for a crashed run by a newer process's
+    sweep."""
     root = _SINK_ROOT
     if spark is not None:
         app_id = spark.sparkContext.applicationId
@@ -59,6 +63,11 @@ def _sink(name: str, spark: SparkSession | None = None) -> str:
             except OSError:
                 pass
     os.makedirs(root, exist_ok=True)
+    if spark is not None:
+        try:
+            os.utime(root)
+        except OSError:
+            pass
     return os.path.join(root, name)
 
 
