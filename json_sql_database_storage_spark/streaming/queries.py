@@ -388,6 +388,8 @@ def stream_foreach_batch_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from ..operators.scans import _sink
+
     staged = stage_event_chunks(spark, sf_dir)
     view_dir = tempfile.mkdtemp(prefix="matview_")
     state = {"v": -1}
@@ -415,11 +417,20 @@ def stream_foreach_batch_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-        final = spark.read.parquet(f"{view_dir}/v{state['v']}")
-        # materialize before the temp dir disappears
-        out = spark.createDataFrame(final.collect(), final.schema)
-        return (out.select("event_type", "n",
-                           F.col("cents").cast("bigint").alias("cents"))
+        if state["v"] < 0:
+            raise RuntimeError(
+                "stream_foreach_batch_matview: the staged stream produced "
+                "zero micro-batches, so no materialized-view version exists "
+                f"to read (staged dir: {staged})")
+        # Persist the final version under the session-lifetime sink dir and
+        # return a LAZY read of it — never an O(groups) driver-side collect
+        # (the versioned view_dir itself is torn down below).
+        final_path = _sink("matview_final", spark)
+        (spark.read.parquet(f"{view_dir}/v{state['v']}")
+         .write.mode("overwrite").parquet(final_path))
+        return (spark.read.parquet(final_path)
+                .select("event_type", "n",
+                        F.col("cents").cast("bigint").alias("cents"))
                 .orderBy("event_type"))
     finally:
         cleanup(staged)
@@ -485,6 +496,8 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from ..operators.scans import _sink
+
     staged = stage_event_chunks(spark, sf_dir)
     state_dir = tempfile.mkdtemp(prefix="cdc_state_")
     state = {"v": -1}
@@ -505,10 +518,21 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-        final = spark.read.parquet(f"{state_dir}/v{state['v']}")
-        out = spark.createDataFrame(final.collect(), final.schema)
-        return (out.select("user_id", "event_type", "r.last_ts",
-                           "r.last_event_id", "r.last_value_cents")
+        if state["v"] < 0:
+            raise RuntimeError(
+                "stream_cdc_upsert: the staged stream produced zero "
+                "micro-batches, so no state version exists to read "
+                f"(staged dir: {staged})")
+        # Persist the final state under the session-lifetime sink dir and
+        # return a LAZY read — the state table is O(distinct keys) and must
+        # never round-trip through the driver (the versioned state_dir is
+        # torn down below).
+        final_path = _sink("cdc_state_final", spark)
+        (spark.read.parquet(f"{state_dir}/v{state['v']}")
+         .write.mode("overwrite").parquet(final_path))
+        return (spark.read.parquet(final_path)
+                .select("user_id", "event_type", "r.last_ts",
+                        "r.last_event_id", "r.last_value_cents")
                 .orderBy("user_id", "event_type"))
     finally:
         cleanup(staged)
