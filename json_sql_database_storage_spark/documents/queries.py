@@ -233,3 +233,103 @@ def doc_tojson_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderstatus", "o_totalprice",
                 F.coalesce("lines", F.array()).alias("lines")))
     return to_documents(docs.orderBy("o_orderkey"))
+
+
+# A14 at data scale — the null-compat flag as a driver-checkable exhibit.
+# The reference reads SQL NULL back as "" (DatabaseManager.java:309-311);
+# this engine keeps real nulls by default and reproduces the lossy behavior
+# only behind assemble(compat_null_as_empty=True).  Both assemblies run over
+# the SAME shred result of a documents-derived nested doc whose meta.note is
+# NULL on every 7th doc, and the output states the contract per lang: the
+# native assembly preserves exactly those nulls, the compat assembly has
+# zero nulls and the same count of ''-coalesced values.
+@register(
+    "doc_compat_null_empty",
+    oracle="""
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_native,
+       CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_empty_compat,
+       CAST(0 AS BIGINT) AS n_null_compat
+FROM documents GROUP BY lang ORDER BY lang
+""",
+    tags=("A14",),
+)
+def doc_compat_null_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    nested = d.select(
+        (F.col("doc_id") + 1).alias("rowNum"),
+        "lang",
+        F.struct(F.when(F.col("doc_id") % 7 != 0, F.col("lang"))
+                  .alias("note")).alias("meta"))
+    result = shred(nested, "docs_nullcompat")
+    native = assemble(result)
+    compat = assemble(result, compat_null_as_empty=True)
+    n_agg = (native.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(F.col("meta.note").isNull().cast("long"))
+                   .alias("n_null_native")))
+    c_agg = (compat.groupBy("lang")
+             .agg(F.sum((F.col("meta.note") == "").cast("long"))
+                   .alias("n_empty_compat"),
+                  F.sum(F.col("meta.note").isNull().cast("long"))
+                   .alias("n_null_compat")))
+    return n_agg.join(c_agg, "lang").orderBy("lang")
+
+
+# A15 — numeric introspection as a driver-checkable exhibit: the engine's
+# JVM-side classify_expr (typing_rules.py, mirroring
+# DatabaseManager.java:514-534) runs over a values table synthesized from
+# events (six key/value shapes per row — ISO timestamps under a time-key,
+# a time-key with a non-ISO value, the "007" zero-padded int collapse, a
+# JSON blob under a non-time key, a >=128-char TEXT value, and a per-row
+# NUMBER/string mixture), and the oracle restates the reference's rules as
+# an independent DuckDB CASE.  Any drift in branch order, the int regex,
+# or the time-key heuristic shows up as a class-count mismatch.
+@register(
+    "doc_typing_introspect",
+    oracle="""
+WITH vals(k, v) AS (
+  SELECT 'loginTime', strftime(ts, '%Y-%m-%dT%H:%M:%S') FROM events
+  UNION ALL SELECT 'eventTime_label', event_type FROM events
+  UNION ALL SELECT 'user_code', lpad(CAST(user_id AS VARCHAR), 7, '0')
+            FROM events
+  UNION ALL SELECT 'props', props FROM events
+  UNION ALL SELECT 'note_long', rpad(event_type, 150, 'x') FROM events
+  UNION ALL SELECT 'mixed', CASE WHEN event_id % 5 = 0
+                                 THEN CAST(event_id AS VARCHAR)
+                                 ELSE event_type END FROM events
+)
+SELECT k,
+       CASE WHEN regexp_matches(v, '^[+-]?[0-9]+$') THEN 'NUMBER'
+            WHEN strpos(lower(k), 'time') > 0 AND strpos(v, ':') > 0
+                 AND strpos(v, 'T') > 0 THEN 'DATE'
+            WHEN length(v) < 128 THEN 'MEDIUM_STRING'
+            ELSE 'TEXT' END AS cls,
+       count(*) AS n
+FROM vals GROUP BY k, cls ORDER BY k, cls
+""",
+    tags=("A15", "A7"),
+)
+def doc_typing_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .typing_rules import classify_expr
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "props")
+    kv = lambda k, v: F.struct(F.lit(k).alias("k"),      # noqa: E731
+                               v.cast("string").alias("v"))
+    pairs = ev.select(F.explode(F.array(
+        kv("loginTime", F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")),
+        kv("eventTime_label", F.col("event_type")),
+        kv("user_code", F.lpad(F.col("user_id").cast("string"), 7, "0")),
+        kv("props", F.col("props")),
+        kv("note_long", F.rpad(F.col("event_type"), 150, "x")),
+        kv("mixed", F.when(F.col("event_id") % 5 == 0,
+                           F.col("event_id").cast("string"))
+                     .otherwise(F.col("event_type"))),
+    )).alias("p")).select("p.k", "p.v")
+    return (pairs
+            .select("k", classify_expr(F.col("k"), F.col("v")).alias("cls"))
+            .groupBy("k", "cls").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("k", "cls"))

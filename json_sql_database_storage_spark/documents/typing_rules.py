@@ -76,6 +76,24 @@ def apply_reference_typing(df: DataFrame, *,
     return df
 
 
+def classify_expr(key: F.Column, value: F.Column) -> F.Column:
+    """The string-value half of :func:`classify` as a JVM-side column
+    expression — the form the engine actually evaluates at data scale
+    (A15 numeric introspection; DatabaseManager.java:514-534).  Branch
+    order matters and mirrors the reference exactly: int-parseable wins
+    over the time-key heuristic, which wins over the length classes.
+    Typed (non-string) JSON primitives never reach this expression — they
+    keep their parsed Spark types (the documented §1.3 divergence) — so
+    only the four string-side classes appear here."""
+    s = value.cast("string")
+    return (
+        F.when(s.rlike(r"^[+-]?[0-9]+$"), F.lit("NUMBER"))
+         .when(F.lower(key).contains("time")
+               & s.contains(":") & s.contains("T"), F.lit("DATE"))
+         .when(F.length(s) < 128, F.lit("MEDIUM_STRING"))
+         .otherwise(F.lit("TEXT")))
+
+
 def _all_match(df: DataFrame, name: str, pattern: str) -> bool:
     """Column-level decision mirroring the reference's per-value typing: a
     relational column can hold only one type, so rewrite only when every

@@ -7,6 +7,7 @@ from __future__ import annotations
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from json_sql_database_storage_spark.documents.fixtures import ALL_FIXTURES, docs_df
 from json_sql_database_storage_spark.documents.model import (
@@ -166,3 +167,25 @@ def test_compat_null_as_empty(spark):
     assert row["note"] == ""          # reference behavior (:309-311)
     row = assemble(result).collect()[0]
     assert row["note"] is None        # engine-native behavior
+
+
+def test_classify_expr_matches_python_classify(spark):
+    """A15: the JVM-side classify_expr and the driver-side classify golden
+    hook agree on a grid of string values covering every branch boundary
+    (int regex edge cases, the time-key heuristic, the 127/128 length
+    split)."""
+    from json_sql_database_storage_spark.documents.typing_rules import (
+        classify, classify_expr)
+
+    keys = ["loginTime", "TIMEOUT", "name", "x"]
+    vals = ["007", "+12", "-3", "+-12", "", "12.5",
+            "2024-01-01T10:30:00", "10:30 on Tuesday", "T-junction: left",
+            "a" * 127, "a" * 128, "plain"]
+    grid = [(k, v) for k in keys for v in vals]
+    df = spark.createDataFrame(grid, "k string, v string")
+    got = {(r["k"], r["v"]): r["cls"]
+           for r in df.select("k", "v",
+                              classify_expr(F.col("k"), F.col("v"))
+                              .alias("cls")).collect()}
+    for k, v in grid:
+        assert got[(k, v)] == classify(k, v), (k, v)
