@@ -100,3 +100,55 @@ ORDER BY g_flag, g_status, l_returnflag, l_linestatus
 def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     _register_views(spark, sf_dir)
     return spark.sql(_GROUPING_SETS_SQL)
+
+
+# Catalog DDL surface — the reference's first-touch idiom is auto-DDL then
+# query: it CREATEs a table for each incoming JSON shape and INSERTs rows
+# before any SELECT can see them (DatabaseManager.java:130,152,200;
+# README.md:2 "putting JSON where SQL can reach it").  This exhibit drives
+# the same contract through Spark's session catalog: CREATE DATABASE /
+# CREATE TABLE ... USING parquet, INSERT INTO ... SELECT (bulk) plus
+# INSERT INTO ... VALUES (row-wise, the reference's per-doc shape), then a
+# catalog-QUALIFIED aggregate over the result.  Everything lives under the
+# session-lifetime _sink dir (explicit LOCATIONs), so reruns are
+# idempotent and nothing leaks into the warehouse default.  The oracle
+# restates only the final query over an inline UNION — the DDL/DML path is
+# the Spark-side surface under test.  At scale CREATE TABLE is a metadata
+# operation and INSERT INTO...SELECT is the same distributed parquet write
+# as a sink, so nothing here has a driver bottleneck.
+@register(
+    "sql_catalog_ddl",
+    oracle="""
+SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+FROM (SELECT n_nationkey, n_name, n_regionkey FROM nation
+      UNION ALL SELECT 900, 'ATLANTIS', 99
+      UNION ALL SELECT 901, 'ELBONIA', 99) t
+GROUP BY n_regionkey ORDER BY n_regionkey
+""",
+    tags=("A6", "b1.4"),
+)
+def sql_catalog_ddl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+
+    from .scans import _sink
+
+    _register_views(spark, sf_dir)
+    db_loc = _sink("catalog_db", spark)
+    tbl_loc = _sink("catalog_nation_ddl", spark)
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS jsdb LOCATION '{db_loc}'")
+    spark.sql("DROP TABLE IF EXISTS jsdb.nation_ddl")
+    shutil.rmtree(tbl_loc, ignore_errors=True)  # external table: files survive DROP
+    spark.sql(f"""
+        CREATE TABLE jsdb.nation_ddl
+          (n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT)
+        USING parquet LOCATION '{tbl_loc}'""")
+    spark.sql("""
+        INSERT INTO jsdb.nation_ddl
+        SELECT n_nationkey, n_name, n_regionkey FROM nation""")
+    spark.sql("""
+        INSERT INTO jsdb.nation_ddl VALUES
+          (900, 'ATLANTIS', 99), (901, 'ELBONIA', 99)""")
+    return spark.sql("""
+        SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+        FROM jsdb.nation_ddl
+        GROUP BY n_regionkey ORDER BY n_regionkey""")
