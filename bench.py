@@ -33,6 +33,9 @@ EXTRA = [
     "join_interval_binned",
     "sim_kmeans",
     "sim_semdedup",
+    # production-shaped twin (k ≈ n/40): the side-by-side number that
+    # attributes sim_semdedup's time to the k=8 oracle pinning, not the plan
+    "sim_semdedup_prod",
     "dedup_simhash",
 ]
 

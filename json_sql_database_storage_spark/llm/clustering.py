@@ -214,3 +214,66 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("keep"))
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# b11.15b (r5) — SemDeDup at the PRODUCTION cell shape, k ≈ n/40, as bench
+# evidence for the k-scale contract documented above (r4 verdict next-round
+# item 5): sim_semdedup's 3.5 s at sf0.1 is the k=8 oracle pinning (cells of
+# ~n/8 vectors ⇒ a large per-cell quadratic term), not a plan problem.  This
+# twin runs the SAME pipeline with cells sized the way a real corpus run
+# sizes them, so BENCH_r5's queries_extra carries both numbers side by side.
+#
+# k derives from the corpus size INSIDE the plan (a broadcast 1-row count
+# aggregate — no driver-side count() action), mirroring how a production job
+# would parameterize cell count from a catalog statistic.
+# ---------------------------------------------------------------------------
+
+_PROD_CELL = 40  # target vectors-per-cell denominator: k = ceil(n / 40)
+
+
+@register(
+    "sim_semdedup_prod",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+     kk AS (SELECT CAST(ceil(count(*) / {_PROD_CELL}.0) AS BIGINT) AS k FROM v),
+     cent0 AS (SELECT v.vec_id AS c_id, v.e AS ce FROM v, kk
+               WHERE v.vec_id < kk.k),
+     a1 AS ({_assign_sql("v", "cent0")})
+SELECT a.cluster,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN EXISTS (
+           SELECT 1 FROM a1 b
+           WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+             AND {_COSINE_SQL.format(a="a.e", b="b.e")} >= {_SEM_TAU})
+         THEN 0 ELSE 1 END) AS BIGINT) AS n_kept
+FROM a1 a
+GROUP BY a.cluster
+ORDER BY a.cluster
+""",
+    tags=("b11.15",),
+)
+def sim_semdedup_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with production-shaped cells (k ≈ n/40): per-cluster vector
+    and survivor counts.  Same cell-local pairwise stage as sim_semdedup —
+    only the cell count changes — so the timing delta between the two bench
+    lines isolates exactly the per-cell quadratic term the k-scale contract
+    claims.  The seed-centroid set is still the deterministic vec_id < k
+    prefix, so both engines assign bit-identically."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e"))
+    kk = v.agg(F.ceil(F.count(F.lit(1)) / F.lit(float(_PROD_CELL)))
+               .cast("bigint").alias("k"))
+    cent0 = (v.crossJoin(F.broadcast(kk))
+             .filter(F.col("vec_id") < F.col("k"))
+             .select(F.col("vec_id").alias("c_id"), F.col("e").alias("ce")))
+    a1 = _assign(v, cent0).transform(scoped_persist)
+    dup_of_lower = semdedup_pairs(a1)
+    return (
+        a1.join(dup_of_lower.withColumn("dup", F.lit(True)), "vec_id", "left")
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vectors"),
+             F.sum(F.coalesce(~F.col("dup"), F.lit(True)).cast("bigint"))
+              .alias("n_kept"))
+        .orderBy("cluster")
+    )

@@ -799,3 +799,81 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_dup_grams") > 0)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# r5.5 — fuzzy near-dup detection via blocked edit distance.  Classic record
+# -linkage shape: a cheap deterministic BLOCKING key (here: the first 16
+# chars of the normalized text) restricts candidate pairs, then Levenshtein
+# over a bounded prefix scores each candidate.  Complements minhash/simhash:
+# edit distance catches single-character typo dups that shingle-set methods
+# can under-score on short texts.
+#
+# Scale: the pairwise term is quadratic ONLY within a block (same argument
+# as LSH buckets / SemDeDup cells — the block key is the join key, so 1000
+# executors each own a slice of blocks; AQE skew-split covers hot blocks).
+# levenshtein() runs on a fixed 48-char prefix, so per-pair cost is bounded
+# O(48²) regardless of document length.  Blocking tradeoff (documented, as
+# in every record-linkage system): pairs that differ inside the first 16
+# chars are not candidates; the oracle replicates the exact same blocking,
+# so the check is over the operator's declared semantics.
+#
+# Both engines implement unit-cost Levenshtein identically; the threshold
+# comparison is on exact ints.
+# ---------------------------------------------------------------------------
+
+_FUZZY_BLOCK = 16   # blocking-key prefix length
+_FUZZY_PREFIX = 48  # scored prefix length
+_FUZZY_MAX_D = 2    # max edit distance
+
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS lt FROM documents
+), pairs AS (
+  SELECT a.doc_id, b.doc_id AS b_id,
+         levenshtein(substr(a.lt, 1, {_FUZZY_PREFIX}),
+                     substr(b.lt, 1, {_FUZZY_PREFIX})) AS dist
+  FROM d a JOIN d b
+    ON substr(a.lt, 1, {_FUZZY_BLOCK}) = substr(b.lt, 1, {_FUZZY_BLOCK})
+   AND b.doc_id < a.doc_id
+)
+SELECT doc_id,
+       count(*) AS n_fuzzy_dups,
+       min(b_id) AS earliest_partner,
+       CAST(min(dist) AS BIGINT) AS min_dist
+FROM pairs
+WHERE dist <= {_FUZZY_MAX_D}
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    tags=("r5.5", "b11.2"),
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs with at least one earlier doc within edit distance ≤2 on the
+    normalized 48-char prefix, candidates restricted to equal 16-char
+    blocking keys.  The block equi-join shuffles on the block key — no
+    cartesian anywhere (pinned by the registry-wide plan sweep)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.col("text")).alias("lt"))
+    a = d.select(F.col("doc_id"),
+                 F.substring("lt", 1, _FUZZY_BLOCK).alias("blk"),
+                 F.substring("lt", 1, _FUZZY_PREFIX).alias("pfx"))
+    b = a.select(F.col("doc_id").alias("b_id"), "blk",
+                 F.col("pfx").alias("b_pfx"))
+    pairs = (
+        a.join(b, "blk")
+        .filter(F.col("b_id") < F.col("doc_id"))
+        .select("doc_id", "b_id",
+                F.levenshtein("pfx", "b_pfx").alias("dist"))
+        .filter(F.col("dist") <= _FUZZY_MAX_D)
+    )
+    return (
+        pairs.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_fuzzy_dups"),
+             F.min("b_id").alias("earliest_partner"),
+             F.min("dist").cast("bigint").alias("min_dist"))
+        .orderBy("doc_id")
+    )

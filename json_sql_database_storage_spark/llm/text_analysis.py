@@ -884,3 +884,123 @@ def pipeline_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("min_bins_2048"))
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# r5.6 — corpus-LM quality scoring (CCNet-style perplexity filtering shape):
+# train a unigram language model on the corpus itself (one word-count agg),
+# then score every document by its mean negative log-probability.  High
+# scores = improbable token mixes = candidates for quality filtering.
+#
+# Scale: the LM is |vocab| rows (tiny vs corpus — broadcastable at any SF
+# where vocab ≪ corpus); scoring is one equi-join + one map-side-combinable
+# per-doc sum.  Cross-engine determinism: the per-token contribution is
+# snapped to fixed-point (floor(ln(N/c)·1e6 + 0.5) — the functions/exact.py
+# `cents` convention: both engines floor the same double), per-doc sums are
+# then exact BIGINT arithmetic, and the final division runs on identical
+# operands.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_unigram_logprob",
+    oracle=r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+  FROM documents
+), lm AS (
+  SELECT term, count(*) AS c FROM w GROUP BY term
+), n AS (SELECT count(*) AS n_words FROM w),
+q AS (
+  SELECT w.doc_id,
+         CAST(floor(ln(CAST(n.n_words AS DOUBLE) / lm.c) * 1000000 + 0.5)
+              AS BIGINT) AS qv
+  FROM w JOIN lm USING (term) CROSS JOIN n
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(sum(qv) AS DOUBLE) / count(*) / 1000000.0 AS avg_neglogp
+FROM q
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    tags=("r5.6", "b11.5"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    lm = w.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n = w.agg(F.count(F.lit(1)).cast("double").alias("n_words"))
+    q = (
+        w.join(F.broadcast(lm), "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id",
+                F.floor(F.log(F.col("n_words") / F.col("c")) * 1000000
+                        + F.lit(0.5)).cast("bigint").alias("qv"))
+    )
+    return (
+        q.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             (F.sum("qv").cast("double") / F.count(F.lit(1)) / 1000000.0)
+              .alias("avg_neglogp"))
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r5.7 — deterministic per-domain downsampling (training-mixture balancing):
+# bring every language's document count down to the smallest language's via
+# engine-portable hash sampling.  keep ⟺ md5(doc_id)'s first 8 hex chars,
+# compared LEXICOGRAPHICALLY, fall under the rate's hex threshold — md5 is
+# bit-identical everywhere, so the sample is reproducible across engines,
+# runs, partitionings, and cluster sizes (the property that makes a 100-TB
+# curation run auditable, unlike rand()-based sampling).
+#
+# The per-domain rate derives from counts INSIDE the plan (broadcast 1-row
+# min over a broadcast per-domain count) — no driver-side collect.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sample_domain_balance",
+    oracle="""
+WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+     t AS (SELECT min(cnt) AS target FROM c),
+     r AS (SELECT lang, CAST(t.target AS DOUBLE) / cnt AS rate FROM c, t),
+     k AS (
+       SELECT d.lang, r.rate,
+              CASE WHEN r.rate >= 1.0 THEN TRUE
+                   ELSE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)
+                        < lpad(lower(to_hex(CAST(floor(r.rate * 4294967296.0)
+                                                 AS BIGINT))), 8, '0')
+              END AS keep
+       FROM documents d JOIN r USING (lang))
+SELECT lang,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       min(rate) AS samp_rate
+FROM k
+GROUP BY lang
+ORDER BY lang
+""",
+    tags=("r5.7", "b11.12"),
+)
+def sample_domain_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    target = counts.agg(F.min("cnt").alias("target"))
+    rates = (counts.crossJoin(F.broadcast(target))
+             .select("lang",
+                     (F.col("target").cast("double") / F.col("cnt"))
+                      .alias("rate")))
+    thr = F.lpad(
+        F.lower(F.hex(F.floor(F.col("rate") * F.lit(4294967296.0))
+                      .cast("bigint"))), 8, "0")
+    u = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8)
+    keep = F.when(F.col("rate") >= 1.0, F.lit(True)).otherwise(u < thr)
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_total"),
+             F.sum(keep.cast("bigint")).alias("n_kept"),
+             F.min("rate").alias("samp_rate"))
+        .orderBy("lang")
+    )

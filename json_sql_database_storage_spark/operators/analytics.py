@@ -1,0 +1,174 @@
+"""Decision-support and behavioral-analytics exhibits (SURVEY.md §2 r5
+addenda): two more classic TPC-H-shaped plans beyond Q1/star-revenue, and a
+cohort-retention matrix over the event stream.
+
+Scale notes:
+- q3/q18 are the canonical selective-probe star shapes: dimension filters
+  reduce before the fact join, aggregation is partial (map-side combine),
+  and the final top-N is TakeOrderedAndProject — constant driver memory at
+  any input size.
+- q18's having-filter runs on the ALREADY AGGREGATED per-order quantity
+  (14k orders/60k lines at sf0.01; ~1.5B orders at 100 TB) — the semi-join
+  back to lineitem ships only qualifying keys.
+- retention cohorts need two aggregations over events keyed by user then by
+  (cohort, offset): the first groupBy shuffles on user_id once; the second
+  operates on one row per (user, week) — already ~30× smaller.
+
+Money arithmetic follows functions/exact.py (decimal-domain sums, final
+cast to double) so results are bit-stable across engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec, dec_factor, dsum_expr
+from ..registry import register
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# r5.1 — TPC-H Q3 shape (shipping priority): segment-filtered customers ⨝
+# date-filtered orders ⨝ lineitem, revenue per undelivered order, top 10.
+# Reference parity: the reference can only express this as application-side
+# loops over per-table SELECTs (DatabaseManager.java:280-381 exposes only
+# single-table reads); the engine runs it as one declarative plan.
+# ---------------------------------------------------------------------------
+
+_Q3_CUT = "1998-03-15 00:00:00"
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT
+  l_orderkey,
+  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+              * CAST(1 - l_discount AS DECIMAL(6,4))), 2) AS DOUBLE) AS revenue,
+  o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '{_Q3_CUT}'
+  AND l_shipdate  > TIMESTAMP '{_Q3_CUT}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+    tags=("r5.1",),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cut = F.lit(_Q3_CUT).cast("timestamp")
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
+    revenue = dec("l_extendedprice") * dec_factor(1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        # customer qualifies ~1/5 of rows — small enough to broadcast at any
+        # SF where customer ≪ lineitem (the standard star layout)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum_expr(revenue).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# r5.2 — TPC-H Q18 shape (large-volume customers): orders whose total
+# lineitem quantity exceeds a threshold, with customer attribution.  The
+# aggregate-then-semi-join shape is the scale point: the having filter runs
+# on per-order sums (|orders| rows), not raw lineitems.
+# ---------------------------------------------------------------------------
+
+_Q18_QTY = 300
+
+
+@register(
+    "q18_large_volume_customer",
+    oracle=f"""
+WITH big AS (
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(12,4))) > {_Q18_QTY}
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+    tags=("r5.2",),
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > _Q18_QTY)
+        .select("l_orderkey", F.col("q").cast("double").alias("sum_qty"))
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# r5.3 — cohort retention matrix: users cohorted by first-activity day,
+# activity bucketed into week offsets from that day.  Two shuffles total
+# (user_id, then cohort/offset on ~30× fewer rows).  Cohort day is cast to
+# timestamp on both sides — the driver's value hasher is proven on
+# timestamps, not DATE.
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_retention_cohort",
+    oracle="""
+WITH firsts AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+), act AS (
+  SELECT DISTINCT e.user_id, f.cohort_day,
+         CAST(floor(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) / 7)
+              AS BIGINT) AS week_offset
+  FROM events e JOIN firsts f ON e.user_id = f.user_id
+)
+SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day, week_offset,
+       count(*) AS n_users
+FROM act
+GROUP BY cohort_day, week_offset
+ORDER BY cohort_day, week_offset
+""",
+    tags=("r5.3",),
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day"))
+    firsts = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    act = (
+        e.join(firsts, "user_id")
+        .select("user_id", "cohort_day",
+                F.floor(F.datediff(F.col("day"), F.col("cohort_day")) / 7)
+                 .cast("bigint").alias("week_offset"))
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_day", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.col("cohort_day").cast("timestamp").alias("cohort_day"),
+                "week_offset", "n_users")
+        .orderBy("cohort_day", "week_offset")
+    )

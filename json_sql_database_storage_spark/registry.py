@@ -53,6 +53,8 @@ _OPERATOR_MODULES = (
     "json_sql_database_storage_spark.operators.scale",
     "json_sql_database_storage_spark.operators.sql_surface",
     "json_sql_database_storage_spark.operators.scd",
+    "json_sql_database_storage_spark.operators.analytics",
+    "json_sql_database_storage_spark.llm.sketches",
 )
 
 # The driver's per-round correctness check covers the first ~50 registry

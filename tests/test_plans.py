@@ -176,6 +176,12 @@ def test_no_unintended_scale_flags(spark, sf_dir):
             # final funnel totals: global aggregate over the ~|users| rows
             # the one real user_id shuffle already reduced to
             "window_funnel_steps",
+            # 1-row scalar-aggregate exchanges feeding a broadcast join
+            # (corpus size / min-domain-count / k=ceil(n/40)): the partial
+            # aggregate is map-side, so the single partition receives ONE
+            # row per input partition — constant bytes at any corpus size
+            "text_tfidf", "text_unigram_logprob", "text_heavy_hitters",
+            "sample_domain_balance", "sim_semdedup_prod",
         },
     }
     bad = []
