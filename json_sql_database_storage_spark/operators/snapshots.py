@@ -1,0 +1,181 @@
+"""Snapshot / time-travel versioned table (SURVEY.md §2 b1.19, r5 addendum).
+
+The reference is a *storage* engine (README.md:2 — put JSON where SQL can
+reach it; DatabaseManager.java:130 auto-DDL) but has no history: an update
+destroys the previous row.  This module adds the lakehouse primitive the
+modern version of that contract needs — versioned snapshots with O(changed
+partitions) commits and time-travel reads — built from plain parquet plus a
+JSON manifest, the same copy-on-write idea as Delta/Iceberg commits:
+
+  v0 commit   write the base table partitioned by year; manifest v0 lists
+              each partition directory.
+  v1 commit   a MERGE (updates + inserts) rewrites ONLY the partitions that
+              contain changed keys; manifest v1 points at the rewritten
+              directories for touched years and REUSES v0's directories for
+              untouched years (physical sharing — pinned in
+              tests/test_sources.py).
+  read AS OF  group the manifest's directories by their commit base and
+              issue one multi-path scan per base (≤ #commits scans, each
+              partition-pruned), union — never one scan per partition.
+
+Scale notes:
+- The commit path's only driver-side work is O(changed partitions): the
+  distinct-years collect (4 rows here; thousands at 100 TB — manifest-sized,
+  exactly what Delta's commit protocol also holds in memory) and the
+  manifest write.  Row data never touches the driver.
+- The MERGE reads only the touched partitions of v0 (partition-pruned scan)
+  plus the delta — O(delta + touched partitions), not O(table).
+- Latest-row-wins uses the same anti-join + union shape as the SCD2/CDC
+  family (operators/scd.py).
+
+Money stays in integer cents (functions/exact.py convention) so both
+engines sum exactly.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+from .scans import _sink
+
+_CUT_INS = "1999-01-01 00:00:00"  # v0 = strictly before; inserts = this year
+_CUT_END = "2000-01-01 00:00:00"
+_UPD_YEAR = 1995  # updates touch ONLY this year — later v0 partitions must be reused
+
+
+def _commit_dirs(data_dir: str) -> dict[int, str]:
+    """Partition directories of one commit's partitionBy('o_year') write,
+    keyed by year — the listing a real table format records at commit."""
+    out: dict[int, str] = {}
+    for entry in os.scandir(data_dir):
+        if entry.is_dir() and entry.name.startswith("o_year="):
+            out[int(entry.name.split("=", 1)[1])] = entry.path
+    return out
+
+
+def read_version(spark: SparkSession, manifest: dict[int, str]) -> DataFrame:
+    """Time-travel read: one partition-pruned multi-path scan per commit
+    base the manifest references (NOT per partition), unioned."""
+    by_base: dict[str, list[str]] = {}
+    for path in manifest.values():
+        by_base.setdefault(os.path.dirname(path), []).append(path)
+    parts = [
+        spark.read.option("basePath", base).parquet(*sorted(paths))
+        for base, paths in sorted(by_base.items())
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def merge_cow(v0_rows: DataFrame, delta: DataFrame) -> DataFrame:
+    """Copy-on-write MERGE output for the touched partitions: surviving v0
+    rows (key not replaced) + all delta rows.  Caller must pre-prune
+    v0_rows to the touched partitions — this function never sees untouched
+    data."""
+    return (
+        v0_rows.join(delta.select("o_orderkey"), "o_orderkey", "left_anti")
+        .unionByName(delta)
+    )
+
+
+@register(
+    "snapshot_time_travel",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_CUT_INS}'
+), upd AS (
+  SELECT o_orderkey, o_year, cents + 100 AS cents
+  FROM base WHERE o_orderkey % 10 = 0 AND o_year = {_UPD_YEAR}
+), ins AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{_CUT_INS}'
+    AND o_orderdate <  TIMESTAMP '{_CUT_END}'
+), delta AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+v1 AS (
+  SELECT b.* FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = b.o_orderkey)
+  UNION ALL SELECT * FROM delta
+)
+SELECT 0 AS version, count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents FROM base
+UNION ALL
+SELECT 1 AS version, count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents FROM v1
+ORDER BY version
+""",
+    tags=("b1.19",),
+)
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit v0, MERGE-commit v1 rewriting only touched partitions, then
+    time-travel read BOTH versions and summarize each — proving the old
+    snapshot is still fully readable after the new commit."""
+    manifests = snapshot_commit(spark, sf_dir)
+    outs = []
+    for version, manifest in sorted(manifests.items()):
+        outs.append(
+            read_version(spark, manifest)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("cents").cast("bigint").alias("total_cents"))
+            .select(F.lit(version).alias("version"), "n_rows", "total_cents"))
+    df = outs[0]
+    for o in outs[1:]:
+        df = df.unionByName(o)
+    return df.orderBy("version")
+
+
+def snapshot_commit(spark: SparkSession, sf_dir: str) -> dict[int, dict[int, str]]:
+    """Write the v0 and v1 commits under the session sink; return
+    {version: {year: partition_dir}} manifests (also persisted as
+    manifest.json next to the data, like a table format's log)."""
+    root = _sink("snapshot_tt", spark)
+    cut_ins = F.lit(_CUT_INS).cast("timestamp")
+    cut_end = F.lit(_CUT_END).cast("timestamp")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+
+    # ---- commit 0: full base write, partitioned by year
+    base = o.filter(F.col("o_orderdate") < cut_ins).drop("o_orderdate")
+    v0_data = os.path.join(root, "v0data")
+    base.write.mode("overwrite").partitionBy("o_year").parquet(v0_data)
+    m0 = _commit_dirs(v0_data)
+
+    # ---- the MERGE delta: one year's updates (every 10th key) + the 1999 inserts
+    v0 = read_version(spark, m0)
+    upd = (v0.filter((F.col("o_orderkey") % 10 == 0)
+                     & (F.col("o_year") == _UPD_YEAR))
+           .withColumn("cents", F.col("cents") + 100))
+    ins = (o.filter((F.col("o_orderdate") >= cut_ins)
+                    & (F.col("o_orderdate") < cut_end)).drop("o_orderdate"))
+    delta = upd.unionByName(ins)
+
+    # ---- commit 1: rewrite ONLY partitions containing changed keys.
+    # O(changed partitions) driver state — the manifest-sized collect every
+    # table format's commit makes; row data stays distributed.
+    touched = sorted(r["o_year"] for r in
+                     delta.select("o_year").distinct().collect())
+    v0_touched = v0.filter(F.col("o_year").isin(touched))
+    merged = merge_cow(v0_touched, delta)
+    v1_data = os.path.join(root, "v1data")
+    merged.write.mode("overwrite").partitionBy("o_year").parquet(v1_data)
+    m1_new = _commit_dirs(v1_data)
+    m1 = {y: (m1_new[y] if y in m1_new else path) for y, path in m0.items()}
+    m1.update({y: p for y, p in m1_new.items() if y not in m1})
+
+    manifests = {0: m0, 1: m1}
+    with open(os.path.join(root, "manifest.json"), "w") as f:
+        json.dump({str(v): m for v, m in manifests.items()}, f, indent=1)
+    return manifests

@@ -54,6 +54,7 @@ _OPERATOR_MODULES = (
     "json_sql_database_storage_spark.operators.sql_surface",
     "json_sql_database_storage_spark.operators.scd",
     "json_sql_database_storage_spark.operators.analytics",
+    "json_sql_database_storage_spark.operators.snapshots",
     "json_sql_database_storage_spark.llm.sketches",
 )
 

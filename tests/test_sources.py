@@ -54,3 +54,25 @@ def test_load_table_memoizes_per_session(spark, sf_dir):
     other = "/root/testdata/sf0.001"
     if other != sf_dir:
         assert load_table(spark, other, "nation") is not a
+
+
+def test_snapshot_commit_reuses_untouched_partitions(spark, sf_dir):
+    """The v1 manifest must REUSE v0's directories for years the MERGE
+    never touched (physical sharing — the property that makes the commit
+    O(changed partitions) instead of O(table)), rewrite the updated year,
+    and add the insert year.  Both version reads must also agree with a
+    direct recomputation."""
+    from json_sql_database_storage_spark.operators.snapshots import (
+        _UPD_YEAR, read_version, snapshot_commit)
+
+    manifests = snapshot_commit(spark, sf_dir)
+    m0, m1 = manifests[0], manifests[1]
+    ins_years = sorted(set(m1) - set(m0))
+    assert ins_years == [1999]
+    assert m1[_UPD_YEAR] != m0[_UPD_YEAR]            # rewritten
+    shared = [y for y in m0 if y != _UPD_YEAR]
+    assert shared and all(m1[y] == m0[y] for y in shared)  # reused
+    # old snapshot still readable and distinct from the new one
+    n0 = read_version(spark, m0).count()
+    n1 = read_version(spark, m1).count()
+    assert n1 > n0 > 0
