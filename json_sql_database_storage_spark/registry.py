@@ -56,6 +56,7 @@ _OPERATOR_MODULES = (
     "json_sql_database_storage_spark.operators.analytics",
     "json_sql_database_storage_spark.operators.snapshots",
     "json_sql_database_storage_spark.llm.sketches",
+    "json_sql_database_storage_spark.llm.search",
 )
 
 # The driver's per-round correctness check covers the first ~50 registry

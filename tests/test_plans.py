@@ -144,6 +144,19 @@ def test_zorder_read_pushes_both_dims(spark, sf_dir):
     assert "l_partkey" in pushed and "l_suppkey" in pushed, pushed
 
 
+def test_inverted_index_probe_static_partition_pruning(spark, sf_dir):
+    """b11.27: the literal query terms' hash buckets must constant-fold
+    into a STATIC PartitionFilter on the index scan — a probe reads only
+    its terms' bucket directories, never the whole index."""
+    df = _SPECS["text_inverted_index_search"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf_lines = [ln for ln in plan.splitlines()
+                if "inv_index" in ln and "PartitionFilters" in ln]
+    assert pf_lines, plan[:2000]
+    assert any("bkt" in ln.split("PartitionFilters", 1)[1].split("]", 1)[0]
+               for ln in pf_lines), pf_lines
+
+
 def test_ivf_partitioned_probe_uses_dynamic_partition_pruning(spark, sf_dir):
     """b11.19: the persisted IVF index is a cell-partitioned table and the
     probe join runs on the partition column with a selective probe side —
