@@ -57,6 +57,7 @@ _OPERATOR_MODULES = (
     "json_sql_database_storage_spark.operators.snapshots",
     "json_sql_database_storage_spark.llm.sketches",
     "json_sql_database_storage_spark.llm.search",
+    "json_sql_database_storage_spark.llm.pq",
 )
 
 # The driver's per-round correctness check covers the first ~50 registry
