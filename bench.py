@@ -37,6 +37,18 @@ EXTRA = [
     # attributes sim_semdedup's time to the k=8 oracle pinning, not the plan
     "sim_semdedup_prod",
     "dedup_simhash",
+    # round-5 families
+    "q3_shipping_priority",
+    "q18_large_volume_customer",
+    "events_retention_cohort",
+    "text_heavy_hitters",
+    "dedup_fuzzy_levenshtein",
+    "text_unigram_logprob",
+    "sample_domain_balance",
+    "agg_quantile_sketch_rollup",
+    "snapshot_time_travel",
+    "text_inverted_index_search",
+    "sim_pq_adc_topk",
 ]
 
 # Headline set: one representative per operator family, weighted toward the
