@@ -537,3 +537,160 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         cleanup(staged)
         shutil.rmtree(state_dir, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# b9.10 (r5 addendum) stream-STREAM interval join — the one join family
+# member where BOTH sides are unbounded: views joined to the same user's
+# purchases within the following hour.  Each side carries a watermark and
+# the join condition bounds the event-time range in both directions, which
+# is exactly what lets Structured Streaming evict buffered state (a view
+# older than watermark-1h can never match a future purchase and is
+# dropped).  Without the range bound + watermarks this join is rejected as
+# unbounded-state; with them, per-executor state is
+# O(events in the watermark horizon) — constant in total stream length,
+# the property that makes the operator runnable forever at production rate.
+#
+# Both sides replay from the SAME staged chunk files (two independent file
+# sources), so arrival order is deterministic.  Results aggregate per user
+# AFTER the sink read (batch-side) for a stable comparison shape; the
+# oracle is the identical interval self-join in SQL.
+# ---------------------------------------------------------------------------
+
+@register(
+    "stream_stream_join",
+    oracle="""
+SELECT v.user_id,
+       count(*) AS n_pairs,
+       min(p.event_id) AS first_purchase_event
+FROM events v
+JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+GROUP BY v.user_id
+ORDER BY v.user_id
+""",
+    tags=("b9.10",),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = stage_event_chunks(spark, sf_dir)
+    try:
+        views = (read_event_stream(spark, staged)
+                 .filter(F.col("event_type") == "view")
+                 .select(F.col("user_id").alias("v_user"),
+                         F.col("ts").alias("v_ts"))
+                 .withWatermark("v_ts", "2 hours"))
+        purchases = (read_event_stream(spark, staged)
+                     .filter(F.col("event_type") == "purchase")
+                     .select(F.col("user_id").alias("p_user"),
+                             F.col("ts").alias("p_ts"),
+                             F.col("event_id").alias("p_event_id"))
+                     .withWatermark("p_ts", "2 hours"))
+        pairs = views.join(
+            purchases,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")))
+        sunk = run_stream_to_table(pairs, output_mode="append")
+        return (
+            sunk.groupBy(F.col("v_user").alias("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_pairs"),
+                 F.min("p_event_id").alias("first_purchase_event"))
+            .orderBy("user_id")
+        )
+    finally:
+        cleanup(staged)
+
+
+# ---------------------------------------------------------------------------
+# b9.11 (r5 addendum) transformWithState custom stateful processor — the
+# Spark 4 successor to applyInPandasWithState (b9.3 uses the older API;
+# both stay registered because both exist in the wild).  A per-user
+# StatefulProcessor keeps (n_events, value_cents_sum) in a ValueState and
+# emits the updated totals every micro-batch; the arbitrary-state surface
+# is what custom operators (sessionizers, CEP, per-key models) build on.
+#
+# Scale: state is one fixed-width row per user key, partitioned by the
+# stream's groupBy hash — adding executors shards keys linearly; the
+# processor sees Arrow record batches, never per-row Python calls.
+# Determinism: cents stay integers in Python (no float accumulation), and
+# the batch-side max_by(n_events) picks each key's FINAL emission
+# regardless of how the replay chunked the input.
+# ---------------------------------------------------------------------------
+
+def _twspb_available() -> bool:
+    """transformWithState's Python worker speaks a protobuf state protocol;
+    gate the exhibit on the dependency actually importing (this sandbox
+    ships a broken google.protobuf) — the applyInPandasWithState twin
+    (b9.3) covers arbitrary state everywhere else."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+_TWS_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+def _register_tws(fn):
+    if _twspb_available():
+        return register("stream_transform_with_state", oracle=_TWS_ORACLE,
+                        tags=("b9.11",))(fn)
+    return fn
+
+
+@_register_tws
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor, StatefulProcessorHandle)
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "totals", "n BIGINT, cents BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = (self._state.get() or (0, 0))
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+            self._state.update((n, cents))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "value_cents": [cents]})
+
+        def close(self) -> None:
+            pass
+
+    staged = stage_event_chunks(spark, sf_dir)
+    try:
+        ev = (read_event_stream(spark, staged)
+              .select("user_id",
+                      F.round(F.col("value") * 100).cast("bigint")
+                       .alias("cents")))
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            RunningTotals(),
+            "user_id BIGINT, n_events BIGINT, value_cents BIGINT",
+            outputMode="Update", timeMode="None")
+        sunk = run_stream_to_table(out, output_mode="update")
+        # each key's last emission carries its final totals (n_events is
+        # strictly increasing per key)
+        return (
+            sunk.groupBy("user_id")
+            .agg(F.max_by(F.struct("n_events", "value_cents"),
+                          F.col("n_events")).alias("r"))
+            .select("user_id", F.col("r.n_events").alias("n_events"),
+                    F.col("r.value_cents").alias("value_cents"))
+            .orderBy("user_id")
+        )
+    finally:
+        cleanup(staged)

@@ -3,6 +3,10 @@ drops late data; stateful counts accumulate across micro-batches."""
 
 from __future__ import annotations
 
+import pytest
+
+from pyspark.sql import functions as F
+
 from json_sql_database_storage_spark import registry
 from json_sql_database_storage_spark.sources import load_table
 
@@ -80,3 +84,26 @@ def test_cdc_upsert_state_is_chunk_order_invariant(spark, sf_dir):
     one_batch = rows(cdc_compact_batch(ev))
     assert in_order == reversed_ == one_batch
     assert len(in_order) > 0
+
+
+def test_transform_with_state_totals(spark, sf_dir):
+    """Conditional: exercises the Spark-4 transformWithState processor
+    when its protobuf dependency imports (absent in this sandbox — the
+    applyInPandasWithState twin covers arbitrary state here).  Compares
+    the streamed per-user totals to the batch aggregate."""
+    from json_sql_database_storage_spark.streaming.queries import (
+        _twspb_available, stream_transform_with_state)
+
+    if not _twspb_available():
+        pytest.skip("google.protobuf unavailable; transformWithState "
+                    "worker protocol cannot start")
+    from json_sql_database_storage_spark.sources import load_table
+    got = {r["user_id"]: (r["n_events"], r["value_cents"])
+           for r in stream_transform_with_state(spark, sf_dir).collect()}
+    want = {r["user_id"]: (r["n"], r["cents"]) for r in
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                  .alias("cents")).collect()}
+    assert got == want
