@@ -1004,3 +1004,49 @@ def sample_domain_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("rate").alias("samp_rate"))
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# r5.8 — exact-k deterministic sample per stratum (the distributed reservoir
+# equivalent): keep each language's k lowest-md5 documents.  Rate-based
+# sampling (text_stratified_sample, sample_domain_balance) yields a
+# BINOMIAL count per stratum; training-mixture specs are usually "exactly k
+# per domain", and the hash-rank formulation delivers that with the same
+# reproducibility guarantees (engine/partitioning/cluster-size invariant —
+# md5 is bit-identical everywhere, ties impossible because doc_id is
+# unique within the hash input).
+#
+# Scale: ONE shuffle keyed by lang for the per-stratum rank; Spark's
+# WindowGroupLimit pushes the k-filter map-side (same partial-top-k
+# machinery plan-asserted for window_top_n_per_group), so each executor
+# forwards at most k rows per stratum it holds — a true distributed
+# reservoir, not a global sort.
+# ---------------------------------------------------------------------------
+
+_FIXED_K = 50
+
+
+@register(
+    "sample_fixed_k_per_stratum",
+    oracle=f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents)
+SELECT doc_id, lang, rk
+FROM r WHERE rk <= {_FIXED_K}
+ORDER BY lang, rk
+""",
+    tags=("r5.8", "b11.12"),
+)
+def sample_fixed_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = W.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), "doc_id")
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _FIXED_K)
+        .orderBy("lang", "rk")
+    )

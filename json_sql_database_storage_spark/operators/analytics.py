@@ -172,3 +172,61 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "week_offset", "n_users")
         .orderBy("cohort_day", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# r5.9 — order-independent table fingerprint (migration / replication
+# validation): per shard-key group, a commutative checksum = Σ of each
+# row's 48-bit md5 prefix (exact DECIMAL(38,0) arithmetic — no overflow at
+# any row count, no modular wraparound to reason about; surfaced as a
+# string because a 38-digit decimal does not survive a pandas float64
+# round-trip).  Because addition
+# commutes, the fingerprint is invariant to partitioning, task order, and
+# engine — two systems holding the same logical rows produce the same
+# per-group checksum, which is how a 100-TB copy is validated shard by
+# shard without moving data (the map-side Σ ships 1 row per group per
+# partition).
+#
+# The canonical row string pins column order and formatting explicitly;
+# money is integer cents (functions/exact.py) so the string is identical
+# in both engines.  md5 is bit-identical everywhere (the
+# sample_domain_balance precedent); 48 bits per row keeps collisions
+# astronomically unlikely to mask a corruption (2^-48 per row pair) while
+# staying exactly summable.
+# ---------------------------------------------------------------------------
+
+@register(
+    "table_fingerprint",
+    oracle="""
+WITH canon AS (
+  SELECT o_orderpriority,
+         concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                   CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                   o_orderpriority) AS s
+  FROM orders)
+SELECT o_orderpriority,
+       count(*) AS n_rows,
+       CAST(CAST(sum(('0x' || substr(md5(s), 1, 12))::BIGINT)
+                 AS DECIMAL(38,0)) AS VARCHAR) AS checksum
+FROM canon
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("r5.9",),
+)
+def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    s = F.concat_ws(
+        "|", F.col("o_orderkey").cast("string"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+        F.col("o_orderpriority"))
+    row_hash = (F.conv(F.substring(F.md5(s.cast("binary")), 1, 12), 16, 10)
+                .cast("decimal(38,0)"))
+    return (
+        o.select("o_orderpriority", row_hash.alias("h"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum("h").cast("decimal(38,0)").cast("string")
+              .alias("checksum"))
+        .orderBy("o_orderpriority")
+    )
