@@ -230,3 +230,73 @@ def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("checksum"))
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# r5.10 — z-score anomaly counts per event_type (pipeline monitoring): how
+# many events sit more than 3 sample standard deviations from their type's
+# mean.  The textbook formulation divides by a float stddev whose
+# Welford-vs-naive implementation differs between engines, so the 3σ test
+# is restated as EXACT integer arithmetic in the cents domain:
+#     (n·x − S)² · (n−1)  >  9 · n · (n·Q − S²)
+# (derived from (x−S/n)² > 9·(nQ−S²)/(n(n−1)) by clearing denominators;
+# S=Σx, Q=Σx², all BIGINT sums, products in DECIMAL(38,0) — overflow-free
+# into the ~10²⁵ range this data reaches and far beyond).  Both engines
+# evaluate identical integer products, so the flag can never flap on a
+# boundary value.
+#
+# Scale: one event_type groupBy (map-side combinable S/Q/n), one broadcast
+# join of the tiny stats table back to the stream, one conditional count.
+# The BIGINT Q=Σx² stays exact through ~10⁹ rows/type at |x|≤10⁵ cents;
+# past that, widen the two sums to DECIMAL(38,0) at the aggregation (same
+# plan shape, Spark supports decimal sums natively).
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_zscore_outliers",
+    oracle="""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x FROM events
+), stats AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(x) AS s,
+         sum(x * x) AS q
+  FROM c GROUP BY event_type
+)
+SELECT c.event_type,
+       CAST(any_value(stats.n) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN
+           CAST(stats.n * c.x - stats.s AS DECIMAL(38,0))
+         * CAST(stats.n * c.x - stats.s AS DECIMAL(38,0))
+         * CAST(stats.n - 1 AS DECIMAL(38,0))
+         > CAST(9 AS DECIMAL(38,0)) * CAST(stats.n AS DECIMAL(38,0))
+           * CAST(stats.n * stats.q - stats.s * stats.s AS DECIMAL(38,0))
+         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM c JOIN stats USING (event_type)
+GROUP BY c.event_type
+ORDER BY c.event_type
+""",
+    tags=("r5.10",),
+)
+def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("x"))
+    stats = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"))
+    d38 = lambda col: col.cast("decimal(38,0)")
+    lhs = (d38(F.col("n") * F.col("x") - F.col("s"))
+           * d38(F.col("n") * F.col("x") - F.col("s"))
+           * d38(F.col("n") - 1))
+    rhs = (d38(F.lit(9)) * d38(F.col("n"))
+           * d38(F.col("n") * F.col("q") - F.col("s") * F.col("s")))
+    return (
+        c.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(F.any_value(F.col("n")).cast("bigint").alias("n_rows"),
+             F.sum(F.when(lhs > rhs, 1).otherwise(0)).cast("bigint")
+              .alias("n_outliers"))
+        .orderBy("event_type")
+    )

@@ -183,3 +183,52 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                            "event_id BIGINT, value DOUBLE, "
                            "value_sq DOUBLE, is_high BIGINT")
             .orderBy("event_id"))
+
+
+# b10.6 (r5 addendum) Python UDTF — the table-valued UDF surface (one input
+# row → many output rows with their own schema), lateral-joined per
+# document.  Sentence segmentation is the canonical shape: each doc yields
+# (sent_idx, n_words) rows.  Arrow-batched (useArrow) like every other
+# Python surface here; the UDTF runs embarrassingly parallel per input
+# partition — no shuffle until the caller aggregates.  Semantics contract
+# with the oracle: segments = split on '.', a segment counts when it has
+# any non-whitespace, n_words = whitespace-token count of the trimmed
+# segment (DuckDB's parallel unnests zip positionally, giving the same
+# (segment, index) pairs).
+@register(
+    "udf_table_function",
+    oracle=r"""
+WITH segs AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(text, '\.')) AS seg,
+         unnest(range(len(regexp_split_to_array(text, '\.')))) AS sent_idx
+  FROM documents
+  WHERE doc_id < 500
+)
+SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx,
+       CAST(len(regexp_split_to_array(trim(seg), '\s+')) AS INT) AS n_words
+FROM segs
+WHERE len(trim(seg)) > 0
+ORDER BY doc_id, sent_idx
+""",
+    tags=("b10.6",),
+)
+def udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, n_words int", useArrow=True)
+    class SplitSentences:
+        def eval(self, text: str):
+            for i, seg in enumerate((text or "").split(".")):
+                seg = seg.strip()
+                if seg:
+                    yield i, len(seg.split())
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    spark.udtf.register("split_sentences", SplitSentences)
+    docs.select("doc_id", "text").createOrReplaceTempView("udtf_docs")
+    return spark.sql("""
+        SELECT d.doc_id, s.sent_idx, s.n_words
+        FROM udtf_docs d, LATERAL split_sentences(d.text) s
+        ORDER BY d.doc_id, s.sent_idx
+    """)
