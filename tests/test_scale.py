@@ -93,11 +93,13 @@ def test_zorder_layout_tightens_both_dimensions(spark, sf_dir):
     import pyarrow.parquet as pq
 
     from json_sql_database_storage_spark.operators.scans import (
-        _SINK_ROOT, sink_zorder_skipping)
+        _sink, sink_zorder_skipping)
 
     sink_zorder_skipping(spark, sf_dir).collect()
+    # resolve through _sink so the glob tracks the applicationId-scoped
+    # layout (the unscoped path went stale when sinks became app-scoped)
     files = sorted(glob.glob(
-        os.path.join(_SINK_ROOT, "lineitem_zorder", "part-*.parquet")))
+        os.path.join(_sink("lineitem_zorder", spark), "part-*.parquet")))
     assert len(files) >= 4
     pk_spans, sk_spans, skippable = [], [], 0
     for f in files:
