@@ -1050,3 +1050,83 @@ def sample_fixed_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _FIXED_K)
         .orderBy("lang", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# r5.11 — term co-occurrence lift (association mining over the corpus):
+# for pairs among the top-K document-frequency terms, how much more often
+# they share documents than independence predicts:
+#     lift(a,b) = P(a,b) / (P(a)·P(b)) = n_both · N / (df_a · df_b).
+# The quality-filtering use: lift-heavy pairs expose boilerplate/template
+# families (terms that always travel together), the same signal the
+# repetition and bigram-novelty exhibits approach per-document.
+#
+# Scale: the top-K table comes from TakeOrderedAndProject (constant driver
+# memory at any vocabulary size) and broadcasts everywhere; the pair stage
+# self-joins the doc×top-term table on doc_id, so the quadratic term is
+# bounded at K²/2 per document no matter how long the document is.  All
+# counts exact integers; lift is one double division of exact operands.
+# ---------------------------------------------------------------------------
+
+_COOC_TOP = 20
+_COOC_MIN = 5
+
+
+@register(
+    "text_term_cooccurrence",
+    oracle=rf"""
+WITH w AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+  FROM documents
+), dfc AS (
+  SELECT term, count(*) AS df FROM w GROUP BY term
+), top AS (
+  SELECT term, df FROM dfc ORDER BY df DESC, term LIMIT {_COOC_TOP}
+), n AS (SELECT count(*) AS n_docs FROM documents),
+wt AS (
+  SELECT w.doc_id, w.term FROM w JOIN top USING (term)
+), pairs AS (
+  SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_both
+  FROM wt a JOIN wt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+)
+SELECT p.term_a, p.term_b, p.n_both,
+       CAST(p.n_both AS DOUBLE) * n.n_docs / (ta.df * tb.df) AS lift
+FROM pairs p
+JOIN top ta ON ta.term = p.term_a
+JOIN top tb ON tb.term = p.term_b
+CROSS JOIN n
+WHERE p.n_both >= {_COOC_MIN}
+ORDER BY term_a, term_b
+""",
+    tags=("r5.11", "b11.6"),
+)
+def text_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = (d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+         .distinct())
+    dfc = w.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    top = dfc.orderBy(F.col("df").desc(), "term").limit(_COOC_TOP)
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    wt = w.join(F.broadcast(top.select("term")), "term")
+    a = wt.select("doc_id", F.col("term").alias("term_a"))
+    b = wt.select("doc_id", F.col("term").alias("term_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= _COOC_MIN)
+    )
+    ta = top.select(F.col("term").alias("term_a"), F.col("df").alias("df_a"))
+    tb = top.select(F.col("term").alias("term_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(ta), "term_a")
+        .join(F.broadcast(tb), "term_b")
+        .crossJoin(F.broadcast(n))
+        .select("term_a", "term_b", "n_both",
+                (F.col("n_both").cast("double") * F.col("n_docs")
+                 / (F.col("df_a") * F.col("df_b"))).alias("lift"))
+        .orderBy("term_a", "term_b")
+    )

@@ -195,6 +195,7 @@ def test_no_unintended_scale_flags(spark, sf_dir):
             # row per input partition — constant bytes at any corpus size
             "text_tfidf", "text_unigram_logprob", "text_heavy_hitters",
             "sample_domain_balance", "sim_semdedup_prod",
+            "text_term_cooccurrence",
             # per-version scalar summary (count + sum over a snapshot read):
             # map-side partials, ONE row per input partition reaches the
             # single partition — constant bytes at any table size
