@@ -141,12 +141,22 @@ def test_runtime_bloom_filter_injection_available(spark, sf_dir):
             ".applicationSideScanSizeThreshold", "0")
         li = load_table(spark, sf_dir, "lineitem")
         o = load_table(spark, sf_dir, "orders").filter(
-            F.col("o_totalprice") > 500000)
+            F.col("o_totalprice") > 490000)  # ~1% of orders: selective AND non-empty at every SF
         j = (li.join(o, li.l_orderkey == o.o_orderkey)
              .groupBy("l_returnflag").count())
         plan = j._jdf.queryExecution().executedPlan().toString()
         assert "might_contain" in plan, plan[:2000]
         assert "bloom_filter_agg" in plan
+        # semantics unchanged by the pruning: same totals with the filter
+        # application threshold back at its (effectively off) default
+        n_bloom = {r["l_returnflag"]: r["count"] for r in j.collect()}
+        spark.conf.unset(
+            "spark.sql.optimizer.runtime.bloomFilter"
+            ".applicationSideScanSizeThreshold")
+        n_plain = {r["l_returnflag"]: r["count"] for r in
+                   li.join(o, li.l_orderkey == o.o_orderkey)
+                   .groupBy("l_returnflag").count().collect()}
+        assert n_bloom == n_plain and n_bloom
     finally:
         spark.conf.unset(
             "spark.sql.optimizer.runtime.bloomFilter"
@@ -321,52 +331,3 @@ def test_quantile_sketch_estimate_vs_exact_median(spark, sf_dir):
                   .first())
         est_rank_ok = row["est_within_rank_eps"] == 1
         assert est_rank_ok and lo <= exact[k] <= hi
-
-
-def test_runtime_bloom_filter_injected(spark, sf_dir):
-    """Pins the other half of the runtime-pruning story: Catalyst's
-    InjectRuntimeFilter must plant a bloom filter on the FACT side of a
-    shuffle join whose dimension side carries a selective filter, so fact
-    rows that cannot match die before the shuffle (the row-level sibling of
-    dynamic partition pruning, which tests/test_plans.py pins for the IVF
-    layout).  Thresholds are production defaults scaled to test-data volume
-    (creation side ≥ tens of MB / application side ≥ 10 GB in real
-    deployments)."""
-    saved = {k: spark.conf.get(k, None) for k in (
-        "spark.sql.autoBroadcastJoinThreshold",
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-    )}
-    try:
-        # broadcast off: with a broadcast join Spark (rightly) skips the
-        # bloom filter — the asserted plan is the big-big shuffle-join one
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        spark.conf.set(
-            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
-            "10MB")
-        spark.conf.set(
-            "spark.sql.optimizer.runtime.bloomFilter."
-            "applicationSideScanSizeThreshold", "16KB")
-        from json_sql_database_storage_spark.sources import load_table
-        li = load_table(spark, sf_dir, "lineitem").select(
-            "l_orderkey", "l_quantity")
-        o = load_table(spark, sf_dir, "orders").filter(
-            F.col("o_orderpriority") == "1-URGENT").select(
-            "o_orderkey", "o_totalprice")
-        joined = li.join(o, li.l_orderkey == o.o_orderkey)
-        plan = joined._jdf.queryExecution().optimizedPlan().toString()
-        assert "bloom_filter" in plan.lower() or "might_contain" in plan.lower(), \
-            plan[:3000]
-        # and the filtered result is still exactly the plain join
-        n_bloom = joined.count()
-        spark.conf.set(
-            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
-            "10GB")  # effectively off
-        n_plain = li.join(o, li.l_orderkey == o.o_orderkey).count()
-        assert n_bloom == n_plain and n_bloom > 0
-    finally:
-        for k, v in saved.items():
-            if v is not None:
-                spark.conf.set(k, v)
-            else:
-                spark.conf.unset(k)
