@@ -286,3 +286,31 @@ def test_incremental_refresh_pushes_split_filters(spark, sf_dir):
     pushed = " ".join(pushed_filters(df))
     assert "LessThan(o_orderdate" in pushed
     assert "GreaterThanOrEqual(o_orderdate" in pushed
+
+
+def test_r5_decision_support_top_n_is_take_ordered(spark, sf_dir):
+    """b12.1/b12.2: the final top-N runs as TakeOrderedAndProject
+    (per-partition heaps, constant driver memory) — never a global sort."""
+    for name in ("q3_shipping_priority", "q18_large_volume_customer"):
+        plan = _SPECS[name].fn(spark, sf_dir) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, (name, plan[:1500])
+
+
+def test_quantile_rollup_builds_summaries_map_side(spark, sf_dir):
+    """b4.16: the per-nation equi-depth summary must build as a PARTIAL
+    percentile_approx (map-side GK) — the shuffle carries B-point
+    summaries, not raw rows."""
+    plan = _SPECS["agg_quantile_sketch_rollup"].fn(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "partial_percentile_approx" in plan, plan[:2000]
+
+
+def test_pq_adc_joins_are_broadcast_only(spark, sf_dir):
+    """b11.28: every PQ join side is bytes-sized (codebook M·K·subdim,
+    ADC table Q·M·K) — the plan must use only broadcast hash joins, no
+    sort-merge shuffle of the corpus against them."""
+    plan = _SPECS["sim_pq_adc_topk"].fn(spark, sf_dir) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
