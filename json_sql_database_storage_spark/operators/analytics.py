@@ -215,7 +215,13 @@ ORDER BY o_orderpriority
     tags=("r5.9",),
 )
 def table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    return fingerprint_orders(load_table(spark, sf_dir, "orders"))
+
+
+def fingerprint_orders(o: DataFrame) -> DataFrame:
+    """The fingerprint aggregation on an orders-shaped DataFrame — shared
+    with the partitioning-invariance property test, whose whole point is
+    that THIS exact computation is layout-independent."""
     s = F.concat_ws(
         "|", F.col("o_orderkey").cast("string"),
         F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),

@@ -331,3 +331,27 @@ def test_quantile_sketch_estimate_vs_exact_median(spark, sf_dir):
                   .first())
         est_rank_ok = row["est_within_rank_eps"] == 1
         assert est_rank_ok and lo <= exact[k] <= hi
+
+
+def test_fingerprint_invariant_to_layout(spark, sf_dir):
+    """The fingerprint's defining property: the checksum must be identical
+    across radically different physical layouts of the same logical rows —
+    1 partition, hash-scattered 13 partitions, and reversed sort — because
+    commutative addition is the whole trick."""
+    from json_sql_database_storage_spark.operators.analytics import (
+        fingerprint_orders)
+    from json_sql_database_storage_spark.sources import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    layouts = [
+        o.coalesce(1),
+        o.repartition(13, F.col("o_custkey")),
+        o.orderBy(F.col("o_orderkey").desc()),
+    ]
+    results = [
+        {(r["o_orderpriority"], r["n_rows"], r["checksum"])
+         for r in fingerprint_orders(lo).collect()}
+        for lo in layouts
+    ]
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) >= 2
