@@ -558,3 +558,71 @@ def sink_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_partkey").cast("bigint").alias("min_pk"),
         F.max("l_suppkey").cast("bigint").alias("max_sk"),
     )
+
+
+# b1.21 (r5 addendum) federated three-source join: parquet fact ⨝ CSV
+# dimension ⨝ JDBC dimension in ONE Catalyst plan — the "put JSON where SQL
+# can reach it" contract generalized to "put ANY source where one query can
+# reach it", which is the practical reason a lakehouse engine replaces the
+# reference's single-JDBC-database design (DatabaseManager.java:59-69).
+# Each source keeps its own access path (parquet column pruning; CSV schema
+# read; JDBC pushdown) and the optimizer broadcasts both dimension sides.
+@register(
+    "scan_federated_join",
+    oracle="""
+SELECT n_name,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+""",
+    tags=("b1.21",),
+)
+def scan_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dimension 1 → CSV (header + explicit schema read-back)
+    cust_csv = _sink("customer_fed_csv", spark)
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    c.write.mode("overwrite").option("header", True).csv(cust_csv)
+    c_back = (spark.read.option("header", True)
+              .schema("c_custkey BIGINT, c_nationkey BIGINT").csv(cust_csv))
+
+    # dimension 2 → embedded DuckDB over JDBC
+    jar = find_jdbc_jar()
+    if jar is None:
+        raise EnvironmentError("no duckdb_jdbc jar found (see COVERAGE.md)")
+    ensure_jdbc_driver(spark, jar)
+    db = _sink("federated.duckdb", spark)
+    for suffix in ("", ".wal"):
+        if os.path.exists(db + suffix):
+            os.remove(db + suffix)
+    url = f"jdbc:duckdb:{db}"
+    _jdbc_execute(
+        spark, url,
+        "CREATE TABLE nation_fed (n_nationkey INTEGER, n_name VARCHAR)")
+    (load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+     .coalesce(1).write.format("jdbc")
+     .option("url", url).option("dbtable", "nation_fed")
+     .option("driver", _DUCKDB_DRIVER).mode("append").save())
+    n_back = (spark.read.format("jdbc")
+              .option("url", url).option("dbtable", "nation_fed")
+              .option("driver", _DUCKDB_DRIVER).load()
+              .select(F.col("n_nationkey").cast("bigint").alias("n_nationkey"),
+                      "n_name"))
+
+    # fact stays parquet; both dims broadcast into one plan
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    return (
+        o.join(F.broadcast(c_back), o.o_custkey == c_back.c_custkey)
+        .join(F.broadcast(n_back),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum("cents").cast("bigint").alias("total_cents"))
+        .orderBy("n_name")
+    )
