@@ -694,3 +694,106 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         cleanup(staged)
+
+
+# ---------------------------------------------------------------------------
+# b9.12 (r5 addendum) stream-stream LEFT OUTER interval join — the hard
+# variant of b9.10: unmatched views must STILL be emitted (with nulls),
+# which the engine can only do once the watermark proves no future purchase
+# can match them.  Two mechanics this exhibit pins:
+#   1. outer-state eviction is watermark-driven, so a sentinel chunk with a
+#      far-future timestamp is appended to push the watermark past every
+#      real view's join horizon (without it, the tail of unmatched views
+#      stays buffered forever and the result would be nondeterministic);
+#   2. Spark's no-data micro-batch (on by default) is what actually flushes
+#      the evicted rows after the last file — the replay relies on it.
+# The sentinel row is filtered out batch-side by its user_id.
+# ---------------------------------------------------------------------------
+
+_SENTINEL_USER = -1
+
+
+def _stage_with_sentinel(spark: SparkSession, sf_dir: str) -> str:
+    """Staged chunks plus one final far-future sentinel event file (own
+    mtime after every real chunk) — the watermark push that flushes outer
+    join state.  Not memoized in _STAGE_CACHE (the sentinel dir is derived
+    per call from the memoized base by copy)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    base = stage_event_chunks(spark, sf_dir)
+    staged = tempfile.mkdtemp(prefix="events_stream_sentinel_")
+    for f in sorted(os.listdir(base)):
+        shutil.copy2(os.path.join(base, f), os.path.join(staged, f))
+    far = (load_table(spark, sf_dir, "events")
+           .agg(F.date_add(F.max("ts").cast("date"), 30).cast("timestamp")
+                .alias("ts"))
+           .select(F.lit(0).cast("bigint").alias("event_id"), "ts",
+                   F.lit(_SENTINEL_USER).cast("bigint").alias("user_id"),
+                   F.lit("view").alias("event_type"),
+                   F.lit(0.0).alias("value"),
+                   F.lit("{}").alias("props")))
+    tmp = os.path.join(staged, "__sentinel_stage")
+    far.coalesce(1).write.mode("overwrite").parquet(tmp)
+    for f in os.listdir(tmp):
+        if f.endswith(".parquet"):
+            dst = os.path.join(staged, "chunk_999.parquet")
+            shutil.move(os.path.join(tmp, f), dst)
+            ts = _time.time() + 1000
+            os.utime(dst, (ts, ts))
+    shutil.rmtree(tmp)
+    return staged
+
+
+@register(
+    "stream_stream_left_outer_join",
+    oracle="""
+SELECT v.user_id,
+       count(*) AS n_views,
+       CAST(sum(CASE WHEN p.event_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view') v
+LEFT JOIN (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'purchase') p
+  ON p.user_id = v.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+GROUP BY v.user_id
+ORDER BY v.user_id
+""",
+    tags=("b9.12",),
+)
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = _stage_with_sentinel(spark, sf_dir)
+    try:
+        views = (read_event_stream(spark, staged)
+                 .filter(F.col("event_type") == "view")
+                 .select(F.col("user_id").alias("v_user"),
+                         F.col("ts").alias("v_ts"),
+                         F.col("event_id").alias("v_event_id"))
+                 .withWatermark("v_ts", "1 minute"))
+        purchases = (read_event_stream(spark, staged)
+                     .filter(F.col("event_type") == "purchase")
+                     .select(F.col("user_id").alias("p_user"),
+                             F.col("ts").alias("p_ts"),
+                             F.col("event_id").alias("p_event_id"))
+                     .withWatermark("p_ts", "1 minute"))
+        pairs = views.join(
+            purchases,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+            "leftOuter")
+        sunk = run_stream_to_table(pairs, output_mode="append")
+        return (
+            sunk.filter(F.col("v_user") != _SENTINEL_USER)
+            .groupBy(F.col("v_user").alias("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_views"),
+                 F.sum(F.col("p_event_id").isNotNull().cast("bigint"))
+                  .alias("n_matched"))
+            .orderBy("user_id")
+        )
+    finally:
+        cleanup(staged)
