@@ -40,3 +40,42 @@ def test_feature_extraction_on_empty_media(spark, sf_dir):
     out = extract_features(media)
     assert out.count() == 0
     assert "checksum" in out.columns
+
+
+def test_r5_primitives_on_empty_inputs(spark, sf_dir):
+    """Round-5 library primitives: empty in → empty out with the right
+    schema, no exceptions."""
+    from json_sql_database_storage_spark.llm.pq import pq_encode, subvectors
+    from json_sql_database_storage_spark.llm.search import (
+        build_inverted_index)
+    from json_sql_database_storage_spark.llm.sketches import mg_candidates
+    from json_sql_database_storage_spark.operators.analytics import (
+        fingerprint_orders)
+    from json_sql_database_storage_spark.operators.snapshots import merge_cow
+
+    empty_docs = (load_table(spark, sf_dir, "documents")
+                  .filter(F.col("doc_id") < 0))
+    idx = build_inverted_index(empty_docs)
+    assert idx.count() == 0
+    assert set(idx.columns) == {"term", "doc_id", "tf", "bkt"}
+
+    empty_words = empty_docs.select(F.lit("x").alias("term")).filter("1=0")
+    assert mg_candidates(empty_words, 10).count() == 0
+
+    empty_vecs = (load_table(spark, sf_dir, "embeddings")
+                  .filter(F.col("vec_id") < 0)
+                  .select("vec_id", as_double(F.col("embedding")).alias("e")))
+    subs = subvectors(empty_vecs)
+    assert subs.count() == 0
+    cb = subs.select(F.col("vec_id").alias("c_id"), "m",
+                     F.col("sub").alias("csub"))
+    assert pq_encode(subs, cb).count() == 0
+
+    empty_orders = (load_table(spark, sf_dir, "orders")
+                    .filter(F.col("o_orderkey") < 0))
+    assert fingerprint_orders(empty_orders).count() == 0
+
+    ed = empty_orders.select("o_orderkey",
+                             F.lit(0).cast("int").alias("o_year"),
+                             F.lit(0).cast("bigint").alias("cents"))
+    assert merge_cow(ed, ed).count() == 0
