@@ -21,7 +21,7 @@ from json_sql_database_storage_spark import registry
 from json_sql_database_storage_spark.session import build_session
 
 # Extra exhibits timed AFTER the two headline passes and reported under
-# "queries_extra": per-query perf evidence for the round-4 operator
+# "queries_extra": per-query perf evidence for the round-4/5 operator
 # families without changing the headline total that round-over-round
 # comparisons key on.
 EXTRA = [
@@ -49,6 +49,16 @@ EXTRA = [
     "snapshot_time_travel",
     "text_inverted_index_search",
     "sim_pq_adc_topk",
+    "events_zscore_outliers",
+    "text_term_cooccurrence",
+    "table_fingerprint",
+    "sample_fixed_k_per_stratum",
+    "udf_table_function",
+    "scan_federated_join",
+    # the stream-stream replays are excluded here: their wall time is
+    # micro-batch scheduling of a 4-chunk replay (a latency regime the
+    # batch bench's throughput number does not represent); their
+    # correctness runs in the oracle/smoke suites every round
 ]
 
 # Headline set: one representative per operator family, weighted toward the

@@ -38,11 +38,24 @@ _IDX_BUCKETS = 64
 
 def build_inverted_index(docs: DataFrame) -> DataFrame:
     """Posting rows (bkt, term, doc_id, tf) ready for a
-    partitionBy('bkt') write."""
+    partitionBy('bkt') write.
+
+    tf is computed MAP-SIDE inside the row (distinct terms × an array
+    count — O(u·n) per document, all JVM higher-order functions), so the
+    build's only shuffle is the caller's repartition-by-bucket for the
+    write; a groupBy(term, doc_id) formulation would shuffle every posting
+    twice."""
+    toks = tokens(F.col("text"))
+    entry = F.explode(F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(
+            t.alias("term"),
+            F.size(F.filter(toks, lambda x: x == t)).cast("bigint")
+             .alias("tf"))))
     return (
-        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        docs.select("doc_id", entry.alias("e"))
+        .select("doc_id", F.col("e.term").alias("term"),
+                F.col("e.tf").alias("tf"))
         .withColumn("bkt", F.pmod(F.xxhash64("term"), F.lit(_IDX_BUCKETS))
                     .cast("int"))
     )
@@ -76,7 +89,11 @@ def text_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     index_path = _sink("inv_index", spark)
+    # one task per bucket before the partitioned write — otherwise every
+    # task writes a sliver of every bucket directory (tasks × B small
+    # files; the classic partitionBy file explosion)
     (build_inverted_index(docs)
+     .repartition(_IDX_BUCKETS, "bkt")
      .write.mode("overwrite").partitionBy("bkt").parquet(index_path))
 
     idx = spark.read.parquet(index_path)
