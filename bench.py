@@ -55,6 +55,7 @@ EXTRA = [
     "sample_fixed_k_per_stratum",
     "udf_table_function",
     "scan_federated_join",
+    "dedup_minhash_incremental",
     # the stream-stream replays are excluded here: their wall time is
     # micro-batch scheduling of a 4-chunk replay (a latency regime the
     # batch bench's throughput number does not represent); their
