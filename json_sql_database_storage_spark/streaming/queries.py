@@ -727,23 +727,35 @@ def _stage_with_sentinel(spark: SparkSession, sf_dir: str) -> str:
     staged = tempfile.mkdtemp(prefix="events_stream_sentinel_")
     for f in sorted(os.listdir(base)):
         shutil.copy2(os.path.join(base, f), os.path.join(staged, f))
-    far = (load_table(spark, sf_dir, "events")
-           .agg(F.date_add(F.max("ts").cast("date"), 30).cast("timestamp")
-                .alias("ts"))
-           .select(F.lit(0).cast("bigint").alias("event_id"), "ts",
-                   F.lit(_SENTINEL_USER).cast("bigint").alias("user_id"),
-                   F.lit("view").alias("event_type"),
-                   F.lit(0.0).alias("value"),
-                   F.lit("{}").alias("props")))
-    tmp = os.path.join(staged, "__sentinel_stage")
-    far.coalesce(1).write.mode("overwrite").parquet(tmp)
-    for f in os.listdir(tmp):
-        if f.endswith(".parquet"):
-            dst = os.path.join(staged, "chunk_999.parquet")
-            shutil.move(os.path.join(tmp, f), dst)
-            ts = _time.time() + 1000
-            os.utime(dst, (ts, ts))
-    shutil.rmtree(tmp)
+    # TWO sentinel chunks, 30 then 60 days out: the first advances the
+    # watermark past every real view's horizon, and the SECOND is the batch
+    # in which that watermark actually evicts + emits the remaining outer
+    # rows — processAllAvailable does not reliably run a trailing no-data
+    # micro-batch, so the final eviction must ride a real one.
+    for i, days in enumerate((30, 60)):
+        # one view AND one purchase row per sentinel: the global watermark
+        # is the MIN across both sides' event-time columns, so a
+        # view-only sentinel would leave the purchase watermark pinned at
+        # the last real chunk and the tail views would never evict
+        far = (load_table(spark, sf_dir, "events")
+               .agg(F.date_add(F.max("ts").cast("date"), days)
+                    .cast("timestamp").alias("ts"))
+               .crossJoin(spark.createDataFrame(
+                   [("view",), ("purchase",)], "event_type string"))
+               .select(F.lit(-1 - i).cast("bigint").alias("event_id"), "ts",
+                       F.lit(_SENTINEL_USER).cast("bigint").alias("user_id"),
+                       "event_type",
+                       F.lit(0.0).alias("value"),
+                       F.lit("{}").alias("props")))
+        tmp = os.path.join(staged, "__sentinel_stage")
+        far.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                dst = os.path.join(staged, f"chunk_99{i}.parquet")
+                shutil.move(os.path.join(tmp, f), dst)
+                ts = _time.time() + 1000 + i
+                os.utime(dst, (ts, ts))
+        shutil.rmtree(tmp)
     return staged
 
 
