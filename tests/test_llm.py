@@ -412,3 +412,19 @@ def test_multimodal_real_wav_codec_roundtrip():
         want = sum((int(doc_id) * 31 + k * 7) % 2003 - 1001
                    for k in range(frames * ch))
         assert row.sum_samples == want
+
+
+def test_incremental_dedup_equals_oneshot_delta_slice(spark, sf_dir):
+    """Internal consistency beyond the oracle: the incremental form's pair
+    set must equal the one-shot dedup_minhash_lsh result restricted to
+    pairs touching the delta — the contract that lets a pipeline switch to
+    incremental ingestion without changing its dedup semantics."""
+    from json_sql_database_storage_spark.llm.dedup import (
+        _INC_DELTA_MIN, _minhash_verified_pairs)
+
+    inc = {(r["id_a"], r["id_b"]) for r in
+           _SPECS["dedup_minhash_incremental"].fn(spark, sf_dir).collect()}
+    oneshot = {(r["id_a"], r["id_b"]) for r in
+               _minhash_verified_pairs(spark, sf_dir).collect()
+               if r["id_a"] >= _INC_DELTA_MIN or r["id_b"] >= _INC_DELTA_MIN}
+    assert inc == oneshot and inc
