@@ -333,3 +333,113 @@ def doc_typing_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("k", classify_expr(F.col("k"), F.col("v")).alias("cls"))
             .groupBy("k", "cls").agg(F.count(F.lit(1)).alias("n"))
             .orderBy("k", "cls"))
+
+
+# ---------------------------------------------------------------------------
+# A6 companion (r5 addendum) — schema drift report between ingestion
+# batches.  The reference asserts columns into existence on every write
+# (auto-DDL, DatabaseManager.java:130,152,200) but can never TELL you what
+# changed; this operator makes schema evolution a queryable artifact: two
+# JSON batches in, one row per key out with its inferred type in each batch
+# and an added/removed/stable/type_changed status.  Type inference is
+# value-lexical like the reference's getType (DatabaseManager.java:514-534)
+# but reads the RAW json token, so "123" (quoted) stays a string while 123
+# is a number — the distinction auto-DDL actually needs.
+#
+# Both engines run the identical literal-pattern tokenizer
+# (regexp_extract_all pair scan → fixed-pattern key/value split), so the
+# report is engine-exact.  Scale: tokenize + explode + one (version, key)
+# aggregate — map-side combinable, output is O(|schema|) rows.
+# ---------------------------------------------------------------------------
+
+_DRIFT_PAIR_RE = r'"[^"]+"\s*:\s*("[^"]*"|[^,}]+)'
+_DRIFT_KEY_RE = r'^"([^"]+)"'
+_DRIFT_VAL_RE = r':\s*(.*)$'
+_DRIFT_CLS_SQL = """CASE
+  WHEN raw LIKE '"%' THEN 'string'
+  WHEN raw IN ('true', 'false') THEN 'boolean'
+  WHEN regexp_matches(raw, '^-?[0-9]+(\\.[0-9]+)?$') THEN 'number'
+  ELSE 'other' END"""
+
+
+@register(
+    "doc_schema_drift",
+    oracle=rf"""
+WITH b1 AS (
+  SELECT to_json(struct_pack(id := doc_id, lang := lang,
+                             n_chars := n_chars)) AS js
+  FROM documents WHERE doc_id % 2 = 0
+), b2 AS (
+  SELECT to_json(struct_pack(id := doc_id, lang := lang,
+                             n_chars := CAST(n_chars AS VARCHAR),
+                             source := source)) AS js
+  FROM documents WHERE doc_id % 2 = 1
+), tok AS (
+  SELECT 1 AS v, unnest(regexp_extract_all(js, '{_DRIFT_PAIR_RE}')) AS pair
+  FROM b1
+  UNION ALL
+  SELECT 2 AS v, unnest(regexp_extract_all(js, '{_DRIFT_PAIR_RE}')) AS pair
+  FROM b2
+), kv AS (
+  SELECT v, regexp_extract(pair, '{_DRIFT_KEY_RE}', 1) AS k,
+         regexp_extract(pair, '{_DRIFT_VAL_RE}', 1) AS raw
+  FROM tok
+), typed AS (
+  SELECT v, k, min({_DRIFT_CLS_SQL}) AS t FROM kv GROUP BY v, k
+), piv AS (
+  SELECT coalesce(a.k, b.k) AS key_name, a.t AS type_v1, b.t AS type_v2
+  FROM (SELECT k, t FROM typed WHERE v = 1) a
+  FULL OUTER JOIN (SELECT k, t FROM typed WHERE v = 2) b ON a.k = b.k
+)
+SELECT key_name,
+       coalesce(type_v1, 'absent') AS type_v1,
+       coalesce(type_v2, 'absent') AS type_v2,
+       CASE WHEN type_v1 IS NULL THEN 'added'
+            WHEN type_v2 IS NULL THEN 'removed'
+            WHEN type_v1 = type_v2 THEN 'stable'
+            ELSE 'type_changed' END AS status
+FROM piv
+ORDER BY key_name
+""",
+    tags=("A6", "r5.12"),
+)
+def doc_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    b1 = (d.filter(F.col("doc_id") % 2 == 0)
+          .select(F.to_json(F.struct(
+              F.col("doc_id").alias("id"), "lang", "n_chars")).alias("js"),
+              F.lit(1).alias("v")))
+    b2 = (d.filter(F.col("doc_id") % 2 == 1)
+          .select(F.to_json(F.struct(
+              F.col("doc_id").alias("id"), "lang",
+              F.col("n_chars").cast("string").alias("n_chars"),
+              "source")).alias("js"),
+              F.lit(2).alias("v")))
+    tok = (b1.unionByName(b2)
+           .select("v", F.explode(
+               F.regexp_extract_all("js", F.lit(_DRIFT_PAIR_RE), F.lit(0)))
+               .alias("pair")))
+    kv = tok.select(
+        "v", F.regexp_extract("pair", _DRIFT_KEY_RE, 1).alias("k"),
+        F.regexp_extract("pair", _DRIFT_VAL_RE, 1).alias("raw"))
+    cls = (F.when(F.col("raw").startswith('"'), "string")
+           .when(F.col("raw").isin("true", "false"), "boolean")
+           .when(F.col("raw").rlike(r"^-?[0-9]+(\.[0-9]+)?$"), "number")
+           .otherwise("other"))
+    typed = (kv.select("v", "k", cls.alias("t"))
+             .groupBy("v", "k").agg(F.min("t").alias("t")))
+    a = typed.filter(F.col("v") == 1).select(F.col("k"), F.col("t").alias("type_v1"))
+    b = typed.filter(F.col("v") == 2).select(F.col("k").alias("kb"),
+                                             F.col("t").alias("type_v2"))
+    piv = a.join(b, a.k == b.kb, "full_outer")
+    return (
+        piv.select(
+            F.coalesce(F.col("k"), F.col("kb")).alias("key_name"),
+            F.coalesce("type_v1", F.lit("absent")).alias("type_v1"),
+            F.coalesce("type_v2", F.lit("absent")).alias("type_v2"),
+            F.when(F.col("type_v1").isNull(), "added")
+             .when(F.col("type_v2").isNull(), "removed")
+             .when(F.col("type_v1") == F.col("type_v2"), "stable")
+             .otherwise("type_changed").alias("status"))
+        .orderBy("key_name")
+    )
