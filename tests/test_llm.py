@@ -428,3 +428,36 @@ def test_incremental_dedup_equals_oneshot_delta_slice(spark, sf_dir):
                _minhash_verified_pairs(spark, sf_dir).collect()
                if r["id_a"] >= _INC_DELTA_MIN or r["id_b"] >= _INC_DELTA_MIN}
     assert inc == oneshot and inc
+
+
+def test_pq_recall_above_chance_and_deterministic(spark, sf_dir):
+    """PQ with UNTRAINED prefix codebooks (K=16, no Lloyd) on synthetic
+    near-uniform embeddings is a lossy quantizer — recall@5 vs exact L2 is
+    ~0.2-0.4 here, which is ~50× the 5/(n-1)≈0.5% random-chance floor.
+    Pinned: (a) well above chance, so the codes genuinely carry geometry;
+    (b) bit-deterministic across runs.  Production recall comes from
+    trained codebooks (clustering.py's Lloyd recipe) + IVF composition,
+    per the module docstring — this test documents the honest baseline."""
+    from json_sql_database_storage_spark.llm.pq import l2sq
+    from json_sql_database_storage_spark.llm.similarity import as_double
+    from json_sql_database_storage_spark.sources import load_table
+    from pyspark.sql import Window as W, functions as F
+
+    pq1 = {(r["query_id"], r["neighbor_id"]) for r in
+           _SPECS["sim_pq_adc_topk"].fn(spark, sf_dir).collect()}
+    pq2 = {(r["query_id"], r["neighbor_id"]) for r in
+           _SPECS["sim_pq_adc_topk"].fn(spark, sf_dir).collect()}
+    assert pq1 == pq2                     # deterministic
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e"))
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    sc = (v.crossJoin(q).filter(F.col("vec_id") != F.col("query_id"))
+          .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                  l2sq(F.col("e"), F.col("qe")).alias("d")))
+    wq = W.partitionBy("query_id").orderBy("d", "neighbor_id")
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             sc.withColumn("rk", F.row_number().over(wq))
+             .filter(F.col("rk") <= 5).collect()}
+    recall = len(pq1 & exact) / len(exact)
+    assert recall >= 0.15, recall         # ≥30× the chance floor
