@@ -246,10 +246,12 @@ def fingerprint_orders(o: DataFrame) -> DataFrame:
 # is restated as EXACT integer arithmetic in the cents domain:
 #     (n·x − S)² · (n−1)  >  9 · n · (n·Q − S²)
 # (derived from (x−S/n)² > 9·(nQ−S²)/(n(n−1)) by clearing denominators;
-# S=Σx, Q=Σx², all BIGINT sums, products in DECIMAL(38,0) — overflow-free
-# into the ~10²⁵ range this data reaches and far beyond).  Both engines
-# evaluate identical integer products, so the flag can never flap on a
-# boundary value.
+# S=Σx, Q=Σx² are BIGINT sums, and every OPERAND is cast to DECIMAL(38,0)
+# BEFORE any multiplication — n·x, S·S, n·Q never touch int64, so the
+# products are overflow-free into the ~10²⁸ range (the r5 version multiplied
+# in BIGINT first and would have wrapped S² silently once Σx passed ~3·10⁹
+# cents — ADVICE r5 item 1).  Both engines evaluate identical integer
+# products, so the flag can never flap on a boundary value.
 #
 # Scale: one event_type groupBy (map-side combinable S/Q/n), one broadcast
 # join of the tiny stats table back to the stream, one conditional count.
@@ -273,11 +275,14 @@ WITH c AS (
 SELECT c.event_type,
        CAST(any_value(stats.n) AS BIGINT) AS n_rows,
        CAST(sum(CASE WHEN
-           CAST(stats.n * c.x - stats.s AS DECIMAL(38,0))
-         * CAST(stats.n * c.x - stats.s AS DECIMAL(38,0))
-         * CAST(stats.n - 1 AS DECIMAL(38,0))
+           (CAST(stats.n AS DECIMAL(38,0)) * CAST(c.x AS DECIMAL(38,0))
+              - CAST(stats.s AS DECIMAL(38,0)))
+         * (CAST(stats.n AS DECIMAL(38,0)) * CAST(c.x AS DECIMAL(38,0))
+              - CAST(stats.s AS DECIMAL(38,0)))
+         * (CAST(stats.n AS DECIMAL(38,0)) - 1)
          > CAST(9 AS DECIMAL(38,0)) * CAST(stats.n AS DECIMAL(38,0))
-           * CAST(stats.n * stats.q - stats.s * stats.s AS DECIMAL(38,0))
+           * (CAST(stats.n AS DECIMAL(38,0)) * CAST(stats.q AS DECIMAL(38,0))
+                - CAST(stats.s AS DECIMAL(38,0)) * CAST(stats.s AS DECIMAL(38,0)))
          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM c JOIN stats USING (event_type)
 GROUP BY c.event_type
@@ -293,11 +298,13 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").alias("s"),
         F.sum(F.col("x") * F.col("x")).alias("q"))
     d38 = lambda col: col.cast("decimal(38,0)")
-    lhs = (d38(F.col("n") * F.col("x") - F.col("s"))
-           * d38(F.col("n") * F.col("x") - F.col("s"))
-           * d38(F.col("n") - 1))
+    # operands widen to DECIMAL(38,0) BEFORE multiplying: n·x, S·S, n·Q in
+    # int64 would wrap silently (Spark) / raise (DuckDB) once Σx ≈ 3e9 cents
+    dev = d38(F.col("n")) * d38(F.col("x")) - d38(F.col("s"))
+    lhs = dev * dev * (d38(F.col("n")) - F.lit(1))
     rhs = (d38(F.lit(9)) * d38(F.col("n"))
-           * d38(F.col("n") * F.col("q") - F.col("s") * F.col("s")))
+           * (d38(F.col("n")) * d38(F.col("q"))
+              - d38(F.col("s")) * d38(F.col("s"))))
     return (
         c.join(F.broadcast(stats), "event_type")
         .groupBy("event_type")

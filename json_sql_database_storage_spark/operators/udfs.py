@@ -194,7 +194,9 @@ def udf_map_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with the oracle: segments = split on '.', a segment counts when it has
 # any non-whitespace, n_words = whitespace-token count of the trimmed
 # segment (DuckDB's parallel unnests zip positionally, giving the same
-# (segment, index) pairs).
+# (segment, index) pairs).  The oracle trims the same character set
+# str.strip() does (space, \t, \n, \r, \v, \f) — bare DuckDB trim() strips
+# only spaces, which would diverge on tab/newline-led segments (ADVICE r5).
 @register(
     "udf_table_function",
     oracle=r"""
@@ -206,9 +208,13 @@ WITH segs AS (
   WHERE doc_id < 500
 )
 SELECT doc_id, CAST(sent_idx AS INT) AS sent_idx,
-       CAST(len(regexp_split_to_array(trim(seg), '\s+')) AS INT) AS n_words
+       CAST(len(regexp_split_to_array(trim(seg, ' ' || chr(9) || chr(10)
+                                               || chr(13) || chr(11)
+                                               || chr(12)), '\s+'))
+            AS INT) AS n_words
 FROM segs
-WHERE len(trim(seg)) > 0
+WHERE len(trim(seg, ' ' || chr(9) || chr(10) || chr(13) || chr(11)
+                    || chr(12))) > 0
 ORDER BY doc_id, sent_idx
 """,
     tags=("b10.6",),

@@ -461,3 +461,43 @@ def test_pq_recall_above_chance_and_deterministic(spark, sf_dir):
              .filter(F.col("rk") <= 5).collect()}
     recall = len(pq1 & exact) / len(exact)
     assert recall >= 0.15, recall         # ≥30× the chance floor
+
+
+def test_log_snap_guard_band(duck):
+    """The fixed-point snap floor(ln(N/c)·1e6 + 0.5) used by
+    text_unigram_logprob (and the BM25 idf snap in llm/search.py) is only
+    cross-engine-safe if no operand pair lands near a floor boundary: JVM
+    Math.log and DuckDB's libm may differ in the last ulp (ADVICE r5 item
+    5), which is ~3e-9 absolute in the ·1e6 domain.  Pin a ≥1e-6 guard band
+    — 300× the worst-case ln divergence — for every distinct (N, c) the
+    corpus actually produces, on both snap shapes."""
+    import math
+
+    from json_sql_database_storage_spark.llm.text_analysis import _LM_VOCAB
+
+    rows = duck.execute(r"""
+      WITH w AS (SELECT doc_id,
+                        unnest(regexp_split_to_array(lower(text), '\s+'))
+                          AS term
+                 FROM documents)
+      SELECT (SELECT count(*) FROM w) AS n_tokens,
+             (SELECT count(DISTINCT doc_id) FROM w) AS n_docs,
+             list(DISTINCT c) AS counts,
+             list(DISTINCT df) AS dfs
+      FROM (SELECT term, count(*) AS c, count(DISTINCT doc_id) AS df
+            FROM w GROUP BY term)
+    """).fetchall()[0]
+    n_tokens, n_docs, counts, dfs = rows
+
+    def boundary_dist(t: float) -> float:
+        frac = (t + 0.5) % 1.0
+        return min(frac, 1.0 - frac)
+
+    # unigram snap: ln(N/c)·1e6 over in-vocab counts plus the OOV c=1 path
+    for c in set(counts) | {1}:
+        t = math.log(n_tokens / c) * 1e6
+        assert boundary_dist(t) > 1e-6, (c, t)
+    # BM25 idf snap: ln(1 + (N−df+0.5)/(df+0.5))·1e6 over observed dfs
+    for df in set(dfs):
+        t = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1e6
+        assert boundary_dist(t) > 1e-6, (df, t)
