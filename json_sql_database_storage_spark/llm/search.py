@@ -40,22 +40,20 @@ def build_inverted_index(docs: DataFrame) -> DataFrame:
     """Posting rows (bkt, term, doc_id, tf) ready for a
     partitionBy('bkt') write.
 
-    tf is computed MAP-SIDE inside the row (distinct terms × an array
-    count — O(u·n) per document, all JVM higher-order functions), so the
-    build's only shuffle is the caller's repartition-by-bucket for the
-    write; a groupBy(term, doc_id) formulation would shuffle every posting
-    twice."""
+    tf comes from explode + groupBy(term, doc_id) — LINEAR in tokens.  The
+    r5 version computed tf map-side as `size(filter(toks, x == t))` per
+    distinct term, which is O(distinct-terms × tokens) per document: for a
+    10k-token document that is ~10⁸ comparisons inside one task, so at
+    100 TB the build turns compute-bound in a way the extra posting shuffle
+    it saved never would (r5 verdict "wrong" #1).  The groupBy partials
+    combine map-side (a document's duplicate terms collapse before the
+    exchange), so shuffle bytes are O(postings), the same order the
+    repartition-for-write below already pays."""
     toks = tokens(F.col("text"))
-    entry = F.explode(F.transform(
-        F.array_distinct(toks),
-        lambda t: F.struct(
-            t.alias("term"),
-            F.size(F.filter(toks, lambda x: x == t)).cast("bigint")
-             .alias("tf"))))
     return (
-        docs.select("doc_id", entry.alias("e"))
-        .select("doc_id", F.col("e.term").alias("term"),
-                F.col("e.tf").alias("tf"))
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
         .withColumn("bkt", F.pmod(F.xxhash64("term"), F.lit(_IDX_BUCKETS))
                     .cast("int"))
     )
@@ -116,3 +114,150 @@ def text_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_terms_matched") == len(_QUERY_TERMS))
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# r6.1 (b11.27b) — BM25 RANKED retrieval over the same bucket-partitioned
+# inverted index (r5 verdict next-round #2: the first thing a search user
+# asks for after the first AND query).  Okapi BM25 with k1=1.2, b=0.75,
+# disjunctive (OR) semantics, global top-k by score.
+#
+# Access path: identical to text_inverted_index_search — the literal query
+# terms' buckets constant-fold to a STATIC PartitionFilter on the index
+# scan (plan-asserted in tests/test_plans.py), so a Q-term query reads
+# ≤ Q of the _IDX_BUCKETS directories.  df comes from the pruned postings
+# themselves; corpus stats (N docs, total tokens) are a 1-row aggregate;
+# per-doc length joins distributed on doc_id (hits ⋈ dl is an equi-join —
+# df-bounded on the left, O(corpus) on the right, never all-pairs).
+#
+# Cross-engine exactness (the same discipline as text_unigram_logprob):
+#   idf_q6 = floor(ln(1 + (N − df + ½)/(df + ½)) · 1e6 + 0.5)  — BIGINT,
+#     snapped fixed-point; safe under the ln guard band pinned by
+#     tests/test_llm.py::test_log_snap_guard_band.
+#   tf-norm = tf / (tf + k1·(1 − b + b·dl/avgdl)) with avgdl = T/N is
+#     cleared to the exact integer fraction (multiply through by 10·T):
+#       num = 10·T·tf,   den = 10·T·tf + 3·T + 9·dl·N
+#     Both BIGINT; their double casts are exact below 2^53 and the IEEE
+#     division/multiplication that follows is bit-identical in both
+#     engines.  (Beyond 2^53 corpus tokens, widen num/den to DECIMAL —
+#     same plan shape; or drop to plain-double BM25 and give up oracle
+#     exactness, which is what production ranking does anyway.)
+#   per-doc score = ORDERED sum of per-term contributions (sorted by term
+#     — the pq.py ADC convention), so the double result is bit-identical.
+# Ranking ties break on doc_id; scores are bit-identical, so rank is
+# deterministic across engines.
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("join", "vector", "dup")  # common, mid, rare (df 394/382/25)
+_BM25_TOPK = 10
+
+
+@register(
+    "text_bm25_topk",
+    oracle=rf"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+  FROM documents
+), stats AS (
+  SELECT count(*) AS t_tokens, count(DISTINCT doc_id) AS n_docs FROM w
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id
+), post AS (
+  SELECT doc_id, term, count(*) AS tf FROM w
+  WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM post GROUP BY term
+), idf AS (
+  SELECT df.term,
+         CAST(floor(ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                    * 1000000 + 0.5) AS BIGINT) AS idf_q6
+  FROM df CROSS JOIN stats
+), contrib AS (
+  SELECT p.doc_id, p.term,
+         (CAST(i.idf_q6 AS DOUBLE) / 1000000.0)
+         * (CAST(10 * s.t_tokens * p.tf AS DOUBLE)
+            / CAST(10 * s.t_tokens * p.tf + 3 * s.t_tokens
+                   + 9 * d.dl * s.n_docs AS DOUBLE)) AS c
+  FROM post p
+  JOIN idf i USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+), scored AS (
+  SELECT doc_id, count(*) AS n_terms_matched,
+         list_sum(list(c ORDER BY term)) AS score
+  FROM contrib GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id, n_terms_matched, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
+       score, rk
+FROM ranked WHERE rk <= {_BM25_TOPK}
+ORDER BY rk
+""",
+    tags=("r6.1", "b11.27"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents by BM25 over the query terms, served through the
+    bucket-partitioned inverted index (build → partitioned write → pruned
+    probe → idf/tf-norm scoring → TakeOrdered top-k)."""
+    from ..operators.scans import _sink
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    index_path = _sink("inv_index_bm25", spark)
+    (build_inverted_index(docs)
+     .repartition(_IDX_BUCKETS, "bkt")
+     .write.mode("overwrite").partitionBy("bkt").parquet(index_path))
+    idx = spark.read.parquet(index_path)
+
+    bkt_pred = None
+    for t in _BM25_TERMS:
+        e = (F.col("bkt")
+             == F.pmod(F.xxhash64(F.lit(t)), F.lit(_IDX_BUCKETS)).cast("int"))
+        bkt_pred = e if bkt_pred is None else (bkt_pred | e)
+    qterms = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+    hits = idx.filter(bkt_pred).join(F.broadcast(qterms), "term")
+
+    dl = docs.select("doc_id", F.size(tokens(F.col("text"))).cast("bigint")
+                     .alias("dl"))
+    stats = dl.agg(F.sum("dl").alias("t_tokens"),
+                   F.count(F.lit(1)).alias("n_docs"))
+    dfq = hits.groupBy("term").agg(F.count(F.lit(1)).cast("bigint")
+                                   .alias("df"))
+
+    num = F.lit(10) * F.col("t_tokens") * F.col("tf")
+    den = (num + F.lit(3) * F.col("t_tokens")
+           + F.lit(9) * F.col("dl") * F.col("n_docs"))
+    idf_q6 = F.floor(
+        F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+              / (F.col("df") + F.lit(0.5))) * 1000000 + F.lit(0.5)
+    ).cast("bigint")
+    contrib = (
+        hits.join(F.broadcast(dfq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term",
+                ((idf_q6.cast("double") / F.lit(1000000.0))
+                 * (num.cast("double") / den.cast("double"))).alias("c"))
+    )
+    scored = (
+        contrib.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+             # ORDERED per-term sum (sorted by term) — bit-identical to the
+             # oracle's list_sum(list(c ORDER BY term))
+             F.aggregate(
+                 F.array_sort(F.collect_list(
+                     F.struct(F.col("term").alias("term"),
+                              F.col("c").alias("c")))),
+                 F.lit(0.0), lambda acc, s: acc + s["c"]).alias("score"))
+    )
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(_BM25_TOPK)
+    # rank over the ≤ top-k rows that survived TakeOrdered — the window's
+    # single partition holds k rows by construction, never the corpus
+    wrk = W.orderBy(F.col("score").desc(), "doc_id")
+    return (top.withColumn("rk", F.row_number().over(wrk))
+            .select("doc_id", "n_terms_matched", "score", "rk")
+            .orderBy("rk"))

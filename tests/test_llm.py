@@ -501,3 +501,31 @@ def test_log_snap_guard_band(duck):
     for df in set(dfs):
         t = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1e6
         assert boundary_dist(t) > 1e-6, (df, t)
+
+
+def test_ivfpq_recall_contract(spark, sf_dir):
+    """r6.2: the TRAINED-codebook IVFPQ path must deliver recall@5 >= 0.8
+    vs exact L2 over the full corpus (numpy-validated design point:
+    0.88/0.88/0.82 at sf0.001/0.01/0.1; the untrained-codebook baseline is
+    0.70-0.86) — the materially-above-chance-floor contract the r5 verdict
+    asked to replace the old >= 0.15 bound with."""
+    from json_sql_database_storage_spark.llm.pq import _IPQ_NQ, _IPQ_TOPK, l2sq
+    from json_sql_database_storage_spark.llm.similarity import as_double
+    from json_sql_database_storage_spark.sources import load_table
+    from pyspark.sql import Window as W, functions as F
+
+    got = {(r["query_id"], r["neighbor_id"]) for r in
+           _SPECS["sim_ivfpq_topk"].fn(spark, sf_dir).collect()}
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e"))
+    q = v.filter(F.col("vec_id") < _IPQ_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    sc = (v.crossJoin(q).filter(F.col("vec_id") != F.col("query_id"))
+          .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                  l2sq(F.col("e"), F.col("qe")).alias("d")))
+    wq = W.partitionBy("query_id").orderBy("d", "neighbor_id")
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             sc.withColumn("rk", F.row_number().over(wq))
+             .filter(F.col("rk") <= _IPQ_TOPK).collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, recall

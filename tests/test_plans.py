@@ -157,6 +157,21 @@ def test_inverted_index_probe_static_partition_pruning(spark, sf_dir):
                for ln in pf_lines), pf_lines
 
 
+def test_bm25_probe_static_partition_pruning(spark, sf_dir):
+    """r6.1: the BM25 probe inherits the inverted index's access path —
+    the literal query terms' buckets must constant-fold into a STATIC
+    PartitionFilter on the index scan (<= |terms| of the 64 bucket dirs
+    read), and the dl join must stay an equi-join (no all-pairs)."""
+    df = _SPECS["text_bm25_topk"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf_lines = [ln for ln in plan.splitlines()
+                if "inv_index_bm25" in ln and "PartitionFilters" in ln]
+    assert pf_lines, plan[:2000]
+    assert any("bkt" in ln.split("PartitionFilters", 1)[1].split("]", 1)[0]
+               for ln in pf_lines), pf_lines
+    assert "CartesianProduct" not in plan
+
+
 def test_ivf_partitioned_probe_uses_dynamic_partition_pruning(spark, sf_dir):
     """b11.19: the persisted IVF index is a cell-partitioned table and the
     probe join runs on the partition column with a selective probe side —
@@ -164,6 +179,16 @@ def test_ivf_partitioned_probe_uses_dynamic_partition_pruning(spark, sf_dir):
     probe reads only its nprobe cell directories (the ANN-serving access
     path at 100 TB)."""
     df = _SPECS["sim_ivf_partitioned"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_ivfpq_probe_uses_dynamic_partition_pruning(spark, sf_dir):
+    """r6.2: the IVFPQ code layout is cell-partitioned and the probe joins
+    on the partition column with a broadcast probe side — DPP must inject
+    the probed-cell subquery so a query reads only its nprobe of the KC
+    cell directories (codes, M bytes/vector — never raw vectors)."""
+    df = _SPECS["sim_ivfpq_topk"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
 
@@ -196,6 +221,9 @@ def test_no_unintended_scale_flags(spark, sf_dir):
             "text_tfidf", "text_unigram_logprob", "text_heavy_hitters",
             "sample_domain_balance", "sim_semdedup_prod",
             "text_term_cooccurrence",
+            # 1-row corpus stats (T, N) + the rank window AFTER TakeOrdered
+            # top-k — the single partition holds <= k rows by construction
+            "text_bm25_topk",
             # per-version scalar summary (count + sum over a snapshot read):
             # map-side partials, ONE row per input partition reaches the
             # single partition — constant bytes at any table size
