@@ -443,3 +443,60 @@ def doc_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
              .otherwise("type_changed").alias("status"))
         .orderBy("key_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# r6.4 — A3/A5 at the LIBRARY surface (r5 verdict next-round #8): the same
+# save-then-fetch contract the reference exposes (DatabaseManager.java:118
+# save / :253-269 fetch-by-(table, rowNum)), driven through DocumentStore
+# itself rather than the filter_point_lookup plan exhibit.  upsert(base) →
+# upsert(delta, same keys win) → lookup() × 4 keys, one of them updated —
+# proving the API's MERGE semantics and the point-lookup read path compose.
+# Lookup keys are literals, so each lookup's key predicate reaches the
+# parquet scan (min/max row-group skip — the A3 pushdown property already
+# plan-asserted for filter_point_lookup).  The 4-key union is O(keys)
+# driver-side plan construction, not data movement.
+# ---------------------------------------------------------------------------
+
+_LOOKUP_KEYS = (1, 7, 32, 101)  # 101 ≡ 1 (mod 100) → served from the upsert
+
+
+@register(
+    "doc_lookup_api",
+    oracle=f"""
+WITH t AS (
+  SELECT o_orderkey AS "rowNum", o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), upd AS (
+  SELECT "rowNum", o_custkey, cents + 500 AS cents
+  FROM t WHERE "rowNum" % 100 = 1
+), merged AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT * FROM t WHERE "rowNum" % 100 != 1
+)
+SELECT "rowNum", o_custkey, cents
+FROM merged
+WHERE "rowNum" IN ({", ".join(str(k) for k in _LOOKUP_KEYS)})
+ORDER BY "rowNum"
+""",
+    tags=("r6.4", "A3", "A5"),
+)
+def doc_lookup_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from ..operators.scans import _sink
+    from .model import KEY
+    from .store import DocumentStore
+
+    base = _sink("doc_store_api", spark)
+    store = DocumentStore(spark, base)
+    t = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias(KEY), "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    store.upsert(t, "orders_api")
+    store.upsert(t.filter(F.col(KEY) % 100 == 1)
+                 .withColumn("cents", F.col("cents") + 500), "orders_api")
+    outs = [store.lookup("orders_api", k) for k in _LOOKUP_KEYS]
+    return reduce(lambda a, b: a.unionByName(b), outs).orderBy(KEY)

@@ -135,11 +135,12 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.orderBy("version")
 
 
-def snapshot_commit(spark: SparkSession, sf_dir: str) -> dict[int, dict[int, str]]:
+def snapshot_commit(spark: SparkSession, sf_dir: str,
+                    name: str = "snapshot_tt") -> dict[int, dict[int, str]]:
     """Write the v0 and v1 commits under the session sink; return
     {version: {year: partition_dir}} manifests (also persisted as
     manifest.json next to the data, like a table format's log)."""
-    root = _sink("snapshot_tt", spark)
+    root = _sink(name, spark)
     cut_ins = F.lit(_CUT_INS).cast("timestamp")
     cut_end = F.lit(_CUT_END).cast("timestamp")
     o = load_table(spark, sf_dir, "orders").select(
@@ -179,3 +180,113 @@ def snapshot_commit(spark: SparkSession, sf_dir: str) -> dict[int, dict[int, str
     with open(os.path.join(root, "manifest.json"), "w") as f:
         json.dump({str(v): m for v, m in manifests.items()}, f, indent=1)
     return manifests
+
+
+# ---------------------------------------------------------------------------
+# r6.3 (b1.19b) — snapshot LIFECYCLE: retention/expiry + manifest
+# compaction (r5 verdict next-round #4).  The two table-format operations a
+# COW snapshot table needs once it runs for more than a day:
+#
+#   expire      keep the last N versions; physically delete every partition
+#               directory referenced ONLY by expired versions.  Shared
+#               directories (untouched partitions an old and a new manifest
+#               both point at — the physical-sharing property pinned in
+#               tests/test_sources.py) survive, so expiry never breaks a
+#               retained version.  This is Delta VACUUM / Iceberg
+#               expire_snapshots.
+#   compact     rewrite the manifest log to a single file holding only the
+#               surviving versions — an AS-OF read of an expired version
+#               now fails FAST at manifest lookup (KeyError), not half-way
+#               through a scan of deleted paths.
+#
+# Scale: expiry's working set is manifests (O(partitions) paths — the same
+# driver-side metadata every table format's VACUUM holds), never row data;
+# the deletions are per-directory filesystem ops an object store runs as
+# bulk deletes.
+# ---------------------------------------------------------------------------
+
+
+def expire_snapshots(root: str, manifests: dict[int, dict[int, str]],
+                     keep_last: int) -> dict:
+    """Delete exactly the partition directories no retained version
+    references; compact the manifest log to the survivors.  Returns
+    {kept_versions, deleted_dirs, kept_dirs}."""
+    import shutil
+
+    versions = sorted(manifests)
+    keep = versions[-keep_last:]
+    kept_dirs = {p for v in keep for p in manifests[v].values()}
+    expired_dirs = {p for v in versions if v not in keep
+                    for p in manifests[v].values()}
+    to_delete = sorted(expired_dirs - kept_dirs)
+    for p in to_delete:
+        shutil.rmtree(p)
+    survivors = {v: manifests[v] for v in keep}
+    with open(os.path.join(root, "manifest.json"), "w") as f:
+        json.dump({str(v): m for v, m in survivors.items()}, f, indent=1)
+    return {"kept_versions": keep, "deleted_dirs": to_delete,
+            "kept_dirs": sorted(kept_dirs)}
+
+
+def load_manifests(root: str) -> dict[int, dict[int, str]]:
+    """Read the (possibly compacted) manifest log back; AS-OF resolution
+    raises KeyError for an expired version."""
+    with open(os.path.join(root, "manifest.json")) as f:
+        raw = json.load(f)
+    return {int(v): {int(y): p for y, p in m.items()} for v, m in raw.items()}
+
+
+@register(
+    "snapshot_expire",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_CUT_INS}'
+), upd AS (
+  SELECT o_orderkey, o_year, cents + 100 AS cents
+  FROM base WHERE o_orderkey % 10 = 0 AND o_year = {_UPD_YEAR}
+), ins AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{_CUT_INS}'
+    AND o_orderdate <  TIMESTAMP '{_CUT_END}'
+), delta AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+v1 AS (
+  SELECT b.* FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = b.o_orderkey)
+  UNION ALL SELECT * FROM delta
+)
+SELECT 1 AS version,
+       count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       (SELECT CAST(count(DISTINCT o_year) AS BIGINT) FROM upd)
+         AS n_dirs_deleted,
+       (SELECT CAST(count(DISTINCT o_year) AS BIGINT) FROM v1)
+         AS n_dirs_kept
+FROM v1
+""",
+    tags=("r6.3", "b1.19"),
+)
+def snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit v0 + v1, expire to keep_last=1, then read the SURVIVING
+    version through the compacted manifest and summarize it alongside the
+    physical-deletion counts.  Deleted = exactly the v0 partition dirs the
+    v1 MERGE rewrote (shared untouched dirs survive); the oracle derives
+    the same counts relationally: dirs deleted = distinct update-touched
+    years that existed in v0, dirs kept = distinct years in v1."""
+    root = _sink("snapshot_exp", spark)
+    manifests = snapshot_commit(spark, sf_dir, name="snapshot_exp")
+    info = expire_snapshots(root, manifests, keep_last=1)
+    survivor = load_manifests(root)[1]
+    return (
+        read_version(spark, survivor)
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum("cents").cast("bigint").alias("total_cents"))
+        .select(F.lit(1).alias("version"), "n_rows", "total_cents",
+                F.lit(len(info["deleted_dirs"])).cast("bigint")
+                 .alias("n_dirs_deleted"),
+                F.lit(len(info["kept_dirs"])).cast("bigint")
+                 .alias("n_dirs_kept"))
+    )

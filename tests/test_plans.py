@@ -227,7 +227,7 @@ def test_no_unintended_scale_flags(spark, sf_dir):
             # per-version scalar summary (count + sum over a snapshot read):
             # map-side partials, ONE row per input partition reaches the
             # single partition — constant bytes at any table size
-            "snapshot_time_travel",
+            "snapshot_time_travel", "snapshot_expire",
         },
     }
     bad = []

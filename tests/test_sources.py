@@ -76,3 +76,43 @@ def test_snapshot_commit_reuses_untouched_partitions(spark, sf_dir):
     n0 = read_version(spark, m0).count()
     n1 = read_version(spark, m1).count()
     assert n1 > n0 > 0
+
+
+def test_snapshot_expire_deletes_exactly_the_unreferenced_set(spark, sf_dir):
+    """r6.3: after expire(keep_last=1), (a) the physically deleted paths
+    are EXACTLY the dirs no surviving manifest references, (b) the
+    surviving version still reads byte-identically, (c) the compacted
+    manifest log no longer resolves the expired version (fast KeyError),
+    and (d) a read through the expired version's stale manifest fails."""
+    import os
+
+    import pytest
+
+    from json_sql_database_storage_spark.operators.scans import _sink
+    from json_sql_database_storage_spark.operators.snapshots import (
+        expire_snapshots, load_manifests, read_version, snapshot_commit)
+
+    name = "snapshot_exp_test"
+    root = _sink(name, spark)
+    manifests = snapshot_commit(spark, sf_dir, name=name)
+    before = read_version(spark, manifests[1]).agg(
+        {"cents": "sum", "*": "count"}).collect()[0]
+    expected_deleted = sorted(
+        set(manifests[0].values()) - set(manifests[1].values()))
+    info = expire_snapshots(root, manifests, keep_last=1)
+    # (a) exact physical deletion set
+    assert info["deleted_dirs"] == expected_deleted
+    assert expected_deleted, "fixture must actually rewrite a partition"
+    assert all(not os.path.exists(p) for p in info["deleted_dirs"])
+    assert all(os.path.exists(p) for p in info["kept_dirs"])
+    # (b) survivor reads identically through the compacted manifest
+    survivors = load_manifests(root)
+    after = read_version(spark, survivors[1]).agg(
+        {"cents": "sum", "*": "count"}).collect()[0]
+    assert tuple(after) == tuple(before)
+    # (c) expired version resolves to a fast KeyError post-compaction
+    with pytest.raises(KeyError):
+        survivors[0]
+    # (d) the stale v0 manifest now points at a deleted path
+    with pytest.raises(Exception):
+        read_version(spark, manifests[0]).collect()

@@ -107,3 +107,22 @@ def test_transform_with_state_totals(spark, sf_dir):
                  F.sum(F.round(F.col("value") * 100).cast("bigint"))
                   .alias("cents")).collect()}
     assert got == want
+
+
+def test_tws_gate_reason_is_pinned():
+    """r6 probe of the b9.11 gate (r5 verdict item 7): when the gate is
+    closed it must be for exactly the recorded reason — the `google`
+    namespace package does not exist in this environment at all (import
+    raises ModuleNotFoundError for 'google', not a partial/broken
+    protobuf).  If protobuf ever appears, the gate opens and the
+    conditional totals test above starts running instead."""
+    from json_sql_database_storage_spark.streaming.queries import (
+        _twspb_available)
+
+    if _twspb_available():
+        pytest.skip("protobuf importable here — gate open, nothing to pin")
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+        raise AssertionError("gate closed but import succeeded")
+    except ModuleNotFoundError as ex:
+        assert ex.name in ("google", "google.protobuf"), ex
