@@ -355,3 +355,73 @@ def test_fingerprint_invariant_to_layout(spark, sf_dir):
     ]
     assert results[0] == results[1] == results[2]
     assert len(results[0]) >= 2
+
+
+# ---------------------------------------------------------------------------
+# r6.5 — EMPIRICAL scale curve for the three heaviest LLM ops (r5 verdict
+# next-round #5): every 100-TB claim so far is plan-asserted; this measures
+# the runtime curve on synthetic 1x/3x/10x corpora and pins near-linearity
+# (runtime ratio < 2x the data ratio).  The corpus replicates the sf0.1
+# documents table with per-replica token suffixes, so shingles/terms never
+# collide ACROSS replicas — near-dup density stays constant per document
+# and output size grows linearly, the shape a genuinely growing crawl has
+# (naive replication would grow the per-bucket pair count quadratically and
+# measure the workload, not the engine).
+# ---------------------------------------------------------------------------
+
+
+def _scale_corpus(spark, sf_dir, tmp_root, mult):
+    import os
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    reps = [d] + [
+        d.select((F.col("doc_id") + rep * 10000).alias("doc_id"),
+                 F.concat_ws(" ", F.transform(
+                     F.split(F.col("text"), " "),
+                     lambda t: F.concat(t, F.lit(f"r{rep}")))).alias("text"),
+                 "lang")
+        for rep in range(1, mult)
+    ]
+    out = reps[0]
+    for r in reps[1:]:
+        out = out.unionByName(r)
+    path = os.path.join(tmp_root, f"x{mult}")
+    out.write.mode("overwrite").parquet(os.path.join(path,
+                                                     "documents.parquet"))
+    return path
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.slow
+def test_scale_curve_heavy_ops_near_linear(spark, tmp_path_factory):
+    """Measured growth: for each op, t(3x)/t(1x) < 6 and t(10x)/t(1x) < 20
+    (2x the data ratio — generous because the harness shares a loaded
+    machine; a super-linear plan shows up as 30-100x, not 12x).  Base is
+    the sf0.1 documents table (5000 docs), so 10x = 50000 docs.  Timings
+    recorded in SCALE.md."""
+    import time
+
+    sf01 = "/root/testdata/sf0.1"
+    root = str(tmp_path_factory.mktemp("scale_curve"))
+    ops = ["dedup_minhash_lsh", "dedup_minhash_incremental",
+           "text_inverted_index_search"]
+    dirs = {m: _scale_corpus(spark, sf01, root, m) for m in (1, 3, 10)}
+    # plan-warm at 1x: codegen + Python worker startup out of the timings
+    for op in ops:
+        _SPECS[op].fn(spark, dirs[1]).count()
+    t = {}
+    for m in (1, 3, 10):
+        for op in ops:
+            t0 = time.monotonic()
+            _SPECS[op].fn(spark, dirs[m]).count()
+            t[(op, m)] = time.monotonic() - t0
+    for op in ops:
+        base = max(t[(op, 1)], 0.5)   # floor: sub-second base is noise
+        assert t[(op, 3)] / base < 6.0, (op, t)
+        assert t[(op, 10)] / base < 20.0, (op, t)
+    print("\nscale curve (sec):")
+    for op in ops:
+        print(f"  {op}: 1x={t[(op,1)]:.2f} 3x={t[(op,3)]:.2f} "
+              f"10x={t[(op,10)]:.2f}")
