@@ -56,6 +56,15 @@ EXTRA = [
     "udf_table_function",
     "scan_federated_join",
     "dedup_minhash_incremental",
+    # round-6 families
+    "text_bm25_topk",
+    "text_phrase_search",
+    "sim_ivfpq_topk",
+    "snapshot_expire",
+    "q5_local_supplier_volume",
+    "doc_lookup_api",
+    "text_count_min_sketch",
+    "graph_pagerank",
     # the stream-stream replays are excluded here: their wall time is
     # micro-batch scheduling of a 4-chunk replay (a latency regime the
     # batch bench's throughput number does not represent); their

@@ -56,7 +56,14 @@ def _assign(v: DataFrame, cent: DataFrame) -> DataFrame:
     """Map-side Lloyd assignment: broadcast k centroids, argmin of squared
     L2 with deterministic (dist, cluster-id) tie-break via row_number —
     ties can only arise from duplicate centroids, and the window keeps the
-    choice well-defined in both engines even then."""
+    choice well-defined in both engines even then.
+
+    Cost is O(n·k·dim) distance work — inherent to flat Lloyd assignment
+    and fine while k×dim broadcasts (k ≈ n/40 at 64 dims here).  The
+    escape hatch when k reaches the millions is a coarse quantizer:
+    assign to a small top-level centroid set first, then argmin only
+    within the matched coarse cell (hierarchical k-means / IVF-style) —
+    the same two-level shape sim_ivfpq_topk's probe already uses."""
     scored = (
         v.crossJoin(F.broadcast(cent))
         .select("vec_id", "e", "c_id", _l2sq(F.col("e"), F.col("ce")).alias("d2")))

@@ -261,3 +261,83 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (top.withColumn("rk", F.row_number().over(wrk))
             .select("doc_id", "n_terms_matched", "score", "rk")
             .orderBy("rk"))
+
+
+# ---------------------------------------------------------------------------
+# r6.5 (b11.27c) — PHRASE search over a POSITIONAL inverted index: the
+# third retrieval mode the r5 verdict named missing (AND → ranked → phrase).
+# The index gains a position column — postings are (term, doc_id, pos),
+# still bucket-partitioned by term hash, so the probe keeps the static
+# PartitionFilter access path.  A phrase (t1 t2) matches where a t2
+# posting sits at pos+1 of a t1 posting in the same document: one
+# equi-join on (doc_id, adjacent position) between two pruned posting
+# streams — Lucene's positional-postings intersection, expressed
+# relationally.
+#
+# Scale: positional postings are O(tokens) rows (vs O(distinct terms/doc)
+# for tf postings) — the standard positional-index size trade; the probe
+# still reads only the phrase terms' buckets, and the adjacency join keys
+# on doc_id so it shuffles at most the two terms' postings, never the
+# corpus.  Longer phrases chain the same join (t_i at pos+i), each step
+# pruning further.
+# ---------------------------------------------------------------------------
+
+_PHRASE = ("join", "merge")  # adjacent-token phrase; 33 matching docs sf0.01
+
+
+def build_positional_index(docs: DataFrame) -> DataFrame:
+    """Posting rows (bkt, term, doc_id, pos) for a partitionBy('bkt')
+    write — same bucket scheme as build_inverted_index, plus the token
+    position (0-based) phrase intersection needs."""
+    return (
+        docs.select("doc_id",
+                    F.posexplode(tokens(F.col("text"))).alias("pos", "term"))
+        .select("doc_id", "term", F.col("pos").cast("bigint").alias("pos"))
+        .withColumn("bkt", F.pmod(F.xxhash64("term"), F.lit(_IDX_BUCKETS))
+                    .cast("int"))
+    )
+
+
+@register(
+    "text_phrase_search",
+    oracle=rf"""
+WITH r AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS r
+  FROM documents
+), w AS (
+  SELECT doc_id, unnest(range(len(r))) AS pos, unnest(r) AS term FROM r
+), p1 AS (SELECT doc_id, pos FROM w WHERE term = '{_PHRASE[0]}'),
+   p2 AS (SELECT doc_id, pos FROM w WHERE term = '{_PHRASE[1]}')
+SELECT p1.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM p1 JOIN p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+GROUP BY p1.doc_id
+ORDER BY p1.doc_id
+""",
+    tags=("r6.5", "b11.27"),
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents containing the exact phrase, with occurrence counts,
+    served through the positional bucket-partitioned index."""
+    from ..operators.scans import _sink
+
+    docs = load_table(spark, sf_dir, "documents")
+    index_path = _sink("inv_index_pos", spark)
+    (build_positional_index(docs)
+     .repartition(_IDX_BUCKETS, "bkt")
+     .write.mode("overwrite").partitionBy("bkt").parquet(index_path))
+    idx = spark.read.parquet(index_path)
+
+    def postings(term: str) -> DataFrame:
+        bkt = F.pmod(F.xxhash64(F.lit(term)), F.lit(_IDX_BUCKETS)).cast("int")
+        return (idx.filter((F.col("bkt") == bkt) & (F.col("term") == term))
+                .select("doc_id", "pos"))
+
+    p1 = postings(_PHRASE[0])
+    p2 = (postings(_PHRASE[1])
+          .select("doc_id", (F.col("pos") - 1).alias("pos")))
+    return (
+        p1.join(p2, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .orderBy("doc_id")
+    )

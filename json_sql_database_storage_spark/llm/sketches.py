@@ -106,3 +106,99 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("term", "freq")
         .orderBy(F.col("freq").desc(), "term")
     )
+
+
+# ---------------------------------------------------------------------------
+# r6.8 — count-min sketch (Cormode & Muthukrishnan 2005): the point-query
+# frequency sketch that completes the mergeable-summary family (HLL =
+# distinct counts, quantile sketch = distributions, Misra-Gries = top-k,
+# CMS = arbitrary-term frequency lookups).  d=4 hash rows × w=256 counters
+# = a 1 KB-scale table that answers "how often does term t occur?" in O(d)
+# regardless of corpus size, with one-sided error: est ≥ exact always, and
+# est − exact ≤ 2N/w with probability 1 − (1/2)^d.
+#
+# Cross-engine determinism: hash_i(t) = first 2 hex chars of
+# md5(i || ':' || t) — md5 is bit-identical everywhere (the
+# sample_domain_balance precedent), and the bucket KEY stays the hex
+# substring itself, so no engine-specific hex→int conversion exists
+# anywhere.  Counters, estimates, exact counts: all BIGINT.
+#
+# Scale: the build is one groupBy over (i, bucket) — d·w = 1024 groups,
+# map-side combinable, shuffle bytes O(d·w · partitions) independent of
+# corpus; per-language sketches MERGE by plain counter addition into
+# exactly the global sketch (pinned in tests/test_llm.py — the property
+# that lets 1000 executors sketch shards independently).
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4    # hash rows
+# w = 256 buckets, implied by the 2-hex-char key
+
+
+def _cms_hashes(term):
+    """(i, bkt) struct array for one term — the d bucket coordinates."""
+    return F.array(*[
+        F.struct(F.lit(i).alias("i"),
+                 F.substring(F.md5(F.concat(F.lit(f"{i}:"), term)
+                                   .cast("binary")), 1, 2).alias("bkt"))
+        for i in range(_CMS_D)])
+
+
+@register(
+    "text_count_min_sketch",
+    oracle=rf"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+  FROM documents
+), h AS (
+  SELECT term, i, substr(md5(CAST(i AS VARCHAR) || ':' || term), 1, 2) AS bkt
+  FROM w CROSS JOIN (SELECT unnest(range({_CMS_D})) AS i)
+), counters AS (
+  SELECT i, bkt, count(*) AS c FROM h GROUP BY i, bkt
+), exact AS (
+  SELECT term, count(*) AS exact_c FROM w GROUP BY term
+), probe AS (
+  SELECT DISTINCT term, i, bkt FROM h
+)
+SELECT e.term, CAST(e.exact_c AS BIGINT) AS exact_c,
+       CAST(min(c.c) AS BIGINT) AS cms_est
+FROM probe p
+JOIN counters c USING (i, bkt)
+JOIN exact e ON e.term = p.term
+GROUP BY e.term, e.exact_c
+ORDER BY e.term
+""",
+    tags=("r6.8", "b11.23"),
+)
+def text_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the d×w counter table from the corpus, then answer a point
+    query per distinct corpus term alongside its exact count — the oracle
+    doubles as the one-sided-error check (cms_est ≥ exact_c row by row)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("term"))
+    h = toks.select("term", F.explode(_cms_hashes(F.col("term"))).alias("e")) \
+            .select("term", F.col("e.i").alias("i"), F.col("e.bkt").alias("bkt"))
+    counters = h.groupBy("i", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint")
+                                     .alias("exact_c"))
+    probe = h.select("term", "i", "bkt").distinct()
+    return (
+        probe.join(counters, ["i", "bkt"])
+        .groupBy("term")
+        .agg(F.min("c").cast("bigint").alias("cms_est"))
+        .join(exact, "term")
+        .select("term", "exact_c", "cms_est")
+        .orderBy("term")
+    )
+
+
+def cms_counters(toks: DataFrame, extra_keys: list[str] = []) -> DataFrame:
+    """(extra_keys…, i, bkt, c) counter table — the mergeable unit.  With
+    extra_keys=['lang'], per-language sketches; merging = summing c over
+    the extra keys, which equals the directly-built global sketch exactly
+    (addition commutes with the per-cell counts)."""
+    h = (toks.select(*extra_keys, F.explode(_cms_hashes(F.col("term")))
+                     .alias("e"))
+         .select(*extra_keys, F.col("e.i").alias("i"),
+                 F.col("e.bkt").alias("bkt")))
+    return h.groupBy(*extra_keys, "i", "bkt") \
+            .agg(F.count(F.lit(1)).alias("c"))

@@ -313,3 +313,69 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("n_outliers"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# r6.6 — TPC-H Q5 shape (local-supplier volume): the 6-table join chain
+# customer ⨝ orders ⨝ lineitem ⨝ supplier ⨝ nation ⨝ region with the
+# "local supplier" constraint (c_nationkey = s_nationkey) that makes the
+# supplier join a TWO-key equi-join.  The classic join-ordering exhibit:
+# region (5 rows) filters nation (25) which filters supplier — all three
+# broadcast, so the only shuffles are the order⋈lineitem fact join and the
+# final per-nation aggregate (map-side combinable, 25 groups).  Catalyst
+# reorders the dimension chain; AQE re-plans the fact join from runtime
+# stats.  Revenue in the decimal domain (functions/exact.py).
+# ---------------------------------------------------------------------------
+
+_Q5_REGION = "ASIA"
+_Q5_LO = "1996-01-01 00:00:00"
+_Q5_HI = "1997-01-01 00:00:00"
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+SELECT n_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                   * CAST(1 - l_discount AS DECIMAL(6,4))), 2) AS DOUBLE)
+         AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{_Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{_Q5_LO}'
+  AND o_orderdate <  TIMESTAMP '{_Q5_HI}'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    tags=("r6.6",),
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = (load_table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= F.lit(_Q5_LO).cast("timestamp"))
+                 & (F.col("o_orderdate") < F.lit(_Q5_HI).cast("timestamp")))
+         .select("o_orderkey", "o_custkey"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == _Q5_REGION)
+    # region→nation→supplier dimension chain: all broadcastable at any SF
+    sn = (s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+          .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+          .select("s_suppkey", "s_nationkey", "n_name"))
+    revenue = dec("l_extendedprice") * dec_factor(1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sn), (li.l_suppkey == sn.s_suppkey)
+              & (c.c_nationkey == sn.s_nationkey))
+        .groupBy("n_name")
+        .agg(dsum_expr(revenue).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )

@@ -1,0 +1,117 @@
+"""Iterative graph processing as unrolled Catalyst plans (SURVEY.md §2 r6
+addenda): PageRank over the customer↔supplier trade graph.
+
+Why it belongs here: the LLM-curation family already runs two iterative
+algorithms — pointer-jumping connected components (llm/dedup.py, for dup
+clusters) and unrolled Lloyd k-means (llm/clustering.py).  PageRank adds
+WEIGHTED propagation, the third classic shape (Pregel's hello-world), and
+the same engine discipline applies: iterations are unrolled statically into
+ONE plan — no driver loop, no .collect() between steps — so Catalyst sees
+the whole lineage and AQE re-plans every superstep from runtime stats.
+
+Graph: distinct (customer, supplier) trade pairs from orders ⨝ lineitem,
+symmetrized (both directions), supplier node ids offset by 1e6.  Symmetric
+edges ⇒ no dangling nodes ⇒ no leaked-mass correction term to reason about.
+
+Scale shape per iteration: one edges ⨝ ranks equi-join (shuffle keyed by
+src), one groupBy(dst) with map-side partial sums — exactly a Pregel
+superstep expressed relationally.  At 100 TB the edge list is the fact
+table; ranks are O(nodes) and co-partition with it after the first
+exchange.  A production run checkpoints every few supersteps to truncate
+lineage; at 3 unrolled iterations the plan is comfortably compact.
+
+Determinism (cross-engine EXACT, not float-tolerant): ranks live in BIGINT
+micro-units.  r0 = 1e6 per node; each step is
+    r'(v) = 150000 + (85 · Σ_{u→v} (r(u) div outdeg(u))) div 100
+— integer division and BIGINT sums only, so the result is bit-identical in
+any engine and under any partitioning/summation order (the same reason the
+fingerprint/zscore ops run in integer domains).  Quantization drift vs
+float PageRank is ≤ outdeg in micro-units per step — irrelevant for
+ranking, priceless for the oracle.  (Beyond ~1e12-node·rank products,
+widen the sums to DECIMAL(38,0) — same plan.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+
+_PR_ITERS = 3
+_PR_OFFSET = 1000000  # supplier node id offset
+
+
+def _pr_iter_sql(prev: str) -> str:
+    return f"""
+  SELECT e.dst AS node,
+         150000 + (85 * sum(r.r // d.d)) // 100 AS r
+  FROM edges e
+  JOIN {prev} r ON r.node = e.src
+  JOIN deg d ON d.src = e.src
+  GROUP BY e.dst
+"""
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+WITH e0 AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS src, s + {_PR_OFFSET} AS dst FROM e0
+  UNION ALL
+  SELECT s + {_PR_OFFSET} AS src, c AS dst FROM e0
+),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+r1 AS ({_pr_iter_sql("r0")}),
+r2 AS ({_pr_iter_sql("r1")}),
+r3 AS ({_pr_iter_sql("r2")})
+SELECT node, CAST(r AS BIGINT) AS rank_q6 FROM r3 ORDER BY node
+""",
+    tags=("r6.9",),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3 unrolled PageRank supersteps in fixed-point arithmetic over the
+    symmetrized customer↔supplier trade graph."""
+    from ..registry import scoped_persist
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+          .distinct())
+    edges = (e0.select(F.col("c").alias("src"),
+                       (F.col("s") + _PR_OFFSET).alias("dst"))
+             .unionByName(
+                 e0.select((F.col("s") + _PR_OFFSET).alias("src"),
+                           F.col("c").alias("dst"))))
+    # edges feed every superstep plus the degree table — persist the slim
+    # projection once instead of re-running the distinct per reference
+    edges = edges.transform(scoped_persist)
+    deg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+           .transform(scoped_persist))
+    ranks = deg.select(F.col("src").alias("node"),
+                       F.lit(1000000).cast("bigint").alias("r"))
+    for _ in range(_PR_ITERS):
+        # fold rank/outdeg into a per-NODE contribution first (a node-sized
+        # join), so the edge table joins exactly once per superstep; the
+        # contribution side is O(nodes) — AQE broadcasts it while it fits
+        # and falls back to a co-partitioned shuffle join when it doesn't,
+        # which is precisely the adaptive choice a 100-TB run wants (no
+        # forced broadcast hint here by design: ranks grow with the graph)
+        contrib = (ranks.join(deg, ranks["node"] == deg["src"])
+                   .select("src", F.expr("r div d").alias("contrib")))
+        ranks = (
+            edges.join(contrib, "src")
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+            .select(F.col("dst").alias("node"),
+                    (F.lit(150000)
+                     + F.expr("(85 * s) div 100")).cast("bigint").alias("r"))
+        )
+    return ranks.select("node", F.col("r").alias("rank_q6")).orderBy("node")

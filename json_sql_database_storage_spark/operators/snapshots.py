@@ -179,6 +179,11 @@ def snapshot_commit(spark: SparkSession, sf_dir: str,
     manifests = {0: m0, 1: m1}
     with open(os.path.join(root, "manifest.json"), "w") as f:
         json.dump({str(v): m for v, m in manifests.items()}, f, indent=1)
+    # claim each version in the put-if-absent CAS log (r6.7) — idempotent
+    # on re-runs within a session (same inputs ⇒ same manifest content)
+    for v, m in manifests.items():
+        if not os.path.exists(os.path.join(root, f"manifest-v{v}.json")):
+            commit_manifest(root, v, m)
     return manifests
 
 
@@ -221,6 +226,11 @@ def expire_snapshots(root: str, manifests: dict[int, dict[int, str]],
     to_delete = sorted(expired_dirs - kept_dirs)
     for p in to_delete:
         shutil.rmtree(p)
+    for v in versions:
+        if v not in keep:   # retire the expired versions' CAS log entries
+            vpath = os.path.join(root, f"manifest-v{v}.json")
+            if os.path.exists(vpath):
+                os.remove(vpath)
     survivors = {v: manifests[v] for v in keep}
     with open(os.path.join(root, "manifest.json"), "w") as f:
         json.dump({str(v): m for v, m in survivors.items()}, f, indent=1)
@@ -290,3 +300,47 @@ def snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(len(info["kept_dirs"])).cast("bigint")
                  .alias("n_dirs_kept"))
     )
+
+
+# ---------------------------------------------------------------------------
+# r6.7 — concurrent-commit CONFLICT DETECTION (the last lifecycle gap the
+# r5 verdict named for b1.19): optimistic concurrency through put-if-absent
+# version files, the primitive every log-structured table format builds on
+# (Delta's `N.json` put-if-absent; Iceberg's atomic metadata swap).  A
+# writer prepares its data files freely (they are invisible until
+# committed), then claims version N by CREATING `manifest-vN.json` with
+# O_EXCL — the filesystem/object-store arbitrates: exactly one writer's
+# create succeeds, the loser gets SnapshotConflict and must rebase (re-read
+# the new current version, re-apply its delta, retry at N+1).  The loser's
+# orphaned data files are exactly what expire/VACUUM sweeps.
+# ---------------------------------------------------------------------------
+
+
+class SnapshotConflict(Exception):
+    """Another writer already committed this version — rebase and retry."""
+
+
+def commit_manifest(root: str, version: int, manifest: dict[int, str]) -> str:
+    """Atomically claim `version`: create manifest-v{version}.json
+    exclusively and write the partition listing.  Raises SnapshotConflict
+    if the version is already claimed."""
+    path = os.path.join(root, f"manifest-v{version}.json")
+    try:
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except FileExistsError:
+        raise SnapshotConflict(
+            f"version {version} already committed under {root}") from None
+    with os.fdopen(fd, "w") as f:
+        json.dump({str(y): p for y, p in manifest.items()}, f, indent=1)
+    return path
+
+
+def current_version(root: str) -> int:
+    """Highest committed version in the CAS log (-1 if none) — what a
+    conflicted writer re-reads before rebasing."""
+    vs = [-1]
+    for entry in os.scandir(root):
+        name = entry.name
+        if name.startswith("manifest-v") and name.endswith(".json"):
+            vs.append(int(name[len("manifest-v"):-len(".json")]))
+    return max(vs)

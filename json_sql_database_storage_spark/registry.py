@@ -55,6 +55,7 @@ _OPERATOR_MODULES = (
     "json_sql_database_storage_spark.operators.scd",
     "json_sql_database_storage_spark.operators.analytics",
     "json_sql_database_storage_spark.operators.snapshots",
+    "json_sql_database_storage_spark.operators.graph",
     "json_sql_database_storage_spark.llm.sketches",
     "json_sql_database_storage_spark.llm.search",
     "json_sql_database_storage_spark.llm.pq",

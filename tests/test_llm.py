@@ -529,3 +529,31 @@ def test_ivfpq_recall_contract(spark, sf_dir):
              .filter(F.col("rk") <= _IPQ_TOPK).collect()}
     recall = len(got & exact) / len(exact)
     assert recall >= 0.8, recall
+
+
+def test_cms_merge_equals_direct_and_overestimates(spark, sf_dir):
+    """r6.8: (a) per-language CMS counter tables merged by addition equal
+    the directly-built global table cell-for-cell (the mergeable-summary
+    property that lets shards sketch independently); (b) every estimate
+    is >= its exact count (one-sided error), and the total overestimate
+    respects the 2N/w bound shape."""
+    from json_sql_database_storage_spark.llm.sketches import cms_counters
+    from json_sql_database_storage_spark.llm.text_analysis import tokens
+    from json_sql_database_storage_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(tokens(F.col("text"))).alias("term"))
+    direct = {(r["i"], r["bkt"]): r["c"]
+              for r in cms_counters(toks).collect()}
+    per_lang = cms_counters(toks, ["lang"])
+    merged = {(r["i"], r["bkt"]): r["c"] for r in
+              per_lang.groupBy("i", "bkt").agg(F.sum("c").alias("c"))
+              .collect()}
+    assert merged == direct
+    rows = _SPECS["text_count_min_sketch"].fn(spark, sf_dir).collect()
+    assert rows
+    n = sum(r["exact_c"] for r in rows)
+    for r in rows:
+        assert r["cms_est"] >= r["exact_c"], r
+        assert r["cms_est"] - r["exact_c"] <= 2 * n / 256 + 1, r

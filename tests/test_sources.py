@@ -116,3 +116,37 @@ def test_snapshot_expire_deletes_exactly_the_unreferenced_set(spark, sf_dir):
     # (d) the stale v0 manifest now points at a deleted path
     with pytest.raises(Exception):
         read_version(spark, manifests[0]).collect()
+
+
+def test_snapshot_concurrent_commit_conflict(spark, sf_dir):
+    """r6.7: two writers racing for the same version — exactly one CAS
+    create succeeds; the loser gets SnapshotConflict, re-reads the current
+    version, and lands at N+1.  Also: snapshot_commit populates the CAS
+    log, and expire retires expired versions' entries so current_version
+    tracks the survivors."""
+    import os
+
+    import pytest
+
+    from json_sql_database_storage_spark.operators.scans import _sink
+    from json_sql_database_storage_spark.operators.snapshots import (
+        SnapshotConflict, commit_manifest, current_version,
+        expire_snapshots, snapshot_commit)
+
+    name = "snapshot_cas_test"
+    root = _sink(name, spark)
+    manifests = snapshot_commit(spark, sf_dir, name=name)
+    assert current_version(root) == 1      # commit path claimed v0, v1
+    # writer A claims v2
+    claimed = commit_manifest(root, 2, manifests[1])
+    assert os.path.exists(claimed)
+    # writer B raced for v2 and must lose, then rebase onto v3
+    with pytest.raises(SnapshotConflict):
+        commit_manifest(root, 2, manifests[1])
+    assert current_version(root) == 2
+    commit_manifest(root, current_version(root) + 1, manifests[1])
+    assert current_version(root) == 3
+    # expiry retires the expired versions' CAS entries too
+    expire_snapshots(root, manifests, keep_last=1)
+    assert not os.path.exists(os.path.join(root, "manifest-v0.json"))
+    assert os.path.exists(os.path.join(root, "manifest-v1.json"))
