@@ -65,6 +65,7 @@ EXTRA = [
     "doc_lookup_api",
     "text_count_min_sketch",
     "graph_pagerank",
+    "join_scd2_point_in_time",
     # the stream-stream replays are excluded here: their wall time is
     # micro-batch scheduling of a 4-chunk replay (a latency regime the
     # batch bench's throughput number does not represent); their

@@ -179,3 +179,75 @@ def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (event_latest_state(ev)
             .select("user_id", "event_type", "r.*")
             .orderBy("user_id", "event_type"))
+
+
+# ---------------------------------------------------------------------------
+# r6.10 (b3.15) — POINT-IN-TIME join over the SCD2 dimension: every fact
+# row joins the dimension VERSION that was valid when the fact happened —
+# the query SCD2 exists to serve, closing the loop on b1.16.  Facts carry
+# an as-of version (orders before/after the cut date → batch 0/1); the
+# join is an EQUI-join on the key with the validity interval as a residual
+# predicate — per-key version fan-out is the (small) version count, so the
+# plan stays a plain shuffled equi-join at any dimension size, never an
+# interval explosion.
+#
+# The oracle reconstructs each version DIRECTLY from the change rules
+# (v0 = original attributes, v1 = changes merged over v0) — so the check
+# also proves the SCD2 interval encoding round-trips: reading "the version
+# valid at t" out of the versioned table equals rebuilding version t from
+# scratch.
+# ---------------------------------------------------------------------------
+
+_PIT_CUT = "1998-01-01 00:00:00"
+
+
+@register(
+    "join_scd2_point_in_time",
+    oracle=f"""
+WITH cust AS (
+  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 500
+), dim_v AS (
+  SELECT 0 AS as_of, c_custkey, c_mktsegment FROM cust
+  UNION ALL
+  SELECT 1 AS as_of, c_custkey,
+         CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END
+  FROM cust
+), f AS (
+  SELECT o_custkey,
+         CASE WHEN o_orderdate < TIMESTAMP '{_PIT_CUT}' THEN 0 ELSE 1 END
+           AS as_of,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_custkey < 500
+)
+SELECT f.as_of, d.c_mktsegment,
+       count(*) AS n_orders,
+       CAST(sum(f.cents) AS BIGINT) AS total_cents
+FROM f JOIN dim_v d ON d.c_custkey = f.o_custkey AND d.as_of = f.as_of
+GROUP BY f.as_of, d.c_mktsegment
+ORDER BY f.as_of, d.c_mktsegment
+""",
+    tags=("r6.10", "b1.16"),
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders join the SCD2 customer version valid at their as-of batch:
+    equi-join on c_custkey, validity interval as the residual predicate."""
+    dim = scd2_dimension_versioning(spark, sf_dir)
+    f = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_custkey") < 500)
+         .select("o_custkey",
+                 F.when(F.col("o_orderdate")
+                        < F.lit(_PIT_CUT).cast("timestamp"), 0)
+                  .otherwise(1).alias("as_of"),
+                 F.round(F.col("o_totalprice") * 100).cast("bigint")
+                  .alias("cents")))
+    pit = f.join(
+        dim,
+        (dim["c_custkey"] == f["o_custkey"])
+        & (dim["valid_from"] <= f["as_of"])
+        & (dim["valid_to"].isNull() | (dim["valid_to"] > f["as_of"])))
+    return (
+        pit.groupBy("as_of", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum("cents").cast("bigint").alias("total_cents"))
+        .orderBy("as_of", "c_mktsegment")
+    )

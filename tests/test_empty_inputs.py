@@ -79,3 +79,52 @@ def test_r5_primitives_on_empty_inputs(spark, sf_dir):
                              F.lit(0).cast("int").alias("o_year"),
                              F.lit(0).cast("bigint").alias("cents"))
     assert merge_cow(ed, ed).count() == 0
+
+
+def test_r6_primitives_on_empty_inputs(spark, sf_dir):
+    """Round-6 library primitives: empty in → empty out with the right
+    schema, no exceptions — codebook training, positional postings, CMS
+    counters."""
+    from json_sql_database_storage_spark.llm.pq import (
+        _pq_assign, subvectors, train_codebooks)
+    from json_sql_database_storage_spark.llm.search import (
+        build_positional_index)
+    from json_sql_database_storage_spark.llm.similarity import as_double
+    from json_sql_database_storage_spark.llm.sketches import cms_counters
+
+    v = (load_table(spark, sf_dir, "embeddings")
+         .filter(F.col("vec_id") < 0)
+         .select("vec_id", as_double(F.col("embedding")).alias("e")))
+    subs = subvectors(v)
+    cb = train_codebooks(subs, 16)
+    assert cb.count() == 0
+    assert cb.columns == ["m", "c_id", "csub"]
+    assert _pq_assign(subs, cb).count() == 0
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 0))
+    pos = build_positional_index(docs)
+    assert pos.count() == 0
+    assert set(pos.columns) == {"doc_id", "term", "pos", "bkt"}
+
+    toks = docs.select(F.lit("x").alias("term")).filter(F.lit(False))
+    assert cms_counters(toks).count() == 0
+
+
+def test_expire_keep_last_exceeding_versions_deletes_nothing(spark, sf_dir):
+    """expire(keep_last >= #versions) must be a no-op: nothing deleted,
+    every version still resolvable through the rewritten log."""
+    import os
+
+    from json_sql_database_storage_spark.operators.scans import _sink
+    from json_sql_database_storage_spark.operators.snapshots import (
+        expire_snapshots, load_manifests, snapshot_commit)
+
+    name = "snapshot_noop_exp"
+    root = _sink(name, spark)
+    manifests = snapshot_commit(spark, sf_dir, name=name)
+    info = expire_snapshots(root, manifests, keep_last=5)
+    assert info["deleted_dirs"] == []
+    assert sorted(load_manifests(root)) == sorted(manifests)
+    assert all(os.path.exists(p) for m in manifests.values()
+               for p in m.values())

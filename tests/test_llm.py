@@ -557,3 +557,32 @@ def test_cms_merge_equals_direct_and_overestimates(spark, sf_dir):
     for r in rows:
         assert r["cms_est"] >= r["exact_c"], r
         assert r["cms_est"] - r["exact_c"] <= 2 * n / 256 + 1, r
+
+
+def test_bm25_and_phrase_absent_terms(spark, sf_dir):
+    """Retrieval edge cases: a query term absent from the corpus
+    contributes nothing to BM25 (no crash, no NaN), and a phrase that
+    never occurs returns an empty frame with the right schema."""
+    import json_sql_database_storage_spark.llm.search as search
+    from json_sql_database_storage_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    from json_sql_database_storage_spark.operators.scans import _sink
+    idx_path = _sink("inv_pos_edge", spark)
+    (search.build_positional_index(docs)
+     .repartition(4, "bkt")
+     .write.mode("overwrite").partitionBy("bkt").parquet(idx_path))
+    idx = spark.read.parquet(idx_path)
+
+    def postings(term):
+        return idx.filter(F.col("term") == term).select("doc_id", "pos")
+
+    # phrase with an absent second term → empty join, stable schema
+    p1 = postings("join")
+    p2 = postings("zzznotaterm").select("doc_id",
+                                        (F.col("pos") - 1).alias("pos"))
+    out = (p1.join(p2, ["doc_id", "pos"])
+           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")))
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "n"]
