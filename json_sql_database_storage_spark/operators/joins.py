@@ -604,3 +604,48 @@ def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("incident_id", "purchase_id")
         .orderBy("incident_id", "purchase_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# r6.12 (b3.16) — NULL-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the
+# join form where NULL keys MATCH each other instead of vanishing — what
+# dimension lookups over dirty keys actually need (a plain equi-join
+# silently drops every NULL-keyed fact row; the null-safe form routes them
+# to the NULL bucket).  Spark plans eqNullSafe as a hash join on a
+# null-wrapped key, so it shuffles exactly like the plain form — no BNLJ
+# regression.  Nulls are introduced deterministically (c_custkey % 13)
+# and the right side is the per-segment count table, so the NULL group's
+# membership is itself part of the checked result.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+WITH c AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 13 = 0 THEN NULL ELSE c_mktsegment END AS seg
+  FROM customer WHERE c_custkey < 500
+), g AS (
+  SELECT seg, count(*) AS group_size FROM c GROUP BY seg
+)
+SELECT c.c_custkey, c.seg, CAST(g.group_size AS BIGINT) AS group_size
+FROM c JOIN g ON c.seg IS NOT DISTINCT FROM g.seg
+ORDER BY c.c_custkey
+""",
+    tags=("r6.12", "b3.16"),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (load_table(spark, sf_dir, "customer")
+         .filter(F.col("c_custkey") < 500)
+         .select("c_custkey",
+                 F.when(F.col("c_custkey") % 13 == 0, F.lit(None))
+                  .otherwise(F.col("c_mktsegment")).alias("seg")))
+    g = (c.groupBy("seg").agg(F.count(F.lit(1)).cast("bigint")
+                              .alias("group_size"))
+         .select(F.col("seg").alias("g_seg"), "group_size"))
+    return (
+        c.join(g, c["seg"].eqNullSafe(g["g_seg"]))
+        .select("c_custkey", "seg", "group_size")
+        .orderBy("c_custkey")
+    )

@@ -389,3 +389,52 @@ def window_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("t2").cast("double") / F.count("t1")).alias("click_rate"),
         (F.count("t3").cast("double") / F.count("t2")).alias("purchase_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r6.11 (b5.9) — RANGE interval frame: a trailing 30-DAY revenue window per
+# customer.  Distinct semantics from every ROWS frame above: the frame is
+# VALUE-bounded (all rows whose order date falls in [current − 30 days,
+# current]), so ties share a frame and gaps shrink it — the moving metric
+# a time series actually wants.  Spark expresses interval frames as
+# rangeBetween over an epoch-seconds ordering column; the oracle uses the
+# native RANGE BETWEEN INTERVAL form — same frame membership, and the
+# framed sums are exact BIGINT cents, so results hash-match.
+# Scale: one hash exchange on the partition key like every b5 window; the
+# frame evaluation is a per-partition sliding two-pointer, O(rows).
+# ---------------------------------------------------------------------------
+
+_RANGE_DAYS = 30
+
+
+@register(
+    "window_range_interval_frame",
+    oracle=f"""
+SELECT o_orderkey, o_custkey, o_orderdate,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate
+         RANGE BETWEEN INTERVAL {_RANGE_DAYS} DAYS PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS cents_trailing
+FROM orders
+WHERE o_custkey < 200
+ORDER BY o_custkey, o_orderdate, o_orderkey
+""",
+    tags=("r6.11", "b5.9"),
+)
+def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_custkey") < 200)
+         .select("o_orderkey", "o_custkey", "o_orderdate",
+                 F.round(F.col("o_totalprice") * 100).cast("bigint")
+                  .alias("cents")))
+    # NTZ has no direct long cast; the session is pinned UTC, so
+    # NTZ → timestamp → epoch-seconds is the identity wall-clock mapping
+    w = (W.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").cast("timestamp").cast("long"))
+         .rangeBetween(-_RANGE_DAYS * 86400, 0))
+    return (
+        o.select("o_orderkey", "o_custkey", "o_orderdate",
+                 F.sum("cents").over(w).cast("bigint")
+                  .alias("cents_trailing"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    )
