@@ -68,6 +68,7 @@ EXTRA = [
     "join_scd2_point_in_time",
     "window_range_interval_frame",
     "join_null_safe",
+    "text_bpe_train",
     # the stream-stream replays are excluded here: their wall time is
     # micro-batch scheduling of a 4-chunk replay (a latency regime the
     # batch bench's throughput number does not represent); their

@@ -1,0 +1,144 @@
+"""BPE merge training as unrolled Catalyst plans (SURVEY.md §2 r6 addenda).
+
+Byte-pair-encoding tokenizer training (Sennrich et al. 2016, "Neural
+Machine Translation of Rare Words with Subword Units") is the canonical
+tokenizer-construction step of an LLM data pipeline — and its training
+loop fits the engine's unrolled-iteration discipline exactly:
+
+  once      word-TYPE frequency table (the only corpus-sized aggregation —
+            everything after runs on the vocabulary, which is ≪ corpus,
+            weighted by freq; this is how production BPE trainers scale:
+            HuggingFace tokenizers also trains on word counts, not tokens)
+  per merge (1) count adjacent symbol pairs weighted by word freq,
+            (2) take the GLOBAL argmax pair — a TakeOrdered 1-row table,
+            cross-joined back (broadcast, 1 row — never a driver collect),
+            (3) rewrite every word's symbol sequence with a greedy
+            left-to-right fold that merges non-overlapping (a,b)
+            occurrences — a pure higher-order `aggregate` over the symbol
+            array, no Python.
+
+Determinism: pair counts are BIGINT; the argmax tie-breaks on
+(count DESC, a, b); the rewrite fold is the identical greedy
+left-to-right recurrence in both engines (verified on runs like "aaa",
+where greedy merging is order-sensitive) — so merges, counts, and the
+post-merge symbol census all hash-match exactly.
+
+Scale: after the word-count groupBy, per-iteration work is
+O(vocab · word_len) map-side plus a (pair → count) aggregation whose key
+space is the symbol-pair alphabet; the 1-row argmax is the only global
+step.  Unrolled iterations keep the whole training run ONE plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources import load_table
+from .text_analysis import tokens
+
+_BPE_MERGES = 3
+
+
+def pair_structs(syms: F.Column) -> F.Column:
+    """Adjacent symbol pairs as (a, b) structs; empty for 1-symbol words."""
+    n = F.size(syms)
+    return F.when(
+        n >= 2,
+        F.zip_with(F.slice(syms, 1, n - 1), F.slice(syms, 2, n - 1),
+                   lambda x, y: F.struct(x.alias("a"), y.alias("b")))
+    ).otherwise(F.array())
+
+
+def merge_fold(syms: F.Column, a: F.Column, b: F.Column) -> F.Column:
+    """Greedy left-to-right non-overlapping merge of (a,b) → a||b."""
+    ab = F.concat(a, b)
+    return F.when(F.size(syms) <= 1, syms).otherwise(
+        F.aggregate(
+            F.slice(syms, 2, F.size(syms) - 1),
+            F.array(F.element_at(syms, 1)),
+            lambda acc, x:
+                F.when((F.element_at(acc, -1) == a) & (x == b),
+                       F.when(F.size(acc) == 1, F.array(ab))
+                        .otherwise(F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1), F.array(ab))))
+                 .otherwise(F.concat(acc, F.array(x)))))
+
+
+def _sql_iter(i: int) -> str:
+    prev = f"s{i-1}"
+    return f"""
+p{i} AS (
+  SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq,
+               unnest(list_slice(syms, 1, len(syms) - 1)) AS a,
+               unnest(list_slice(syms, 2, len(syms))) AS b
+        FROM {prev})
+  GROUP BY a, b
+), t{i} AS (
+  SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1
+), s{i} AS (
+  SELECT term, freq,
+         CASE WHEN len(syms) <= 1 THEN syms ELSE
+           reduce(list_transform(syms, c -> [c]),
+                  (acc, x) -> CASE
+                    WHEN acc[-1] = t{i}.a AND x[1] = t{i}.b THEN
+                      CASE WHEN len(acc) = 1 THEN [t{i}.a || t{i}.b]
+                           ELSE list_append(list_slice(acc, 1, len(acc) - 1),
+                                            t{i}.a || t{i}.b) END
+                    ELSE list_append(acc, x[1]) END)
+         END AS syms
+  FROM {prev} CROSS JOIN t{i}
+), m{i} AS (
+  SELECT {i} AS it, t{i}.a, t{i}.b, t{i}.cnt,
+         (SELECT CAST(sum(freq * len(syms)) AS BIGINT) FROM s{i})
+           AS n_symbols_after
+  FROM t{i}
+)"""
+
+
+@register(
+    "text_bpe_train",
+    oracle=rf"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+  FROM documents
+), wt AS (
+  SELECT term, count(*) AS freq FROM w GROUP BY term
+), s0 AS (
+  SELECT term, freq, regexp_split_to_array(term, '') AS syms FROM wt
+), {", ".join(_sql_iter(i).strip() for i in range(1, _BPE_MERGES + 1))}
+SELECT it, a, b, cnt, n_symbols_after
+FROM ({" UNION ALL ".join(f"SELECT * FROM m{i}"
+                          for i in range(1, _BPE_MERGES + 1))})
+ORDER BY it
+""",
+    tags=("r6.13", "b11.33"),
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train _BPE_MERGES merges on the corpus word-frequency table; emit
+    one row per merge: the chosen pair, its weighted count, and the total
+    symbol census after applying it."""
+    d = load_table(spark, sf_dir, "documents")
+    wt = (d.select(F.explode(tokens(F.col("text"))).alias("term"))
+          .groupBy("term").agg(F.count(F.lit(1)).alias("freq")))
+    s = wt.select("term", "freq", F.split(F.col("term"), "").alias("syms"))
+    out = None
+    for i in range(1, _BPE_MERGES + 1):
+        pc = (s.select("freq", F.explode(pair_structs(F.col("syms")))
+                       .alias("p"))
+              .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+              .agg(F.sum("freq").cast("bigint").alias("cnt")))
+        top = pc.orderBy(F.col("cnt").desc(), "a", "b").limit(1)
+        s = (s.crossJoin(F.broadcast(top))
+             .select("term", "freq",
+                     merge_fold(F.col("syms"), F.col("a"), F.col("b"))
+                      .alias("syms")))
+        row = (s.agg(F.sum(F.col("freq") * F.size(F.col("syms")))
+                     .cast("bigint").alias("n_symbols_after"))
+               .crossJoin(F.broadcast(top))
+               .select(F.lit(i).alias("it"), "a", "b", "cnt",
+                       "n_symbols_after"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("it")

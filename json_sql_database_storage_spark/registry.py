@@ -59,6 +59,7 @@ _OPERATOR_MODULES = (
     "json_sql_database_storage_spark.llm.sketches",
     "json_sql_database_storage_spark.llm.search",
     "json_sql_database_storage_spark.llm.pq",
+    "json_sql_database_storage_spark.llm.bpe",
 )
 
 # The driver's per-round correctness check covers the first ~50 registry

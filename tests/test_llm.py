@@ -586,3 +586,44 @@ def test_bm25_and_phrase_absent_terms(spark, sf_dir):
            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")))
     assert out.count() == 0
     assert out.columns == ["doc_id", "n"]
+
+
+def test_bpe_train_matches_reference_implementation(spark, sf_dir):
+    """r6.13: the unrolled-plan BPE trainer must produce exactly the
+    merges a straightforward Python reference implementation (greedy
+    left-to-right apply, (count desc, pair) argmax) picks on the same
+    word-frequency table — pinning that the higher-order-function fold
+    implements real Sennrich-style BPE, not an approximation."""
+    from collections import Counter
+
+    from json_sql_database_storage_spark.llm.bpe import _BPE_MERGES
+    from json_sql_database_storage_spark.llm.text_analysis import tokens
+    from json_sql_database_storage_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    freqs = {r["term"]: r["freq"] for r in
+             d.select(F.explode(tokens(F.col("text"))).alias("term"))
+             .groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+             .collect()}
+    words = {t: list(t) for t in freqs}
+    expected = []
+    for _ in range(_BPE_MERGES):
+        pc = Counter()
+        for t, syms in words.items():
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += freqs[t]
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for t, syms in words.items():
+            out = [syms[0]]
+            for x in syms[1:]:
+                if out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            words[t] = out
+        census = sum(freqs[t] * len(s) for t, s in words.items())
+        expected.append((a, b, cnt, census))
+    got = [(r["a"], r["b"], r["cnt"], r["n_symbols_after"]) for r in
+           _SPECS["text_bpe_train"].fn(spark, sf_dir).collect()]
+    assert got == expected

@@ -224,6 +224,9 @@ def test_no_unintended_scale_flags(spark, sf_dir):
             # 1-row corpus stats (T, N) + the rank window AFTER TakeOrdered
             # top-k — the single partition holds <= k rows by construction
             "text_bm25_topk",
+            # three 1-row argmax tables + three 1-row census aggregates —
+            # the only global steps of the merge loop, O(1) rows each
+            "text_bpe_train",
             # per-version scalar summary (count + sum over a snapshot read):
             # map-side partials, ONE row per input partition reaches the
             # single partition — constant bytes at any table size

@@ -173,6 +173,8 @@ _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
     ("llm/clustering.py", "sim_semdedup_prod"): "1-row derived k",
     ("llm/pq.py", "pq_encode"): "M×K codebook (bytes)",
     ("llm/pq.py", "_pq_assign"): "M×K codebook (bytes)",
+    ("llm/bpe.py", "text_bpe_train"):
+        "1-row argmax merged-pair table per iteration",
     ("llm/pq.py", "sim_pq_adc_topk"): "codebook + Q×M×K ADC distance table",
     ("llm/pq.py", "sim_ivfpq_topk"):
         "trained codebook (M×K), probe-cell list (Q×nprobe), ADC table",
