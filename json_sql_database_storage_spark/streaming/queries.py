@@ -814,3 +814,77 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     finally:
         cleanup(staged)
+
+
+# ---------------------------------------------------------------------------
+# b9.13 (r6 addendum) stream-stream FULL OUTER interval join — completes
+# the family (b9.10 inner, b9.12 left outer): BOTH sides' unmatched rows
+# emit with nulls, each side's state evicting independently when the
+# OTHER side's watermark proves no future match (a purchase evicts once
+# the view watermark passes its p_ts; a view once the purchase watermark
+# passes v_ts + 1h).  Reuses the dual-sentinel staging: both sentinel
+# chunks carry both event types, so both per-side watermarks advance and
+# the second sentinel's batch performs the final two-sided eviction.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_stream_full_outer_join",
+    oracle="""
+SELECT coalesce(v.user_id, p.user_id) AS user_id,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN v.event_id IS NOT NULL AND p.event_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(sum(CASE WHEN p.event_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_view_only,
+       CAST(sum(CASE WHEN v.event_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase_only
+FROM (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view') v
+FULL JOIN (SELECT user_id, ts, event_id FROM events
+           WHERE event_type = 'purchase') p
+  ON p.user_id = v.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+GROUP BY coalesce(v.user_id, p.user_id)
+ORDER BY user_id
+""",
+    tags=("b9.13",),
+)
+def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    staged = _stage_with_sentinel(spark, sf_dir)
+    try:
+        views = (read_event_stream(spark, staged)
+                 .filter(F.col("event_type") == "view")
+                 .select(F.col("user_id").alias("v_user"),
+                         F.col("ts").alias("v_ts"),
+                         F.col("event_id").alias("v_event_id"))
+                 .withWatermark("v_ts", "1 minute"))
+        purchases = (read_event_stream(spark, staged)
+                     .filter(F.col("event_type") == "purchase")
+                     .select(F.col("user_id").alias("p_user"),
+                             F.col("ts").alias("p_ts"),
+                             F.col("event_id").alias("p_event_id"))
+                     .withWatermark("p_ts", "1 minute"))
+        pairs = views.join(
+            purchases,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+            "fullOuter")
+        sunk = run_stream_to_table(pairs, output_mode="append")
+        user = F.coalesce(F.col("v_user"), F.col("p_user"))
+        return (
+            sunk.filter(user != _SENTINEL_USER)
+            .groupBy(user.alias("user_id"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum((F.col("v_event_id").isNotNull()
+                        & F.col("p_event_id").isNotNull()).cast("bigint"))
+                  .alias("n_matched"),
+                 F.sum(F.col("p_event_id").isNull().cast("bigint"))
+                  .alias("n_view_only"),
+                 F.sum(F.col("v_event_id").isNull().cast("bigint"))
+                  .alias("n_purchase_only"))
+            .orderBy("user_id")
+        )
+    finally:
+        cleanup(staged)
