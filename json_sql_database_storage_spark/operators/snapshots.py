@@ -179,11 +179,19 @@ def snapshot_commit(spark: SparkSession, sf_dir: str,
     manifests = {0: m0, 1: m1}
     with open(os.path.join(root, "manifest.json"), "w") as f:
         json.dump({str(v): m for v, m in manifests.items()}, f, indent=1)
-    # claim each version in the put-if-absent CAS log (r6.7) — idempotent
-    # on re-runs within a session (same inputs ⇒ same manifest content)
+    # claim each version in the put-if-absent CAS log (r6.7).  The claim is
+    # attempted UNCONDITIONALLY — an os.path.exists pre-check would turn the
+    # CAS into a lost-update race (r6 ADVICE item 1): whoever created the
+    # file between the check and the create would win silently.  A conflict
+    # is tolerated only when the existing file's CONTENT equals the manifest
+    # being claimed (an idempotent re-run of this same commit); any other
+    # content is a genuine concurrent writer and re-raises.
     for v, m in manifests.items():
-        if not os.path.exists(os.path.join(root, f"manifest-v{v}.json")):
+        try:
             commit_manifest(root, v, m)
+        except SnapshotConflict:
+            if read_committed_manifest(root, v) != m:
+                raise
     return manifests
 
 
@@ -215,7 +223,15 @@ def expire_snapshots(root: str, manifests: dict[int, dict[int, str]],
                      keep_last: int) -> dict:
     """Delete exactly the partition directories no retained version
     references; compact the manifest log to the survivors.  Returns
-    {kept_versions, deleted_dirs, kept_dirs}."""
+    {kept_versions, deleted_dirs, kept_dirs}.
+
+    Ordering is metadata-first (r6 ADVICE item 2): the compacted manifest
+    log and the retired CAS entries are written BEFORE any data directory
+    is removed, so a crash mid-expiry leaves either (a) the old log with
+    all data intact, or (b) the new log whose every referenced path still
+    exists — never a log resolving expired versions to deleted paths.
+    Every deletion target is also confined to `root` (a manifest poisoned
+    with an outside path raises instead of rmtree-ing it)."""
     import shutil
 
     versions = sorted(manifests)
@@ -224,16 +240,22 @@ def expire_snapshots(root: str, manifests: dict[int, dict[int, str]],
     expired_dirs = {p for v in versions if v not in keep
                     for p in manifests[v].values()}
     to_delete = sorted(expired_dirs - kept_dirs)
+    real_root = os.path.realpath(root)
     for p in to_delete:
-        shutil.rmtree(p)
-    for v in versions:
-        if v not in keep:   # retire the expired versions' CAS log entries
-            vpath = os.path.join(root, f"manifest-v{v}.json")
-            if os.path.exists(vpath):
-                os.remove(vpath)
+        if os.path.commonpath([real_root, os.path.realpath(p)]) != real_root:
+            raise ValueError(f"refusing to delete {p!r}: outside {root!r}")
+    # metadata first: compact the log, retire expired CAS entries …
     survivors = {v: manifests[v] for v in keep}
     with open(os.path.join(root, "manifest.json"), "w") as f:
         json.dump({str(v): m for v, m in survivors.items()}, f, indent=1)
+    for v in versions:
+        if v not in keep:
+            vpath = os.path.join(root, f"manifest-v{v}.json")
+            if os.path.exists(vpath):
+                os.remove(vpath)
+    # … then delete the now-unreferenced data
+    for p in to_delete:
+        shutil.rmtree(p)
     return {"kept_versions": keep, "deleted_dirs": to_delete,
             "kept_dirs": sorted(kept_dirs)}
 
@@ -271,7 +293,13 @@ v1 AS (
 SELECT 1 AS version,
        count(*) AS n_rows,
        CAST(sum(cents) AS BIGINT) AS total_cents,
-       (SELECT CAST(count(DISTINCT o_year) AS BIGINT) FROM upd)
+       -- a v0 dir dies iff its year was rewritten by the MERGE: distinct
+       -- delta-touched years INTERSECTED with v0's years (delta years with
+       -- no v0 partition — pure-insert years — created a new dir, deleted
+       -- nothing).  Relational, so it stays correct if _UPD_YEAR/_CUT_INS
+       -- move (r6 ADVICE item 3).
+       (SELECT CAST(count(DISTINCT d.o_year) AS BIGINT) FROM delta d
+        WHERE d.o_year IN (SELECT o_year FROM base))
          AS n_dirs_deleted,
        (SELECT CAST(count(DISTINCT o_year) AS BIGINT) FROM v1)
          AS n_dirs_kept
@@ -333,6 +361,14 @@ def commit_manifest(root: str, version: int, manifest: dict[int, str]) -> str:
     with os.fdopen(fd, "w") as f:
         json.dump({str(y): p for y, p in manifest.items()}, f, indent=1)
     return path
+
+
+def read_committed_manifest(root: str, version: int) -> dict[int, str]:
+    """The partition listing a prior commit_manifest claimed for `version`
+    — what a conflicted writer compares its own manifest against to decide
+    idempotent-re-run vs genuine concurrent commit."""
+    with open(os.path.join(root, f"manifest-v{version}.json")) as f:
+        return {int(y): p for y, p in json.load(f).items()}
 
 
 def current_version(root: str) -> int:

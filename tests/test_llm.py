@@ -4,6 +4,8 @@ labeled corpus, and cosine math must agree with numpy."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 
@@ -463,18 +465,31 @@ def test_pq_recall_above_chance_and_deterministic(spark, sf_dir):
     assert recall >= 0.15, recall         # ≥30× the chance floor
 
 
-def test_log_snap_guard_band(duck):
+@pytest.mark.parametrize("band_sf_dir", [
+    d for d in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                "/root/testdata/sf0.1")
+    if os.path.isdir(d)
+])
+def test_log_snap_guard_band(band_sf_dir):
     """The fixed-point snap floor(ln(N/c)·1e6 + 0.5) used by
     text_unigram_logprob (and the BM25 idf snap in llm/search.py) is only
     cross-engine-safe if no operand pair lands near a floor boundary: JVM
     Math.log and DuckDB's libm may differ in the last ulp (ADVICE r5 item
     5), which is ~3e-9 absolute in the ·1e6 domain.  Pin a ≥1e-6 guard band
     — 300× the worst-case ln divergence — for every distinct (N, c) the
-    corpus actually produces, on both snap shapes."""
+    corpus actually produces, on both snap shapes.  Parametrized over EVERY
+    sf dir the driver touches (r6 ADVICE item 5): the band is a per-corpus
+    property, so it must be re-verified whenever test data changes, not
+    only at the suite's default SF."""
     import math
+
+    import duckdb
 
     from json_sql_database_storage_spark.llm.text_analysis import _LM_VOCAB
 
+    duck = duckdb.connect()
+    duck.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                 f"read_parquet('{band_sf_dir}/documents.parquet')")
     rows = duck.execute(r"""
       WITH w AS (SELECT doc_id,
                         unnest(regexp_split_to_array(lower(text), '\s+'))
@@ -627,3 +642,88 @@ def test_bpe_train_matches_reference_implementation(spark, sf_dir):
     got = [(r["a"], r["b"], r["cnt"], r["n_symbols_after"]) for r in
            _SPECS["text_bpe_train"].fn(spark, sf_dir).collect()]
     assert got == expected
+
+
+def test_ivfpq_margin_guard_band(spark, sf_dir):
+    """r6 ADVICE item 4: sim_ivfpq_topk's cross-engine hash-exactness rests
+    on every cb1-dependent DECISION (PQ code assignment; ADC shortlist
+    membership at the srk=R boundary) having a margin far above the
+    ~1e-13 summation-order noise of the trained-codebook means.  Pin that
+    empirically, the same way test_log_snap_guard_band pins the ln snap:
+    min strict margin > 1e-8 (10^5 × the noise; measured 3.8e-5 at sf0.001
+    and 1.6e-4 at sf0.01).  Cell assignment / probe selection score against
+    RAW seed centroids (bit-identical in both engines) and the final
+    re-rank is exact raw-vector arithmetic, so neither needs a band."""
+    from json_sql_database_storage_spark.llm.clustering import assign_cells
+    from json_sql_database_storage_spark.llm.pq import (
+        _IPQ_KC, _IPQ_NPROBE, _IPQ_NQ, _IPQ_R, _PQ_K, _pq_assign, l2sq,
+        subvectors, train_codebooks)
+    from json_sql_database_storage_spark.llm.similarity import as_double
+    from json_sql_database_storage_spark.sources import load_table
+    from pyspark.sql import Window as W, functions as F
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e"))
+    subs = subvectors(v).persist()
+    cb1 = train_codebooks(subs, _PQ_K).persist()
+
+    # (1) PQ code assignment: per (vec_id, m), best vs second-best distance
+    # under the trained codebook.  A zero margin (exact tie) also fails —
+    # a tie that one engine's cb1 floats see as a 1e-13 difference would
+    # flip the (d, c_id) tie-break between engines.
+    scored = (subs.join(F.broadcast(cb1), "m")
+              .select("vec_id", "m", "c_id",
+                      l2sq(F.col("sub"), F.col("csub")).alias("d")))
+    wenc = W.partitionBy("vec_id", "m").orderBy("d", "c_id")
+    assign_margin = (
+        scored.withColumn("rk", F.row_number().over(wenc))
+        .filter(F.col("rk") <= 2)
+        .groupBy("vec_id", "m")
+        .agg((F.max("d") - F.min("d")).alias("margin"))
+        .agg(F.min("margin")).collect()[0][0])
+    assert assign_margin > 1e-8, assign_margin
+
+    # (2) ADC shortlist boundary: adc_dist at srk=R vs srk=R+1 per query
+    # (membership is the only shortlist decision that matters — everything
+    # inside the shortlist is exactly re-ranked).
+    assigned = assign_cells(v, _IPQ_KC).select("vec_id", "cluster")
+    cent0 = (v.filter(F.col("vec_id") < _IPQ_KC)
+             .select(F.col("vec_id").alias("c_id"), F.col("e").alias("ce")))
+    wq = W.partitionBy("query_id").orderBy("d", "c_id")
+    probes = (v.filter(F.col("vec_id") < _IPQ_NQ)
+              .select(F.col("vec_id").alias("query_id"), "e")
+              .crossJoin(F.broadcast(cent0))
+              .select("query_id", "c_id",
+                      l2sq(F.col("e"), F.col("ce")).alias("d"))
+              .withColumn("prk", F.row_number().over(wq))
+              .filter(F.col("prk") <= _IPQ_NPROBE)
+              .select("query_id", F.col("c_id").alias("qcell")))
+    enc = _pq_assign(subs, cb1).select("vec_id", "m", "code")
+    dtab = (subs.filter(F.col("vec_id") < _IPQ_NQ)
+            .join(F.broadcast(cb1), "m")
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("m").alias("qm"), "c_id",
+                    l2sq(F.col("sub"), F.col("csub")).alias("d")))
+    cand = (assigned.join(F.broadcast(probes),
+                          (F.col("cluster") == F.col("qcell"))
+                          & (F.col("vec_id") != F.col("query_id")))
+            .select("query_id", "vec_id"))
+    adc = (cand.join(enc, "vec_id")
+           .join(F.broadcast(dtab),
+                 (F.col("m") == F.col("qm")) & (F.col("code") == F.col("c_id"))
+                 & (cand["query_id"] == dtab["query_id"]))
+           .drop(dtab["query_id"])
+           .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+           .agg(F.sum("d").alias("adc_dist")))
+    ws = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    boundary = (adc.withColumn("srk", F.row_number().over(ws))
+                .filter(F.col("srk").isin(_IPQ_R, _IPQ_R + 1))
+                .groupBy("query_id")
+                .agg((F.max("adc_dist") - F.min("adc_dist")).alias("margin"),
+                     F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") == 2))   # queries where the cut binds
+    rows = boundary.agg(F.min("margin")).collect()
+    if rows and rows[0][0] is not None:
+        assert rows[0][0] > 1e-8, rows[0][0]
+    subs.unpersist()
+    cb1.unpersist()
