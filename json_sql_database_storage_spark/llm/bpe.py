@@ -98,17 +98,23 @@ p{i} AS (
 )"""
 
 
-@register(
-    "text_bpe_train",
-    oracle=rf"""
+# Shared oracle prelude: word table (with doc_id, for the encode join),
+# word-type frequencies, and the unrolled merge iterations s1..sN.
+_SQL_TRAIN_PREFIX = rf"""
 WITH w AS (
-  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
   FROM documents
 ), wt AS (
   SELECT term, count(*) AS freq FROM w GROUP BY term
 ), s0 AS (
   SELECT term, freq, regexp_split_to_array(term, '') AS syms FROM wt
 ), {", ".join(_sql_iter(i).strip() for i in range(1, _BPE_MERGES + 1))}
+"""
+
+
+@register(
+    "text_bpe_train",
+    oracle=_SQL_TRAIN_PREFIX + f"""
 SELECT it, a, b, cnt, n_symbols_after
 FROM ({" UNION ALL ".join(f"SELECT * FROM m{i}"
                           for i in range(1, _BPE_MERGES + 1))})
@@ -120,6 +126,17 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train _BPE_MERGES merges on the corpus word-frequency table; emit
     one row per merge: the chosen pair, its weighted count, and the total
     symbol census after applying it."""
+    _, out = _train_word_types(spark, sf_dir)
+    return out.orderBy("it")
+
+
+def _train_word_types(spark: SparkSession,
+                      sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared training loop: returns (encoded word types after all merges
+    — (term, freq, syms), per-merge summary rows — (it, a, b, cnt,
+    n_symbols_after)).  The final word-type table IS the trained
+    tokenizer's application to the vocabulary: encode of the corpus is
+    then just an equi-join of corpus tokens against it (text_bpe_encode)."""
     d = load_table(spark, sf_dir, "documents")
     wt = (d.select(F.explode(tokens(F.col("text"))).alias("term"))
           .groupBy("term").agg(F.count(F.lit(1)).alias("freq")))
@@ -141,4 +158,85 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                .select(F.lit(i).alias("it"), "a", "b", "cnt",
                        "n_symbols_after"))
         out = row if out is None else out.unionByName(row)
-    return out.orderBy("it")
+    return s, out
+
+
+# ---------------------------------------------------------------------------
+# r7.1 — BPE corpus ENCODE (r6 verdict next-round #1): apply the trained
+# merge list to tokenize the corpus — the pipeline step every LLM data run
+# executes over 100% of its data (training is the cheap half).
+#
+# The scaling trick is the same one training uses: the corpus is never
+# tokenized row-by-row.  The final word-TYPE table from training already
+# holds every vocabulary word's encoded symbol sequence (the greedy
+# merge_fold chained once per learned merge — each merge a broadcast 1-row
+# cross join, so the whole merge list is applied in ONE Catalyst plan with
+# no driver collect).  Encoding the corpus is then:
+#
+#   pass 1  the word-type freq aggregation training already runs;
+#   pass 2  explode corpus tokens → equi-join on term against the encoded
+#           word types (shuffle keyed by term, map-side combinable) →
+#           per-doc aggregation.
+#
+# O(1) corpus passes total; per-word encode cost is paid once per word
+# TYPE, not per occurrence — the HuggingFace fast-tokenizer cache idea,
+# expressed relationally.  At a production merge count (~30k) the chained
+# fold would be a driver loop with checkpoints (see module docstring);
+# the join-side shape here is unchanged.
+# ---------------------------------------------------------------------------
+
+_SN = f"s{_BPE_MERGES}"
+
+
+@register(
+    "text_bpe_encode",
+    oracle=_SQL_TRAIN_PREFIX + f"""
+SELECT w.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(s.syms)) AS BIGINT) AS n_bpe_tokens
+FROM w JOIN {_SN} s USING (term)
+GROUP BY w.doc_id
+ORDER BY w.doc_id
+""",
+    tags=("r7.1", "b11.33"),
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the trained merges: per document, the word
+    count and the BPE token count (sum of each word's encoded symbol-
+    sequence length).  Corpus pass 2 is one explode + one term equi-join
+    against the encoded word-type table."""
+    d = load_table(spark, sf_dir, "documents")
+    enc, _ = _train_word_types(spark, sf_dir)
+    word_len = enc.select("term", F.size("syms").alias("n_bpe"))
+    wd = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    return (
+        wd.join(word_len, "term")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_words"),
+             F.sum("n_bpe").cast("bigint").alias("n_bpe_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_bpe_token_census",
+    oracle=_SQL_TRAIN_PREFIX + f"""
+SELECT sym AS token, CAST(sum(freq) AS BIGINT) AS n_occurrences
+FROM (SELECT freq, unnest(syms) AS sym FROM {_SN})
+GROUP BY sym
+ORDER BY token
+""",
+    tags=("r7.1", "b11.33"),
+)
+def text_bpe_token_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token census under the trained tokenizer: every BPE token
+    with its total occurrence count (word-type freq–weighted), the
+    vocabulary-health table a tokenizer run reports.  Runs on the word-TYPE
+    table — the corpus is never re-scanned."""
+    enc, _ = _train_word_types(spark, sf_dir)
+    return (
+        enc.select("freq", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))
+        .orderBy("token")
+    )

@@ -727,3 +727,144 @@ def test_ivfpq_margin_guard_band(spark, sf_dir):
         assert rows[0][0] > 1e-8, rows[0][0]
     subs.unpersist()
     cb1.unpersist()
+
+
+def test_bpe_encode_matches_reference_tokenizer(spark, sf_dir):
+    """r7.1: text_bpe_encode's per-doc BPE token counts and
+    text_bpe_token_census's vocabulary census must equal a plain-Python
+    reference tokenizer that (a) trains the same greedy argmax merges and
+    (b) encodes every document word with the same left-to-right fold —
+    the same recurrence the Spark merge_fold chains per learned merge."""
+    from collections import Counter
+
+    from json_sql_database_storage_spark.llm.bpe import _BPE_MERGES
+    from json_sql_database_storage_spark.llm.text_analysis import tokens
+    from json_sql_database_storage_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    doc_words = {r["doc_id"]: r["ws"] for r in
+                 d.select("doc_id", tokens(F.col("text")).alias("ws"))
+                 .collect()}
+    freqs = Counter(t for ws in doc_words.values() for t in ws)
+    words = {t: list(t) for t in freqs}
+    for _ in range(_BPE_MERGES):
+        pc = Counter()
+        for t, syms in words.items():
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += freqs[t]
+        (a, b), _cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for t, syms in words.items():
+            out = [syms[0]]
+            for x in syms[1:]:
+                if out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            words[t] = out
+
+    exp_docs = {doc_id: (len(ws), sum(len(words[t]) for t in ws))
+                for doc_id, ws in doc_words.items()}
+    got_docs = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"]) for r in
+                _SPECS["text_bpe_encode"].fn(spark, sf_dir).collect()}
+    assert got_docs == exp_docs
+
+    exp_census = Counter()
+    for t, syms in words.items():
+        for s in syms:
+            exp_census[s] += freqs[t]
+    got_census = {r["token"]: r["n_occurrences"] for r in
+                  _SPECS["text_bpe_token_census"].fn(spark, sf_dir).collect()}
+    assert got_census == dict(exp_census)
+
+
+def test_ivfpq_residual_recall_contract(spark, sf_dir):
+    """r7.4: the residual-encoded IVFPQ (trained coarse + r = x − centroid
+    + 2-Lloyd PQ) must (a) hold recall@5 >= 0.8 vs exact L2, (b) never be
+    worse than the raw-vector form on the same corpus, and (c) be STRICTLY
+    better where the corpus clusters (sf0.001: 0.94 vs 0.88, sf0.01: 0.92
+    vs 0.88 — measured; at sf0.1 the synthetic embeddings are too weakly
+    clustered for residuals to shrink and both forms measure 0.82, see
+    llm/pq.py's r7.4 block for the sweep that established this)."""
+    from json_sql_database_storage_spark.llm.pq import (_IPQ_NQ, _IPQ_TOPK,
+                                                        l2sq)
+    from json_sql_database_storage_spark.llm.similarity import as_double
+    from json_sql_database_storage_spark.sources import load_table
+    from pyspark.sql import Window as W, functions as F
+
+    res = {(r["query_id"], r["neighbor_id"]) for r in
+           _SPECS["sim_ivfpq_residual_topk"].fn(spark, sf_dir).collect()}
+    raw = {(r["query_id"], r["neighbor_id"]) for r in
+           _SPECS["sim_ivfpq_topk"].fn(spark, sf_dir).collect()}
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e"))
+    q = v.filter(F.col("vec_id") < _IPQ_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe"))
+    sc = (v.crossJoin(q).filter(F.col("vec_id") != F.col("query_id"))
+          .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                  l2sq(F.col("e"), F.col("qe")).alias("d")))
+    wq = W.partitionBy("query_id").orderBy("d", "neighbor_id")
+    exact = {(r["query_id"], r["neighbor_id"]) for r in
+             sc.withColumn("rk", F.row_number().over(wq))
+             .filter(F.col("rk") <= _IPQ_TOPK).collect()}
+    r_res = len(res & exact) / len(exact)
+    r_raw = len(raw & exact) / len(exact)
+    assert r_res >= 0.8, (r_res, r_raw)
+    assert r_res >= r_raw, (r_res, r_raw)
+    if os.path.basename(sf_dir.rstrip("/")) in ("sf0.001", "sf0.01"):
+        assert r_res > r_raw, (r_res, r_raw)
+
+
+def test_ivfpq_residual_margin_guard_band(spark, sf_dir):
+    """r7.4 + r6 ADVICE item 4 extended: the residual variant adds a
+    noise-sensitive decision family — cell assignment / probe choice now
+    score against TRAINED (float-mean) coarse centroids, and PQ codes
+    against the 2-iteration residual codebook.  Pin both margin families
+    > 1e-8 like the raw variant's."""
+    from json_sql_database_storage_spark.llm.clustering import (_assign,
+                                                                _recenter,
+                                                                assign_cells)
+    from json_sql_database_storage_spark.llm.pq import (_IPQ_KC, _IPQR_PQ_ITERS,
+                                                        _PQ_K, l2sq,
+                                                        subvectors,
+                                                        train_codebooks)
+    from json_sql_database_storage_spark.llm.similarity import as_double
+    from json_sql_database_storage_spark.sources import load_table
+    from pyspark.sql import Window as W, functions as F
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e"))
+    cent1 = _recenter(assign_cells(v, _IPQ_KC)).persist()
+
+    # (1) trained-coarse cell assignment: best vs second-best cell distance
+    cscored = (v.crossJoin(F.broadcast(cent1))
+               .select("vec_id", "c_id",
+                       l2sq(F.col("e"), F.col("ce")).alias("d")))
+    wc = W.partitionBy("vec_id").orderBy("d", "c_id")
+    cmargin = (cscored.withColumn("rk", F.row_number().over(wc))
+               .filter(F.col("rk") <= 2)
+               .groupBy("vec_id")
+               .agg((F.max("d") - F.min("d")).alias("margin"))
+               .agg(F.min("margin")).collect()[0][0])
+    assert cmargin > 1e-8, cmargin
+
+    # (2) residual PQ code assignment under the 2-Lloyd codebook
+    a1 = _assign(v, cent1)
+    res = (a1.join(F.broadcast(cent1), a1["cluster"] == cent1["c_id"])
+           .select("vec_id",
+                   F.zip_with("e", "ce", lambda x, y: x - y).alias("e")))
+    subs = subvectors(res).persist()
+    cbr = train_codebooks(subs, _PQ_K, iters=_IPQR_PQ_ITERS).persist()
+    scored = (subs.join(F.broadcast(cbr), "m")
+              .select("vec_id", "m", "c_id",
+                      l2sq(F.col("sub"), F.col("csub")).alias("d")))
+    wenc = W.partitionBy("vec_id", "m").orderBy("d", "c_id")
+    pmargin = (scored.withColumn("rk", F.row_number().over(wenc))
+               .filter(F.col("rk") <= 2)
+               .groupBy("vec_id", "m")
+               .agg((F.max("d") - F.min("d")).alias("margin"))
+               .agg(F.min("margin")).collect()[0][0])
+    assert pmargin > 1e-8, pmargin
+    cent1.unpersist()
+    subs.unpersist()
+    cbr.unpersist()

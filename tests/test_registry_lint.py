@@ -173,11 +173,15 @@ _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
     ("llm/clustering.py", "sim_semdedup_prod"): "1-row derived k",
     ("llm/pq.py", "pq_encode"): "M×K codebook (bytes)",
     ("llm/pq.py", "_pq_assign"): "M×K codebook (bytes)",
-    ("llm/bpe.py", "text_bpe_train"):
+    ("llm/bpe.py", "_train_word_types"):
         "1-row argmax merged-pair table per iteration",
     ("llm/pq.py", "sim_pq_adc_topk"): "codebook + Q×M×K ADC distance table",
     ("llm/pq.py", "sim_ivfpq_topk"):
         "trained codebook (M×K), probe-cell list (Q×nprobe), ADC table",
+    ("llm/pq.py", "sim_ivfpq_residual_topk"):
+        "trained coarse centroids (KC×dim), residual codebook (M×K), "
+        "probe list (Q×nprobe), per-cell ADC table (Q×nprobe×M×K), "
+        "query vectors (Q)",
     ("llm/search.py", "text_inverted_index_search"): "literal query terms",
     ("llm/search.py", "text_bm25_topk"):
         "literal query terms + 1-row corpus stats + per-query-term df rows",
