@@ -170,6 +170,13 @@ def test_bm25_probe_static_partition_pruning(spark, sf_dir):
     assert any("bkt" in ln.split("PartitionFilters", 1)[1].split("]", 1)[0]
                for ln in pf_lines), pf_lines
     assert "CartesianProduct" not in plan
+    # r7.2: the probe must read ONLY index-build artifacts (pruned postings
+    # + persisted dl side table + 1-row stats) — a `documents` scan in the
+    # probe plan means doc lengths are being recomputed at query time,
+    # which defeats index pruning in a build-once/probe-many deployment.
+    doc_scans = [ln for ln in plan.splitlines()
+                 if "documents.parquet" in ln]
+    assert not doc_scans, doc_scans
 
 
 def test_ivf_partitioned_probe_uses_dynamic_partition_pruning(spark, sf_dir):
