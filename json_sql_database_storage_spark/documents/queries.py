@@ -500,3 +500,68 @@ def doc_lookup_api(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .withColumn("cents", F.col("cents") + 500), "orders_api")
     outs = [store.lookup("orders_api", k) for k in _LOOKUP_KEYS]
     return reduce(lambda a, b: a.unionByName(b), outs).orderBy(KEY)
+
+
+# ---------------------------------------------------------------------------
+# r7.3 — AS-OF document lookup through the CAS-committed store (r6 verdict
+# next-round #3): DocumentStore.upsert now commits through the snapshot
+# manifest log (put-if-absent version files — crash-safe, concurrent-writer
+# safe; documents/store.py docstring), which buys version history for free.
+# This exhibit drives it at the library surface: upsert v0 → overwriting
+# upsert v1 → the SAME key fetched AS-OF both versions returns the
+# pre-update row at v0 and the updated row at v1 — the fetch the reference
+# cannot answer (DatabaseManager.java:425-447 destroys the old row).
+# Lookup keys are literals, so each AS-OF lookup's key predicate reaches
+# its version's parquet scan (min/max row-group skip).
+# ---------------------------------------------------------------------------
+
+_ASOF_KEYS = (1, 101)   # 101 ≡ 1 (mod 100) → rewritten by the v1 upsert
+
+
+@register(
+    "doc_lookup_asof",
+    oracle=f"""
+WITH t AS (
+  SELECT o_orderkey AS "rowNum", o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), upd AS (
+  SELECT "rowNum", o_custkey, cents + 500 AS cents
+  FROM t WHERE "rowNum" % 100 = 1
+), merged AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT * FROM t WHERE "rowNum" % 100 != 1
+)
+SELECT 0 AS version, "rowNum", o_custkey, cents FROM t
+WHERE "rowNum" IN ({", ".join(str(k) for k in _ASOF_KEYS)})
+UNION ALL
+SELECT 1 AS version, "rowNum", o_custkey, cents FROM merged
+WHERE "rowNum" IN ({", ".join(str(k) for k in _ASOF_KEYS)})
+ORDER BY version, "rowNum"
+""",
+    tags=("r7.3", "A3", "A5"),
+)
+def doc_lookup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from ..operators.scans import _sink
+    from .model import KEY
+    from .store import DocumentStore
+
+    base = _sink("doc_store_asof", spark)
+    store = DocumentStore(spark, base)
+    t = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias(KEY), "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    store.upsert(t, "orders_asof")                                  # v0
+    store.upsert(t.filter(F.col(KEY) % 100 == 1)
+                 .withColumn("cents", F.col("cents") + 500),
+                 "orders_asof")                                     # v1
+    outs = [
+        store.lookup_asof("orders_asof", k, v)
+        .select(F.lit(v).alias("version"), KEY, "o_custkey", "cents")
+        for v in (0, 1) for k in _ASOF_KEYS
+    ]
+    return reduce(lambda a, b: a.unionByName(b), outs) \
+        .orderBy("version", KEY)

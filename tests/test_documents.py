@@ -189,3 +189,86 @@ def test_classify_expr_matches_python_classify(spark):
                               .alias("cls")).collect()}
     for k, v in grid:
         assert got[(k, v)] == classify(k, v), (k, v)
+
+
+def test_store_crash_before_commit_leaves_previous_version_readable(
+        spark, tmp_path):
+    """r7.3: the CAS-committed store's crash window — data dir written,
+    manifest NOT claimed — must leave the previous version fully readable
+    and the version counter untouched (the r6 rmtree+rename upsert lost
+    the whole table in this window)."""
+    from json_sql_database_storage_spark.documents.store import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "collections"))
+    docs = docs_df(spark, [
+        {"rowNum": 1, "name": "a", "v": 1},
+        {"rowNum": 2, "name": "b", "v": 2},
+    ])
+    store.upsert(docs, "things")
+    assert store.version("things") == 0
+    # simulate the crash: the data write succeeds, the commit never runs
+    doomed = docs_df(spark, [{"rowNum": 2, "name": "LOST", "v": 99}])
+    store._write_data(doomed, "things")     # orphaned, uncommitted
+    assert store.version("things") == 0     # no new version appeared
+    rows = {r["rowNum"]: r for r in store.read("things").collect()}
+    assert set(rows) == {1, 2} and rows[2]["name"] == "b"
+    # and the store still accepts a real commit afterwards
+    store.upsert(docs_df(spark, [{"rowNum": 3, "name": "c", "v": 3}]),
+                 "things")
+    assert store.version("things") == 1
+    assert set(r["rowNum"] for r in store.read("things").collect()) \
+        == {1, 2, 3}
+
+
+def test_store_upsert_rebases_on_concurrent_commit(spark, tmp_path):
+    """r7.3: a writer that loses the CAS race must REBASE — re-read the
+    winner's version, re-apply its delta, and commit on top — so neither
+    writer's rows are lost (optimistic concurrency, not blind overwrite)."""
+    from json_sql_database_storage_spark.documents.store import DocumentStore
+
+    base = str(tmp_path / "collections")
+    ours = DocumentStore(spark, base)
+    ours.upsert(docs_df(spark, [
+        {"rowNum": 1, "name": "a", "v": 1},
+        {"rowNum": 2, "name": "b", "v": 2},
+    ]), "things")
+
+    # interleave a concurrent writer's commit into OUR upsert by letting
+    # the other store win version 1 just before our CAS attempt
+    other = DocumentStore(spark, base)
+    orig_commit = ours._commit_at
+    state = {"raced": False}
+
+    def racing_commit(table, version, dirs):
+        if not state["raced"]:
+            state["raced"] = True
+            other.upsert(docs_df(spark, [
+                {"rowNum": 3, "name": "theirs", "v": 30}]), "things")
+        return orig_commit(table, version, dirs)
+
+    ours._commit_at = racing_commit
+    ours.upsert(docs_df(spark, [{"rowNum": 2, "name": "b2", "v": 20}]),
+                "things")
+    assert state["raced"]
+    assert ours.version("things") == 2      # their v1, our rebased v2
+    rows = {r["rowNum"]: r for r in ours.read("things").collect()}
+    assert set(rows) == {1, 2, 3}           # both writers' rows survive
+    assert rows[2]["name"] == "b2" and rows[3]["name"] == "theirs"
+
+
+def test_store_asof_reads_both_versions(spark, tmp_path):
+    """r7.3: read_asof/lookup_asof return the pre-update row at v0 and the
+    updated row at v1 after an overwriting upsert."""
+    from json_sql_database_storage_spark.documents.store import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "collections"))
+    store.upsert(docs_df(spark, [
+        {"rowNum": 1, "name": "a", "v": 1},
+        {"rowNum": 2, "name": "b", "v": 2},
+    ]), "things")
+    store.upsert(docs_df(spark, [{"rowNum": 2, "name": "b2", "v": 20}]),
+                 "things")
+    v0 = store.lookup_asof("things", 2, 0).collect()
+    v1 = store.lookup_asof("things", 2, 1).collect()
+    assert len(v0) == 1 and v0[0]["name"] == "b" and v0[0]["v"] == 2
+    assert len(v1) == 1 and v1[0]["name"] == "b2" and v1[0]["v"] == 20
