@@ -225,23 +225,28 @@ def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
-def train_codebooks(subs: DataFrame, k: int) -> DataFrame:
-    """One unrolled Lloyd iteration per subspace from the vec_id<k seeds:
-    assign every subvector to its seed, recenter per (m, code, pos) as
-    sum/count means, re-listed in position order.  (m, c_id, csub)."""
-    cb0 = (subs.filter(F.col("vec_id") < k)
-           .select(F.col("vec_id").alias("c_id"), "m",
-                   F.col("sub").alias("csub")))
-    a1 = _pq_assign(subs, cb0)
-    flat = a1.select("m", "code", F.posexplode("sub").alias("pos", "val"))
-    return (
-        flat.groupBy("m", "code", "pos")
-        .agg((F.sum("val") / F.count(F.lit(1))).alias("avg_val"))
-        .groupBy("m", F.col("code").alias("c_id"))
-        .agg(F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "avg_val"))),
-            lambda s: s["avg_val"]).alias("csub"))
-    )
+def train_codebooks(subs: DataFrame, k: int, iters: int = 1) -> DataFrame:
+    """`iters` unrolled Lloyd iterations per subspace from the vec_id<k
+    seeds: assign every subvector to the current codebook, recenter per
+    (m, code, pos) as sum/count means, re-listed in position order.
+    (m, c_id, csub).  A code that attracts no subvectors drops out of the
+    next codebook (both engines agree — the oracle's recenter drops it
+    identically)."""
+    cb = (subs.filter(F.col("vec_id") < k)
+          .select(F.col("vec_id").alias("c_id"), "m",
+                  F.col("sub").alias("csub")))
+    for _ in range(iters):
+        a = _pq_assign(subs, cb)
+        flat = a.select("m", "code", F.posexplode("sub").alias("pos", "val"))
+        cb = (
+            flat.groupBy("m", "code", "pos")
+            .agg((F.sum("val") / F.count(F.lit(1))).alias("avg_val"))
+            .groupBy("m", F.col("code").alias("c_id"))
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "avg_val"))),
+                lambda s: s["avg_val"]).alias("csub"))
+        )
+    return cb
 
 
 @register(
@@ -410,6 +415,261 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         short.join(v.select(F.col("vec_id").alias("neighbor_id"),
                             F.col("e").alias("ne")), "neighbor_id")
         .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id",
+                l2sq(F.col("qe"), F.col("ne")).alias("l2_dist"))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= _IPQ_TOPK)
+        .select("query_id", "neighbor_id", "l2_dist", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r7.4 (b11.28c) — IVFPQ with RESIDUAL encoding (r6 verdict next-round #4):
+# quantize r = x − centroid(cell) instead of the raw vector — FAISS IVFPQ's
+# actual encoding.  Residuals only shrink when the coarse centroids are
+# GOOD, so this variant also trains the coarse quantizer (one unrolled
+# Lloyd iteration on full vectors — the k-means the FAISS recipe runs
+# before residual PQ) and deepens PQ training to two Lloyd iterations.
+# The probe's ADC table becomes per-(query, probed cell): the query's
+# residual against EACH probed cell's centroid × the codebook — still
+# Q·nprobe·M·K rows (2,560 here), broadcast.
+#
+# MEASURED recall@5 vs exact L2 (numpy-validated, pinned in
+# tests/test_llm.py::test_ivfpq_residual_recall_contract):
+#     sf0.001  raw 0.88 → residual 0.94
+#     sf0.01   raw 0.88 → residual 0.92
+#     sf0.1    raw 0.82 → residual 0.82
+# The sf0.1 tie is a property of THIS corpus, not of the method: residuals
+# beat raw exactly when vectors cluster tightly around their cell centroid
+# (real embedding corpora; the smaller SFs here), and the sf0.1 synthetic
+# embeddings are weakly clustered — the measured residual norms barely
+# shrink, so the 16-code budget gains nothing.  Both failure directions
+# were swept (more Lloyd iterations, strided seeds, trained-vs-seed coarse)
+# before pinning; raw-with-2-Lloyd-iterations DROPS to 0.70 at sf0.1, so
+# the residual form is the better-trained operating point even there.
+#
+# Scale/determinism: identical shape to sim_ivfpq_topk (cell-partitioned
+# codes, DPP probe, broadcast ADC, exact re-rank) with one extra broadcast
+# join for the per-cell query residuals.  Trained coarse centroids add one
+# noise-sensitive decision family (cell assignment / probe choice now use
+# float means, not raw seeds) — their margins are pinned alongside the PQ
+# margins in tests/test_llm.py::test_ivfpq_margin_guard_band.
+# ---------------------------------------------------------------------------
+
+_IPQR_PQ_ITERS = 2
+
+
+def _coarse_recenter_sql(a: str) -> str:
+    return f"""
+  SELECT cluster AS c_id, list(avg_val ORDER BY pos) AS ce
+  FROM (SELECT cluster, pos, sum(val) / count(*) AS avg_val
+        FROM (SELECT cluster, unnest(range(len(e))) AS pos,
+                     unnest(e) AS val FROM {a})
+        GROUP BY cluster, pos)
+  GROUP BY cluster
+"""
+
+
+def _pq_assign_sql(subs: str, cb: str, keep_sub: bool) -> str:
+    cols = "vec_id, m, sub, code" if keep_sub else "vec_id, m, code"
+    inner_sub = ", s.sub" if keep_sub else ""
+    return f"""
+  SELECT {cols} FROM (
+    SELECT s.vec_id, s.m{inner_sub}, c.c_id AS code,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_L2SQ_SQL.format(a="s.sub",
+                                                         b="c.csub")},
+                                       c.c_id) AS rk
+    FROM {subs} s JOIN {cb} c USING (m)) WHERE rk = 1
+"""
+
+
+def _pq_recenter_sql(a: str) -> str:
+    return f"""
+  SELECT m, code AS c_id, list(avg_val ORDER BY pos) AS csub
+  FROM (SELECT m, code, pos, sum(val) / count(*) AS avg_val
+        FROM (SELECT m, code, unnest(range(len(sub))) AS pos,
+                     unnest(sub) AS val FROM {a})
+        GROUP BY m, code, pos)
+  GROUP BY m, code
+"""
+
+
+def _ipqr_oracle() -> str:
+    from .clustering import _assign_sql
+
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent0 AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id < {_IPQ_KC}),
+a0 AS ({_assign_sql("v", "cent0")}),
+cent1 AS ({_coarse_recenter_sql("a0")}),
+a1 AS ({_assign_sql("v", "cent1")}),
+res AS (
+  SELECT a1.vec_id, a1.cluster AS cell,
+         list_transform(list_zip(a1.e, c.ce), pr -> pr[1] - pr[2]) AS r
+  FROM a1 JOIN cent1 c ON c.c_id = a1.cluster),
+subs AS (
+  SELECT vec_id, m,
+         list_slice(r, m * {_PQ_SUB} + 1, m * {_PQ_SUB} + {_PQ_SUB}) AS sub
+  FROM res CROSS JOIN (SELECT unnest(range({_PQ_M})) AS m)),
+cb0 AS (SELECT vec_id AS c_id, m, sub AS csub FROM subs
+        WHERE vec_id < {_PQ_K}),
+pa1 AS ({_pq_assign_sql("subs", "cb0", True)}),
+cb1 AS ({_pq_recenter_sql("pa1")}),
+pa2 AS ({_pq_assign_sql("subs", "cb1", True)}),
+cb2 AS ({_pq_recenter_sql("pa2")}),
+enc AS ({_pq_assign_sql("subs", "cb2", False)}),
+probes AS (
+  SELECT query_id, qcell FROM (
+    SELECT v.vec_id AS query_id, c.c_id AS qcell,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_L2SQ_SQL.format(a="v.e", b="c.ce")},
+                                       c.c_id) AS prk
+    FROM v CROSS JOIN cent1 c WHERE v.vec_id < {_IPQ_NQ})
+  WHERE prk <= {_IPQ_NPROBE}),
+qres AS (
+  SELECT p.query_id, p.qcell,
+         list_transform(list_zip(q.e, c.ce), pr -> pr[1] - pr[2]) AS r
+  FROM probes p
+  JOIN v q ON q.vec_id = p.query_id
+  JOIN cent1 c ON c.c_id = p.qcell),
+qsubs AS (
+  SELECT query_id, qcell, m,
+         list_slice(r, m * {_PQ_SUB} + 1, m * {_PQ_SUB} + {_PQ_SUB}) AS sub
+  FROM qres CROSS JOIN (SELECT unnest(range({_PQ_M})) AS m)),
+dtab AS (
+  SELECT qs.query_id, qs.qcell, qs.m, cb.c_id,
+         {_L2SQ_SQL.format(a="qs.sub", b="cb.csub")} AS d
+  FROM qsubs qs JOIN cb2 cb USING (m)),
+cand AS (
+  SELECT p.query_id, p.qcell, r.vec_id AS neighbor_id
+  FROM res r JOIN probes p
+    ON r.cell = p.qcell AND r.vec_id != p.query_id),
+adc AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_sum(list(d.d ORDER BY d.m)) AS adc_dist
+  FROM cand c
+  JOIN enc e ON e.vec_id = c.neighbor_id
+  JOIN dtab d ON d.query_id = c.query_id AND d.qcell = c.qcell
+             AND d.m = e.m AND d.c_id = e.code
+  GROUP BY c.query_id, c.neighbor_id),
+short AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist, neighbor_id) AS srk
+    FROM adc) WHERE srk <= {_IPQ_R}),
+refined AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_L2SQ_SQL.format(a="q.e", b="n.e")} AS l2_dist
+  FROM short s
+  JOIN v q ON q.vec_id = s.query_id
+  JOIN v n ON n.vec_id = s.neighbor_id)
+SELECT query_id, neighbor_id, l2_dist, rk FROM (
+  SELECT query_id, neighbor_id, l2_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY l2_dist, neighbor_id) AS rk
+  FROM refined) WHERE rk <= {_IPQ_TOPK}
+ORDER BY query_id, rk
+"""
+
+
+@register(
+    "sim_ivfpq_residual_topk",
+    oracle=_ipqr_oracle(),
+    tags=("r7.4", "b11.28"),
+)
+def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVFPQ serve path: trained coarse quantizer →
+    r = x − centroid(cell) → 2-Lloyd-iteration PQ codebooks on residuals →
+    cell-partitioned code layout → probe with per-(query, cell) residual
+    ADC tables → exact re-rank."""
+    from ..operators.scans import _sink
+    from ..registry import scoped_persist
+    from .clustering import _assign, _recenter, assign_cells
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e"))
+    # trained coarse quantizer: seed assignment + one recenter.  cent1 is
+    # persisted so every consumer (assignment, residuals, probes, query
+    # residuals) sees bit-identical centroid floats.
+    a0 = assign_cells(v, _IPQ_KC)
+    cent1 = _recenter(a0).transform(scoped_persist)
+    a1 = _assign(v, cent1)
+    res = (a1.join(F.broadcast(cent1), a1["cluster"] == cent1["c_id"])
+           .select("vec_id", F.col("cluster").alias("cell"),
+                   F.zip_with("e", "ce", lambda x, y: x - y).alias("e")))
+    subs = (subvectors(res.select("vec_id", "e"))
+            .transform(scoped_persist))
+    cbr = (train_codebooks(subs, _PQ_K, iters=_IPQR_PQ_ITERS)
+           .transform(scoped_persist))
+    enc = _pq_assign(subs, cbr).select("vec_id", "m", "code")
+
+    # IVF layout: residual codes land in their vector's cell directory
+    cells = res.select("vec_id", "cell")
+    index_path = _sink("ivfpq_res_index", spark)
+    (enc.join(cells, "vec_id")
+     .select("vec_id", "m", "code", "cell")
+     .repartition("cell")
+     .write.mode("overwrite").partitionBy("cell").parquet(index_path))
+    idx = spark.read.parquet(index_path)
+
+    # probe cells: nprobe nearest TRAINED centroids per query
+    wq = W.partitionBy("query_id").orderBy("d", "c_id")
+    qv = (v.filter(F.col("vec_id") < _IPQ_NQ)
+          .select(F.col("vec_id").alias("query_id"), "e"))
+    probes = (
+        qv.crossJoin(F.broadcast(cent1))
+        .select("query_id", "c_id", l2sq(F.col("e"), F.col("ce")).alias("d"))
+        .withColumn("prk", F.row_number().over(wq))
+        .filter(F.col("prk") <= _IPQ_NPROBE)
+        .select("query_id", F.col("c_id").alias("qcell")))
+
+    # per-(query, probed cell) residual → ADC distance table
+    qres = (probes.join(F.broadcast(qv), "query_id")
+            .join(F.broadcast(cent1), F.col("qcell") == F.col("c_id"))
+            .select("query_id", "qcell",
+                    F.zip_with("e", "ce", lambda x, y: x - y).alias("r")))
+    qsubs = (qres.select(
+        "query_id", "qcell",
+        F.explode(F.array(*[F.lit(m) for m in range(_PQ_M)])).alias("m"), "r")
+        .select("query_id", "qcell", "m",
+                F.slice("r", F.col("m") * _PQ_SUB + 1, _PQ_SUB).alias("sub")))
+    dtab = (qsubs.join(F.broadcast(cbr), "m")
+            .select("query_id", F.col("qcell").alias("dcell"),
+                    F.col("m").alias("qm"), "c_id",
+                    l2sq(F.col("sub"), F.col("csub")).alias("d")))
+
+    # probe scan: broadcast probe-cell join on the partition column → DPP
+    cand = (idx.join(F.broadcast(probes), (F.col("cell") == F.col("qcell"))
+                     & (F.col("vec_id") != F.col("query_id")))
+            .select("query_id", "qcell", "vec_id", "m", "code"))
+    adc = (
+        cand.join(F.broadcast(dtab),
+                  (F.col("m") == F.col("qm"))
+                  & (F.col("code") == F.col("c_id"))
+                  & (F.col("qcell") == F.col("dcell"))
+                  & (cand["query_id"] == dtab["query_id"]))
+        .drop(dtab["query_id"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("m").alias("m"),
+                                                 F.col("d").alias("d")))),
+            F.lit(0.0), lambda acc, s: acc + s["d"]).alias("adc_dist"))
+    )
+    ws = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    short = (adc.withColumn("srk", F.row_number().over(ws))
+             .filter(F.col("srk") <= _IPQ_R)
+             .select("query_id", "neighbor_id"))
+
+    # exact re-rank on RAW vectors: R·Q-row equi-join
+    qraw = qv.select("query_id", F.col("e").alias("qe"))
+    wr = W.partitionBy("query_id").orderBy("l2_dist", "neighbor_id")
+    return (
+        short.join(v.select(F.col("vec_id").alias("neighbor_id"),
+                            F.col("e").alias("ne")), "neighbor_id")
+        .join(F.broadcast(qraw), "query_id")
         .select("query_id", "neighbor_id",
                 l2sq(F.col("qe"), F.col("ne")).alias("l2_dist"))
         .withColumn("rk", F.row_number().over(wr))
