@@ -61,28 +61,36 @@ def _commit_dirs(data_dir: str) -> dict[int, str]:
 
 def read_version(spark: SparkSession, manifest: dict[int, str]) -> DataFrame:
     """Time-travel read: one partition-pruned multi-path scan per commit
-    base the manifest references (NOT per partition), unioned."""
+    base the manifest references (NOT per partition), unioned.  Schema
+    reconciliation is per-commit-base (r7.6): each base scan merges its own
+    footers, and bases are unioned by NAME with missing columns as NULL —
+    so a version whose later commits added a column reads older commits'
+    partitions as NULL for it, and an AS-OF read of a pre-evolution
+    version never sees the column at all."""
     by_base: dict[str, list[str]] = {}
     for path in manifest.values():
         by_base.setdefault(os.path.dirname(path), []).append(path)
     parts = [
-        spark.read.option("basePath", base).parquet(*sorted(paths))
+        spark.read.option("basePath", base).option("mergeSchema", "true")
+        .parquet(*sorted(paths))
         for base, paths in sorted(by_base.items())
     ]
     df = parts[0]
     for p in parts[1:]:
-        df = df.unionByName(p)
+        df = df.unionByName(p, allowMissingColumns=True)
     return df
 
 
-def merge_cow(v0_rows: DataFrame, delta: DataFrame) -> DataFrame:
+def merge_cow(v0_rows: DataFrame, delta: DataFrame,
+              allow_missing: bool = False) -> DataFrame:
     """Copy-on-write MERGE output for the touched partitions: surviving v0
     rows (key not replaced) + all delta rows.  Caller must pre-prune
     v0_rows to the touched partitions — this function never sees untouched
-    data."""
+    data.  `allow_missing` admits a schema-evolving delta (new columns →
+    NULL on the surviving v0 side)."""
     return (
         v0_rows.join(delta.select("o_orderkey"), "o_orderkey", "left_anti")
-        .unionByName(delta)
+        .unionByName(delta, allowMissingColumns=allow_missing)
     )
 
 
@@ -380,3 +388,117 @@ def current_version(root: str) -> int:
         if name.startswith("manifest-v") and name.endswith(".json"):
             vs.append(int(name[len("manifest-v"):-len(".json")]))
     return max(vs)
+
+
+# ---------------------------------------------------------------------------
+# r7.6 (b1.19c) — snapshot SCHEMA EVOLUTION (r6 verdict next-round #6): a
+# v1 commit whose delta carries a NEW column.  The commit machinery is
+# unchanged — the rewritten partitions simply have the wider schema and the
+# untouched v0 directories are reused as-is; reconciliation happens at
+# read time, per commit base (read_version: mergeSchema within a base,
+# unionByName(allowMissingColumns) across bases).  The contract exhibited:
+#   AS-OF v0  the column does not exist at all (history is immutable —
+#             old snapshots don't grow columns retroactively);
+#   AS-OF v1  rows from rewritten partitions carry the column, rows read
+#             from reused v0 directories read it as NULL (no back-fill —
+#             the same lazy-evolution semantics as Delta/Iceberg ADD
+#             COLUMN, and as the reference's auto-DDL, which also leaves
+#             existing rows untouched: DatabaseManager.java:130,152).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "snapshot_schema_evolution",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_CUT_INS}'
+), upd AS (
+  SELECT o_orderkey, o_year, cents + 100 AS cents, 'merged' AS o_flag
+  FROM base WHERE o_orderkey % 10 = 0 AND o_year = {_UPD_YEAR}
+), ins AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         'merged' AS o_flag
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{_CUT_INS}'
+    AND o_orderdate <  TIMESTAMP '{_CUT_END}'
+), delta AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+v1 AS (
+  SELECT b.o_orderkey, b.o_year, b.cents, CAST(NULL AS VARCHAR) AS o_flag
+  FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = b.o_orderkey)
+  UNION ALL SELECT * FROM delta
+)
+SELECT 0 AS version, CAST(0 AS BIGINT) AS has_flag_col,
+       count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(0 AS BIGINT) AS n_flagged
+FROM base
+UNION ALL
+SELECT 1 AS version, CAST(1 AS BIGINT) AS has_flag_col,
+       count(*) AS n_rows, CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(count(o_flag) AS BIGINT) AS n_flagged
+FROM v1
+ORDER BY version
+""",
+    tags=("r7.6", "b1.19"),
+)
+def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit v0, then a v1 MERGE whose delta ADDS o_flag; AS-OF read both
+    versions: v0 has no such column, v1 reads reused v0 partitions as NULL
+    and rewritten/inserted rows as 'merged'."""
+    root = _sink("snapshot_sev", spark)
+    cut_ins = F.lit(_CUT_INS).cast("timestamp")
+    cut_end = F.lit(_CUT_END).cast("timestamp")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+
+    base = o.filter(F.col("o_orderdate") < cut_ins).drop("o_orderdate")
+    v0_data = os.path.join(root, "v0data")
+    base.write.mode("overwrite").partitionBy("o_year").parquet(v0_data)
+    m0 = _commit_dirs(v0_data)
+
+    v0 = read_version(spark, m0)
+    upd = (v0.filter((F.col("o_orderkey") % 10 == 0)
+                     & (F.col("o_year") == _UPD_YEAR))
+           .withColumn("cents", F.col("cents") + 100)
+           .withColumn("o_flag", F.lit("merged")))
+    ins = (o.filter((F.col("o_orderdate") >= cut_ins)
+                    & (F.col("o_orderdate") < cut_end)).drop("o_orderdate")
+           .withColumn("o_flag", F.lit("merged")))
+    delta = upd.unionByName(ins)
+
+    touched = sorted(r["o_year"] for r in
+                     delta.select("o_year").distinct().collect())
+    merged = merge_cow(v0.filter(F.col("o_year").isin(touched)), delta,
+                       allow_missing=True)
+    v1_data = os.path.join(root, "v1data")
+    merged.write.mode("overwrite").partitionBy("o_year").parquet(v1_data)
+    m1_new = _commit_dirs(v1_data)
+    m1 = {y: (m1_new[y] if y in m1_new else path) for y, path in m0.items()}
+    m1.update({y: p for y, p in m1_new.items() if y not in m1})
+    for v, m in ((0, m0), (1, m1)):
+        try:
+            commit_manifest(root, v, m)
+        except SnapshotConflict:
+            if read_committed_manifest(root, v) != m:
+                raise
+
+    outs = []
+    for version, manifest in ((0, m0), (1, m1)):
+        df = read_version(spark, manifest)
+        has_flag = "o_flag" in df.columns
+        n_flagged = (F.count("o_flag").cast("bigint") if has_flag
+                     else F.lit(0).cast("bigint"))
+        outs.append(
+            df.agg(F.count(F.lit(1)).alias("n_rows"),
+                   F.sum("cents").cast("bigint").alias("total_cents"),
+                   n_flagged.alias("n_flagged"))
+            .select(F.lit(version).alias("version"),
+                    F.lit(1 if has_flag else 0).cast("bigint")
+                     .alias("has_flag_col"),
+                    "n_rows", "total_cents", "n_flagged"))
+    return outs[0].unionByName(outs[1]).orderBy("version")

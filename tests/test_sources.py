@@ -150,3 +150,36 @@ def test_snapshot_concurrent_commit_conflict(spark, sf_dir):
     expire_snapshots(root, manifests, keep_last=1)
     assert not os.path.exists(os.path.join(root, "manifest-v0.json"))
     assert os.path.exists(os.path.join(root, "manifest-v1.json"))
+
+
+def test_snapshot_schema_evolution_asof_schemas(spark, sf_dir):
+    """r7.6: after a v1 commit whose delta adds o_flag, an AS-OF v0 read
+    must NOT contain the column (history is immutable) and an AS-OF v1
+    read must serve reused v0 partitions as NULL and rewritten/inserted
+    rows as 'merged'."""
+    from json_sql_database_storage_spark import registry
+    from json_sql_database_storage_spark.operators.scans import _sink
+    from json_sql_database_storage_spark.operators.snapshots import (
+        _UPD_YEAR, read_version)
+    from pyspark.sql import functions as F
+
+    registry.specs()["snapshot_schema_evolution"].fn(spark, sf_dir).collect()
+    root = _sink("snapshot_sev", spark)
+    from json_sql_database_storage_spark.operators.snapshots import (
+        read_committed_manifest)
+    m0 = read_committed_manifest(root, 0)
+    m1 = read_committed_manifest(root, 1)
+    v0 = read_version(spark, m0)
+    v1 = read_version(spark, m1)
+    assert "o_flag" not in v0.columns
+    assert "o_flag" in v1.columns
+    # reused (pre-evolution) partitions read NULL; at least one untouched
+    # year exists by construction (_UPD_YEAR is the only updated year)
+    untouched = (v1.filter((F.col("o_year") != _UPD_YEAR)
+                           & (F.col("o_year") < 1999)))
+    assert untouched.filter(F.col("o_flag").isNotNull()).count() == 0
+    assert untouched.count() > 0
+    # rewritten partitions: delta rows flagged, surviving rows NULL
+    upd_year = v1.filter(F.col("o_year") == _UPD_YEAR)
+    assert upd_year.filter(F.col("o_flag") == "merged").count() > 0
+    assert upd_year.filter(F.col("o_flag").isNull()).count() > 0
