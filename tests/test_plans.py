@@ -238,6 +238,7 @@ def test_no_unintended_scale_flags(spark, sf_dir):
             # map-side partials, ONE row per input partition reaches the
             # single partition — constant bytes at any table size
             "snapshot_time_travel", "snapshot_expire",
+            "snapshot_schema_evolution",
         },
     }
     bad = []

@@ -373,21 +373,60 @@ def test_fingerprint_invariant_to_layout(spark, sf_dir):
 def _scale_corpus(spark, sf_dir, tmp_root, mult):
     import os
 
+    path = os.path.join(tmp_root, f"x{mult}")
+
+    def _rep_union(reps):
+        out = reps[0]
+        for r in reps[1:]:
+            out = out.unionByName(r)
+        return out
+
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    reps = [d] + [
+    docs = _rep_union([d] + [
         d.select((F.col("doc_id") + rep * 10000).alias("doc_id"),
                  F.concat_ws(" ", F.transform(
                      F.split(F.col("text"), " "),
                      lambda t: F.concat(t, F.lit(f"r{rep}")))).alias("text"),
                  "lang")
         for rep in range(1, mult)
-    ]
-    out = reps[0]
-    for r in reps[1:]:
-        out = out.unionByName(r)
-    path = os.path.join(tmp_root, f"x{mult}")
-    out.write.mode("overwrite").parquet(os.path.join(path,
-                                                     "documents.parquet"))
+    ])
+    docs.write.mode("overwrite").parquet(os.path.join(path,
+                                                      "documents.parquet"))
+
+    # r7.7 — the r6 heavies need their own scaled inputs.  Replicas are
+    # DISJOINT (shifted ids, perturbed vectors): corpus size grows linearly
+    # without densifying any cell/bucket/graph neighborhood, the shape a
+    # genuinely growing dataset has.
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = _rep_union([e] + [
+        e.select((F.col("vec_id") + rep * 10_000_000).alias("vec_id"),
+                 F.transform(F.col("embedding"),
+                             lambda x: x + F.lit(rep * 1e-3))
+                 .alias("embedding"),
+                 *[c for c in e.columns if c not in ("vec_id", "embedding")])
+        for rep in range(1, mult)
+    ])
+    emb.write.mode("overwrite").parquet(os.path.join(path,
+                                                     "embeddings.parquet"))
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    orders = _rep_union([o] + [
+        o.select((F.col("o_orderkey") + rep * 10_000_000).alias("o_orderkey"),
+                 (F.col("o_custkey") + rep * 50_000).alias("o_custkey"))
+        for rep in range(1, mult)
+    ])
+    orders.write.mode("overwrite").parquet(os.path.join(path,
+                                                        "orders.parquet"))
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_suppkey")
+    lineitem = _rep_union([li] + [
+        li.select((F.col("l_orderkey") + rep * 10_000_000).alias("l_orderkey"),
+                  (F.col("l_suppkey") + rep * 50_000).alias("l_suppkey"))
+        for rep in range(1, mult)
+    ])
+    lineitem.write.mode("overwrite").parquet(os.path.join(path,
+                                                          "lineitem.parquet"))
     return path
 
 
@@ -406,7 +445,9 @@ def test_scale_curve_heavy_ops_near_linear(spark, tmp_path_factory):
     sf01 = "/root/testdata/sf0.1"
     root = str(tmp_path_factory.mktemp("scale_curve"))
     ops = ["dedup_minhash_lsh", "dedup_minhash_incremental",
-           "text_inverted_index_search"]
+           "text_inverted_index_search",
+           # r7.7 — the r6 heavies (r6 verdict next-round #7)
+           "text_bm25_topk", "sim_ivfpq_topk", "graph_pagerank"]
     dirs = {m: _scale_corpus(spark, sf01, root, m) for m in (1, 3, 10)}
     # plan-warm at 1x: codegen + Python worker startup out of the timings
     for op in ops:
@@ -425,3 +466,52 @@ def test_scale_curve_heavy_ops_near_linear(spark, tmp_path_factory):
     for op in ops:
         print(f"  {op}: 1x={t[(op,1)]:.2f} 3x={t[(op,3)]:.2f} "
               f"10x={t[(op,10)]:.2f}")
+
+
+@pytest.mark.slow
+def test_pagerank_checkpoint_keeps_superstep_time_flat(spark):
+    """r7.5: the checkpointed driver loop is the production path past the
+    unrolled-plan depth ceiling — per-4-superstep SEGMENT time must stay
+    flat across 16 supersteps at sf0.1 (each segment ends in an eager
+    localCheckpoint, so lineage never exceeds checkpoint_every supersteps;
+    without it, later segments pay ever-growing re-analysis/lineage cost).
+    Timings recorded in SCALE.md."""
+    import time
+
+    from json_sql_database_storage_spark.registry import scoped_persist
+
+    sf01 = "/root/testdata/sf0.1"
+    o = load_table(spark, sf01, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf01, "lineitem").select("l_orderkey", "l_suppkey")
+    e0 = (li.join(o, li.l_orderkey == o.o_orderkey)
+          .select(F.col("o_custkey").alias("c"),
+                  F.col("l_suppkey").alias("s"))
+          .transform(scoped_persist))
+    OFF = 1000000
+    edges = (e0.select(F.col("c").alias("src"),
+                       (F.col("s") + OFF).alias("dst"))
+             .unionByName(e0.select((F.col("s") + OFF).alias("src"),
+                                    F.col("c").alias("dst"))))
+    deg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+           .transform(scoped_persist))
+    deg.count()                      # warm the persisted inputs
+    ranks = deg.select(F.col("src").alias("node"),
+                       F.lit(1000000).cast("bigint").alias("r"))
+    segments, t0 = [], time.monotonic()
+    for i in range(1, 17):
+        contrib = (ranks.join(deg, ranks["node"] == deg["src"])
+                   .select("src", F.expr("r div d").alias("contrib")))
+        ranks = (edges.join(contrib, "src")
+                 .groupBy("dst").agg(F.sum("contrib").alias("s"))
+                 .select(F.col("dst").alias("node"),
+                         (F.lit(150000) + F.expr("(85 * s) div 100"))
+                         .cast("bigint").alias("r")))
+        if i % 4 == 0:
+            ranks = ranks.localCheckpoint(eager=True)
+            segments.append(time.monotonic() - t0)
+            t0 = time.monotonic()
+    print("\npagerank 4-superstep segment times (sec):",
+          [round(x, 2) for x in segments])
+    base = max(segments[0], 0.5)
+    assert segments[-1] < 3.0 * base, segments
+    assert ranks.count() > 0
