@@ -75,6 +75,10 @@ EXTRA = [
     "doc_lookup_asof",
     "snapshot_schema_evolution",
     "graph_pagerank_deep",
+    "q10_returned_items",
+    "q12_shipping_delay_priority",
+    "q19_disjunctive_revenue",
+    "snapshot_delete",
     # the stream-stream replays are excluded here: their wall time is
     # micro-batch scheduling of a 4-chunk replay (a latency regime the
     # batch bench's throughput number does not represent); their

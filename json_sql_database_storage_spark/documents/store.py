@@ -155,6 +155,37 @@ class DocumentStore:
         return (self.read_asof(table, version)
                 .filter(F.col(KEY) == F.lit(row_num)))
 
+    def vacuum(self, table: str, keep_last: int = 1) -> dict:
+        """Reclaim storage: keep the last `keep_last` committed versions,
+        delete every data directory no retained manifest references —
+        which sweeps BOTH expired versions' exclusive dirs AND the
+        orphaned dirs left by crashed writes / lost commit races (they are
+        referenced by no manifest at all).  Metadata-first ordering as in
+        operators/snapshots.py::expire_snapshots: expired CAS entries are
+        retired before any data dir is removed, so a crash mid-vacuum
+        never leaves a manifest resolving to deleted paths.  Returns
+        {kept_versions, deleted_dirs}."""
+        import shutil
+
+        root = self._root(table)
+        versions = sorted(
+            int(e.name[len("manifest-v"):-len(".json")])
+            for e in os.scandir(root)
+            if e.name.startswith("manifest-v") and e.name.endswith(".json"))
+        keep = versions[-keep_last:]
+        kept_dirs = {p for v in keep
+                     for p in read_committed_manifest(root, v).values()}
+        doomed = sorted(
+            e.path for e in os.scandir(root)
+            if e.is_dir() and e.name.startswith("data-")
+            and e.path not in kept_dirs)
+        for v in versions:
+            if v not in keep:
+                os.remove(os.path.join(root, f"manifest-v{v}.json"))
+        for p in doomed:
+            shutil.rmtree(p)
+        return {"kept_versions": keep, "deleted_dirs": doomed}
+
     def assemble_from_disk(self, result: ShredResult,
                            table: str | None = None) -> DataFrame:
         """Re-assemble using the persisted tables (the rels manifest carries

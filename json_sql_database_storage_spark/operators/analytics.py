@@ -379,3 +379,164 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum_expr(revenue).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# r7.8 — TPC-H Q10 shape (returned-item reporting): which customers
+# returned goods in a quarter, ranked by lost revenue.  The classic
+# aggregate-then-rank over a 4-table star: date-filtered orders ⨝
+# returnflag-filtered lineitem ⨝ customer ⨝ broadcast nation, per-customer
+# decimal revenue, TakeOrderedAndProject top-20.  The two selective filters
+# (one quarter of orders, 'R' lines) land in PushedFilters on their scans,
+# so the fact join ships a fraction of both tables at any SF.
+# ---------------------------------------------------------------------------
+
+_Q10_LO = "1995-04-01 00:00:00"
+_Q10_HI = "1995-07-01 00:00:00"
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+SELECT c_custkey, c_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+                  * CAST(1 - l_discount AS DECIMAL(6,4))), 2) AS DOUBLE)
+         AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '{_Q10_LO}'
+  AND o_orderdate <  TIMESTAMP '{_Q10_HI}'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+    tags=("r7.8",),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    o = (load_table(spark, sf_dir, "orders")
+         .filter((F.col("o_orderdate") >= F.lit(_Q10_LO).cast("timestamp"))
+                 & (F.col("o_orderdate") < F.lit(_Q10_HI).cast("timestamp")))
+         .select("o_orderkey", "o_custkey"))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    revenue = dec("l_extendedprice") * dec_factor(1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum_expr(revenue).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# r7.9 — TPC-H Q12 shape (shipping-delay priority mix), adapted to the
+# driver schema (no l_shipmode/commitdate/receiptdate columns exist): lines
+# bucketed by ship delay (l_shipdate − o_orderdate in days), per bucket the
+# count of critical-priority (1-URGENT / 2-HIGH) vs other orders — Q12's
+# exact conditional-aggregation shape (CASE WHEN inside sum) on the
+# columns the corpus has.  One fact join, one short-key groupBy with
+# map-side combine; the delay arithmetic is exact integer datediff.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q12_shipping_delay_priority",
+    oracle="""
+SELECT CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30 THEN '0-30'
+            WHEN datediff('day', o_orderdate, l_shipdate) <= 60 THEN '31-60'
+            ELSE '61+' END AS delay_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY delay_bucket
+ORDER BY delay_bucket
+""",
+    tags=("r7.9",),
+)
+def q12_shipping_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (F.when(delay <= 30, "0-30")
+              .when(delay <= 60, "31-60")
+              .otherwise("61+"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(bucket.alias("delay_bucket"))
+        .agg(F.sum(F.when(high, 1).otherwise(0)).cast("bigint")
+             .alias("high_line_count"),
+             F.sum(F.when(~high, 1).otherwise(0)).cast("bigint")
+             .alias("low_line_count"))
+        .orderBy("delay_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# r7.10 — TPC-H Q19 shape (disjunctive predicate revenue), adapted to the
+# driver schema (no p_container/l_shipmode): revenue over lineitem ⨝ part
+# under an OR of three (brand, size-range, quantity-range) conjuncts.
+# What the shape exercises: Catalyst pushes the part-only disjuncts
+# (brand/size) INTO the broadcast side's scan and keeps the mixed
+# residual on the join — the disjunctive-pushdown behavior Q19 was
+# designed to test; a naive engine evaluates the whole OR post-join.
+# ---------------------------------------------------------------------------
+
+_Q19_ARMS = (("Brand#12", 1, 5, 1, 11),
+             ("Brand#23", 1, 10, 10, 20),
+             ("Brand#34", 1, 15, 20, 30))
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))
+               * CAST(1 - l_discount AS DECIMAL(6,4))), 2) AS DOUBLE)
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE {" OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}"
+    f" AND l_quantity BETWEEN {qlo} AND {qhi})"
+    for b, slo, shi, qlo, qhi in _Q19_ARMS)}
+""",
+    tags=("r7.10",),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    pred = None
+    for b, slo, shi, qlo, qhi in _Q19_ARMS:
+        arm = ((F.col("p_brand") == b)
+               & F.col("p_size").between(slo, shi)
+               & F.col("l_quantity").between(qlo, qhi))
+        pred = arm if pred is None else (pred | arm)
+    revenue = dec("l_extendedprice") * dec_factor(1 - F.col("l_discount"))
+    # no broadcast hint on part: unlike nation/region it GROWS with SF
+    # (200k rows × SF), so AQE should pick broadcast only while the
+    # brand/size-pruned side actually fits — at 100 TB this is a shuffle
+    # join and forcing broadcast would OOM the executors
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(pred)
+        .agg(dsum_expr(revenue).alias("revenue"),
+             F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+    )

@@ -502,3 +502,93 @@ def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("has_flag_col"),
                     "n_rows", "total_cents", "n_flagged"))
     return outs[0].unionByName(outs[1]).orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# r7.11 (b1.19d) — DELETE as a copy-on-write commit: the remaining CRUD
+# verb (time-travel covers read, the MERGE covers update+insert, expiry
+# covers retention).  DELETE FROM t WHERE <pred> rewrites ONLY the
+# partitions containing doomed keys — surviving rows are rewritten, the
+# doomed rows simply don't appear, untouched directories are reused — and
+# the old version stays fully readable (the deleted rows still exist in
+# v0's files; expire is what eventually reclaims them).  A partition whose
+# every row dies produces NO rewritten directory and is dropped from the
+# manifest, not resurrected from v0.
+# ---------------------------------------------------------------------------
+
+_DEL_YEAR = 1996
+_DEL_MOD = 7
+
+
+@register(
+    "snapshot_delete",
+    oracle=f"""
+WITH base AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_CUT_INS}'
+), doomed AS (
+  SELECT o_orderkey FROM base
+  WHERE o_year = {_DEL_YEAR} AND o_orderkey % {_DEL_MOD} = 0
+), v1 AS (
+  SELECT b.* FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM doomed d
+                    WHERE d.o_orderkey = b.o_orderkey)
+)
+SELECT 0 AS version, count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents FROM base
+UNION ALL
+SELECT 1 AS version, count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents FROM v1
+ORDER BY version
+""",
+    tags=("r7.11", "b1.19"),
+)
+def snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit v0, DELETE-commit v1 (every {_DEL_MOD}th key of one year)
+    rewriting only that year's partition, then AS-OF read both versions —
+    the deleted rows are gone at v1 and still present at v0."""
+    root = _sink("snapshot_del", spark)
+    cut_ins = F.lit(_CUT_INS).cast("timestamp")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    base = o.filter(F.col("o_orderdate") < cut_ins).drop("o_orderdate")
+    v0_data = os.path.join(root, "v0data")
+    base.write.mode("overwrite").partitionBy("o_year").parquet(v0_data)
+    m0 = _commit_dirs(v0_data)
+
+    v0 = read_version(spark, m0)
+    doomed = (v0.filter((F.col("o_year") == _DEL_YEAR)
+                        & (F.col("o_orderkey") % _DEL_MOD == 0))
+              .select("o_orderkey", "o_year"))
+    # O(touched partitions) driver metadata, as in the MERGE commit
+    touched = sorted(r["o_year"] for r in
+                     doomed.select("o_year").distinct().collect())
+    survivors = (v0.filter(F.col("o_year").isin(touched))
+                 .join(doomed.select("o_orderkey"), "o_orderkey",
+                       "left_anti"))
+    v1_data = os.path.join(root, "v1data")
+    survivors.write.mode("overwrite").partitionBy("o_year").parquet(v1_data)
+    m1_new = _commit_dirs(v1_data)
+    # untouched years reuse v0 dirs; touched years point at the rewrite —
+    # or vanish entirely when every row of the partition died
+    m1 = {y: p for y, p in m0.items() if y not in touched}
+    m1.update(m1_new)
+    for v, m in ((0, m0), (1, m1)):
+        try:
+            commit_manifest(root, v, m)
+        except SnapshotConflict:
+            if read_committed_manifest(root, v) != m:
+                raise
+
+    outs = []
+    for version, manifest in ((0, m0), (1, m1)):
+        outs.append(
+            read_version(spark, manifest)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("cents").cast("bigint").alias("total_cents"))
+            .select(F.lit(version).alias("version"), "n_rows",
+                    "total_cents"))
+    return outs[0].unionByName(outs[1]).orderBy("version")

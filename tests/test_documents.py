@@ -272,3 +272,38 @@ def test_store_asof_reads_both_versions(spark, tmp_path):
     v1 = store.lookup_asof("things", 2, 1).collect()
     assert len(v0) == 1 and v0[0]["name"] == "b" and v0[0]["v"] == 2
     assert len(v1) == 1 and v1[0]["name"] == "b2" and v1[0]["v"] == 20
+
+
+def test_store_vacuum_sweeps_orphans_and_expired_versions(spark, tmp_path):
+    """r7.3: vacuum(keep_last=1) deletes (a) data dirs only expired
+    versions reference and (b) orphaned dirs from crashed/raced writes —
+    while the retained version stays fully readable and expired AS-OF
+    reads fail fast at manifest lookup."""
+    import os
+
+    import pytest as _pytest
+
+    from json_sql_database_storage_spark.documents.store import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "collections"))
+    store.upsert(docs_df(spark, [{"rowNum": 1, "name": "a", "v": 1}]),
+                 "things")                                          # v0
+    store._write_data(docs_df(spark, [{"rowNum": 9, "name": "orphan",
+                                       "v": 9}]), "things")         # orphan
+    store.upsert(docs_df(spark, [{"rowNum": 2, "name": "b", "v": 2}]),
+                 "things")                                          # v1
+    root = store._root("things")
+    n_dirs_before = sum(1 for e in os.scandir(root)
+                        if e.is_dir() and e.name.startswith("data-"))
+    assert n_dirs_before == 3                  # v0, orphan, v1
+
+    info = store.vacuum("things", keep_last=1)
+    assert info["kept_versions"] == [1]
+    assert len(info["deleted_dirs"]) == 2      # v0's dir + the orphan
+    n_dirs_after = sum(1 for e in os.scandir(root)
+                       if e.is_dir() and e.name.startswith("data-"))
+    assert n_dirs_after == 1
+    rows = {r["rowNum"] for r in store.read("things").collect()}
+    assert rows == {1, 2}                      # current version intact
+    with _pytest.raises(FileNotFoundError):
+        store.read_asof("things", 0)           # expired -> fails fast

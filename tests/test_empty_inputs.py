@@ -128,3 +128,62 @@ def test_expire_keep_last_exceeding_versions_deletes_nothing(spark, sf_dir):
     assert sorted(load_manifests(root)) == sorted(manifests)
     assert all(os.path.exists(p) for m in manifests.values()
                for p in m.values())
+
+
+def test_r7_primitives_on_empty_inputs(spark, sf_dir, tmp_path):
+    """Round-7 primitives: empty in → empty out, no exceptions — BPE
+    train/encode over an empty corpus, deep PageRank over an empty graph,
+    residual codebook training (iters=2) over no vectors; and the expiry
+    root-confinement guard refuses a poisoned manifest path."""
+    import pytest as _pytest
+
+    from json_sql_database_storage_spark.llm.bpe import _train_word_types
+    from json_sql_database_storage_spark.llm.pq import (subvectors,
+                                                        train_codebooks)
+    from json_sql_database_storage_spark.llm.similarity import as_double
+    from json_sql_database_storage_spark.operators.graph import pagerank_ranks
+    from json_sql_database_storage_spark.operators.snapshots import (
+        expire_snapshots)
+
+    # BPE on an empty corpus: both returned frames are empty, not errors.
+    # (monkeypatch-free: _train_word_types reads `documents` itself, so
+    # drive it through an empty VIEW of the same shape instead)
+    empty_docs = (load_table(spark, sf_dir, "documents")
+                  .filter(F.col("doc_id") < 0))
+    import json_sql_database_storage_spark.llm.bpe as bpe_mod
+    orig = bpe_mod.load_table
+    bpe_mod.load_table = lambda s, d, n: empty_docs
+    try:
+        enc, merges = _train_word_types(spark, sf_dir)
+        assert enc.count() == 0
+        assert merges.count() == 0
+    finally:
+        bpe_mod.load_table = orig
+
+    # residual-depth codebook training over no vectors
+    v = (load_table(spark, sf_dir, "embeddings")
+         .filter(F.col("vec_id") < 0)
+         .select("vec_id", as_double(F.col("embedding")).alias("e")))
+    cb = train_codebooks(subvectors(v), 16, iters=2)
+    assert cb.count() == 0
+
+    # deep PageRank over an empty graph: zero rank rows, loop still runs
+    # (pagerank_ranks resolves load_table from the sources package at call
+    # time, so patching the package attribute is enough)
+    import json_sql_database_storage_spark.sources as src_pkg
+    real_lt = src_pkg.load_table
+    src_pkg.load_table = lambda s, d, n: real_lt(s, d, n).limit(0)
+    try:
+        ranks = pagerank_ranks(spark, sf_dir, 3, checkpoint_every=2)
+        assert ranks.count() == 0
+    finally:
+        src_pkg.load_table = real_lt
+
+    # expiry confinement: a manifest pointing outside root must raise
+    # BEFORE anything is deleted
+    outside = tmp_path / "outside"
+    outside.mkdir()
+    with _pytest.raises(ValueError):
+        expire_snapshots(str(tmp_path / "root"),
+                         {0: {1995: str(outside)}, 1: {}}, keep_last=1)
+    assert outside.exists()

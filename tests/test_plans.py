@@ -200,6 +200,15 @@ def test_ivfpq_probe_uses_dynamic_partition_pruning(spark, sf_dir):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
 
 
+def test_ivfpq_residual_probe_uses_dynamic_partition_pruning(spark, sf_dir):
+    """r7.4: the residual variant inherits the cell-partitioned serving
+    path — its probe must also DPP-prune to nprobe of the KC cell
+    directories."""
+    df = _SPECS["sim_ivfpq_residual_topk"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
 def test_no_unintended_scale_flags(spark, sf_dir):
     """Whole-registry plan sweep: no CartesianProduct, row-at-a-time Python
     eval, or single-partition exchange outside the queries where it is the
@@ -238,7 +247,11 @@ def test_no_unintended_scale_flags(spark, sf_dir):
             # map-side partials, ONE row per input partition reaches the
             # single partition — constant bytes at any table size
             "snapshot_time_travel", "snapshot_expire",
-            "snapshot_schema_evolution",
+            "snapshot_schema_evolution", "snapshot_delete",
+            # single-row global revenue aggregate AFTER the selective
+            # disjunctive filter — map-side partials, one row per input
+            # partition reaches the single partition
+            "q19_disjunctive_revenue",
         },
     }
     bad = []
@@ -353,3 +366,18 @@ def test_pq_adc_joins_are_broadcast_only(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_q19_disjunction_pushes_part_side_predicates(spark, sf_dir):
+    """r7.10: the point of the Q19 shape — Catalyst must extract the
+    part-only disjunction (brand/size arms) from the mixed OR and push it
+    into the part scan's PushedFilters, so the join never sees parts no
+    arm could match.  A naive engine evaluates the whole OR post-join and
+    ships every part row."""
+    df = _SPECS["q19_disjunctive_revenue"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    part_scans = [ln for ln in plan.splitlines()
+                  if "part.parquet" in ln and "PushedFilters" in ln]
+    assert part_scans, plan[:2000]
+    pushed = part_scans[0].split("PushedFilters:", 1)[1]
+    assert "p_brand" in pushed and "Or" in pushed, pushed

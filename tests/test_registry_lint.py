@@ -159,6 +159,7 @@ _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
         "segment-filtered customer keys — dimension-bounded",
     ("operators/analytics.py", "q5_local_supplier_volume"):
         "region (5) / nation (25) / supplier dims — all dimension-bounded",
+    ("operators/analytics.py", "q10_returned_items"): "nation dim (25 rows)",
     ("operators/joins.py", "join_broadcast_dim"): "region dim (5 rows)",
     ("operators/joins.py", "join_cross"): "nation dim (25 rows)",
     ("operators/joins.py", "join_range_theta"): "literal price-bucket table",
