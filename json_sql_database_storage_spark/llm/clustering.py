@@ -31,7 +31,7 @@ sim_nearest_centroid / sim_ivf_topk).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register, scoped_persist
@@ -64,13 +64,19 @@ def _assign(v: DataFrame, cent: DataFrame) -> DataFrame:
     assign to a small top-level centroid set first, then argmin only
     within the matched coarse cell (hierarchical k-means / IVF-style) —
     the same two-level shape sim_ivfpq_topk's probe already uses."""
+    # min(struct(d2, c_id)) aggregation argmin: lexicographic struct order
+    # reproduces the (distance, cluster-id) tie-break exactly, but combines
+    # map-side — the exchange carries corpus rows, not corpus×k scored rows
+    # (k× fewer shuffle bytes, no per-partition sort).  first(e) is
+    # deterministic: every row of a vec_id group carries the identical
+    # vector.  (r7 plan-audit change; value-equality verified at sf0.1.)
     scored = (
         v.crossJoin(F.broadcast(cent))
         .select("vec_id", "e", "c_id", _l2sq(F.col("e"), F.col("ce")).alias("d2")))
-    wv = W.partitionBy("vec_id").orderBy("d2", "c_id")
-    return (scored.withColumn("rk", F.row_number().over(wv))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "e", F.col("c_id").alias("cluster")))
+    return (scored.groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "c_id"))["c_id"].alias("cluster"),
+                 F.first("e").alias("e"))
+            .select("vec_id", "e", "cluster"))
 
 
 def assign_cells(v: DataFrame, k: int) -> DataFrame:

@@ -76,15 +76,22 @@ def subvectors(v: DataFrame) -> DataFrame:
 
 def pq_encode(subs: DataFrame, cb: DataFrame) -> DataFrame:
     """(vec_id, m, code): nearest codebook entry per subspace, ties to the
-    lowest centroid id."""
-    wenc = W.partitionBy("vec_id", "m").orderBy("d", "c_id")
+    lowest centroid id.
+
+    The argmin is a min(struct(d, c_id)) AGGREGATION, not a window: struct
+    ordering is lexicographic, so the minimum is exactly the (distance,
+    centroid-id) tie-broken winner a row_number window would pick — but the
+    aggregate combines map-side, shrinking the exchange from corpus×K
+    scored rows to corpus rows (K× fewer shuffle bytes, no per-partition
+    sort).  Same values, strictly better 100-TB shape (r7 plan-audit
+    change; equality verified at sf0.1 before switching)."""
     return (
         subs.join(F.broadcast(cb), "m")
         .select("vec_id", "m", "c_id",
                 l2sq(F.col("sub"), F.col("csub")).alias("d"))
-        .withColumn("rk", F.row_number().over(wenc))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "m", F.col("c_id").alias("code"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d", "c_id"))["c_id"].alias("code"))
+        .select("vec_id", "m", "code")
     )
 
 
@@ -213,15 +220,19 @@ _IPQ_TOPK = 5
 def _pq_assign(subs: DataFrame, cb: DataFrame) -> DataFrame:
     """(vec_id, m, sub, code): nearest codebook entry per subspace with
     (distance, c_id) tie-break — pq_encode, but keeping the subvector for
-    downstream recentering.  Broadcast payload = M×K codebook rows."""
-    wenc = W.partitionBy("vec_id", "m").orderBy("d", "c_id")
+    downstream recentering.  Broadcast payload = M×K codebook rows.
+    min(struct)-aggregation argmin (see pq_encode); `first(sub)` is
+    deterministic because every row of a (vec_id, m) group carries the
+    IDENTICAL subvector (the group is one subvector scored against K
+    centroids)."""
     return (
         subs.join(F.broadcast(cb), "m")
         .select("vec_id", "m", "sub", "c_id",
                 l2sq(F.col("sub"), F.col("csub")).alias("d"))
-        .withColumn("rk", F.row_number().over(wenc))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "m", "sub", F.col("c_id").alias("code"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d", "c_id"))["c_id"].alias("code"),
+             F.first("sub").alias("sub"))
+        .select("vec_id", "m", "sub", "code")
     )
 
 

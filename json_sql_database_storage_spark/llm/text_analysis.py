@@ -1152,3 +1152,86 @@ def text_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / (F.col("df_a") * F.col("df_b"))).alias("lift"))
         .orderBy("term_a", "term_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# r7.12 — LM-quality bucketing (the CCNet head/middle/tail split): every
+# document scored by the capped unigram LM (the text_unigram_logprob
+# machinery), then routed into quality buckets by FIXED perplexity
+# thresholds — exactly how CCNet stratifies CommonCrawl (the thresholds
+# come from a reference corpus, NOT from a per-run global sort, which is
+# what makes the split reproducible across crawls and engines and keeps
+# the plan free of any global-ordering step).  Downstream pipelines then
+# sample head/middle heavily and tail lightly.
+#
+# Scale: identical shape to text_unigram_logprob (broadcast LM join +
+# per-doc map-side-combinable sum) plus one (lang, bucket) short-key agg.
+# Determinism: the per-doc score stays in the exact BIGINT q6 domain
+# (floor-div average), so bucket edges are exact integer comparisons —
+# no float boundary can flip a document between engines.
+# ---------------------------------------------------------------------------
+
+_LMQ_HEAD = 4_500_000   # avg neg-log-prob < 4.5 nats → head (most fluent)
+_LMQ_MID = 4_900_000    # < 4.9 nats → middle; >= → tail
+
+
+@register(
+    "sample_lm_quality_buckets",
+    oracle=rf"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+  FROM documents
+), lm AS (
+  SELECT term, count(*) AS c FROM w GROUP BY term
+  ORDER BY c DESC, term LIMIT {_LM_VOCAB}
+), n AS (SELECT count(*) AS n_words FROM w),
+q AS (
+  SELECT w.doc_id,
+         CAST(floor(ln(CAST(n.n_words AS DOUBLE) / coalesce(lm.c, 1))
+                    * 1000000 + 0.5) AS BIGINT) AS qv
+  FROM w LEFT JOIN lm USING (term) CROSS JOIN n
+), s AS (
+  SELECT doc_id, CAST(sum(qv) // count(*) AS BIGINT) AS avg_q6 FROM q
+  GROUP BY doc_id
+), b AS (
+  SELECT d.lang, s.avg_q6,
+         CASE WHEN s.avg_q6 < {_LMQ_HEAD} THEN 'head'
+              WHEN s.avg_q6 < {_LMQ_MID} THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM s JOIN documents d USING (doc_id))
+SELECT lang, bucket,
+       count(*) AS n_docs,
+       CAST(sum(avg_q6) AS BIGINT) AS sum_q6
+FROM b
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+""",
+    tags=("r7.12", "b11.25"),
+)
+def sample_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    lm = (w.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+          .orderBy(F.col("c").desc(), "term").limit(_LM_VOCAB))
+    n = w.agg(F.count(F.lit(1)).cast("double").alias("n_words"))
+    q = (
+        w.join(F.broadcast(lm), "term", "left")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id",
+                F.floor(F.log(F.col("n_words")
+                              / F.coalesce(F.col("c"), F.lit(1))) * 1000000
+                        + F.lit(0.5)).cast("bigint").alias("qv"))
+    )
+    s = (q.groupBy("doc_id")
+         .agg(F.expr("sum(qv) div count(*)").cast("bigint").alias("avg_q6")))
+    b = (s.join(d.select("doc_id", "lang"), "doc_id")
+         .select("lang", "avg_q6",
+                 F.when(F.col("avg_q6") < _LMQ_HEAD, "head")
+                  .when(F.col("avg_q6") < _LMQ_MID, "middle")
+                  .otherwise("tail").alias("bucket")))
+    return (
+        b.groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("avg_q6").cast("bigint").alias("sum_q6"))
+        .orderBy("lang", "bucket")
+    )

@@ -120,3 +120,35 @@ def test_parse_bytes_rejects_malformed(text):
 
     with pytest.raises(ValueError):
         _parse_bytes(text)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.sampled_from(["a", "b", "ab", "ba"]),
+                min_size=0, max_size=10),
+       st.sampled_from(["a", "b", "ab", "ba"]),
+       st.sampled_from(["a", "b", "ab", "ba"]))
+def test_bpe_merge_fold_matches_python_greedy(spark, syms, a, b):
+    """r7.1: the HOF merge_fold must implement EXACTLY the greedy
+    left-to-right non-overlapping merge the Python reference tokenizer
+    (and the DuckDB oracle's reduce) runs — including the adversarial
+    cases where a merged token equals `a` again ("aa" from a=b="a"-style
+    chains) and where multi-char symbols alias the pair parts."""
+    from json_sql_database_storage_spark.llm.bpe import merge_fold
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    schema = StructType([StructField("syms", ArrayType(StringType()))])
+    df = spark.createDataFrame([(syms,)], schema)
+    got = df.select(merge_fold(F.col("syms"), F.lit(a), F.lit(b))
+                    .alias("out")).collect()[0]["out"]
+
+    if len(syms) <= 1:
+        expected = syms
+    else:
+        expected = [syms[0]]
+        for x in syms[1:]:
+            if expected[-1] == a and x == b:
+                expected[-1] = a + b
+            else:
+                expected.append(x)
+    assert got == expected, (syms, a, b, got, expected)

@@ -197,6 +197,8 @@ _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
         "top-K term lists — O(K)",
     ("llm/text_analysis.py", "text_unigram_logprob"):
         "top-_LM_VOCAB capped LM + 1-row count (r5 fix: was unbounded vocab)",
+    ("llm/text_analysis.py", "sample_lm_quality_buckets"):
+        "top-_LM_VOCAB capped LM + 1-row count (same bound as the scorer)",
     ("llm/text_analysis.py", "sample_domain_balance"):
         "1-row target + per-language rates",
     ("llm/text_analysis.py", "text_tfidf"): "1-row corpus count",
