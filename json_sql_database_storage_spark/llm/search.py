@@ -212,36 +212,53 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join; it never scans `documents` (plan-asserted in
     tests/test_plans.py — the r6 build re-tokenized the corpus at query
     time for dl, which defeats index pruning in a build-once/probe-many
-    deployment)."""
-    from ..operators.scans import _sink
-    from pyspark.sql import Window as W
-
+    deployment).  bm25_build/bm25_probe are the reusable halves: one
+    build serves any number of term sets (pinned in tests/test_llm.py)."""
     docs = load_table(spark, sf_dir, "documents")
-    index_path = _sink("inv_index_bm25", spark)
-    dl_path = _sink("inv_index_bm25_dl", spark)
-    stats_path = _sink("inv_index_bm25_stats", spark)
+    paths = bm25_build(spark, docs, "inv_index_bm25")
+    return bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK)
+
+
+def bm25_build(spark: SparkSession, docs: DataFrame,
+               name: str) -> dict[str, str]:
+    """Write the three BM25 index artifacts under the session sink and
+    return their paths: bucket-partitioned postings, the doc-length side
+    table, and the 1-row corpus stats."""
+    from ..operators.scans import _sink
+
+    paths = {"index": _sink(name, spark),
+             "dl": _sink(f"{name}_dl", spark),
+             "stats": _sink(f"{name}_stats", spark)}
     (build_inverted_index(docs)
      .repartition(_IDX_BUCKETS, "bkt")
-     .write.mode("overwrite").partitionBy("bkt").parquet(index_path))
+     .write.mode("overwrite").partitionBy("bkt").parquet(paths["index"]))
     dl_src = docs.select("doc_id",
                          F.size(tokens(F.col("text"))).cast("bigint")
                          .alias("dl"))
-    dl_src.write.mode("overwrite").parquet(dl_path)
+    dl_src.write.mode("overwrite").parquet(paths["dl"])
     (dl_src.agg(F.sum("dl").alias("t_tokens"),
                 F.count(F.lit(1)).alias("n_docs"))
-     .write.mode("overwrite").parquet(stats_path))
+     .write.mode("overwrite").parquet(paths["stats"]))
+    return paths
 
-    # ---- probe: index artifacts only from here on
-    idx = spark.read.parquet(index_path)
-    dl = spark.read.parquet(dl_path)
-    stats = spark.read.parquet(stats_path)
+
+def bm25_probe(spark: SparkSession, paths: dict[str, str],
+               terms: tuple[str, ...], topk: int) -> DataFrame:
+    """Okapi BM25 top-k against a PREBUILT index: reads only the query
+    terms' bucket directories (static PartitionFilter) + the dl equi-join
+    + broadcast stats — never the source corpus."""
+    from pyspark.sql import Window as W
+
+    idx = spark.read.parquet(paths["index"])
+    dl = spark.read.parquet(paths["dl"])
+    stats = spark.read.parquet(paths["stats"])
 
     bkt_pred = None
-    for t in _BM25_TERMS:
+    for t in terms:
         e = (F.col("bkt")
              == F.pmod(F.xxhash64(F.lit(t)), F.lit(_IDX_BUCKETS)).cast("int"))
         bkt_pred = e if bkt_pred is None else (bkt_pred | e)
-    qterms = spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
     hits = idx.filter(bkt_pred).join(F.broadcast(qterms), "term")
 
     dfq = hits.groupBy("term").agg(F.count(F.lit(1)).cast("bigint")
@@ -273,7 +290,7 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.col("c").alias("c")))),
                  F.lit(0.0), lambda acc, s: acc + s["c"]).alias("score"))
     )
-    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(_BM25_TOPK)
+    top = scored.orderBy(F.col("score").desc(), "doc_id").limit(topk)
     # rank over the ≤ top-k rows that survived TakeOrdered — the window's
     # single partition holds k rows by construction, never the corpus
     wrk = W.orderBy(F.col("score").desc(), "doc_id")

@@ -868,3 +868,27 @@ def test_ivfpq_residual_margin_guard_band(spark, sf_dir):
     cent1.unpersist()
     subs.unpersist()
     cbr.unpersist()
+
+
+def test_bm25_build_once_probe_many(spark, sf_dir):
+    """r7.2: the build/probe split must actually serve the
+    build-once/probe-many deployment — ONE bm25_build's artifacts answer
+    different term sets, each probe plan touching only index artifacts
+    (no documents scan), and re-probing the same terms is deterministic."""
+    from json_sql_database_storage_spark.llm.search import (_BM25_TERMS,
+                                                            _BM25_TOPK,
+                                                            bm25_build,
+                                                            bm25_probe)
+    from json_sql_database_storage_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    paths = bm25_build(spark, docs, "bm25_many")
+    r1 = bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK)
+    r2 = bm25_probe(spark, paths, ("merge", "sort"), _BM25_TOPK)
+    plan2 = r2._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan2
+    rows1a = [tuple(r) for r in r1.collect()]
+    rows1b = [tuple(r) for r in bm25_probe(spark, paths, _BM25_TERMS,
+                                           _BM25_TOPK).collect()]
+    assert rows1a == rows1b                 # deterministic re-probe
+    assert rows1a and r2.count() > 0        # both term sets answered

@@ -184,7 +184,7 @@ _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
         "probe list (Q×nprobe), per-cell ADC table (Q×nprobe×M×K), "
         "query vectors (Q)",
     ("llm/search.py", "text_inverted_index_search"): "literal query terms",
-    ("llm/search.py", "text_bm25_topk"):
+    ("llm/search.py", "bm25_probe"):
         "literal query terms + 1-row corpus stats + per-query-term df rows",
     ("llm/similarity.py", "cell_similarities"): "label centroids (≤10)",
     ("llm/similarity.py", "sim_cosine_topk"): "query vectors (fixed count)",
@@ -243,3 +243,24 @@ def test_every_broadcast_site_is_audited_bounded():
         f"broadcasts: r5 verdict)")
     stale = set(_BROADCAST_AUDIT) - found
     assert not stale, f"stale broadcast-audit entries {sorted(stale)}"
+
+
+def test_export_order_rotation_contract():
+    """r7.8 (r6 verdict next-round #8): the driver's ~50-row correctness
+    window covers specs() in export order, so the ordering contract IS
+    the freshness mechanism — pin it: (a) every never-driver-checked
+    query precedes every checked one (new operators get FIRST rows
+    before anything is re-verified); (b) within the checked suffix,
+    latest-driver-round is non-decreasing (stalest green signal first);
+    (c) any query whose LATEST driver row failed re-fronts into the
+    unchecked group."""
+    from json_sql_database_storage_spark.registry import (_CHECKED,
+                                                          _LATEST_ROUND)
+
+    names = list(registry.specs())
+    flags = [n in _CHECKED for n in names]
+    first_checked = flags.index(True) if True in flags else len(names)
+    assert all(flags[first_checked:]), (
+        "an unchecked query sorted after a checked one")
+    rounds = [_LATEST_ROUND.get(n, 0) for n in names[first_checked:]]
+    assert rounds == sorted(rounds), "checked suffix not stalest-first"
