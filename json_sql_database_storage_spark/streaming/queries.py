@@ -367,6 +367,55 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # b9.8 foreachBatch incremental materialized view: each micro-batch's
+# ---------------------------------------------------------------------------
+# r7 — IDEMPOTENT foreachBatch commit protocol.  Structured Streaming
+# delivers micro-batches to foreachBatch AT-LEAST-ONCE: after a failure the
+# same batch_id can be re-delivered, and a sink that blindly appends (the
+# pre-r7 in-memory version counter) double-counts it.  The standard fix
+# (Spark's own foreachBatch docs): make the write idempotent ON batch_id —
+# versions are keyed by batch_id, a durable `_latest` marker records the
+# last committed one, and a replayed batch either no-ops (marker already
+# past it) or deterministically recomputes its version from the marker's
+# predecessor and re-claims it (overwrite of v{batch_id} + atomic marker
+# replace).  State lives on storage, not in the closure, so the protocol
+# also survives driver restarts — at-least-once delivery becomes
+# exactly-once state.  Pinned by tests/test_streaming.py::
+# test_foreach_batch_commit_is_idempotent_under_replay.
+# ---------------------------------------------------------------------------
+
+
+def _read_version_marker(state_dir: str) -> int:
+    import os
+
+    try:
+        with open(os.path.join(state_dir, "_latest")) as f:
+            return int(f.read())
+    except FileNotFoundError:
+        return -1
+
+
+def versioned_batch_apply(spark: SparkSession, state_dir: str,
+                          batch_id: int, make_version) -> bool:
+    """Apply one micro-batch to the versioned state table idempotently.
+    `make_version(prev_df_or_None)` builds the new full state; returns
+    False if the batch was already committed (replay no-op)."""
+    import os
+
+    latest = _read_version_marker(state_dir)
+    if batch_id <= latest:
+        return False
+    prev = (spark.read.parquet(f"{state_dir}/v{latest}")
+            if latest >= 0 else None)
+    make_version(prev).write.mode("overwrite") \
+        .parquet(f"{state_dir}/v{batch_id}")
+    tmp = os.path.join(state_dir, "_latest.tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, os.path.join(state_dir, "_latest"))
+    return True
+
+
+
 # partial aggregate merges into a versioned parquet view (read v_i, union,
 # re-aggregate, write v_{i+1} — alternating versions, never reading the
 # file being overwritten).  This is the canonical foreachBatch upsert
@@ -392,7 +441,6 @@ def stream_foreach_batch_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     staged = stage_event_chunks(spark, sf_dir)
     view_dir = tempfile.mkdtemp(prefix="matview_")
-    state = {"v": -1}
 
     def merge(batch_df: DataFrame, batch_id: int) -> None:
         part = (batch_df
@@ -401,13 +449,16 @@ def stream_foreach_batch_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .groupBy("event_type")
                 .agg(F.count(F.lit(1)).alias("n"),
                      F.sum("cents").alias("cents")))
-        if state["v"] >= 0:
-            prev = spark.read.parquet(f"{view_dir}/v{state['v']}")
-            part = (prev.unionByName(part)
+
+        def make_version(prev: DataFrame | None) -> DataFrame:
+            if prev is None:
+                return part
+            return (prev.unionByName(part)
                     .groupBy("event_type")
-                    .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents")))
-        part.write.mode("overwrite").parquet(f"{view_dir}/v{state['v'] + 1}")
-        state["v"] += 1
+                    .agg(F.sum("n").alias("n"),
+                         F.sum("cents").alias("cents")))
+
+        versioned_batch_apply(spark, view_dir, batch_id, make_version)
 
     try:
         q = (read_event_stream(spark, staged)
@@ -417,7 +468,8 @@ def stream_foreach_batch_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-        if state["v"] < 0:
+        latest = _read_version_marker(view_dir)
+        if latest < 0:
             raise RuntimeError(
                 "stream_foreach_batch_matview: the staged stream produced "
                 "zero micro-batches, so no materialized-view version exists "
@@ -426,7 +478,7 @@ def stream_foreach_batch_matview(spark: SparkSession, sf_dir: str) -> DataFrame:
         # return a LAZY read of it — never an O(groups) driver-side collect
         # (the versioned view_dir itself is torn down below).
         final_path = _sink("matview_final", spark)
-        (spark.read.parquet(f"{view_dir}/v{state['v']}")
+        (spark.read.parquet(f"{view_dir}/v{latest}")
          .write.mode("overwrite").parquet(final_path))
         return (spark.read.parquet(final_path)
                 .select("event_type", "n",
@@ -500,15 +552,14 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     staged = stage_event_chunks(spark, sf_dir)
     state_dir = tempfile.mkdtemp(prefix="cdc_state_")
-    state = {"v": -1}
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         part = cdc_compact_batch(batch_df)
-        if state["v"] >= 0:
-            prev = spark.read.parquet(f"{state_dir}/v{state['v']}")
-            part = cdc_merge_state(prev, part)
-        part.write.mode("overwrite").parquet(f"{state_dir}/v{state['v'] + 1}")
-        state["v"] += 1
+
+        def make_version(prev: DataFrame | None) -> DataFrame:
+            return part if prev is None else cdc_merge_state(prev, part)
+
+        versioned_batch_apply(spark, state_dir, batch_id, make_version)
 
     try:
         q = (read_event_stream(spark, staged)
@@ -518,7 +569,8 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-        if state["v"] < 0:
+        latest = _read_version_marker(state_dir)
+        if latest < 0:
             raise RuntimeError(
                 "stream_cdc_upsert: the staged stream produced zero "
                 "micro-batches, so no state version exists to read "
@@ -528,7 +580,7 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         # never round-trip through the driver (the versioned state_dir is
         # torn down below).
         final_path = _sink("cdc_state_final", spark)
-        (spark.read.parquet(f"{state_dir}/v{state['v']}")
+        (spark.read.parquet(f"{state_dir}/v{latest}")
          .write.mode("overwrite").parquet(final_path))
         return (spark.read.parquet(final_path)
                 .select("user_id", "event_type", "r.last_ts",

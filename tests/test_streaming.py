@@ -126,3 +126,48 @@ def test_tws_gate_reason_is_pinned():
         raise AssertionError("gate closed but import succeeded")
     except ModuleNotFoundError as ex:
         assert ex.name in ("google", "google.protobuf"), ex
+
+
+def test_foreach_batch_commit_is_idempotent_under_replay(spark, tmp_path):
+    """r7: foreachBatch delivery is AT-LEAST-ONCE — re-delivering an
+    already-committed batch_id must be a no-op (no double counting), and
+    the state/marker must live on storage so the protocol survives a
+    restarted driver (a fresh closure with no in-memory counter)."""
+    from pyspark.sql import functions as F
+
+    from json_sql_database_storage_spark.streaming.queries import (
+        _read_version_marker, versioned_batch_apply)
+
+    d = str(tmp_path / "state")
+    import os
+    os.makedirs(d)
+
+    def batch(n):
+        return spark.range(n).select(F.lit("a").alias("k"),
+                                     F.lit(1).cast("bigint").alias("n"))
+
+    def make(part):
+        def make_version(prev):
+            if prev is None:
+                return part.groupBy("k").agg(F.sum("n").alias("n"))
+            return (prev.unionByName(part)
+                    .groupBy("k").agg(F.sum("n").alias("n")))
+        return make_version
+
+    assert versioned_batch_apply(spark, d, 0, make(batch(3))) is True
+    assert versioned_batch_apply(spark, d, 1, make(batch(2))) is True
+    total = spark.read.parquet(f"{d}/v1").collect()[0]["n"]
+    assert total == 5
+    # replayed batches: both no-ops, marker and state unchanged
+    assert versioned_batch_apply(spark, d, 1, make(batch(2))) is False
+    assert versioned_batch_apply(spark, d, 0, make(batch(3))) is False
+    assert _read_version_marker(d) == 1
+    assert spark.read.parquet(f"{d}/v1").collect()[0]["n"] == 5
+    # crash-before-marker replay: v2 data written, marker still 1 → the
+    # re-delivered batch 2 recomputes v2 from v1 and commits once
+    batch(4).groupBy("k").agg(F.sum("n").alias("n")) \
+        .write.mode("overwrite").parquet(f"{d}/v2")   # orphaned attempt
+    assert _read_version_marker(d) == 1
+    assert versioned_batch_apply(spark, d, 2, make(batch(4))) is True
+    assert _read_version_marker(d) == 2
+    assert spark.read.parquet(f"{d}/v2").collect()[0]["n"] == 9
