@@ -79,6 +79,7 @@ EXTRA = [
     "q12_shipping_delay_priority",
     "q19_disjunctive_revenue",
     "snapshot_delete",
+    "sample_lm_quality_buckets",
     # the stream-stream replays are excluded here: their wall time is
     # micro-batch scheduling of a 4-chunk replay (a latency regime the
     # batch bench's throughput number does not represent); their

@@ -37,7 +37,8 @@ O(vocab) word-type table every k merges to truncate lineage; per-segment
 time stays flat (measured in SCALE.md, pinned by
 tests/test_scale.py::test_pagerank_checkpoint_keeps_superstep_time_flat).
 The same recipe drops into _train_word_types's loop unchanged: `s` is the
-only loop-carried state.
+only loop-carried state — and train_merges_deep below IS that drop-in,
+pinned equal to the Python reference trainer at 10 merges.
 """
 
 from __future__ import annotations
@@ -251,3 +252,43 @@ def text_bpe_token_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("freq").cast("bigint").alias("n_occurrences"))
         .orderBy("token")
     )
+
+
+def train_merges_deep(spark: SparkSession, sf_dir: str, n_merges: int,
+                      checkpoint_every: int = 4) -> tuple[DataFrame, list]:
+    """BPE training PAST the unrolled-plan depth ceiling: the checkpointed
+    driver loop the module docstring names (operators/graph.py's
+    pagerank_ranks recipe applied here).  `s` — the O(vocab) word-type
+    table, the only loop-carried state — is eagerly localCheckpoint'ed
+    every `checkpoint_every` merges, holding plan depth at O(k) while the
+    merge count grows to production scale.  Each merge's argmax row is a
+    2-row driver fetch (the merge LIST is the trainer's output artifact —
+    collecting it is the point, unlike row data); the corpus is still
+    touched exactly once.  Returns (encoded word types, merge list).
+
+    Values are bit-identical to the unrolled form: the per-merge
+    recurrence is unchanged and a checkpoint only truncates lineage
+    (pinned vs the Python reference tokenizer at 10 merges in
+    tests/test_llm.py::test_bpe_deep_training_matches_reference)."""
+    d = load_table(spark, sf_dir, "documents")
+    wt = (d.select(F.explode(tokens(F.col("text"))).alias("term"))
+          .groupBy("term").agg(F.count(F.lit(1)).alias("freq")))
+    s = (wt.select("term", "freq", F.split(F.col("term"), "").alias("syms"))
+         .localCheckpoint(eager=True))
+    merges = []
+    for i in range(1, n_merges + 1):
+        pc = (s.select("freq", F.explode(pair_structs(F.col("syms")))
+                       .alias("p"))
+              .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+              .agg(F.sum("freq").cast("bigint").alias("cnt")))
+        top_rows = pc.orderBy(F.col("cnt").desc(), "a", "b").limit(1).collect()
+        if not top_rows:           # vocabulary fully merged — stop early
+            break
+        a, b, cnt = top_rows[0]["a"], top_rows[0]["b"], top_rows[0]["cnt"]
+        merges.append((a, b, cnt))
+        s = s.select("term", "freq",
+                     merge_fold(F.col("syms"), F.lit(a), F.lit(b))
+                     .alias("syms"))
+        if i % checkpoint_every == 0 and i < n_merges:
+            s = s.localCheckpoint(eager=True)
+    return s, merges

@@ -892,3 +892,77 @@ def test_bm25_build_once_probe_many(spark, sf_dir):
                                            _BM25_TOPK).collect()]
     assert rows1a == rows1b                 # deterministic re-probe
     assert rows1a and r2.count() > 0        # both term sets answered
+
+
+def test_bpe_deep_training_matches_reference(spark, sf_dir):
+    """r7.5 applied to BPE: 10 merges through the checkpointed driver loop
+    must produce the SAME merge list and the same encoded word types as
+    the plain-Python reference trainer — the checkpoint only truncates
+    lineage, and the recurrence is the unrolled form's."""
+    from collections import Counter
+
+    from json_sql_database_storage_spark.llm.bpe import train_merges_deep
+    from json_sql_database_storage_spark.llm.text_analysis import tokens
+    from json_sql_database_storage_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    N = 10
+    s, merges = train_merges_deep(spark, sf_dir, N, checkpoint_every=4)
+
+    d = load_table(spark, sf_dir, "documents")
+    freqs = Counter()
+    for r in (d.select(F.explode(tokens(F.col("text"))).alias("t"))
+              .groupBy("t").agg(F.count(F.lit(1)).alias("f")).collect()):
+        freqs[r["t"]] = r["f"]
+    words = {t: list(t) for t in freqs}
+    expected_merges = []
+    for _ in range(N):
+        pc = Counter()
+        for t, syms in words.items():
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += freqs[t]
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected_merges.append((a, b, cnt))
+        for t, syms in words.items():
+            out = [syms[0]]
+            for x in syms[1:]:
+                if out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            words[t] = out
+
+    assert merges == expected_merges
+    got = {r["term"]: r["syms"] for r in s.collect()}
+    assert got == words
+
+
+def test_ivfpq_build_once_probe_many(spark, sf_dir):
+    """r7.13: one ivfpq_build's persisted artifacts (centroids, codebook,
+    cell-partitioned codes) answer multiple query sets; the first set's
+    top-k equals the registered one-shot exhibit's output (parquet doubles
+    round-trip bit-exactly, so the probe sees identical codebook floats),
+    and re-probing is deterministic."""
+    from json_sql_database_storage_spark.llm.pq import (_IPQ_NQ, ivfpq_build,
+                                                        ivfpq_probe)
+    from json_sql_database_storage_spark.llm.similarity import as_double
+    from json_sql_database_storage_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e"))
+    paths = ivfpq_build(spark, v, "ivfpq_many")
+    q1 = (v.filter(F.col("vec_id") < _IPQ_NQ)
+          .select(F.col("vec_id").alias("query_id"), "e"))
+    got = [tuple(r) for r in ivfpq_probe(spark, paths, q1, v).collect()]
+    expected = [tuple(r) for r in
+                _SPECS["sim_ivfpq_topk"].fn(spark, sf_dir).collect()]
+    assert got == expected
+    # a different query set against the SAME build
+    q2 = (v.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 105))
+          .select(F.col("vec_id").alias("query_id"), "e"))
+    r2a = [tuple(r) for r in ivfpq_probe(spark, paths, q2, v).collect()]
+    r2b = [tuple(r) for r in ivfpq_probe(spark, paths, q2, v).collect()]
+    assert r2a == r2b and r2a

@@ -237,6 +237,8 @@ def test_no_unintended_scale_flags(spark, sf_dir):
             "text_tfidf", "text_unigram_logprob", "text_heavy_hitters",
             "sample_domain_balance", "sim_semdedup_prod",
             "text_term_cooccurrence",
+            # same 1-row corpus-count exchange as the LM scorer it reuses
+            "sample_lm_quality_buckets",
             # 1-row corpus stats (T, N) + the rank window AFTER TakeOrdered
             # top-k — the single partition holds <= k rows by construction
             "text_bm25_topk",

@@ -179,6 +179,10 @@ _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
     ("llm/pq.py", "sim_pq_adc_topk"): "codebook + Q×M×K ADC distance table",
     ("llm/pq.py", "sim_ivfpq_topk"):
         "trained codebook (M×K), probe-cell list (Q×nprobe), ADC table",
+    ("llm/pq.py", "ivfpq_probe"):
+        "persisted centroids (KC×dim) + codebook (M×K) + probe list "
+        "(Q×nprobe) + ADC table (Q×M×K) + query vectors (Q) — all "
+        "query/codebook-bounded, never corpus-bounded",
     ("llm/pq.py", "sim_ivfpq_residual_topk"):
         "trained coarse centroids (KC×dim), residual codebook (M×K), "
         "probe list (Q×nprobe), per-cell ADC table (Q×nprobe×M×K), "
