@@ -242,6 +242,48 @@ def sim_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # would parameterize cell count from a catalog statistic.
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# r7 addendum — deep Lloyd refinement past the unrolled-plan depth ceiling.
+# sim_kmeans unrolls 2 iterations into one Catalyst plan (right for the
+# oracle exhibit); real curation runs Lloyd to near-convergence (~10-25
+# iterations), where plan depth grows linearly and analysis time
+# superlinearly.  Same recipe as operators/graph.py::pagerank_ranks and
+# llm/bpe.py's deep trainer: a DRIVER LOOP that eagerly localCheckpoints the
+# loop-carried state every k iterations.  Here the state is the CENTROID
+# table — O(k·dim) doubles, the cheapest possible checkpoint — so lineage
+# never exceeds checkpoint_every iterations while no corpus row ever
+# crosses the driver.  A checkpoint only truncates lineage (values are
+# whatever the segment computed), so the checkpointed loop assigns
+# identically to the unrolled form — pinned by
+# tests/test_llm.py::test_kmeans_deep_checkpoint_matches_unrolled, with the
+# flat per-segment timing pinned by
+# tests/test_scale.py::test_kmeans_checkpoint_keeps_iteration_time_flat.
+# ---------------------------------------------------------------------------
+
+
+def kmeans_assignments(spark: SparkSession, sf_dir: str, iters: int,
+                       checkpoint_every: int | None = None,
+                       k: int = _K) -> DataFrame:
+    """`iters` Lloyd iterations over the embeddings table from the
+    deterministic seed set (the raw embeddings of ``vec_id < k``); with
+    `checkpoint_every`, lineage is truncated by an eager localCheckpoint of
+    the O(k·dim) centroid table every that-many recenter steps.  Returns
+    the final assignment (vec_id, cluster); ``iters=2`` reproduces exactly
+    the memberships the registered sim_kmeans exhibit reports."""
+    v = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", as_double(F.col("embedding")).alias("e"))
+         .transform(scoped_persist))
+    cent = (v.filter(F.col("vec_id") < k)
+            .select(F.col("vec_id").alias("c_id"), F.col("e").alias("ce")))
+    a = _assign(v, cent)
+    for i in range(2, iters + 1):
+        cent = _recenter(a)
+        if checkpoint_every and (i - 1) % checkpoint_every == 0:
+            cent = cent.localCheckpoint(eager=True)
+        a = _assign(v, cent)
+    return a.select("vec_id", "cluster")
+
+
 _PROD_CELL = 40  # target vectors-per-cell denominator: k = ceil(n / 40)
 
 

@@ -238,6 +238,30 @@ def test_kmeans_is_a_partition_and_improves(spark, sf_dir):
     assert sse(a2, cent1) <= sse(a1, cent1) + 1e-9
 
 
+def test_kmeans_deep_checkpoint_matches_unrolled(spark, sf_dir):
+    """r7: the checkpointed driver-loop Lloyd (production path past the
+    unrolled-plan depth ceiling) assigns IDENTICALLY to the single-plan
+    form — a localCheckpoint truncates lineage, never changes values —
+    and its iters=2 slice reproduces the registered sim_kmeans
+    memberships exactly."""
+    import json
+
+    from json_sql_database_storage_spark.llm import clustering as C
+
+    deep = C.kmeans_assignments(spark, sf_dir, iters=5, checkpoint_every=2)
+    unrolled = C.kmeans_assignments(spark, sf_dir, iters=5,
+                                    checkpoint_every=None)
+    d = {r["vec_id"]: r["cluster"] for r in deep.collect()}
+    u = {r["vec_id"]: r["cluster"] for r in unrolled.collect()}
+    assert d == u and len(d) > 0
+
+    two = {r["vec_id"]: r["cluster"]
+           for r in C.kmeans_assignments(spark, sf_dir, iters=2).collect()}
+    reg = {m: r["cluster"] for r in C.sim_kmeans(spark, sf_dir).collect()
+           for m in json.loads(r["members"])}
+    assert two == reg
+
+
 def test_semdedup_keep_rule(spark, sf_dir):
     """keep=0 exactly when a lower-id vector in the SAME cluster is
     cosine-similar above τ — recompute the rule in pandas and compare."""

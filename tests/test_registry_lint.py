@@ -160,6 +160,14 @@ _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
     ("operators/analytics.py", "q5_local_supplier_volume"):
         "region (5) / nation (25) / supplier dims — all dimension-bounded",
     ("operators/analytics.py", "q10_returned_items"): "nation dim (25 rows)",
+    ("operators/tpch_staged.py", "q7_volume_shipping"):
+        "nation dim (25 rows), twice under different roles",
+    ("operators/tpch_staged.py", "q8_market_share"):
+        "nation dim (25 rows) / region-filtered nation keys (≤25)",
+    ("operators/tpch_staged.py", "q15_top_supplier"):
+        "1-row max-revenue aggregate",
+    ("operators/tpch_staged.py", "q22_global_sales_opportunity"):
+        "1-row global average-balance threshold",
     ("operators/joins.py", "join_broadcast_dim"): "region dim (5 rows)",
     ("operators/joins.py", "join_cross"): "nation dim (25 rows)",
     ("operators/joins.py", "join_range_theta"): "literal price-bucket table",

@@ -515,3 +515,42 @@ def test_pagerank_checkpoint_keeps_superstep_time_flat(spark):
     base = max(segments[0], 0.5)
     assert segments[-1] < 3.0 * base, segments
     assert ranks.count() > 0
+
+
+@pytest.mark.slow
+def test_kmeans_checkpoint_keeps_iteration_time_flat(spark):
+    """r7: deep Lloyd through the checkpointed driver loop
+    (llm/clustering.py::kmeans_assignments) — per-3-iteration SEGMENT time
+    must stay flat across 12 iterations at sf0.1.  The loop-carried state
+    is the O(k·dim) centroid table, so each eager localCheckpoint
+    materializes k rows and cuts the plan back to a leaf; without it later
+    segments pay the accumulated assign→recenter lineage.  Timings
+    recorded in SCALE.md."""
+    import time
+
+    from json_sql_database_storage_spark.llm import clustering as C
+    from json_sql_database_storage_spark.llm.similarity import as_double
+    from json_sql_database_storage_spark.registry import scoped_persist
+
+    sf01 = "/root/testdata/sf0.1"
+    v = (load_table(spark, sf01, "embeddings")
+         .select("vec_id", as_double(F.col("embedding")).alias("e"))
+         .transform(scoped_persist))
+    v.count()                        # warm the persisted corpus
+    cent = (v.filter(F.col("vec_id") < C._K)
+            .select(F.col("vec_id").alias("c_id"), F.col("e").alias("ce")))
+    a = C._assign(v, cent)
+    segments, t0 = [], time.monotonic()
+    for i in range(2, 13):
+        cent = C._recenter(a)
+        if (i - 1) % 3 == 0:
+            cent = cent.localCheckpoint(eager=True)
+            segments.append(time.monotonic() - t0)
+            t0 = time.monotonic()
+        a = C._assign(v, cent)
+    a.count()
+    segments.append(time.monotonic() - t0)
+    print("\nkmeans 3-iteration segment times (sec):",
+          [round(x, 2) for x in segments])
+    base = max(segments[0], 0.5)
+    assert segments[-1] < 3.0 * base, segments
