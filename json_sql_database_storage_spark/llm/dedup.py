@@ -496,9 +496,46 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_MAX_ITERS = 25
 
 
-@register(
-    "dedup_cc_survivors",
-    oracle="""
+def cc_labels(pairs: DataFrame) -> DataFrame:
+    """Connected-component labels (node, label=min reachable id) from an
+    undirected (id_a, id_b) edge list — the pointer-jumping loop shared by
+    dedup_cc_survivors and the staged quality-weighted survivor
+    (llm/staged.py)."""
+    sym = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")) \
+        .unionByName(pairs.select(F.col("id_b").alias("a"),
+                                  F.col("id_a").alias("b"))).transform(scoped_persist)
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node")).localCheckpoint())
+    for _ in range(_CC_MAX_ITERS):
+        # phase 1: min over direct neighbours
+        neigh = (sym.join(labels, sym.b == labels.node)
+                 .groupBy("a").agg(F.min("label").alias("nl")))
+        prop = (labels.join(neigh, labels.node == neigh.a, "left")
+                .select(labels.node, labels.label,
+                        F.least(labels.label,
+                                F.coalesce(F.col("nl"), labels.label))
+                        .alias("mid")))
+        # phase 2: pointer jumping (label := label of my label) — halves
+        # component diameter per round, so convergence is O(log d) rounds
+        # instead of O(d) on chain-shaped clusters
+        lut = prop.select(F.col("node").alias("hn"),
+                          F.col("mid").alias("hl"))
+        staged = (prop.join(lut, prop.mid == lut.hn, "left")
+                  .select(prop.node, prop.label,
+                          F.least(F.col("mid"),
+                                  F.coalesce(F.col("hl"), F.col("mid")))
+                          .alias("new_label"))
+                  .localCheckpoint())
+        if staged.filter(F.col("new_label") < F.col("label")).count() == 0:
+            break
+        labels = staged.select("node", F.col("new_label").alias("label"))
+    return labels
+
+
+# CTE chain shared by the dedup_cc_survivors oracle and the staged
+# quality-weighted-survivor oracle (llm/staged.py): dup-injected corpus →
+# shingles → verified pairs → recursive transitive closure → components.
+_CC_ORACLE_CTES = """
 WITH RECURSIVE corpus AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -540,7 +577,12 @@ WITH RECURSIVE corpus AS (
   SELECT r.n, s.b FROM reach r JOIN sym s ON r.m = s.a
 ), comp AS (
   SELECT n, min(m) AS comp FROM reach GROUP BY n
-)
+)"""
+
+
+@register(
+    "dedup_cc_survivors",
+    oracle=_CC_ORACLE_CTES + """
 SELECT comp AS survivor_id, count(*) AS n_members,
        CAST(to_json(list(n ORDER BY n)) AS VARCHAR) AS members
 FROM comp GROUP BY comp
@@ -550,34 +592,7 @@ ORDER BY survivor_id
 )
 def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = _minhash_verified_pairs(spark, sf_dir).select("id_a", "id_b")
-    sym = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")) \
-        .unionByName(pairs.select(F.col("id_b").alias("a"),
-                                  F.col("id_a").alias("b"))).transform(scoped_persist)
-    labels = (sym.select(F.col("a").alias("node")).distinct()
-              .withColumn("label", F.col("node")).localCheckpoint())
-    for _ in range(_CC_MAX_ITERS):
-        # phase 1: min over direct neighbours
-        neigh = (sym.join(labels, sym.b == labels.node)
-                 .groupBy("a").agg(F.min("label").alias("nl")))
-        prop = (labels.join(neigh, labels.node == neigh.a, "left")
-                .select(labels.node, labels.label,
-                        F.least(labels.label,
-                                F.coalesce(F.col("nl"), labels.label))
-                        .alias("mid")))
-        # phase 2: pointer jumping (label := label of my label) — halves
-        # component diameter per round, so convergence is O(log d) rounds
-        # instead of O(d) on chain-shaped clusters
-        lut = prop.select(F.col("node").alias("hn"),
-                          F.col("mid").alias("hl"))
-        staged = (prop.join(lut, prop.mid == lut.hn, "left")
-                  .select(prop.node, prop.label,
-                          F.least(F.col("mid"),
-                                  F.coalesce(F.col("hl"), F.col("mid")))
-                          .alias("new_label"))
-                  .localCheckpoint())
-        if staged.filter(F.col("new_label") < F.col("label")).count() == 0:
-            break
-        labels = staged.select("node", F.col("new_label").alias("label"))
+    labels = cc_labels(pairs)
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_members"),
