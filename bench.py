@@ -80,6 +80,20 @@ EXTRA = [
     "q19_disjunctive_revenue",
     "snapshot_delete",
     "sample_lm_quality_buckets",
+    # round-8 families (the 12 promoted staged queries + Q21)
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_parts_supplier",
+    "q17_small_quantity_revenue",
+    "q21_suppliers_who_kept_waiting",
+    "q22_global_sales_opportunity",
+    "sim_random_projection_topk",
+    "dedup_quality_survivor",
     # the stream-stream replays are excluded here: their wall time is
     # micro-batch scheduling of a 4-chunk replay (a latency regime the
     # batch bench's throughput number does not represent); their

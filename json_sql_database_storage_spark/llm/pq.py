@@ -711,7 +711,6 @@ def ivfpq_build(spark: SparkSession, v: DataFrame,
     persist {centroids, codebook, index} under the session sink."""
     from ..operators.scans import _sink
     from ..registry import scoped_persist
-    from .clustering import assign_cells
 
     paths = {"centroids": _sink(f"{name}_cent", spark),
              "codebook": _sink(f"{name}_cb", spark),
@@ -722,13 +721,46 @@ def ivfpq_build(spark: SparkSession, v: DataFrame,
     subs = subvectors(v).transform(scoped_persist)
     (train_codebooks(subs, _PQ_K)
      .write.mode("overwrite").parquet(paths["codebook"]))
+    _ivfpq_encode_into(spark, paths, v, mode="overwrite")
+    return paths
+
+
+def _ivfpq_encode_into(spark: SparkSession, paths: dict[str, str],
+                       v: DataFrame, mode: str) -> None:
+    """Encode vectors against the FROZEN persisted codebook + coarse
+    centroids and write their (m, code, cell) rows into the
+    cell-partitioned layout — the shared half of build (mode=overwrite)
+    and delta-append (mode=append).  Because both artifacts are read back
+    from parquet, an append encodes its deltas with bit-identical floats
+    to the original build: append-then-probe equals
+    rebuild-with-the-same-codebook-then-probe (pinned in
+    tests/test_llm.py)."""
+    from .clustering import _assign
+
     cb = spark.read.parquet(paths["codebook"])
-    enc = _pq_assign(subs, cb).select("vec_id", "m", "code")
-    assigned = assign_cells(v, _IPQ_KC).select("vec_id", "cluster")
+    cent = spark.read.parquet(paths["centroids"])
+    enc = _pq_assign(subvectors(v), cb).select("vec_id", "m", "code")
+    assigned = _assign(v, cent).select("vec_id", "cluster")
     (enc.join(assigned, "vec_id")
      .select("vec_id", "m", "code", F.col("cluster").alias("cell"))
      .repartition("cell")
-     .write.mode("overwrite").partitionBy("cell").parquet(paths["index"]))
+     .write.mode(mode).partitionBy("cell").parquet(paths["index"]))
+
+
+def ivfpq_append(spark: SparkSession, paths: dict[str, str],
+                 new_vectors: DataFrame) -> dict[str, str]:
+    """Delta-append NEW vectors (previously unseen vec_ids) into a built
+    IVFPQ index — the per-crawl maintenance path (r7 verdict next-round
+    #5, mirroring dedup_minhash_incremental's O(delta) contract,
+    dedup.py:926): the deltas are encoded against the FROZEN codebook and
+    coarse centroids (no retraining — the FAISS IVFPQ add() contract) and
+    their code rows land in the existing cell directories as appended
+    parquet files.  Cost is O(|delta|): the base corpus is never read,
+    rewritten, or re-encoded; the only cluster work is the delta's encode
+    joins against two broadcast-sized artifacts.  Codebook drift under a
+    distribution shift is the documented trade — rebuild to re-train,
+    exactly as in FAISS."""
+    _ivfpq_encode_into(spark, paths, new_vectors, mode="append")
     return paths
 
 

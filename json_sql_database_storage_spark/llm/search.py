@@ -242,6 +242,36 @@ def bm25_build(spark: SparkSession, docs: DataFrame,
     return paths
 
 
+def bm25_append(spark: SparkSession, paths: dict[str, str],
+                new_docs: DataFrame) -> dict[str, str]:
+    """Delta-append NEW documents (previously unseen doc_ids) into a
+    built BM25 index — the per-crawl maintenance path (r7 verdict
+    next-round #6, the postings mirror of ivfpq_append): tokenize ONLY
+    the delta, append its postings to their term buckets and its
+    doc-length rows to the dl table, and rewrite the 1-row corpus stats
+    as old + delta.  Cost is O(|delta| tokens); the base corpus is never
+    re-read or re-tokenized, and the probe plan stays documents-scan-free
+    (probe(appended) ≡ probe(rebuilt over base ∪ delta) — pinned in
+    tests/test_llm.py).  The stats read-back is a 1-row bounded collect
+    (index metadata, same class as the bucket-offset collects)."""
+    (build_inverted_index(new_docs)
+     .repartition(_IDX_BUCKETS, "bkt")
+     .write.mode("append").partitionBy("bkt").parquet(paths["index"]))
+    dl_delta = new_docs.select("doc_id",
+                               F.size(tokens(F.col("text"))).cast("bigint")
+                               .alias("dl"))
+    dl_delta.write.mode("append").parquet(paths["dl"])
+    old = spark.read.parquet(paths["stats"]).collect()[0]
+    d = dl_delta.agg(F.sum("dl").alias("t"),
+                     F.count(F.lit(1)).alias("n")).collect()[0]
+    (spark.createDataFrame(
+        [(int(old["t_tokens"]) + int(d["t"] or 0),
+          int(old["n_docs"]) + int(d["n"]))],
+        "t_tokens bigint, n_docs bigint")
+     .write.mode("overwrite").parquet(paths["stats"]))
+    return paths
+
+
 def bm25_probe(spark: SparkSession, paths: dict[str, str],
                terms: tuple[str, ...], topk: int) -> DataFrame:
     """Okapi BM25 top-k against a PREBUILT index: reads only the query

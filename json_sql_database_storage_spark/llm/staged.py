@@ -1,8 +1,7 @@
-"""LLM-pipeline operators STAGED for round-8 registration (same protocol
-as operators/tpch_staged.py: full register() payloads in `STAGED`,
-driver-identical differential verification every round via
-tests/test_llm_staged.py, promoted by moving a dict entry into a
-@register decorator).
+"""LLM-pipeline operators registered round 8 (built + driver-identically
+verified as STAGED payloads in round 7 — same protocol as
+operators/tpch_staged.py — then promoted per the r7 verdict's next-round
+item 1).
 
 1. sim_random_projection_topk — Johnson-Lindenstrauss random projection:
    embeddings are projected 64 → 16 dims through a deterministic ±1/4
@@ -39,6 +38,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..registry import register
 from ..sources import load_table
 from .dedup import _corpus_with_dups, _minhash_verified_pairs, _tokens, cc_labels
 from .similarity import as_double
@@ -177,9 +177,10 @@ ORDER BY component_id
 """
 
 
-# Round-8 registration payloads: name -> (callable, oracle SQL).
-STAGED = {
-    "sim_random_projection_topk": (sim_random_projection_topk, _JL_SQL),
-    "dedup_quality_survivor": (dedup_quality_survivor,
-                               _quality_survivor_sql()),
-}
+# Promoted round 8 (r7 verdict next-round #1); empty STAGED kept so the
+# staged-protocol tests can pin that nothing is both staged and registered.
+register("sim_random_projection_topk", _JL_SQL)(sim_random_projection_topk)
+register("dedup_quality_survivor",
+         _quality_survivor_sql())(dedup_quality_survivor)
+
+STAGED: dict = {}

@@ -540,3 +540,79 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum_expr(revenue).alias("revenue"),
              F.count(F.lit(1)).cast("bigint").alias("n_lines"))
     )
+
+
+# ---------------------------------------------------------------------------
+# r8.4 — TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+# the driver schema: classic Q21's lateness test is l_receiptdate >
+# l_commitdate, columns this corpus lacks, so lateness here is shipping
+# more than 90 days after the order date (the same datediff the q12
+# adaptation buckets).  The multi-witness structure — the whole point of
+# Q21 — is intact: for finished orders, count a supplier's late lines
+# where ANOTHER supplier shipped in the same order (EXISTS) but NO other
+# supplier was ALSO late (NOT EXISTS).  Both witnesses plan as semi/anti
+# joins (plan-asserted in tests/test_plans.py) — no row multiplication:
+# at 100 TB the self-joins shuffle lineitem on l_orderkey once each and
+# stream, never materializing the quadratic per-order pairs.
+#
+# Schema notes (documented next to the q12/q19 adaptations per the r7
+# verdict): Q2/Q9/Q11/Q20 remain blocked on the absent `partsupp` table —
+# their defining correlation (supplier×part availability/cost) has no
+# stand-in here; adapting them without it would change what the query
+# measures, not just its literals.
+# ---------------------------------------------------------------------------
+
+_Q21_LATE_DAYS = 90
+
+
+@register(
+    "q21_suppliers_who_kept_waiting",
+    oracle=f"""
+WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         datediff('day', o_orderdate, l_shipdate) > {_Q21_LATE_DAYS} AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F')
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM l l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM l l3 WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    tags=("r8.4",),
+)
+def q21_suppliers_who_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = (load_table(spark, sf_dir, "orders")
+         .filter(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    # one orders join computes lateness for every line of a finished
+    # order; the self-joins then reuse this relation under three roles
+    l = (li.join(o, li.l_orderkey == o.o_orderkey)
+         .select("l_orderkey", "l_suppkey",
+                 (F.datediff("l_shipdate", "o_orderdate") > _Q21_LATE_DAYS)
+                 .alias("late")))
+    l1 = l.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("o1"), F.col("l_suppkey").alias("s1"))
+    l2 = l.select(F.col("l_orderkey").alias("o2"),
+                  F.col("l_suppkey").alias("s2"))
+    l3 = (l.filter(F.col("late"))
+          .select(F.col("l_orderkey").alias("o3"),
+                  F.col("l_suppkey").alias("s3")))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    waited = (
+        l1.join(l2, (F.col("o1") == F.col("o2"))
+                & (F.col("s1") != F.col("s2")), "left_semi")
+        .join(l3, (F.col("o1") == F.col("o3"))
+              & (F.col("s1") != F.col("s3")), "left_anti"))
+    return (waited.join(sup, waited.s1 == sup.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name")
+            .limit(20))

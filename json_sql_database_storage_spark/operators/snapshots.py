@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -357,17 +358,35 @@ class SnapshotConflict(Exception):
 
 
 def commit_manifest(root: str, version: int, manifest: dict[int, str]) -> str:
-    """Atomically claim `version`: create manifest-v{version}.json
-    exclusively and write the partition listing.  Raises SnapshotConflict
-    if the version is already claimed."""
+    """Atomically claim `version` for `manifest`.  Raises SnapshotConflict
+    if the version is already claimed.
+
+    Write-then-link, not create-then-write (r7 ADVICE item 2): the old
+    O_EXCL-create + json.dump left a crash window in which an EMPTY
+    manifest-vN.json existed — current_version() then counted N as
+    committed and every later read died parsing it, bricking the table.
+    Now the full content is written and fsync'd to a hidden temp file
+    first, and the version is claimed by os.link(tmp, path) — one atomic,
+    exclusive metadata operation (link(2) fails with EEXIST if the name is
+    taken).  A crash before the link leaves only the dot-prefixed temp
+    file, which current_version()'s ``manifest-v*`` match never counts;
+    a crash after the link has already published complete, durable
+    content.  This is the same swap discipline as Delta's ``N.json``
+    put-if-absent commit."""
     path = os.path.join(root, f"manifest-v{version}.json")
+    tmp = os.path.join(root, f".manifest-v{version}.{os.getpid()}."
+                             f"{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({str(y): p for y, p in manifest.items()}, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        os.link(tmp, path)
     except FileExistsError:
         raise SnapshotConflict(
             f"version {version} already committed under {root}") from None
-    with os.fdopen(fd, "w") as f:
-        json.dump({str(y): p for y, p in manifest.items()}, f, indent=1)
+    finally:
+        os.unlink(tmp)
     return path
 
 

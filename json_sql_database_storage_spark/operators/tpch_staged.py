@@ -1,17 +1,15 @@
-"""Decision-support shapes STAGED for round-8 registration (TPC-H
+"""Decision-support shapes registered round 8 (TPC-H
 Q4/Q6/Q7/Q8/Q13/Q14/Q15/Q16/Q17/Q22, adapted where the driver corpus lacks
 classic columns — see each docstring).  They complete the TPC-H family
-beyond the registered Q1/Q3/Q5/Q10/Q12/Q18/Q19.
+beyond Q1/Q3/Q5/Q10/Q12/Q18/Q19/Q21 (Q21 lives in operators/analytics.py).
 
-Why staged instead of registered: the driver's ~50-row correctness window
-is budgeted this round (COVERAGE.md round-7 note) — 11 new queries plus the
-40 stalest green rows fill it, and registering more would push stale r3
-rows past the freshness target the r6 verdict set (next-round item 8).
-Each entry here is the FULL register() payload — (callable, oracle SQL) in
-`STAGED` — verified against DuckDB at sf0.001/sf0.01 every round by
-tests/test_tpch_staged.py through the identical compare machinery the
-driver uses, so round 8 registers them by moving the dict entry into a
-@register decorator, nothing else.
+History: these were built and driver-identically verified in round 7 as
+STAGED payloads (window budgeting — see COVERAGE.md round-7 note), then
+promoted to live registry rows in round 8 per the r7 verdict's next-round
+item 1.  Each had a full (callable, oracle SQL) payload verified against
+DuckDB at sf0.001/sf0.01 every round by tests/test_tpch_staged.py through
+the identical compare machinery the driver uses, so promotion was a
+decorator move, not new verification.
 
 Reference parity note (docstring convention per SURVEY.md §2): the
 reference engine (DatabaseManager.java:280-381) exposes only per-table
@@ -33,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exact import dec, dec_factor, dsum_expr
+from ..registry import register
 from ..sources import load_table
 
 _REV = "CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4))"
@@ -497,16 +496,22 @@ ORDER BY cntrycode
 """
 
 
-# Round-8 registration payloads: name -> (callable, oracle SQL).
-STAGED = {
-    "q4_order_priority": (q4_order_priority, _Q4_SQL),
-    "q6_forecast_revenue": (q6_forecast_revenue, _Q6_SQL),
-    "q7_volume_shipping": (q7_volume_shipping, _Q7_SQL),
-    "q8_market_share": (q8_market_share, _Q8_SQL),
-    "q13_customer_distribution": (q13_customer_distribution, _Q13_SQL),
-    "q14_promo_revenue": (q14_promo_revenue, _Q14_SQL),
-    "q15_top_supplier": (q15_top_supplier, _Q15_SQL),
-    "q16_parts_supplier": (q16_parts_supplier, _Q16_SQL),
-    "q17_small_quantity_revenue": (q17_small_quantity_revenue, _Q17_SQL),
-    "q22_global_sales_opportunity": (q22_global_sales_opportunity, _Q22_SQL),
-}
+# Promoted round 8 (r7 verdict next-round #1): every former STAGED entry is
+# now a live registry row; the empty dict remains so the staged-protocol
+# tests can pin that promotion happened (no entry both staged AND
+# registered).
+for _name, _fn, _sql in (
+    ("q4_order_priority", q4_order_priority, _Q4_SQL),
+    ("q6_forecast_revenue", q6_forecast_revenue, _Q6_SQL),
+    ("q7_volume_shipping", q7_volume_shipping, _Q7_SQL),
+    ("q8_market_share", q8_market_share, _Q8_SQL),
+    ("q13_customer_distribution", q13_customer_distribution, _Q13_SQL),
+    ("q14_promo_revenue", q14_promo_revenue, _Q14_SQL),
+    ("q15_top_supplier", q15_top_supplier, _Q15_SQL),
+    ("q16_parts_supplier", q16_parts_supplier, _Q16_SQL),
+    ("q17_small_quantity_revenue", q17_small_quantity_revenue, _Q17_SQL),
+    ("q22_global_sales_opportunity", q22_global_sales_opportunity, _Q22_SQL),
+):
+    register(_name, _sql)(_fn)
+
+STAGED: dict = {}

@@ -60,6 +60,8 @@ _OPERATOR_MODULES = (
     "json_sql_database_storage_spark.llm.search",
     "json_sql_database_storage_spark.llm.pq",
     "json_sql_database_storage_spark.llm.bpe",
+    "json_sql_database_storage_spark.operators.tpch_staged",
+    "json_sql_database_storage_spark.llm.staged",
 )
 
 # The driver's per-round correctness check covers the first ~50 registry

@@ -398,12 +398,27 @@ def versioned_batch_apply(spark: SparkSession, state_dir: str,
                           batch_id: int, make_version) -> bool:
     """Apply one micro-batch to the versioned state table idempotently.
     `make_version(prev_df_or_None)` builds the new full state; returns
-    False if the batch was already committed (replay no-op)."""
+    False if the batch was already committed (replay no-op).
+
+    r7 ADVICE item 4 hardening: (a) a GAP in batch ids fails loudly —
+    Structured Streaming delivers consecutive batch_ids, so a skip means
+    the caller lost state and silently rebuilding from v{latest} would
+    drop the missing batches' rows; (b) after the atomic marker commit,
+    versions OLDER than the predecessor just read are pruned, so a
+    long-running stream holds at most two state versions (current +
+    replay-window predecessor) instead of growing one parquet directory
+    per micro-batch forever."""
     import os
+    import shutil
 
     latest = _read_version_marker(state_dir)
     if batch_id <= latest:
         return False
+    if latest >= 0 and batch_id != latest + 1:
+        raise ValueError(
+            f"batch id gap in {state_dir}: have v{latest}, got batch "
+            f"{batch_id} — refusing to silently skip "
+            f"{batch_id - latest - 1} batch(es)")
     prev = (spark.read.parquet(f"{state_dir}/v{latest}")
             if latest >= 0 else None)
     make_version(prev).write.mode("overwrite") \
@@ -412,6 +427,16 @@ def versioned_batch_apply(spark: SparkSession, state_dir: str,
     with open(tmp, "w") as f:
         f.write(str(batch_id))
     os.replace(tmp, os.path.join(state_dir, "_latest"))
+    # prune: keep v{batch_id} (current) and v{latest} (the replay-window
+    # predecessor a crashed-and-replayed batch_id recomputes from)
+    for entry in os.scandir(state_dir):
+        if entry.is_dir() and entry.name.startswith("v"):
+            try:
+                v = int(entry.name[1:])
+            except ValueError:
+                continue
+            if v < latest:
+                shutil.rmtree(entry.path, ignore_errors=True)
     return True
 
 

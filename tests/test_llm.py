@@ -919,10 +919,13 @@ def test_bm25_build_once_probe_many(spark, sf_dir):
 
 
 def test_bpe_deep_training_matches_reference(spark, sf_dir):
-    """r7.5 applied to BPE: 10 merges through the checkpointed driver loop
-    must produce the SAME merge list and the same encoded word types as
-    the plain-Python reference trainer — the checkpoint only truncates
-    lineage, and the recurrence is the unrolled form's."""
+    """r7.5 applied to BPE, depth raised 10 → 50 merges (r7 verdict
+    next-round #8): 50 merges through the checkpointed driver loop — well
+    past the ~dozen-merge unrolled-plan ceiling — must produce the SAME
+    merge list and the same encoded word types as the plain-Python
+    reference trainer — the checkpoint only truncates lineage, and the
+    recurrence is the unrolled form's.  Per-segment wall times at this
+    depth are recorded in SCALE.md next to the PageRank/k-means rows."""
     from collections import Counter
 
     from json_sql_database_storage_spark.llm.bpe import train_merges_deep
@@ -930,7 +933,7 @@ def test_bpe_deep_training_matches_reference(spark, sf_dir):
     from json_sql_database_storage_spark.sources import load_table
     from pyspark.sql import functions as F
 
-    N = 10
+    N = 50
     s, merges = train_merges_deep(spark, sf_dir, N, checkpoint_every=4)
 
     d = load_table(spark, sf_dir, "documents")
@@ -990,3 +993,80 @@ def test_ivfpq_build_once_probe_many(spark, sf_dir):
     r2a = [tuple(r) for r in ivfpq_probe(spark, paths, q2, v).collect()]
     r2b = [tuple(r) for r in ivfpq_probe(spark, paths, q2, v).collect()]
     assert r2a == r2b and r2a
+
+
+def test_ivfpq_append_equals_rebuild_with_frozen_codebook(spark, sf_dir):
+    """r8 (r7 verdict next-round #5): ivfpq_append must encode deltas
+    against the FROZEN persisted codebook/centroids into the existing
+    cell layout such that probe(base build + append(delta)) is
+    row-identical to probe(an index encoding base ∪ delta with the SAME
+    frozen artifacts).  The base corpus is never re-encoded — O(delta)
+    per crawl, the dedup_minhash_incremental contract for the ANN index."""
+    from json_sql_database_storage_spark.llm.pq import (
+        _IPQ_NQ, _ivfpq_encode_into, ivfpq_append, ivfpq_build, ivfpq_probe)
+    from json_sql_database_storage_spark.llm.similarity import as_double
+    from json_sql_database_storage_spark.operators.scans import _sink
+    from json_sql_database_storage_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e"))
+    n = v.count()
+    split = int(n * 0.8)
+    base, delta = v.filter(F.col("vec_id") < split), \
+        v.filter(F.col("vec_id") >= split)
+    assert delta.count() > 0
+
+    paths = ivfpq_build(spark, base, "ivfpq_app_base")
+    ivfpq_append(spark, paths, delta)
+
+    rebuilt = dict(paths, index=_sink("ivfpq_app_rebuild", spark))
+    _ivfpq_encode_into(spark, rebuilt, v, mode="overwrite")
+
+    q = (v.filter(F.col("vec_id") < _IPQ_NQ)
+         .select(F.col("vec_id").alias("query_id"), "e"))
+    got = [tuple(r) for r in ivfpq_probe(spark, paths, q, v).collect()]
+    want = [tuple(r) for r in ivfpq_probe(spark, rebuilt, q, v).collect()]
+    assert got == want and got
+    # the appended rows really live in the index (delta ids are findable)
+    idx = spark.read.parquet(paths["index"])
+    assert idx.filter(F.col("vec_id") >= split).count() > 0
+
+
+def test_bm25_append_equals_rebuild(spark, sf_dir):
+    """r8 (r7 verdict next-round #6): bm25_append must tokenize ONLY the
+    delta and leave an index whose probe is row-identical to a full
+    rebuild over base ∪ delta — postings appended to term buckets, dl
+    rows appended, 1-row stats rewritten as old + delta — and the probe
+    plan stays documents-scan-free."""
+    from json_sql_database_storage_spark.llm.search import (_BM25_TERMS,
+                                                            _BM25_TOPK,
+                                                            bm25_append,
+                                                            bm25_build,
+                                                            bm25_probe)
+    from json_sql_database_storage_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    split = int(n * 0.8)
+    base, delta = docs.filter(F.col("doc_id") < split), \
+        docs.filter(F.col("doc_id") >= split)
+    assert delta.count() > 0
+
+    paths = bm25_build(spark, base, "bm25_app_base")
+    bm25_append(spark, paths, delta)
+    full = bm25_build(spark, docs, "bm25_app_full")
+
+    got_df = bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK)
+    got = [tuple(r) for r in got_df.collect()]
+    want = [tuple(r) for r in
+            bm25_probe(spark, full, _BM25_TERMS, _BM25_TOPK).collect()]
+    assert got == want and got
+    # stats reflect the whole corpus after append
+    sa = spark.read.parquet(paths["stats"]).collect()[0]
+    sb = spark.read.parquet(full["stats"]).collect()[0]
+    assert tuple(sa) == tuple(sb)
+    # probe over the appended index still never scans the corpus
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan

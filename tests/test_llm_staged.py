@@ -1,7 +1,13 @@
-"""Differential + property tests for the round-8-staged LLM operators
-(llm/staged.py), mirroring tests/test_tpch_staged.py: every STAGED entry
-is driver-identically verified each round so round-8 registration is a
-dict-entry move."""
+"""Staged-protocol pins + property tests for llm/staged.py.
+
+Round 7 built `sim_random_projection_topk` and `dedup_quality_survivor`
+as STAGED payloads with driver-identical differential tests here; round 8
+promoted both into the live registry (r7 verdict next-round #1), so the
+differential coverage now runs through tests/test_oracle.py.  What remains
+here: the promotion/no-collision protocol pins plus the two property
+contracts that SQL equivalence alone can't express (the JL distortion
+band and the quality-survivor divergence-from-min-id guarantee).
+"""
 
 from __future__ import annotations
 
@@ -12,16 +18,18 @@ import pytest
 
 from json_sql_database_storage_spark.llm.staged import STAGED, jl_matrix
 
-from .compare import assert_frames_match
+_PROMOTED = ("sim_random_projection_topk", "dedup_quality_survivor")
 
 
-@pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_matches_oracle(spark, duck, sf_dir, name):
-    fn, oracle = STAGED[name]
-    spark_pdf = fn(spark, sf_dir).toPandas()
-    oracle_pdf = duck.execute(oracle).df()
-    assert len(spark_pdf) > 0, f"{name}: empty result proves nothing"
-    assert_frames_match(spark_pdf, oracle_pdf, name=name)
+def test_round8_promotion_landed():
+    from json_sql_database_storage_spark import registry
+
+    registry.load_all()
+    specs = registry.specs()
+    missing = [n for n in _PROMOTED if n not in specs]
+    assert not missing, f"staged queries never registered: {missing}"
+    without_oracle = [n for n in _PROMOTED if specs[n].oracle is None]
+    assert not without_oracle, without_oracle
 
 
 def test_staged_names_do_not_collide_with_registry():
@@ -70,7 +78,9 @@ def test_quality_survivor_diverges_from_min_id(spark, sf_dir):
     token, so a substantial share of components must elect a NON-minimal
     id (min-id survivorship would return component_id itself), and every
     survivor must be a member of its own component."""
-    out = STAGED["dedup_quality_survivor"][0](spark, sf_dir).collect()
+    from json_sql_database_storage_spark.llm.staged import dedup_quality_survivor
+
+    out = dedup_quality_survivor(spark, sf_dir).collect()
     assert len(out) > 0
     diverged = 0
     for row in out:

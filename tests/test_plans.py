@@ -254,6 +254,16 @@ def test_no_unintended_scale_flags(spark, sf_dir):
             # disjunctive filter — map-side partials, one row per input
             # partition reaches the single partition
             "q19_disjunctive_revenue",
+            # r8 promotions with the same 1-row global-aggregate shape:
+            # Q6's forecast revenue (global agg after pushed filters),
+            # Q14's promo ratio (both sums share one map-side pass),
+            # Q15's max-revenue threshold, Q17's avg-quantity threshold
+            # (1-row per part-group feeds a broadcast join; the global
+            # step is the final scalar), Q22's avg-balance threshold —
+            # each exchanges one row per input partition, constant bytes
+            # at any SF
+            "q6_forecast_revenue", "q14_promo_revenue", "q15_top_supplier",
+            "q17_small_quantity_revenue", "q22_global_sales_opportunity",
         },
     }
     bad = []
@@ -383,3 +393,14 @@ def test_q19_disjunction_pushes_part_side_predicates(spark, sf_dir):
     assert part_scans, plan[:2000]
     pushed = part_scans[0].split("PushedFilters:", 1)[1]
     assert "p_brand" in pushed and "Or" in pushed, pushed
+
+
+def test_q21_witnesses_plan_as_semi_and_anti_joins(spark, sf_dir):
+    """r8.4: Q21's EXISTS/NOT EXISTS witnesses must plan as LeftSemi and
+    LeftAnti joins — never an inner self-join + dedup, which would
+    materialize the quadratic per-order supplier pairs at scale."""
+    plan = explain_formatted(
+        _SPECS["q21_suppliers_who_kept_waiting"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan, plan[:2000]
+    assert "LeftAnti" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan

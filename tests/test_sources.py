@@ -152,6 +152,47 @@ def test_snapshot_concurrent_commit_conflict(spark, sf_dir):
     assert os.path.exists(os.path.join(root, "manifest-v1.json"))
 
 
+def test_commit_manifest_crash_window_leaves_no_torn_manifest(tmp_path):
+    """r7 ADVICE item 2: the claim must be write-then-link, not
+    create-then-write — a crash mid-commit may leave a temp file behind
+    but NEVER an empty/torn manifest-vN.json that current_version counts
+    as committed and readers then die parsing.  Simulate the crash at the
+    worst point (content durable, link never executed) and pin that the
+    table is neither bricked nor advanced; then pin that a published
+    manifest is complete and parseable the instant it exists."""
+    import json
+    import os
+
+    from json_sql_database_storage_spark.operators.snapshots import (
+        SnapshotConflict, commit_manifest, current_version,
+        read_committed_manifest)
+
+    root = str(tmp_path)
+    commit_manifest(root, 0, {0: "d0"})
+    assert current_version(root) == 0
+    # crash simulation: the temp file exists, the link never happened
+    with open(os.path.join(root, ".manifest-v1.999.deadbeef.tmp"), "w") as f:
+        f.write('{"0": "half-writ')            # torn content, hidden name
+    assert current_version(root) == 0          # not counted as committed
+    read_committed_manifest(root, 0)           # reads still work
+    # the same version can now be claimed for real…
+    commit_manifest(root, 1, {0: "d1"})
+    assert current_version(root) == 1
+    assert read_committed_manifest(root, 1) == {0: "d1"}
+    # …and the published file is complete, valid JSON (atomicity: no
+    # reader can ever observe a manifest-v*.json in a half-written state)
+    with open(os.path.join(root, "manifest-v1.json")) as f:
+        assert json.load(f) == {"0": "d1"}
+    # a second claim of a committed version still conflicts
+    import pytest as _pytest
+    with _pytest.raises(SnapshotConflict):
+        commit_manifest(root, 1, {0: "other"})
+    # and no temp droppings survive a SUCCESSFUL commit
+    leftovers = [e.name for e in os.scandir(root)
+                 if e.name.endswith(".tmp") and e.name != ".manifest-v1.999.deadbeef.tmp"]
+    assert leftovers == []
+
+
 def test_snapshot_schema_evolution_asof_schemas(spark, sf_dir):
     """r7.6: after a v1 commit whose delta adds o_flag, an AS-OF v0 read
     must NOT contain the column (history is immutable) and an AS-OF v1

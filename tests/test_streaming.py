@@ -171,3 +171,14 @@ def test_foreach_batch_commit_is_idempotent_under_replay(spark, tmp_path):
     assert versioned_batch_apply(spark, d, 2, make(batch(4))) is True
     assert _read_version_marker(d) == 2
     assert spark.read.parquet(f"{d}/v2").collect()[0]["n"] == 9
+    # r7 ADVICE item 4a: storage is bounded — after committing v2 only the
+    # current version and its replay-window predecessor remain on disk
+    vdirs = sorted(e.name for e in os.scandir(d)
+                   if e.is_dir() and e.name.startswith("v"))
+    assert vdirs == ["v1", "v2"], vdirs
+    # r7 ADVICE item 4b: a batch-id GAP fails loudly instead of silently
+    # rebuilding from v{latest} and dropping the missing batches' rows
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="gap"):
+        versioned_batch_apply(spark, d, 5, make(batch(1)))
+    assert _read_version_marker(d) == 2        # state unchanged after gap

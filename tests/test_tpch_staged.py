@@ -1,24 +1,34 @@
-"""Differential tests for the round-8-staged TPC-H shapes
-(operators/tpch_staged.py): every STAGED entry runs its Spark plan against
-its DuckDB oracle through the SAME compare machinery the driver uses, so
-registering them next round is a dict-entry move, not new verification."""
+"""Staged-protocol pins for operators/tpch_staged.py.
+
+Round 7 built these ten TPC-H shapes as STAGED (callable, oracle) payloads
+with driver-identical differential tests here; round 8 promoted every
+entry into the live registry (r7 verdict next-round #1).  The differential
+coverage now runs through tests/test_oracle.py like every other registered
+query, so what remains here is the protocol invariant: nothing may be both
+staged and registered, and the promotion must actually have landed.
+"""
 
 from __future__ import annotations
 
-import pytest
-
 from json_sql_database_storage_spark.operators.tpch_staged import STAGED
 
-from .compare import assert_frames_match
+_PROMOTED = (
+    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
+    "q8_market_share", "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_parts_supplier", "q17_small_quantity_revenue",
+    "q22_global_sales_opportunity",
+)
 
 
-@pytest.mark.parametrize("name", sorted(STAGED))
-def test_staged_matches_oracle(spark, duck, sf_dir, name):
-    fn, oracle = STAGED[name]
-    spark_pdf = fn(spark, sf_dir).toPandas()
-    oracle_pdf = duck.execute(oracle).df()
-    assert len(spark_pdf) > 0, f"{name}: empty result proves nothing"
-    assert_frames_match(spark_pdf, oracle_pdf, name=name)
+def test_round8_promotion_landed():
+    from json_sql_database_storage_spark import registry
+
+    registry.load_all()
+    specs = registry.specs()
+    missing = [n for n in _PROMOTED if n not in specs]
+    assert not missing, f"staged queries never registered: {missing}"
+    without_oracle = [n for n in _PROMOTED if specs[n].oracle is None]
+    assert not without_oracle, without_oracle
 
 
 def test_staged_names_do_not_collide_with_registry():
