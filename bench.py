@@ -94,6 +94,7 @@ EXTRA = [
     "q22_global_sales_opportunity",
     "sim_random_projection_topk",
     "dedup_quality_survivor",
+    "text_decontamination",
     # the stream-stream replays are excluded here: their wall time is
     # micro-batch scheduling of a 4-chunk replay (a latency regime the
     # batch bench's throughput number does not represent); their

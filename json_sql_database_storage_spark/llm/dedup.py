@@ -1017,3 +1017,80 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# r8.5 (b11.36) — benchmark DECONTAMINATION: the n-gram-collision test every
+# serious training pipeline runs before training (the GPT-3/PaLM recipe:
+# flag a training document if it shares >= a few high-order n-grams with any
+# evaluation-benchmark document).  Here the "benchmark" is the deterministic
+# doc_id % 17 == 0 slice of the corpus and the training side is the rest;
+# a training doc is contaminated when >= 3 of its distinct 5-gram shingles
+# appear anywhere in the benchmark shingle set.
+#
+# Scale: the benchmark shingle set is built with one distinct-aggregation
+# shuffle and the collision test is a plain equi-join on the 64-bit shingle
+# hash — NO broadcast (the benchmark grows with the corpus; AQE may still
+# choose broadcast while it fits) and no per-pair work: cost is
+# O(corpus shingles + benchmark shingles) through one hash join, the same
+# access pattern at 100 TB.  Shingles ride as xxhash64 longs end to end
+# (_hashed_shingles_of) — shingle strings are never materialized; the
+# DuckDB oracle builds string shingles, which induce the same collision
+# set modulo xxhash64 collisions (none on this corpus).
+# ---------------------------------------------------------------------------
+
+_DECON_K = 5        # shingle order (5-grams)
+_DECON_MIN_HITS = 3  # contamination threshold
+_DECON_MOD = 17     # doc_id % _DECON_MOD == 0 -> benchmark side
+
+
+@register(
+    "text_decontamination",
+    oracle=rf"""
+WITH raw AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS r
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(r) >= {_DECON_K}
+              THEN list_distinct(list_transform(range(1, len(r)-{_DECON_K - 2}),
+                     i -> {" || ' ' || ".join(f"r[i+{j}]" for j in range(_DECON_K))}))
+              ELSE [array_to_string(r, ' ')] END AS s
+  FROM raw
+), bench AS (
+  SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % {_DECON_MOD} = 0
+), cor AS (
+  SELECT doc_id, len(s) AS n_shingles, unnest(s) AS g
+  FROM sh WHERE doc_id % {_DECON_MOD} != 0
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(max(n_shingles) AS BIGINT) AS n_shingles
+FROM cor JOIN bench USING (g)
+GROUP BY doc_id
+HAVING count(*) >= {_DECON_MIN_HITS}
+ORDER BY doc_id
+""",
+    tags=("r8.5", "b11.36"),
+)
+def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # persist the per-doc shingle arrays: (a) BOTH branches (benchmark +
+    # training side) read them, and (b) the persist is an optimization
+    # barrier, so projection collapse cannot re-inline the split into the
+    # shingle lambda's ~7 array references (size + k accesses + fallback —
+    # measured 13 s -> ~1 s for the shingle pass at sf0.1 without it)
+    sh = scoped_persist(
+        d.select("doc_id", F.split(F.lower("text"), r"\s+").alias("raw"))
+        .select("doc_id",
+                _hashed_shingles_of(F.col("raw"), k=_DECON_K).alias("s")))
+    bench = (sh.filter(F.col("doc_id") % _DECON_MOD == 0)
+             .select(F.explode("s").alias("g")).distinct())
+    cor = (sh.filter(F.col("doc_id") % _DECON_MOD != 0)
+           .select("doc_id", F.size("s").cast("bigint").alias("n_shingles"),
+                   F.explode("s").alias("g")))
+    return (cor.join(bench, "g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+                 F.max("n_shingles").alias("n_shingles"))
+            .filter(F.col("n_hits") >= _DECON_MIN_HITS)
+            .orderBy("doc_id"))
