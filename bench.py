@@ -95,6 +95,7 @@ EXTRA = [
     "sim_random_projection_topk",
     "dedup_quality_survivor",
     "text_decontamination",
+    "sample_split_no_leakage",
     # the stream-stream replays are excluded here: their wall time is
     # micro-batch scheduling of a 4-chunk replay (a latency regime the
     # batch bench's throughput number does not represent); their

@@ -51,6 +51,7 @@ exactly the touched-partition COW contract of operators/snapshots.py.
 
 from __future__ import annotations
 
+import json
 import os
 import time
 import uuid
@@ -64,6 +65,11 @@ from .model import KEY, ShredResult, assemble, shred
 
 _MAX_COMMIT_RETRIES = 5
 _META_KEY = -1          # manifest slot holding the table's bucket count
+_SCHEMA_KEY = -2        # manifest slot holding the commit's schema JSON —
+                        # what makes a ZERO-ROW committed version readable
+                        # (every table format records schema in metadata;
+                        # parquet footers alone can't serve an empty table)
+_RESERVED = (_META_KEY, _SCHEMA_KEY)
 _BUCKET = "_bucket"     # partition column name inside a commit's data dir
 
 
@@ -99,7 +105,7 @@ class DocumentStore:
 
     def _dirs_of(self, manifest: dict,
                  buckets: set[int] | None = None) -> list[str]:
-        return [d for b in sorted(k for k in manifest if k != _META_KEY)
+        return [d for b in sorted(k for k in manifest if k not in _RESERVED)
                 if buckets is None or b in buckets
                 for d in manifest[b]]
 
@@ -110,8 +116,16 @@ class DocumentStore:
         return self.read_asof(table, None)
 
     def read_asof(self, table: str, version: int | None) -> DataFrame:
-        """Time-travel read of a committed version (latest when None)."""
-        dirs = self._data_dirs(table, version)
+        """Time-travel read of a committed version (latest when None).
+        A version whose every bucket was deleted still reads — as an
+        empty DataFrame with the manifest-recorded schema."""
+        m = self._manifest(table, version)
+        dirs = self._dirs_of(m)
+        if not dirs:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(m[_SCHEMA_KEY]))
+            return self.spark.createDataFrame([], schema)
         return (self.spark.read.option("mergeSchema", "true")
                 .parquet(*dirs))
 
@@ -168,7 +182,7 @@ class DocumentStore:
             else:
                 prev, b = {_META_KEY: self.n_buckets}, self.n_buckets
             delta = self._write_data(df, table, b)
-            manifest: dict = {_META_KEY: b}
+            manifest: dict = {_META_KEY: b, _SCHEMA_KEY: df.schema.json()}
             for bucket in range(b):
                 dirs = list(prev.get(bucket, []))
                 if bucket in delta:
@@ -215,7 +229,8 @@ class DocumentStore:
             new_dirs = self._write_data(merged, table, b)
             if touched is None:
                 touched = set(new_dirs)
-            manifest: dict = {_META_KEY: b}
+            manifest: dict = {_META_KEY: b,
+                              _SCHEMA_KEY: merged.schema.json()}
             for bucket in range(b):
                 if bucket in touched:
                     if bucket in new_dirs:
@@ -248,13 +263,17 @@ class DocumentStore:
             touched = set(self._touched_buckets(keys, b))
             old_dirs = self._dirs_of(prev, touched)
             new_dirs: dict[int, str] = {}
+            schema_json = prev.get(_SCHEMA_KEY)
             if old_dirs:
                 old = (self.spark.read.option("mergeSchema", "true")
                        .parquet(*old_dirs))
                 survivors = old.join(keys.select(KEY), on=KEY,
                                      how="left_anti")
                 new_dirs = self._write_data(survivors, table, b)
+                schema_json = survivors.schema.json()
             manifest: dict = {_META_KEY: b}
+            if schema_json is not None:
+                manifest[_SCHEMA_KEY] = schema_json
             for bucket in range(b):
                 if bucket in touched:
                     if bucket in new_dirs:

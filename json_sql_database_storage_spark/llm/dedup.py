@@ -1094,3 +1094,70 @@ def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("n_shingles").alias("n_shingles"))
             .filter(F.col("n_hits") >= _DECON_MIN_HITS)
             .orderBy("doc_id"))
+
+
+# ---------------------------------------------------------------------------
+# r8.6 (b11.37) — LEAKAGE-SAFE train/validation split: the assignment rule
+# every careful pipeline needs after near-dup detection — a VAL document
+# whose near-duplicate sits in TRAIN leaks the answer, so the split must be
+# by DUP-CLUSTER, not by document.  Docs get their connected-component
+# label (singletons label themselves), the cluster label alone decides the
+# split (label % 7 == 0 -> val, ~14%), and the leakage count — clusters
+# seen in BOTH splits — is computed relationally in both engines (0 by
+# construction; the check would catch a broken label join, not just
+# document the intent).
+#
+# Scale: reuses the bucketed minhash pipeline + pointer-jumping CC
+# (no all-pairs anywhere); the split itself is a map-side expression on
+# the label; the leakage audit is one label-keyed agg + a 1-row global
+# count broadcast back onto the 2-row summary.
+# ---------------------------------------------------------------------------
+
+_SPLIT_MOD = 7   # cluster % 7 == 0 -> val (~14%); engine-portable arithmetic
+
+
+@register(
+    "sample_split_no_leakage",
+    oracle=_CC_ORACLE_CTES + f"""
+, labeled AS (
+  SELECT c.doc_id, coalesce(p.comp, c.doc_id) AS cluster
+  FROM corpus c LEFT JOIN comp p ON p.n = c.doc_id
+), sp AS (
+  SELECT doc_id, cluster,
+         CASE WHEN cluster % {_SPLIT_MOD} = 0 THEN 'val' ELSE 'train' END
+           AS split
+  FROM labeled
+), leak AS (
+  SELECT count(*) AS n FROM (
+    SELECT cluster FROM sp GROUP BY cluster
+    HAVING count(DISTINCT split) > 1)
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+       CAST((SELECT n FROM leak) AS BIGINT) AS n_leaked_clusters
+FROM sp GROUP BY split ORDER BY split
+""",
+    tags=("r8.6", "b11.37"),
+)
+def sample_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus_with_dups(spark, sf_dir).select("doc_id")
+    labels = cc_labels(
+        _minhash_verified_pairs(spark, sf_dir).select("id_a", "id_b"))
+    labeled = (corpus.join(labels, corpus.doc_id == labels.node, "left")
+               .select("doc_id",
+                       F.coalesce("label", "doc_id").alias("cluster")))
+    sp = labeled.withColumn(
+        "split", F.when(F.pmod(F.col("cluster"), F.lit(_SPLIT_MOD)) == 0,
+                        "val").otherwise("train"))
+    leak = (sp.groupBy("cluster")
+            .agg(F.count_distinct("split").alias("ns"))
+            .filter(F.col("ns") > 1)
+            .agg(F.count(F.lit(1)).cast("bigint")
+                 .alias("n_leaked_clusters")))
+    return (sp.groupBy("split")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.count_distinct("cluster").cast("bigint")
+                 .alias("n_clusters"))
+            .crossJoin(F.broadcast(leak))
+            .select("split", "n_docs", "n_clusters", "n_leaked_clusters")
+            .orderBy("split"))

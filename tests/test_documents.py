@@ -356,7 +356,7 @@ def test_store_upsert_rewrites_only_touched_buckets(spark, tmp_path):
                            for k in range(1, 17)])        # fills buckets 0-7
     store.upsert(base, "things")                                    # v0
     m0 = store._manifest("things", 0)
-    assert sorted(k for k in m0 if k != -1) == list(range(8))
+    assert sorted(k for k in m0 if k >= 0) == list(range(8))
     store.upsert(docs_df(spark, [{"rowNum": 3, "name": "UPD", "v": 30}]),
                  "things")                                          # v1
     m1 = store._manifest("things", 1)
@@ -440,7 +440,7 @@ def test_store_bucket_count_is_table_metadata_not_handle_config(
              "things")
     m = b._manifest("things")
     assert b._buckets_of(m) == 4                     # manifest B wins
-    assert all(k < 4 for k in m if k != -1)
+    assert all(k < 4 for k in m if k >= 0)
     rows = {r["rowNum"]: r for r in b.read("things").collect()}
     assert set(rows) == set(range(1, 10))
     assert rows[5]["name"] == "UPD"
@@ -481,3 +481,71 @@ def test_store_delete_is_bucket_granular_and_versioned(spark, tmp_path):
     assert old == set(range(1, 9))         # history intact (COW)
     # deleting from an empty/unknown table is a no-op, not an error
     store.delete(doomed.select("rowNum"), "never_created")
+
+
+@pytest.mark.slow
+def test_store_random_op_sequence_matches_model(spark, tmp_path):
+    """r8 model-based pin: a seeded random interleaving of
+    upsert/append/delete commits must leave every committed VERSION equal
+    to an in-memory dict model's snapshot at that commit — current read,
+    full AS-OF history, and bucket-pruned point lookups all agree with
+    the model.  Catches cross-op manifest bugs (a bucket list dropped by
+    delete then appended to, an upsert rebasing over a delete, ...) that
+    single-op tests cannot."""
+    import random
+
+    from json_sql_database_storage_spark.documents.store import DocumentStore
+
+    rng = random.Random(0xC0FFEE)
+    store = DocumentStore(spark, str(tmp_path / "collections"), n_buckets=4)
+    model: dict[int, tuple] = {}
+    history: list[dict[int, tuple]] = []
+    used: set[int] = set()
+
+    def rows_df(rows):
+        return docs_df(spark, [{"rowNum": k, "name": n, "v": v}
+                               for k, n, v in rows])
+
+    for step in range(12):
+        op = rng.choice(["upsert", "append", "delete"]
+                        if model else ["upsert", "append"])
+        if op == "upsert":
+            rows = [(rng.randrange(40), f"u{step}-{i}", step * 100 + i)
+                    for i in range(rng.randint(1, 4))]
+            rows = list({k: (k, n, v) for k, n, v in rows}.values())
+            store.upsert(rows_df(rows), "t")
+            model.update({k: (n, v) for k, n, v in rows})
+            used.update(k for k, _, _ in rows)
+        elif op == "append":
+            fresh = [k for k in range(40, 80) if k not in used]
+            take = rng.sample(fresh, rng.randint(1, 3))
+            rows = [(k, f"a{step}", step) for k in take]
+            store.append(rows_df(rows), "t")
+            model.update({k: (n, v) for k, n, v in rows})
+            used.update(take)
+        else:
+            doomed = rng.sample(sorted(model), min(len(model),
+                                                   rng.randint(1, 3)))
+            store.delete(docs_df(spark, [{"rowNum": k, "name": "", "v": 0}
+                                         for k in doomed])
+                         .select("rowNum"), "t")
+            for k in doomed:
+                model.pop(k)
+        history.append(dict(model))
+        got = {r["rowNum"]: (r["name"], r["v"])
+               for r in store.read("t").collect()}
+        assert got == model, f"step {step} ({op}): {got} != {model}"
+
+    assert store.version("t") == len(history) - 1
+    # full AS-OF history equals the model's snapshots
+    for v, snap in enumerate(history):
+        got = {r["rowNum"]: (r["name"], r["v"])
+               for r in store.read_asof("t", v).collect()} if snap else {}
+        assert got == snap, f"version {v}"
+    # bucket-pruned point lookups agree on hits AND misses
+    for k in list(model)[:3] + [99]:
+        hit = store.lookup("t", k).collect()
+        if k in model:
+            assert len(hit) == 1 and (hit[0]["name"], hit[0]["v"]) == model[k]
+        else:
+            assert hit == []

@@ -264,6 +264,9 @@ def test_no_unintended_scale_flags(spark, sf_dir):
             # at any SF
             "q6_forecast_revenue", "q14_promo_revenue", "q15_top_supplier",
             "q17_small_quantity_revenue", "q22_global_sales_opportunity",
+            # 1-row global leaked-cluster count broadcast onto the 2-row
+            # split summary (plus the CC loop's bounded label tables)
+            "sample_split_no_leakage",
         },
     }
     bad = []

@@ -201,6 +201,8 @@ _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
     ("llm/similarity.py", "cell_similarities"): "label centroids (≤10)",
     ("llm/staged.py", "sim_random_projection_topk"):
         "projected query vectors (fixed count, 16 doubles each)",
+    ("llm/dedup.py", "sample_split_no_leakage"):
+        "1-row global leaked-cluster count",
     ("llm/similarity.py", "sim_cosine_topk"): "query vectors (fixed count)",
     ("llm/similarity.py", "sim_ivf_topk"): "probe rows — Q × nprobe",
     ("llm/similarity.py", "sim_ivf_partitioned"): "probe rows — Q × nprobe",

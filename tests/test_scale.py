@@ -447,7 +447,9 @@ def test_scale_curve_heavy_ops_near_linear(spark, tmp_path_factory):
     ops = ["dedup_minhash_lsh", "dedup_minhash_incremental",
            "text_inverted_index_search",
            # r7.7 — the r6 heavies (r6 verdict next-round #7)
-           "text_bm25_topk", "sim_ivfpq_topk", "graph_pagerank"]
+           "text_bm25_topk", "sim_ivfpq_topk", "graph_pagerank",
+           # r8 — the new corpus-sized LLM ops (documents-only inputs)
+           "text_decontamination", "sample_split_no_leakage"]
     dirs = {m: _scale_corpus(spark, sf01, root, m) for m in (1, 3, 10)}
     # plan-warm at 1x: codegen + Python worker startup out of the timings
     for op in ops:
