@@ -39,6 +39,14 @@ the loser REBASES — re-reads the new current version, re-applies its
 delta, and retries at the next version.  Versions also give AS-OF
 document reads (`read_asof` / `lookup_asof`).
 
+Streaming-sink note: upsert is last-writer-wins by KEY, so a blind
+per-micro-batch upsert is NOT safe under at-least-once re-delivery (a
+replayed old batch clobbers newer state).  The correct foreachBatch
+recipe is the ts-guarded merge — fold the batch against the current rows
+for its keys and upsert the winner — which is monotone and therefore
+replay-idempotent (pinned in tests/test_streaming.py::
+test_document_store_as_cdc_sink_is_value_idempotent_under_replay).
+
 Scale (the r7 verdict's `weak` finding, fixed): upsert is
 O(delta + touched buckets), never O(table) — a 1-row upsert reads and
 rewrites exactly 1 of B bucket directories and the new manifest REUSES

@@ -182,3 +182,75 @@ def test_foreach_batch_commit_is_idempotent_under_replay(spark, tmp_path):
     with _pytest.raises(ValueError, match="gap"):
         versioned_batch_apply(spark, d, 5, make(batch(1)))
     assert _read_version_marker(d) == 2        # state unchanged after gap
+
+
+def test_document_store_as_cdc_sink_is_value_idempotent_under_replay(
+        spark, sf_dir, tmp_path):
+    """r8 composition pin: the bucket-granular DocumentStore as a
+    foreachBatch CDC sink.  A BLIND per-batch upsert is NOT replay-safe —
+    a re-delivered old batch would clobber newer state — so the correct
+    sink recipe is the ts-guarded merge: fold the batch's latest-per-key
+    against the CURRENT store rows for those keys and upsert the winner.
+    That merge is monotone (max by (ts, event_id)), so at-least-once
+    re-delivery of ANY batch leaves the visible table unchanged.
+    Final table ≡ the batch latest-per-key over all events."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from json_sql_database_storage_spark.documents.store import DocumentStore
+    from json_sql_database_storage_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value")
+    store = DocumentStore(spark, str(tmp_path / "sink"), n_buckets=8)
+    w = W.partitionBy("rowNum").orderBy(F.col("ts").desc(),
+                                        F.col("event_id").desc())
+
+    def latest_per_key(df):
+        return (df.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).drop("rn"))
+
+    def merge(batch_df):
+        rows = batch_df.select(
+            F.col("user_id").alias("rowNum"), "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+            "ts", "event_id")
+        if store.exists("user_state"):
+            current = (store.read("user_state")
+                       .join(rows.select("rowNum").distinct(), "rowNum",
+                             "left_semi"))
+            rows = rows.unionByName(current)
+        store.upsert(latest_per_key(rows), "user_state")
+
+    # 3 micro-batches by event_id range (deterministic, covers all rows)
+    n = ev.count()
+    cuts = [0, n // 3, 2 * n // 3, n]
+    ids = ev.orderBy("event_id").select("event_id").collect()
+    bounds = [ids[c - 1]["event_id"] if c else None for c in cuts]
+    batches = [
+        ev.filter((F.col("event_id") > (bounds[i] if bounds[i] is not None
+                                        else -1))
+                  & (F.col("event_id") <= bounds[i + 1]))
+        for i in range(3)
+    ]
+    for b in batches:
+        merge(b)
+    v_before = store.version("user_state")
+    rows_before = sorted(tuple(r) for r in
+                         store.read("user_state").collect())
+    merge(batches[1])                      # at-least-once re-delivery
+    assert store.version("user_state") == v_before + 1   # new version…
+    rows_after = sorted(tuple(r) for r in
+                        store.read("user_state").collect())
+    wb = W.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                          F.col("event_id").desc())
+    expected = sorted(
+        tuple(r) for r in
+        ev.withColumn("rn", F.row_number().over(wb)).filter(F.col("rn") == 1)
+        .select(F.col("user_id").alias("rowNum"), "event_type",
+                F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+                "ts", "event_id").collect())
+    assert rows_before == expected
+    # …whose content the ts-guarded merge left IDENTICAL: the replayed
+    # batch's rows lose to the newer state already in the store
+    assert rows_after == expected
