@@ -296,6 +296,33 @@ class DocumentStore:
         raise SnapshotConflict(f"delete from {table!r} lost the commit race "
                                f"{_MAX_COMMIT_RETRIES} times")
 
+    # Maintenance: re-shard the table into a different bucket count.  B is
+    # otherwise fixed at table birth (it is the key's routing function);
+    # when a table outgrows it, this is the explicit O(table) rewrite every
+    # hash-bucketed store eventually needs — committed like any other
+    # version, so history BEFORE the rebucket stays readable and
+    # bucket-pruned under its own recorded B (each manifest carries its
+    # version's bucket count), and a crash mid-rebucket leaves the old
+    # version intact.
+    def rebucket(self, table: str, n_buckets: int) -> None:
+        for _ in range(_MAX_COMMIT_RETRIES):
+            base_v = self.version(table)
+            if base_v < 0:
+                raise ValueError(f"table {table!r} has no committed version")
+            cur = self.read_asof(table, base_v)
+            new_dirs = self._write_data(cur, table, n_buckets)
+            manifest: dict = {_META_KEY: n_buckets,
+                              _SCHEMA_KEY: cur.schema.json()}
+            for bucket, d in new_dirs.items():
+                manifest[bucket] = [d]
+            try:
+                self._commit_at(table, base_v + 1, manifest)
+                return
+            except SnapshotConflict:
+                continue    # a writer landed meanwhile: redo on its version
+        raise SnapshotConflict(f"rebucket of {table!r} lost the commit race "
+                               f"{_MAX_COMMIT_RETRIES} times")
+
     # A1 end-to-end: shred documents and upsert every produced table
     def save_docs(self, docs: DataFrame, root: str) -> ShredResult:
         result = shred(docs, root)

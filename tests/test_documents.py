@@ -549,3 +549,35 @@ def test_store_random_op_sequence_matches_model(spark, tmp_path):
             assert len(hit) == 1 and (hit[0]["name"], hit[0]["v"]) == model[k]
         else:
             assert hit == []
+
+
+def test_store_rebucket_reshards_and_preserves_history(spark, tmp_path):
+    """r8: rebucket(new_B) rewrites the current version under a new bucket
+    count; later commits and lookups route by the NEW B while AS-OF reads
+    of pre-rebucket versions still prune by their own recorded B."""
+    import os
+
+    from json_sql_database_storage_spark.documents.store import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "collections"), n_buckets=2)
+    store.upsert(docs_df(spark, [{"rowNum": k, "name": f"n{k}", "v": k}
+                                 for k in range(1, 9)]), "things")     # v0
+    store.rebucket("things", 8)                                        # v1
+    m0, m1 = store._manifest("things", 0), store._manifest("things", 1)
+    assert store._buckets_of(m0) == 2 and store._buckets_of(m1) == 8
+    assert sorted(k for k in m1 if k >= 0) == list(range(8))
+    # content identical across the reshard
+    assert (sorted(tuple(r) for r in store.read_asof("things", 0).collect())
+            == sorted(tuple(r) for r in store.read("things").collect()))
+    # a 1-row upsert now touches 1 of 8 buckets (routing follows new B)
+    store.upsert(docs_df(spark, [{"rowNum": 3, "name": "UPD", "v": 30}]),
+                 "things")                                             # v2
+    m2 = store._manifest("things", 2)
+    assert store._buckets_of(m2) == 8
+    changed = [b for b in range(8)
+               if m2.get(b) != m1.get(b)]
+    assert changed == [3 % 8]
+    # lookups work against every version, each pruned by its own B
+    for v, want in ((0, "n3"), (1, "n3"), (2, "UPD")):
+        hit = store.lookup_asof("things", 3, v).collect()
+        assert len(hit) == 1 and hit[0]["name"] == want
