@@ -323,6 +323,68 @@ class DocumentStore:
         raise SnapshotConflict(f"rebucket of {table!r} lost the commit race "
                                f"{_MAX_COMMIT_RETRIES} times")
 
+    # Maintenance: roll the table back to an earlier version — the undo
+    # verb (Iceberg rollback_to_snapshot / Delta RESTORE).  Metadata-only
+    # and O(1): the new head RE-REFERENCES the old version's data dirs
+    # (no data copied or rewritten), history after the restored version
+    # stays AS-OF readable until VACUUM, and restoring is itself a
+    # committed version, so it can be undone the same way.  NOTE: the
+    # re-reference makes the restored version's dirs live again — vacuum's
+    # retained-manifest sweep already accounts for this (dirs are doomed
+    # only when NO retained manifest references them).
+    def restore(self, table: str, version: int) -> None:
+        target = self._manifest(table, version)   # raises if uncommitted
+        for _ in range(_MAX_COMMIT_RETRIES):
+            base_v = self.version(table)
+            try:
+                self._commit_at(table, base_v + 1, target)
+                return
+            except SnapshotConflict:
+                continue    # a writer landed meanwhile: restore atop it
+        raise SnapshotConflict(f"restore of {table!r} lost the commit race "
+                               f"{_MAX_COMMIT_RETRIES} times")
+
+    # Maintenance: merge each bucket's accumulated dir list back to one
+    # dir.  append() is O(delta) precisely because it only ADDS a dir to
+    # each touched bucket's list — after many appends a bucket is a pile
+    # of small files (the lakehouse small-files problem; Iceberg calls
+    # the fix rewrite_data_files, Delta calls it OPTIMIZE).  compact()
+    # rewrites ONLY fragmented buckets (dir-list length > 1); buckets
+    # already at one dir are physically reused.  Value-neutral by
+    # construction and committed like any other version, so pre-compact
+    # history stays readable until VACUUM and a crash leaves the old
+    # version intact.
+    def compact(self, table: str) -> None:
+        for _ in range(_MAX_COMMIT_RETRIES):
+            base_v = self.version(table)
+            if base_v < 0:
+                return                     # nothing committed: no-op
+            prev = self._manifest(table, base_v)
+            b = self._buckets_of(prev)
+            frag = {k for k in prev
+                    if k not in _RESERVED and len(prev[k]) > 1}
+            if not frag:
+                return                     # already one dir per bucket
+            old = (self.spark.read.option("mergeSchema", "true")
+                   .parquet(*self._dirs_of(prev, frag)))
+            new_dirs = self._write_data(old, table, b)
+            manifest: dict = {_META_KEY: b}
+            if _SCHEMA_KEY in prev:
+                manifest[_SCHEMA_KEY] = prev[_SCHEMA_KEY]
+            for bucket in range(b):
+                if bucket in frag:
+                    if bucket in new_dirs:
+                        manifest[bucket] = [new_dirs[bucket]]
+                elif prev.get(bucket):
+                    manifest[bucket] = list(prev[bucket])
+            try:
+                self._commit_at(table, base_v + 1, manifest)
+                return
+            except SnapshotConflict:
+                continue    # a writer landed meanwhile: redo on its version
+        raise SnapshotConflict(f"compact of {table!r} lost the commit race "
+                               f"{_MAX_COMMIT_RETRIES} times")
+
     # A1 end-to-end: shred documents and upsert every produced table
     def save_docs(self, docs: DataFrame, root: str) -> ShredResult:
         result = shred(docs, root)

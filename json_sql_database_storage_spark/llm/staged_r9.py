@@ -1,0 +1,303 @@
+"""LLM-pipeline operators STAGED for round 9 (window budgeting — the
+driver's ~50-row correctness window is already full of round-8's 15 new
+registrations plus the stalest green rows; same protocol as round 7's
+operators/tpch_staged.py / llm/staged.py staging).  Each entry below is a
+complete ``(callable, oracle SQL)`` register() payload, driver-identically
+verified against DuckDB at sf0.001 AND sf0.01 by tests/test_staged_r9.py
+every round; round 9 promotes them by moving the dict entry into a
+@register decorator.
+
+Reference parity note (SURVEY.md §2 docstring convention): the reference
+(DatabaseManager.java:280-381) has no analytical surface; these rows are
+Part-B derived operators mandated by the driver contract's LLM-pipeline
+families (dedup / similarity / text analysis / curation sampling).
+
+1. text_repetition_filter — the Gopher repetition rules (Rae et al. 2021
+   §A1.1): documents dominated by repeated n-grams are boilerplate or
+   spam.  Per doc: top-bigram share and duplicate-5-gram share, flagged
+   on count-ratio thresholds adapted to whole-gram counts (Gopher's are
+   character-fraction variants): top_bigram_n/n_bigrams > 0.20 or
+   dup_5gram_n/n_5grams > 0.30 — both tested as INTEGER cross products
+   (a*5 > b, a*10 > 3*b), so the decision is exact in both engines.
+   100-TB design: grams never leave their doc's partition as strings —
+   the per-(doc, gram) count is a map-side-combinable groupBy, stats fold
+   per doc, and the corpus is touched once.
+
+2. sample_domain_mixture — temperature-flattened domain sampling weights
+   (the multinomial mixture every multi-corpus pre-training run tunes;
+   α = 0.5 as sqrt keeps the transcendental correctly-rounded, so
+   cross-engine bit-equality needs no guard band): w_i =
+   sqrt(tokens_i) / Σ_j sqrt(tokens_j), denominator folded in
+   source-name order in BOTH engines (the ordered-float-sum convention,
+   functions/exact.py precedent).  The per-source token census is one
+   map-side-combinable pass; the denominator is a 1-row broadcast.
+
+3. sim_kcenter_coreset — greedy k-center (farthest-point traversal,
+   Gonzalez 1985; the coreset/diversity-selection primitive behind
+   facility-location data pruning): seed at the lowest vec_id, then
+   k−1 rounds of "pick the point farthest from the chosen set"
+   (max-min squared L2, ties to the lowest id).  Every round is one
+   broadcast of the just-chosen center + one map-side
+   max(struct(min_d2, −vec_id)) aggregation — the checkpointed-loop
+   recipe's shape with a 1-row bounded collect per round (the deep-BPE
+   argmax precedent).  The oracle unrolls the identical recurrence as a
+   k-step CTE chain; distances use the shared left-to-right fold
+   (similarity.py:34), so every argmax decision compares bit-identical
+   doubles and the selection sequence is deterministic cross-engine.
+
+4. sample_cluster_balanced — cluster-proportional sampling at sqrt
+   temperature (the diversity-preserving alternative to uniform
+   sampling: rare clusters keep representation, huge clusters are
+   down-weighted): one Lloyd assignment from the deterministic seed set
+   (clustering.py::assign_cells — the sim_kmeans core), per-cluster
+   quota = max(1, floor(N · sqrt(sz_c) / Σ sqrt(sz))), members ranked
+   inside each cluster by md5(vec_id) (identical hex in both engines —
+   a seedable, order-free shuffle) and the top quota kept.  Quotas are
+   a k-row broadcast; the rank is one window per cluster partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..registry import scoped_persist
+from ..sources import load_table
+from .clustering import _assign_sql, _l2sq, assign_cells
+from .similarity import as_double
+
+# ---------------------------------------------------------------------------
+# 1. text_repetition_filter
+# ---------------------------------------------------------------------------
+
+# Gopher-adapted thresholds on whole-gram counts, tested as integer cross
+# products so both engines decide identically with no float in sight.
+_TOP_BIGRAM_NUM, _TOP_BIGRAM_DEN = 1, 5      # top-bigram share > 1/5
+_DUP_5GRAM_NUM, _DUP_5GRAM_DEN = 3, 10       # duplicate-5-gram share > 3/10
+
+
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", F.split("text", " ").alias("t")))
+    # optimization barrier: without it Catalyst's projection collapse
+    # re-inlines the split() into every gram expression (the measured 7×
+    # recompute — see text_decontamination's r8 note)
+    d = scoped_persist(d)
+    big = (d.select("doc_id", F.explode(F.expr(
+               "transform(sequence(0, size(t) - 2), "
+               "i -> concat(t[i], ' ', t[i + 1]))")).alias("g"))
+           .groupBy("doc_id", "g").count()
+           .groupBy("doc_id")
+           .agg(F.sum("count").alias("n_bigrams"),
+                F.max("count").alias("top_bigram_n")))
+    five = (d.select("doc_id", F.explode(F.expr(
+                "transform(sequence(0, size(t) - 5), "
+                "i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))"))
+                .alias("g"))
+            .groupBy("doc_id", "g").count()
+            .groupBy("doc_id")
+            .agg(F.sum("count").alias("n_5grams"),
+                 F.sum(F.when(F.col("count") > 1, F.col("count"))
+                       .otherwise(F.lit(0))).alias("dup_5gram_n")))
+    return (big.join(five, "doc_id")    # every doc has ≥10 tokens (TESTDATA)
+            .select(
+                "doc_id", "n_bigrams", "top_bigram_n", "n_5grams",
+                "dup_5gram_n",
+                F.when((F.col("top_bigram_n") * _TOP_BIGRAM_DEN
+                        > F.col("n_bigrams") * _TOP_BIGRAM_NUM)
+                       | (F.col("dup_5gram_n") * _DUP_5GRAM_DEN
+                          > F.col("n_5grams") * _DUP_5GRAM_NUM),
+                       F.lit(1)).otherwise(F.lit(0)).alias("flagged")))
+
+
+_REPETITION_SQL = f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bidx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+         FROM toks),
+bg AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS g, count(*) AS c
+       FROM bidx GROUP BY 1, 2),
+bstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                  CAST(max(c) AS BIGINT) AS top_bigram_n
+           FROM bg GROUP BY 1),
+fidx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+         FROM toks),
+fg AS (SELECT doc_id,
+              t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                   || ' ' || t[i+4] AS g,
+              count(*) AS c
+       FROM fidx GROUP BY 1, 2),
+fstats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_5grams,
+                  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                      AS dup_5gram_n
+           FROM fg GROUP BY 1)
+SELECT b.doc_id, b.n_bigrams, b.top_bigram_n, f.n_5grams, f.dup_5gram_n,
+       CASE WHEN b.top_bigram_n * {_TOP_BIGRAM_DEN}
+                 > b.n_bigrams * {_TOP_BIGRAM_NUM}
+              OR f.dup_5gram_n * {_DUP_5GRAM_DEN}
+                 > f.n_5grams * {_DUP_5GRAM_NUM}
+            THEN 1 ELSE 0 END AS flagged
+FROM bstats b JOIN fstats f USING (doc_id)
+"""
+
+# ---------------------------------------------------------------------------
+# 2. sample_domain_mixture
+# ---------------------------------------------------------------------------
+
+
+def sample_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (load_table(spark, sf_dir, "documents")
+           .select("source",
+                   F.size(F.split("text", " ")).cast("long").alias("ntok"))
+           .groupBy("source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("ntok").alias("n_tokens"))
+           .withColumn("s", F.sqrt(F.col("n_tokens").cast("double"))))
+    # denominator: the ordered float fold (source-name order) — identical
+    # addition sequence in both engines, so the double is bit-equal
+    denom = per.agg(F.aggregate(
+        F.array_sort(F.collect_list(F.struct("source", "s"))),
+        F.lit(0.0), lambda acc, x: acc + x["s"]).alias("denom"))
+    return (per.crossJoin(F.broadcast(denom))
+            .select("source", "n_docs", "n_tokens",
+                    (F.col("s") / F.col("denom")).alias("weight")))
+
+
+_DOMAIN_MIXTURE_SQL = """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+w AS (SELECT source, n_docs, n_tokens,
+             sqrt(CAST(n_tokens AS DOUBLE)) AS s FROM per),
+d AS (SELECT list_sum(list(s ORDER BY source)) AS denom FROM w)
+SELECT source, n_docs, n_tokens, s / denom AS weight FROM w, d
+"""
+
+# ---------------------------------------------------------------------------
+# 3. sim_kcenter_coreset
+# ---------------------------------------------------------------------------
+
+_KCENTER_K = 8
+_L2SQ_SQL = ("list_sum(list_transform(list_zip({a}, {b}), "
+             "p -> (p[1] - p[2]) * (p[1] - p[2])))")
+
+
+def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", as_double(F.col("embedding")).alias("e")))
+    v = scoped_persist(v)
+
+    def lit_vec(vals: list[float]) -> F.Column:
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    seed = v.orderBy("vec_id").select("vec_id", "e").head()
+    picks = [(1, int(seed["vec_id"]), 0.0)]
+    cur = v.select("vec_id", "e",
+                   _l2sq(F.col("e"), lit_vec(seed["e"])).alias("m"))
+    for rank in range(2, _KCENTER_K + 1):
+        # 1-row bounded collect per round (the deep-BPE argmax precedent):
+        # max(struct(m, -vec_id, e)) = farthest point, ties to lowest id;
+        # e rides along un-compared because (m, -vec_id) is already unique
+        sel = cur.agg(F.max(F.struct(
+            F.col("m"), (-F.col("vec_id")).alias("nid"),
+            F.col("e"))).alias("s")).head()["s"]
+        picks.append((rank, int(-sel["nid"]), float(sel["m"])))
+        cur = cur.select(
+            "vec_id", "e",
+            F.least(F.col("m"),
+                    _l2sq(F.col("e"), lit_vec(sel["e"]))).alias("m"))
+    return spark.createDataFrame(
+        [(r, i, d) for r, i, d in picks],
+        "pick_rank INT, vec_id BIGINT, d2 DOUBLE")
+
+
+def _kcenter_sql() -> str:
+    """The identical recurrence unrolled as a k-step CTE chain."""
+    parts = ["WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e "
+             "FROM embeddings)",
+             "c1 AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 1)",
+             "m1 AS (SELECT v.vec_id, v.e, "
+             + _L2SQ_SQL.format(a="v.e", b="c1.e") + " AS m FROM v, c1)"]
+    selects = ["SELECT 1 AS pick_rank, vec_id, 0.0 AS d2 FROM c1"]
+    for r in range(2, _KCENTER_K + 1):
+        prev = f"m{r - 1}"
+        parts.append(
+            f"s{r} AS (SELECT vec_id, e, m FROM {prev} "
+            f"ORDER BY m DESC, vec_id LIMIT 1)")
+        if r < _KCENTER_K:
+            parts.append(
+                f"m{r} AS (SELECT {prev}.vec_id, {prev}.e, "
+                f"least({prev}.m, "
+                + _L2SQ_SQL.format(a=f"{prev}.e", b=f"s{r}.e")
+                + f") AS m FROM {prev}, s{r})")
+        selects.append(f"SELECT {r} AS pick_rank, vec_id, m AS d2 FROM s{r}")
+    return (",\n".join([parts[0]] + parts[1:])
+            + "\n" + "\nUNION ALL ".join(selects))
+
+
+# ---------------------------------------------------------------------------
+# 4. sample_cluster_balanced
+# ---------------------------------------------------------------------------
+
+_CB_K = 8          # clusters (the sim_kmeans seed-set convention)
+_CB_N = 100        # target sample size
+
+
+def sample_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", as_double(F.col("embedding")).alias("e")))
+    a = assign_cells(v, _CB_K).transform(scoped_persist)
+    sizes = (a.groupBy("cluster").agg(F.count("*").alias("sz"))
+             .withColumn("s", F.sqrt(F.col("sz").cast("double"))))
+    denom = sizes.agg(F.aggregate(
+        F.array_sort(F.collect_list(F.struct("cluster", "s"))),
+        F.lit(0.0), lambda acc, x: acc + x["s"]).alias("denom"))
+    quota = (sizes.crossJoin(F.broadcast(denom))
+             .select("cluster", "sz",
+                     F.greatest(
+                         F.lit(1),
+                         F.floor(F.lit(float(_CB_N)) * F.col("s")
+                                 / F.col("denom"))).cast("long")
+                     .alias("quota")))
+    ranked = (a.select("vec_id", "cluster",
+                       F.md5(F.col("vec_id").cast("string")).alias("h"))
+              .withColumn("rn", F.row_number().over(
+                  W.partitionBy("cluster").orderBy("h", "vec_id"))))
+    return (ranked.join(F.broadcast(quota), "cluster")
+            .filter(F.col("rn") <= F.col("quota"))
+            .select("cluster", "sz", "quota", "vec_id"))
+
+
+def _cluster_balanced_sql() -> str:
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent0 AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id < {_CB_K}),
+a1 AS ({_assign_sql("v", "cent0")}),
+sizes AS (SELECT cluster, count(*) AS sz,
+                 sqrt(CAST(count(*) AS DOUBLE)) AS s
+          FROM a1 GROUP BY 1),
+d AS (SELECT list_sum(list(s ORDER BY cluster)) AS denom FROM sizes),
+quota AS (SELECT cluster, sz,
+                 CAST(greatest(1, floor({float(_CB_N)} * s / denom))
+                      AS BIGINT) AS quota
+          FROM sizes, d),
+ranked AS (SELECT vec_id, cluster,
+                  row_number() OVER (
+                    PARTITION BY cluster
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+           FROM a1)
+SELECT q.cluster, q.sz, q.quota, r.vec_id
+FROM ranked r JOIN quota q USING (cluster)
+WHERE r.rn <= q.quota
+"""
+
+
+# Full register() payloads, promoted in round 9 by moving each entry into
+# a @register decorator (the round-7 → round-8 protocol).
+STAGED: dict = {
+    "text_repetition_filter": (text_repetition_filter, _REPETITION_SQL),
+    "sample_domain_mixture": (sample_domain_mixture, _DOMAIN_MIXTURE_SQL),
+    "sim_kcenter_coreset": (sim_kcenter_coreset, _kcenter_sql()),
+    "sample_cluster_balanced": (sample_cluster_balanced,
+                                _cluster_balanced_sql()),
+}

@@ -581,3 +581,97 @@ def test_store_rebucket_reshards_and_preserves_history(spark, tmp_path):
     for v, want in ((0, "n3"), (1, "n3"), (2, "UPD")):
         hit = store.lookup_asof("things", 3, v).collect()
         assert len(hit) == 1 and hit[0]["name"] == want
+
+
+def test_store_compact_merges_fragmented_buckets_only(spark, tmp_path):
+    """r8: compact() rewrites ONLY buckets whose dir list grew past one
+    (append fragments; the Iceberg rewrite_data_files / Delta OPTIMIZE
+    verb), physically reuses already-compact buckets, changes no values,
+    and leaves pre-compact history AS-OF readable."""
+    import os
+
+    from json_sql_database_storage_spark.documents.store import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "collections"), n_buckets=4)
+    store.append(docs_df(spark, [{"rowNum": k, "name": f"n{k}", "v": k}
+                                 for k in range(1, 9)]), "things")     # v0
+    for extra in (10, 20):     # two more appends into buckets 0 and 1 only
+        store.append(docs_df(spark, [{"rowNum": extra * 4, "name": "a",
+                                      "v": extra},
+                                     {"rowNum": extra * 4 + 1, "name": "b",
+                                      "v": extra}]), "things")         # v1, v2
+    m2 = store._manifest("things", 2)
+    assert [len(m2[b]) for b in range(4)] == [3, 3, 1, 1]
+    before = sorted(tuple(r) for r in store.read("things").collect())
+    store.compact("things")                                            # v3
+    m3 = store._manifest("things", 3)
+    # every bucket is now exactly one dir…
+    assert [len(m3[b]) for b in range(4)] == [1, 1, 1, 1]
+    # …the fragmented ones were rewritten, the compact ones reused
+    for b in (0, 1):
+        assert m3[b][0] not in {os.path.realpath(p) for p in m2[b]}
+    for b in (2, 3):
+        assert os.path.realpath(m3[b][0]) == os.path.realpath(m2[b][0])
+    # value-neutral, and the fragmented history is still readable
+    assert sorted(tuple(r) for r in store.read("things").collect()) == before
+    assert (sorted(tuple(r) for r in store.read_asof("things", 2).collect())
+            == before)
+    # a second compact is a no-op (no new version)
+    store.compact("things")
+    assert store.version("things") == 3
+
+
+def test_store_upsert_schema_evolution_lazy_add_column(spark, tmp_path):
+    """r8: the store inherits snapshot_schema_evolution's contract — an
+    upsert may carry a NEW column; only touched buckets get the wider
+    schema on disk, AS-OF reads before the widening never see the column,
+    and untouched buckets' rows read it as NULL afterwards (lazy ADD
+    COLUMN, no back-fill)."""
+    from json_sql_database_storage_spark.documents.store import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "collections"), n_buckets=4)
+    store.upsert(docs_df(spark, [{"rowNum": k, "name": f"n{k}"}
+                                 for k in range(1, 9)]), "things")     # v0
+    store.upsert(docs_df(spark, [{"rowNum": 4, "name": "UPD",
+                                  "stars": 5}]), "things")             # v1
+    v0 = store.read_asof("things", 0)
+    assert "stars" not in v0.columns                 # history is column-free
+    cur = store.read("things")
+    rows = {r["rowNum"]: r for r in cur.collect()}
+    assert rows[4]["stars"] == 5
+    assert all(rows[k]["stars"] is None for k in rows if k != 4)
+    # bucket-pruned lookup through the widened schema still works both ways
+    assert store.lookup("things", 4).collect()[0]["stars"] == 5
+    assert store.lookup_asof("things", 3, 0).collect()[0]["name"] == "n3"
+
+
+def test_store_restore_is_metadata_only_rollback(spark, tmp_path):
+    """r8: restore(v) commits a new head that re-references v's data dirs
+    verbatim — O(1) undo, no data rewritten; the rolled-back-over history
+    stays AS-OF readable, and the restore itself can be undone."""
+    import os
+
+    from json_sql_database_storage_spark.documents.store import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "collections"), n_buckets=4)
+    store.upsert(docs_df(spark, [{"rowNum": k, "name": f"n{k}", "v": k}
+                                 for k in range(1, 9)]), "things")     # v0
+    store.upsert(docs_df(spark, [{"rowNum": 3, "name": "BAD", "v": -1}]),
+                 "things")                                             # v1
+    store.restore("things", 0)                                         # v2
+    m0, m2 = store._manifest("things", 0), store._manifest("things", 2)
+    # metadata-only: v2 references exactly v0's physical dirs
+    assert ({k: [os.path.realpath(p) for p in v]
+             for k, v in m2.items() if k >= 0}
+            == {k: [os.path.realpath(p) for p in v]
+                for k, v in m0.items() if k >= 0})
+    assert store.read("things").filter("rowNum = 3").collect()[0]["name"] == "n3"
+    # the bad version is still AS-OF readable (undo is not erasure)…
+    assert (store.lookup_asof("things", 3, 1).collect()[0]["name"] == "BAD")
+    # …and the restore can itself be undone
+    store.restore("things", 1)                                         # v3
+    assert store.read("things").filter("rowNum = 3").collect()[0]["name"] == "BAD"
+    # restoring an uncommitted version fails loudly
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        store.restore("things", 99)

@@ -220,6 +220,10 @@ _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
     ("llm/text_analysis.py", "text_tfidf"): "1-row corpus count",
     ("llm/text_analysis.py", "text_decontaminate"):
         "eval-set n-grams — eval corpora are fixed and small",
+    ("llm/staged_r9.py", "sample_domain_mixture"):
+        "1-row ordered-fold denominator",
+    ("llm/staged_r9.py", "sample_cluster_balanced"):
+        "1-row denominator + k-row (k=8) cluster quotas",
 }
 
 
