@@ -323,6 +323,71 @@ class DocumentStore:
         raise SnapshotConflict(f"rebucket of {table!r} lost the commit race "
                                f"{_MAX_COMMIT_RETRIES} times")
 
+    # Introspection: change-data-feed between two committed versions
+    # (Delta CDF / table_changes counterpart).  BUCKET-PRUNED: a bucket
+    # whose manifest dir list is identical in both versions cannot have
+    # changed (dirs are immutable once committed), so only differing
+    # buckets are read — a 1-bucket upsert's diff reads 1/B of the table
+    # from each side, pinned via inputFiles() in the test.  Row matching
+    # is by (rowNum, F.hash of all columns in canonical order) with
+    # missing columns null-padded, so schema-evolved versions diff
+    # cleanly and null values compare deterministically (a plain
+    # all-column anti join would report every null-bearing row changed).
+    def diff(self, table: str, v_from: int, v_to: int) -> DataFrame:
+        m0, m1 = self._manifest(table, v_from), self._manifest(table, v_to)
+        changed = {b for b in (set(m0) | set(m1)) - set(_RESERVED)
+                   if m0.get(b) != m1.get(b)}
+
+        def read_side(m: dict) -> DataFrame | None:
+            dirs = self._dirs_of(m, changed)
+            if not dirs:
+                return None
+            return (self.spark.read.option("mergeSchema", "true")
+                    .parquet(*dirs))
+
+        old, new = read_side(m0), read_side(m1)
+        cols = sorted((set(old.columns) if old is not None else set())
+                      | (set(new.columns) if new is not None else set())
+                      - {KEY})
+        cols = [c for c in cols if c != KEY]
+
+        def fingerprinted(df: DataFrame | None) -> DataFrame | None:
+            if df is None:
+                return None
+            padded = [F.col(c) if c in df.columns
+                      else F.lit(None).alias(c) for c in cols]
+            return df.select(F.col(KEY), F.hash(*padded).alias("_fp"))
+
+        o, n = fingerprinted(old), fingerprinted(new)
+        empty = self.spark.createDataFrame(
+            [], f"op STRING, {KEY} BIGINT")
+        if n is None and o is None:
+            return empty
+        if o is None:
+            ups, dels = n.select(KEY), empty.select(KEY)
+        elif n is None:
+            ups, dels = empty.select(KEY), o.select(KEY)
+        else:
+            ups = n.join(o, [KEY, "_fp"], "left_anti").select(KEY)
+            dels = (o.select(KEY).distinct()
+                    .join(n.select(KEY), [KEY], "left_anti"))
+        return (ups.select(F.lit("upsert").alias("op"), KEY)
+                .unionByName(dels.select(F.lit("delete").alias("op"), KEY)))
+
+    # Introspection: the version log (Delta DESCRIBE HISTORY / Iceberg
+    # snapshots-table counterpart).  Pure manifest metadata — O(versions)
+    # tiny JSON reads, no data dirs touched.
+    def history(self, table: str) -> DataFrame:
+        rows = []
+        for v in range(self.version(table) + 1):
+            m = self._manifest(table, v)
+            buckets = [k for k in m if k not in _RESERVED]
+            rows.append((v, self._buckets_of(m), len(buckets),
+                         sum(len(m[b]) for b in buckets)))
+        return self.spark.createDataFrame(
+            rows, "version INT, n_buckets INT, n_live_buckets INT, "
+                  "n_data_dirs INT")
+
     # Maintenance: roll the table back to an earlier version — the undo
     # verb (Iceberg rollback_to_snapshot / Delta RESTORE).  Metadata-only
     # and O(1): the new head RE-REFERENCES the old version's data dirs

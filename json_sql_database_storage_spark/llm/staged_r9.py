@@ -292,6 +292,116 @@ WHERE r.rn <= q.quota
 """
 
 
+# ---------------------------------------------------------------------------
+# 5. sim_mmr_rerank — maximal marginal relevance (Carbonell & Goldstein
+# 1998): re-rank each query's cosine top-20 shortlist by picking 5 results
+# that balance relevance against redundancy, score = λ·rel − (1−λ)·max
+# similarity to the already-picked set.  The retrieval-diversity verb every
+# RAG stack wants after ANN.  Unlike sim_kcenter_coreset there is NO
+# driver collect at all: per round, the per-query argmax is a map-side
+# max(struct(score, −cand_id, e)) groupBy and the picked vectors rejoin as
+# a Q-row broadcast — k rounds, all work keyed by query_id.  At 100 TB the
+# candidate lists are ANN output (O(Q·k) rows), so every round is
+# broadcast-sized regardless of corpus size.  The oracle unrolls the same
+# recurrence as a CTE chain; scores multiply/subtract identical doubles
+# (shared cosine fold), so every pick decision is bit-identical.
+# ---------------------------------------------------------------------------
+
+_MMR_NQ, _MMR_CAND, _MMR_K = 5, 20, 5
+_MMR_LAM = 0.7
+
+
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import cosine
+
+    v = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", as_double(F.col("embedding")).alias("e")))
+    q = (v.filter(F.col("vec_id") < _MMR_NQ)
+         .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe")))
+    scored = (v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+              .select("query_id", F.col("vec_id").alias("cand_id"), "e",
+                      cosine(F.col("qe"), F.col("e")).alias("rel")))
+    cand = (scored
+            .withColumn("rk", F.row_number().over(
+                W.partitionBy("query_id").orderBy(F.col("rel").desc(),
+                                                  "cand_id")))
+            .filter(F.col("rk") <= _MMR_CAND)
+            .select("query_id", "cand_id", "e", "rel",
+                    F.lit(0.0).alias("maxsim")))
+    cur = scoped_persist(cand)
+    lam, mu = F.lit(_MMR_LAM), F.lit(1 - _MMR_LAM)
+    picks = []
+    for r in range(1, _MMR_K + 1):
+        sc = cur.withColumn("score",
+                            lam * F.col("rel") - mu * F.col("maxsim"))
+        sel = (sc.groupBy("query_id")
+               .agg(F.max(F.struct(
+                   "score", (-F.col("cand_id")).alias("nid"),
+                   F.col("e"))).alias("s"))
+               .select("query_id", (-F.col("s.nid")).alias("sel_id"),
+                       F.col("s.score").alias("mmr_score"),
+                       F.col("s.e").alias("sel_e")))
+        picks.append(sel.select("query_id", F.lit(r).alias("pick_rank"),
+                                F.col("sel_id").alias("cand_id"),
+                                "mmr_score"))
+        if r < _MMR_K:
+            cur = (sc.join(F.broadcast(
+                       sel.select("query_id", "sel_id", "sel_e")),
+                       "query_id")
+                   .filter(F.col("cand_id") != F.col("sel_id"))
+                   .select("query_id", "cand_id", "e", "rel",
+                           F.greatest(
+                               F.col("maxsim"),
+                               cosine(F.col("e"), F.col("sel_e")))
+                           .alias("maxsim")))
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _mmr_sql() -> str:
+    from .similarity import _COSINE_SQL
+
+    lam, mu = repr(_MMR_LAM), repr(1 - _MMR_LAM)
+    parts = [
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e "
+        "FROM embeddings)",
+        f"q AS (SELECT vec_id AS query_id, e AS qe FROM v "
+        f"WHERE vec_id < {_MMR_NQ})",
+        "scored AS (SELECT q.query_id, v.vec_id AS cand_id, v.e, "
+        + _COSINE_SQL.format(a="q.qe", b="v.e")
+        + " AS rel FROM q JOIN v ON v.vec_id != q.query_id)",
+        "cand AS (SELECT query_id, cand_id, e, rel FROM "
+        "(SELECT *, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY rel DESC, cand_id) AS rk FROM scored) "
+        f"WHERE rk <= {_MMR_CAND})",
+        "cur1 AS (SELECT query_id, cand_id, e, rel, 0.0 AS maxsim "
+        "FROM cand)",
+    ]
+    selects = []
+    for r in range(1, _MMR_K + 1):
+        parts.append(
+            f"sc{r} AS (SELECT query_id, cand_id, e, rel, maxsim, "
+            f"{lam} * rel - {mu} * maxsim AS score FROM cur{r})")
+        parts.append(
+            f"sel{r} AS (SELECT query_id, cand_id, e, score FROM "
+            f"(SELECT *, row_number() OVER (PARTITION BY query_id "
+            f"ORDER BY score DESC, cand_id) AS rk FROM sc{r}) "
+            f"WHERE rk = 1)")
+        if r < _MMR_K:
+            parts.append(
+                f"cur{r + 1} AS (SELECT c.query_id, c.cand_id, c.e, c.rel, "
+                f"greatest(c.maxsim, "
+                + _COSINE_SQL.format(a="c.e", b="s.e")
+                + f") AS maxsim FROM sc{r} c JOIN sel{r} s "
+                f"USING (query_id) WHERE c.cand_id != s.cand_id)")
+        selects.append(
+            f"SELECT query_id, {r} AS pick_rank, cand_id, "
+            f"score AS mmr_score FROM sel{r}")
+    return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
+
+
 # Full register() payloads, promoted in round 9 by moving each entry into
 # a @register decorator (the round-7 → round-8 protocol).
 STAGED: dict = {
@@ -300,4 +410,5 @@ STAGED: dict = {
     "sim_kcenter_coreset": (sim_kcenter_coreset, _kcenter_sql()),
     "sample_cluster_balanced": (sample_cluster_balanced,
                                 _cluster_balanced_sql()),
+    "sim_mmr_rerank": (sim_mmr_rerank, _mmr_sql()),
 }

@@ -56,6 +56,85 @@ ORDER BY n_orders DESC, part_a, part_b
 LIMIT {_TOPN}
 """
 
+# ---------------------------------------------------------------------------
+# graph_triangle_count — triangle census of the co-purchase graph (nodes =
+# parts, undirected edges = "appeared in the same order").  Triangles are
+# the primitive behind clustering coefficients / community detection, and
+# the textbook case where the naive plan dies at scale: a 3-way self-join
+# of raw edges enumerates every wedge at a hub twice, O(Σ deg²) blow-up.
+#
+# 100-TB design — degree-ordered orientation (Suri & Vassilvitskii 2011 /
+# Cohen's MR patterns): orient each undirected edge from its
+# lower-(degree, id) endpoint to the higher one.  Every triangle then has
+# EXACTLY one wedge u→v, v→w with the closing edge u→w also oriented, so
+# (a) each triangle is counted once with no post-hoc dedup, and (b) the
+# wedge join fans out only from the LOW-degree side — intermediate size
+# drops from O(Σ deg²) to O(m^1.5) (arboricity-bounded), the difference
+# between a hub node exploding and not.  Both joins are equi-joins on
+# node keys (shuffle-partitioned; AQE handles residual skew).  The oracle
+# counts the same set relationally via the a<b<c edge closure — plan-free
+# SQL that provably has the same cardinality.
+# ---------------------------------------------------------------------------
+
+
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (load_table(spark, sf_dir, "lineitem")
+             .select("l_orderkey", "l_partkey").distinct())
+    edges = (items.alias("a")
+             .join(items.select("l_orderkey",
+                                F.col("l_partkey").alias("pb"))
+                   .alias("b"), ["l_orderkey"])
+             .filter(F.col("a.l_partkey") < F.col("pb"))
+             .select(F.col("a.l_partkey").alias("pa"), "pb")
+             .distinct())
+    deg = (edges.select(F.col("pa").alias("node"))
+           .unionAll(edges.select(F.col("pb").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("d")))
+    # orient by (degree, id): src = the smaller endpoint under that order
+    e = (edges
+         .join(deg.select(F.col("node").alias("pa"),
+                          F.col("d").alias("da")), "pa")
+         .join(deg.select(F.col("node").alias("pb"),
+                          F.col("d").alias("db")), "pb")
+         .select(
+             F.when((F.col("da") < F.col("db"))
+                    | ((F.col("da") == F.col("db"))
+                       & (F.col("pa") < F.col("pb"))),
+                    F.col("pa")).otherwise(F.col("pb")).alias("src"),
+             F.when((F.col("da") < F.col("db"))
+                    | ((F.col("da") == F.col("db"))
+                       & (F.col("pa") < F.col("pb"))),
+                    F.col("pb")).otherwise(F.col("pa")).alias("dst")))
+    wedges = (e.alias("e1")
+              .join(e.select(F.col("src").alias("mid"),
+                             F.col("dst").alias("far")).alias("e2"),
+                    F.col("e1.dst") == F.col("mid"))
+              .select(F.col("e1.src").alias("u"), F.col("far").alias("w")))
+    tri = wedges.join(e.select(F.col("src").alias("u"),
+                               F.col("dst").alias("w")), ["u", "w"],
+                      "left_semi")
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return (tri.agg(F.count("*").alias("n_triangles"))
+            .crossJoin(n_nodes).crossJoin(n_edges)
+            .select("n_nodes", "n_edges", "n_triangles"))
+
+
+_TRIANGLE_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a JOIN items b USING (l_orderkey)
+      WHERE a.l_partkey < b.l_partkey),
+nodes AS (SELECT pa AS node FROM e UNION SELECT pb FROM e)
+SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+       (SELECT count(*) FROM e) AS n_edges,
+       (SELECT count(*)
+        FROM e e1
+        JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+        JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb) AS n_triangles
+"""
+
 STAGED: dict = {
     "q_copurchase_pairs": (q_copurchase_pairs, _COPURCHASE_SQL),
+    "graph_triangle_count": (graph_triangle_count, _TRIANGLE_SQL),
 }

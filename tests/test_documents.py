@@ -675,3 +675,64 @@ def test_store_restore_is_metadata_only_rollback(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(Exception):
         store.restore("things", 99)
+
+
+def test_store_history_lists_every_version(spark, tmp_path):
+    """r8: history() is the DESCRIBE HISTORY verb — one metadata row per
+    committed version, no data dirs read."""
+    from json_sql_database_storage_spark.documents.store import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "collections"), n_buckets=4)
+    store.upsert(docs_df(spark, [{"rowNum": k, "name": f"n{k}"}
+                                 for k in range(1, 9)]), "things")     # v0
+    store.append(docs_df(spark, [{"rowNum": 100, "name": "x"}]),
+                 "things")                                             # v1
+    store.delete(docs_df(spark, [{"rowNum": 100}]), "things")          # v2
+    h = {r["version"]: r for r in store.history("things").collect()}
+    assert sorted(h) == [0, 1, 2]
+    assert all(h[v]["n_buckets"] == 4 for v in h)
+    # the append added one dir to bucket 100%4=0's list…
+    assert h[1]["n_data_dirs"] == h[0]["n_data_dirs"] + 1
+    # …and the delete rewrote that bucket back to one dir
+    assert h[2]["n_data_dirs"] == h[0]["n_data_dirs"]
+
+
+def test_store_diff_is_bucket_pruned_cdf(spark, tmp_path):
+    """r8: diff(v_from, v_to) is the change-data-feed verb — exact
+    (op, rowNum) deltas, computed from ONLY the buckets whose manifest
+    dir lists differ (immutable dirs ⇒ identical list = unchanged
+    bucket), pinned via inputFiles()."""
+    import os
+
+    from json_sql_database_storage_spark.documents.store import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "collections"), n_buckets=8)
+    store.upsert(docs_df(spark, [{"rowNum": k, "name": f"n{k}", "v": k}
+                                 for k in range(1, 17)]), "things")    # v0
+    store.upsert(docs_df(spark, [{"rowNum": 3, "name": "UPD", "v": 30}]),
+                 "things")                                             # v1
+    store.delete(docs_df(spark, [{"rowNum": 5}]), "things")            # v2
+    assert ([tuple(r) for r in store.diff("things", 0, 1).collect()]
+            == [("upsert", 3)])
+    assert ([tuple(r) for r in store.diff("things", 1, 2).collect()]
+            == [("delete", 5)])
+    assert (sorted(tuple(r) for r in store.diff("things", 0, 2).collect())
+            == [("delete", 5), ("upsert", 3)])
+    # reverse diff: the rollback delta
+    assert ([tuple(r) for r in store.diff("things", 1, 0).collect()]
+            == [("upsert", 3)])
+    # bucket pruning: the v0→v1 diff reads ONLY bucket 3's dirs
+    m0, m1 = store._manifest("things", 0), store._manifest("things", 1)
+    allowed = {os.path.realpath(p) for p in m0[3] + m1[3]}
+    files = store.diff("things", 0, 1).inputFiles()
+    assert files, "diff plan read no files?"
+    for f in files:
+        d = os.path.realpath(os.path.dirname(f.replace("file:", "")))
+        assert d in allowed, (d, allowed)
+    # schema-evolved versions diff cleanly (nulls compare deterministically)
+    store.upsert(docs_df(spark, [{"rowNum": 4, "name": "n4+", "v": 4,
+                                  "stars": 5}]), "things")             # v3
+    assert ([tuple(r) for r in store.diff("things", 2, 3).collect()]
+            == [("upsert", 4)])
+    # identical versions → empty diff
+    assert store.diff("things", 1, 1).count() == 0

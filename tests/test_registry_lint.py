@@ -224,6 +224,8 @@ _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
         "1-row ordered-fold denominator",
     ("llm/staged_r9.py", "sample_cluster_balanced"):
         "1-row denominator + k-row (k=8) cluster quotas",
+    ("llm/staged_r9.py", "sim_mmr_rerank"):
+        "query vectors (fixed count) + per-round Q-row picked set",
 }
 
 

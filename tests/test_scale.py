@@ -419,10 +419,12 @@ def _scale_corpus(spark, sf_dir, tmp_root, mult):
                                                         "orders.parquet"))
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
-                                                      "l_suppkey")
+                                                      "l_suppkey",
+                                                      "l_partkey")
     lineitem = _rep_union([li] + [
         li.select((F.col("l_orderkey") + rep * 10_000_000).alias("l_orderkey"),
-                  (F.col("l_suppkey") + rep * 50_000).alias("l_suppkey"))
+                  (F.col("l_suppkey") + rep * 50_000).alias("l_suppkey"),
+                  (F.col("l_partkey") + rep * 500_000).alias("l_partkey"))
         for rep in range(1, mult)
     ])
     lineitem.write.mode("overwrite").parquet(os.path.join(path,
@@ -444,22 +446,42 @@ def test_scale_curve_heavy_ops_near_linear(spark, tmp_path_factory):
 
     sf01 = "/root/testdata/sf0.1"
     root = str(tmp_path_factory.mktemp("scale_curve"))
+    from json_sql_database_storage_spark.llm.staged_r9 import (
+        STAGED as _LLM_STAGED,
+    )
+    from json_sql_database_storage_spark.operators.staged_r9 import (
+        STAGED as _OPS_STAGED,
+    )
+
     ops = ["dedup_minhash_lsh", "dedup_minhash_incremental",
            "text_inverted_index_search",
            # r7.7 — the r6 heavies (r6 verdict next-round #7)
            "text_bm25_topk", "sim_ivfpq_topk", "graph_pagerank",
            # r8 — the new corpus-sized LLM ops (documents-only inputs)
-           "text_decontamination", "sample_split_no_leakage"]
+           "text_decontamination", "sample_split_no_leakage",
+           # r8 — round-9 staged ops measured BEFORE promotion
+           "text_repetition_filter", "sim_kcenter_coreset",
+           "q_copurchase_pairs", "sim_mmr_rerank"]
+    # graph_triangle_count is deliberately NOT in the recurring list: the
+    # sf0.1 co-purchase graph is dense (avg degree ~60), so its base cost
+    # (~40 s) would dominate this test.  Its one-off measured curve
+    # (1×/3×/10× = 39/66/256 s — 6.5× at 10× data, inside the contract)
+    # is recorded in SCALE.md next to the others.
+    fns = {name: (fn, _) for name, (fn, _) in
+           {**_LLM_STAGED, **_OPS_STAGED}.items()}
+    _fn = lambda op: (fns[op][0] if op in fns else _SPECS[op].fn)  # noqa: E731
     dirs = {m: _scale_corpus(spark, sf01, root, m) for m in (1, 3, 10)}
     # plan-warm at 1x: codegen + Python worker startup out of the timings
     for op in ops:
-        _SPECS[op].fn(spark, dirs[1]).count()
+        _fn(op)(spark, dirs[1]).count()
+        registry.release_caches()   # staged fns have no releasing wrapper
     t = {}
     for m in (1, 3, 10):
         for op in ops:
             t0 = time.monotonic()
-            _SPECS[op].fn(spark, dirs[m]).count()
+            _fn(op)(spark, dirs[m]).count()
             t[(op, m)] = time.monotonic() - t0
+            registry.release_caches()
     for op in ops:
         base = max(t[(op, 1)], 0.5)   # floor: sub-second base is noise
         assert t[(op, 3)] / base < 6.0, (op, t)
