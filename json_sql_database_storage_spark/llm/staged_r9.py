@@ -402,6 +402,70 @@ def _mmr_sql() -> str:
     return ",\n".join(parts) + "\n" + "\nUNION ALL ".join(selects)
 
 
+# ---------------------------------------------------------------------------
+# 6. text_bigram_logprob — per-doc fluency under a corpus bigram LM with
+# add-one smoothing (the CCNet/KenLM-style scorer one order up from the
+# registered unigram LM): −ln p(w_i | w_{i−1}) averaged over the doc,
+# p = (c(w1,w2) + 1) / (c(w1) + V).  Bigram-count and unigram-count tables
+# join on their term keys (shuffle equi-joins — the bigram table grows
+# with the corpus, so unlike the capped unigram vocab it must NOT be
+# broadcast); only V (1 row) broadcasts.  Determinism: counts and V are
+# exact integers, the ratio divides identical doubles, and ln lands in
+# the q6 fixed point (floor(ln·1e6 + 0.5)) — the text_unigram_logprob
+# recipe; test_log_snap_guard_band already sweeps this query's
+# (c1+V, cb+1) ratios on every sf dir the driver touches.
+# ---------------------------------------------------------------------------
+
+
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text_analysis import tokens
+
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", tokens(F.col("text")).alias("t")))
+    d = scoped_persist(d)
+    big = d.select("doc_id", F.explode(F.expr(
+        "transform(sequence(0, size(t) - 2), "
+        "i -> struct(t[i] AS w1, t[i + 1] AS w2))")).alias("b")) \
+        .select("doc_id", "b.w1", "b.w2")
+    big = scoped_persist(big)
+    uni = (d.select(F.explode("t").alias("w1"))
+           .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+    vocab = uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    bi = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    q = (big.join(bi, ["w1", "w2"]).join(uni, "w1")
+         .crossJoin(F.broadcast(vocab))
+         .select("doc_id", F.floor(
+             F.log((F.col("c1") + F.col("v")).cast("double")
+                   / (F.col("cb") + 1).cast("double")) * 1000000
+             + F.lit(0.5)).cast("bigint").alias("qv")))
+    return (q.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 (F.sum("qv").cast("double") / F.count(F.lit(1)) / 1000000.0)
+                 .alias("avg_neglogp")))
+
+
+_BIGRAM_LM_SQL = r"""
+WITH toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+              FROM documents),
+bidx AS (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+         FROM toks),
+big AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM bidx),
+uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+        FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY 1),
+vocab AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb
+       FROM big GROUP BY 1, 2),
+q AS (SELECT big.doc_id,
+             CAST(floor(ln(CAST(uni.c1 + vocab.v AS DOUBLE)
+                           / CAST(bi.cb + 1 AS DOUBLE)) * 1000000 + 0.5)
+                  AS BIGINT) AS qv
+      FROM big JOIN bi USING (w1, w2) JOIN uni USING (w1)
+      CROSS JOIN vocab)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(qv) AS DOUBLE) / count(*) / 1000000.0 AS avg_neglogp
+FROM q GROUP BY doc_id
+"""
+
 # Full register() payloads, promoted in round 9 by moving each entry into
 # a @register decorator (the round-7 → round-8 protocol).
 STAGED: dict = {
@@ -411,4 +475,5 @@ STAGED: dict = {
     "sample_cluster_balanced": (sample_cluster_balanced,
                                 _cluster_balanced_sql()),
     "sim_mmr_rerank": (sim_mmr_rerank, _mmr_sql()),
+    "text_bigram_logprob": (text_bigram_logprob, _BIGRAM_LM_SQL),
 }

@@ -134,7 +134,102 @@ SELECT (SELECT count(*) FROM nodes) AS n_nodes,
         JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb) AS n_triangles
 """
 
+# ---------------------------------------------------------------------------
+# snapshot_rollback — the undo verb at the snapshot layer (Iceberg
+# rollback_to_snapshot / Delta RESTORE; the registered counterpart of
+# DocumentStore.restore): commit v0, DELETE-commit v1 (the b1.19d
+# partition-rewrite recipe), then roll back by committing v0's MANIFEST
+# verbatim as v2 — metadata-only, O(1), no data copied; v2 re-references
+# v0's physical partition dirs, v1 stays AS-OF readable, and all three
+# versions answer the same aggregate so the oracle can state each
+# version's expected content relationally (v2 ≡ v0 by construction).
+# ---------------------------------------------------------------------------
+
+
+def snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from .scans import _sink
+    from .snapshots import (_CUT_INS, _DEL_MOD, _DEL_YEAR, SnapshotConflict,
+                            _commit_dirs, commit_manifest,
+                            read_committed_manifest, read_version)
+
+    root = _sink("snapshot_rb", spark)
+    cut_ins = F.lit(_CUT_INS).cast("timestamp")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    base = o.filter(F.col("o_orderdate") < cut_ins).drop("o_orderdate")
+    v0_data = os.path.join(root, "v0data")
+    base.write.mode("overwrite").partitionBy("o_year").parquet(v0_data)
+    m0 = _commit_dirs(v0_data)
+
+    v0 = read_version(spark, m0)
+    doomed = (v0.filter((F.col("o_year") == _DEL_YEAR)
+                        & (F.col("o_orderkey") % _DEL_MOD == 0))
+              .select("o_orderkey", "o_year"))
+    touched = sorted(r["o_year"] for r in
+                     doomed.select("o_year").distinct().collect())
+    survivors = (v0.filter(F.col("o_year").isin(touched))
+                 .join(doomed.select("o_orderkey"), "o_orderkey",
+                       "left_anti"))
+    v1_data = os.path.join(root, "v1data")
+    survivors.write.mode("overwrite").partitionBy("o_year").parquet(v1_data)
+    m1 = {y: p for y, p in m0.items() if y not in touched}
+    m1.update(_commit_dirs(v1_data))
+    m2 = dict(m0)        # the rollback: v0's manifest, recommitted verbatim
+    for v, m in ((0, m0), (1, m1), (2, m2)):
+        try:
+            commit_manifest(root, v, m)
+        except SnapshotConflict:
+            if read_committed_manifest(root, v) != m:
+                raise
+
+    outs = []
+    for version, manifest in ((0, m0), (1, m1), (2, m2)):
+        outs.append(
+            read_version(spark, manifest)
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("cents").cast("bigint").alias("total_cents"))
+            .select(F.lit(version).alias("version"), "n_rows",
+                    "total_cents"))
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out.orderBy("version")
+
+
+def _rollback_sql() -> str:
+    from .snapshots import _CUT_INS, _DEL_MOD, _DEL_YEAR
+
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_CUT_INS}'
+), doomed AS (
+  SELECT o_orderkey FROM base
+  WHERE o_year = {_DEL_YEAR} AND o_orderkey % {_DEL_MOD} = 0
+), v1 AS (
+  SELECT b.* FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM doomed d
+                    WHERE d.o_orderkey = b.o_orderkey)
+)
+SELECT 0 AS version, count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents FROM base
+UNION ALL
+SELECT 1 AS version, count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents FROM v1
+UNION ALL
+SELECT 2 AS version, count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents FROM base
+ORDER BY version
+"""
+
+
 STAGED: dict = {
     "q_copurchase_pairs": (q_copurchase_pairs, _COPURCHASE_SQL),
     "graph_triangle_count": (graph_triangle_count, _TRIANGLE_SQL),
+    "snapshot_rollback": (snapshot_rollback, _rollback_sql()),
 }

@@ -736,3 +736,48 @@ def test_store_diff_is_bucket_pruned_cdf(spark, tmp_path):
             == [("upsert", 4)])
     # identical versions → empty diff
     assert store.diff("things", 1, 1).count() == 0
+
+
+def test_store_cdf_drives_incremental_bm25(spark, sf_dir, tmp_path):
+    """r8 composition: the production incremental-index loop — a crawl
+    commit lands in the DocumentStore, diff() names exactly the changed
+    rows, and bm25_append indexes ONLY that delta against the frozen
+    artifacts; the probe is then row-identical to a full rebuild over the
+    committed corpus.  Ties A5-cdf to b11.27f end-to-end."""
+    from pyspark.sql import functions as F
+
+    from json_sql_database_storage_spark.documents.store import DocumentStore
+    from json_sql_database_storage_spark.llm.search import (
+        _BM25_TERMS, _BM25_TOPK, bm25_append, bm25_build, bm25_probe)
+    from json_sql_database_storage_spark.sources import load_table
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .select(F.col("doc_id").alias("rowNum"), "text"))
+    n = docs.count()
+    split = int(n * 0.8)
+    base = docs.filter(F.col("rowNum") < split)
+    delta = docs.filter(F.col("rowNum") >= split)
+
+    store = DocumentStore(spark, str(tmp_path / "collections"), n_buckets=8)
+    store.upsert(base, "crawl")                                       # v0
+    paths = bm25_build(
+        spark, base.select(F.col("rowNum").alias("doc_id"), "text"),
+        "bm25_cdf_base")
+    store.upsert(delta, "crawl")                                      # v1
+
+    changes = store.diff("crawl", 0, 1)
+    new_keys = changes.filter(F.col("op") == "upsert").select("rowNum")
+    assert new_keys.count() == delta.count()        # CDF found the crawl
+    new_docs = (store.read("crawl")
+                .join(new_keys, "rowNum")
+                .select(F.col("rowNum").alias("doc_id"), "text"))
+    bm25_append(spark, paths, new_docs)
+
+    full = bm25_build(
+        spark, store.read("crawl")
+        .select(F.col("rowNum").alias("doc_id"), "text"), "bm25_cdf_full")
+    got = [tuple(r) for r in
+           bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK).collect()]
+    want = [tuple(r) for r in
+            bm25_probe(spark, full, _BM25_TERMS, _BM25_TOPK).collect()]
+    assert got == want and got

@@ -540,6 +540,25 @@ def test_log_snap_guard_band(band_sf_dir):
     for df in set(dfs):
         t = math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1e6
         assert boundary_dist(t) > 1e-6, (df, t)
+    # bigram-LM snap (round-9 staged text_bigram_logprob):
+    # ln((c1+V)/(cb+1))·1e6 over every (unigram-count, bigram-count) pair
+    # the corpus actually produces
+    pairs = duck.execute(r"""
+      WITH toks AS (SELECT regexp_split_to_array(lower(text), '\s+') AS t
+                    FROM documents),
+      bidx AS (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+               FROM toks),
+      big AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM bidx),
+      uni AS (SELECT w1, count(*) AS c1
+              FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY 1),
+      v AS (SELECT count(*) AS v FROM uni),
+      bi AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY 1, 2)
+      SELECT DISTINCT uni.c1 + v.v AS num, bi.cb + 1 AS den
+      FROM bi JOIN uni USING (w1) CROSS JOIN v
+    """).fetchall()
+    for num, den in pairs:
+        t = math.log(num / den) * 1e6
+        assert boundary_dist(t) > 1e-6, (num, den, t)
 
 
 def test_ivfpq_recall_contract(spark, sf_dir):

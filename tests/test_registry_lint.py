@@ -226,6 +226,9 @@ _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
         "1-row denominator + k-row (k=8) cluster quotas",
     ("llm/staged_r9.py", "sim_mmr_rerank"):
         "query vectors (fixed count) + per-round Q-row picked set",
+    ("llm/staged_r9.py", "text_bigram_logprob"):
+        "1-row vocab size V (the bigram/unigram COUNT tables join, "
+        "never broadcast)",
 }
 
 
