@@ -506,10 +506,26 @@ def test_store_random_op_sequence_matches_model(spark, tmp_path):
         return docs_df(spark, [{"rowNum": k, "name": n, "v": v}
                                for k, n, v in rows])
 
-    for step in range(12):
-        op = rng.choice(["upsert", "append", "delete"]
+    ops_seen: set[str] = set()
+    for step in range(16):
+        op = rng.choice(["upsert", "append", "delete",
+                         "compact", "rebucket", "restore"]
                         if model else ["upsert", "append"])
-        if op == "upsert":
+        ops_seen.add(op)
+        if op == "compact":
+            # value-neutral; commits a version ONLY when some bucket is
+            # fragmented — mirror by checking the version counter
+            before = store.version("t")
+            store.compact("t")
+            if store.version("t") == before:
+                continue            # no-op: no version, no model snapshot
+        elif op == "rebucket":
+            store.rebucket("t", rng.choice([2, 4, 8]))
+        elif op == "restore":
+            v = rng.randrange(len(history))
+            store.restore("t", v)
+            model = dict(history[v])
+        elif op == "upsert":
             rows = [(rng.randrange(40), f"u{step}-{i}", step * 100 + i)
                     for i in range(rng.randint(1, 4))]
             rows = list({k: (k, n, v) for k, n, v in rows}.values())
@@ -536,6 +552,9 @@ def test_store_random_op_sequence_matches_model(spark, tmp_path):
                for r in store.read("t").collect()}
         assert got == model, f"step {step} ({op}): {got} != {model}"
 
+    # the seed must actually exercise every verb (re-pick it if this trips)
+    assert ops_seen >= {"upsert", "append", "delete",
+                        "compact", "rebucket", "restore"}, ops_seen
     assert store.version("t") == len(history) - 1
     # full AS-OF history equals the model's snapshots
     for v, snap in enumerate(history):

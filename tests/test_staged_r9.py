@@ -68,3 +68,40 @@ def test_staged_matches_oracle_sf001(spark, name):
         assert_frames_match(spark_pdf, oracle_pdf, name=name)
     finally:
         con.close()
+
+
+def test_staged_no_unintended_scale_flags(spark, sf_dir):
+    """The registry sweep (tests/test_plans.py::
+    test_no_unintended_scale_flags) only sees registered queries — run the
+    same sweep over the STAGED payloads NOW so promotion is a dict move,
+    not a plan-shape surprise.  Allowlist mirrors the registered
+    conventions: 1-row scalar-aggregate exchanges (map-side partials, one
+    row per input partition) and bounded-input global steps."""
+    from json_sql_database_storage_spark.plans.inspect import (
+        explain_formatted,
+    )
+
+    allow = {
+        "CartesianProduct": set(),
+        "BatchEvalPython": set(),
+        "SinglePartition": {
+            # ordered-fold denominators / 1-row vocab or census scalars —
+            # map-side partials, constant bytes at any corpus size
+            "sample_domain_mixture", "sample_cluster_balanced",
+            "text_bigram_logprob",
+            # per-round 1-row global argmax (the deep-BPE recipe)
+            "sim_kcenter_coreset",
+            # final 1-row triangle/node/edge census
+            "graph_triangle_count",
+            # per-version scalar summary (count + sum over a snapshot
+            # read), as the registered snapshot_* queries
+            "snapshot_rollback",
+        },
+    }
+    bad = []
+    for name, (fn, _) in sorted(ALL_STAGED.items()):
+        plan = explain_formatted(fn(spark, sf_dir))
+        for label in allow:
+            if label in plan and name not in allow[label]:
+                bad.append((name, label))
+    assert not bad, bad
