@@ -228,8 +228,54 @@ ORDER BY version
 """
 
 
+# ---------------------------------------------------------------------------
+# events_transition_matrix — first-order Markov transition census over the
+# event log: per user, each event's successor (lead over the per-user
+# timeline), counted per (src, dst) state pair with per-source transition
+# probabilities.  The product-analytics "user journey" primitive (what do
+# users do AFTER add_to_cart?).  100-TB design: ONE user_id exchange for
+# the lead window (the funnel/sessionize discipline — the event log never
+# re-shuffles per analysis step), then a 5×5-key map-side-combinable
+# census; probabilities divide exact BIGINT counts cast to double, so
+# they are IEEE-identical cross-engine with no rounding step.
+# ---------------------------------------------------------------------------
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (ev.withColumn("dst_type", F.lead("event_type").over(w))
+             .filter(F.col("dst_type").isNotNull())
+             .groupBy(F.col("event_type").alias("src_type"), "dst_type")
+             .agg(F.count(F.lit(1)).alias("n_transitions")))
+    tot = W.partitionBy("src_type")
+    return trans.select(
+        "src_type", "dst_type", "n_transitions",
+        (F.col("n_transitions").cast("double")
+         / F.sum("n_transitions").over(tot).cast("double")).alias("prob"))
+
+
+_TRANSITION_SQL = """
+WITH t AS (
+  SELECT event_type AS src_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst_type
+  FROM events),
+c AS (SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n_transitions
+      FROM t WHERE dst_type IS NOT NULL GROUP BY 1, 2)
+SELECT src_type, dst_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+       / CAST(sum(n_transitions) OVER (PARTITION BY src_type) AS DOUBLE)
+         AS prob
+FROM c
+"""
+
 STAGED: dict = {
     "q_copurchase_pairs": (q_copurchase_pairs, _COPURCHASE_SQL),
     "graph_triangle_count": (graph_triangle_count, _TRIANGLE_SQL),
     "snapshot_rollback": (snapshot_rollback, _rollback_sql()),
+    "events_transition_matrix": (events_transition_matrix, _TRANSITION_SQL),
 }

@@ -47,7 +47,7 @@ def test_staged_matches_oracle(spark, duck, sf_dir, name):
 
 @pytest.mark.slow
 @pytest.mark.parametrize("name", sorted(ALL_STAGED))
-def test_staged_matches_oracle_sf001(spark, name):
+def test_staged_matches_oracle_sf0_01(spark, name):
     """The driver checks at sf0.01 — run the identical compare there too
     (the round-7 staging protocol's 'verified at sf0.001 AND sf0.01'
     claim, made literal)."""
