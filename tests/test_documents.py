@@ -800,3 +800,51 @@ def test_store_cdf_drives_incremental_bm25(spark, sf_dir, tmp_path):
     want = [tuple(r) for r in
             bm25_probe(spark, full, _BM25_TERMS, _BM25_TOPK).collect()]
     assert got == want and got
+
+
+def test_store_restore_then_vacuum_keeps_rereferenced_dirs(spark, tmp_path):
+    """r8 interplay pin: restore(v0) makes v0's dirs live again — a
+    subsequent vacuum(keep_last=1) must KEEP them (they are referenced by
+    the retained head) while sweeping the rolled-over version's exclusive
+    dirs; the current read survives, expired versions fail fast."""
+    import pytest as _pytest
+
+    from json_sql_database_storage_spark.documents.store import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "collections"), n_buckets=4)
+    store.upsert(docs_df(spark, [{"rowNum": k, "name": f"n{k}", "v": k}
+                                 for k in range(1, 9)]), "things")     # v0
+    store.upsert(docs_df(spark, [{"rowNum": 3, "name": "BAD", "v": -1}]),
+                 "things")                                             # v1
+    store.restore("things", 0)                                         # v2
+    out = store.vacuum("things", keep_last=1, min_age_seconds=0.0)
+    assert len(out["deleted_dirs"]) >= 1     # v1's rewritten bucket-3 dir
+    # the head (= v0's dirs, re-referenced) is fully readable
+    rows = {r["rowNum"]: r["name"] for r in store.read("things").collect()}
+    assert rows[3] == "n3" and len(rows) == 8
+    # expired versions fail fast instead of resolving to deleted paths
+    with _pytest.raises(Exception):
+        store.read_asof("things", 1).collect()
+
+
+def test_store_diff_across_maintenance_commits_is_empty(spark, tmp_path):
+    """r8 interplay pin: compact and rebucket are value-neutral, so the
+    CDF across them must be EMPTY even though every bucket's dir list
+    (and even the bucket count) changed — diff compares fingerprints, not
+    physical layout."""
+    from json_sql_database_storage_spark.documents.store import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "collections"), n_buckets=2)
+    store.append(docs_df(spark, [{"rowNum": k, "name": f"n{k}", "v": k}
+                                 for k in range(1, 9)]), "things")     # v0
+    store.append(docs_df(spark, [{"rowNum": 20, "name": "x", "v": 0}]),
+                 "things")                                             # v1
+    store.compact("things")                                            # v2
+    assert store.diff("things", 1, 2).count() == 0
+    store.rebucket("things", 8)                                        # v3
+    assert store.diff("things", 2, 3).count() == 0
+    # and a genuine change after the reshard still surfaces
+    store.upsert(docs_df(spark, [{"rowNum": 20, "name": "y", "v": 1}]),
+                 "things")                                             # v4
+    assert ([tuple(r) for r in store.diff("things", 3, 4).collect()]
+            == [("upsert", 20)])
