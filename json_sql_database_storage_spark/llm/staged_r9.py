@@ -466,6 +466,194 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
 FROM q GROUP BY doc_id
 """
 
+# ---------------------------------------------------------------------------
+# 7. dedup_containment — ASYMMETRIC near-dup detection: containment
+# C(A,B) = |shingles(A) ∩ shingles(B)| / |shingles(A)| for the smaller
+# side A.  Jaccard misses the quote/excerpt case (a short doc fully
+# inside a long one has tiny |∩|/|∪| but containment ≈ 1) — this is the
+# CC-style "is this page a fragment of that page" member of the dedup
+# family (Broder 1997 distinguishes resemblance from containment).  The
+# corpus synthesizes genuine fragments cross-engine: for doc_id < 25 a
+# derived doc (id + 300000) keeps the first ⌈2n/5⌉ tokens — a contiguous
+# token-prefix, so its 3-gram shingle set is a strict subset of its
+# parent's and true containment is exactly 1.0.
+#
+# 100-TB design: candidate generation is the inverted-index recipe —
+# explode DISTINCT 3-gram shingles, equi-join doc lists per shingle —
+# with a document-frequency cap (df ≤ 64) killing the hub-shingle
+# quadratic exactly as _BUCKET_CAP does for MinHash bands: pair fan-out
+# is bounded by |shingles|·C², never corpus².  Dropping high-df shingles
+# from BOTH sides leaves a true fragment's containment at 1.0 (its
+# retained shingles remain a subset of its parent's).  The ≥ 0.8
+# threshold is tested as the integer cross-product inter·5 ≥ small·4, so
+# the keep/drop decision is exact in both engines; pairs need ≥ 10
+# retained shingles on the small side (too-short docs prove nothing).
+# ---------------------------------------------------------------------------
+
+_CONTAIN_DF_CAP = 64
+_CONTAIN_MIN_SHINGLES = 10
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text_analysis import tokens
+
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", tokens(F.col("text")).alias("t")))
+    frag = (d.filter(F.col("doc_id") < 25)
+            .select((F.col("doc_id") + 300000).alias("doc_id"),
+                    F.expr("slice(t, 1, greatest(1, (size(t) * 2) div 5))")
+                    .alias("t")))
+    corpus = d.unionByName(frag)
+    sh = (corpus
+          .select("doc_id", F.explode(F.when(
+              F.size("t") >= 3,
+              F.expr("transform(sequence(0, size(t) - 3), "
+                     "i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))"))
+              .otherwise(F.expr("array()"))).alias("sh"))
+          .distinct())
+    sh = scoped_persist(sh)
+    rare = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= _CONTAIN_DF_CAP).select("sh"))
+    kept = scoped_persist(sh.join(rare, "sh"))
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (kept.select(F.col("doc_id").alias("id_a"), "sh")
+             .join(kept.select(F.col("doc_id").alias("id_b"), "sh"), "sh")
+             .filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    j = (inter
+         .join(sizes.select(F.col("doc_id").alias("id_a"),
+                            F.col("sz").alias("sz_a")), "id_a")
+         .join(sizes.select(F.col("doc_id").alias("id_b"),
+                            F.col("sz").alias("sz_b")), "id_b")
+         .withColumn("small", F.least("sz_a", "sz_b")))
+    return (j.filter((F.col("small") >= _CONTAIN_MIN_SHINGLES)
+                     & (F.col("n_common") * 5 >= F.col("small") * 4))
+            .select("id_a", "id_b", "n_common",
+                    (F.col("n_common").cast("double")
+                     / F.col("small").cast("double")).alias("containment"))
+            .orderBy("id_a", "id_b"))
+
+
+_CONTAINMENT_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+  FROM documents),
+corpus AS (
+  SELECT doc_id, t FROM toks
+  UNION ALL
+  SELECT doc_id + 300000, t[1 : greatest(1, (len(t) * 2) // 5)]
+  FROM toks WHERE doc_id < 25),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS sh
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+        FROM corpus)),
+rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+         WHERE df <= {_CONTAIN_DF_CAP}),
+kept AS (SELECT doc_id, sh.sh FROM sh JOIN rare USING (sh)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM kept a JOIN kept b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, n_common,
+       CAST(n_common AS DOUBLE) / CAST(least(sa.sz, sb.sz) AS DOUBLE)
+         AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE least(sa.sz, sb.sz) >= {_CONTAIN_MIN_SHINGLES}
+  AND n_common * 5 >= least(sa.sz, sb.sz) * 4
+ORDER BY id_a, id_b
+"""
+
+# ---------------------------------------------------------------------------
+# 8. sample_importance_weights — DSIR-style data selection (Xie et al.
+# 2023, "Data Selection for Language Models via Importance Resampling"):
+# score every document by how much more likely its tokens are under a
+# TARGET distribution (here the lang='en' slice — the high-resource
+# corpus a run wants more of) than under the RAW crawl, using hashed
+# n-gram features so the feature space is fixed at any corpus size.
+# weight(doc) = mean over tokens of ln p_target(bucket) − ln p_raw(bucket)
+# with add-one smoothing; the downstream resampler keeps docs ∝ exp(w).
+#
+# 100-TB design: features are the first two hex chars of md5(token) —
+# 256 buckets, a FIXED feature table regardless of vocabulary (the DSIR
+# hashing trick), identical hex in both engines so bucketing needs no
+# cross-engine integer hash.  Both count passes are map-side-combinable
+# groupBys on the 256-key domain; the per-bucket LLR table is a 256-row
+# broadcast (audited — constant size at any scale) and scoring the corpus
+# is one broadcast-join pass, no shuffle of raw tokens.  Determinism:
+# counts are exact BIGINTs, the two smoothed products stay < 2^53 (exact
+# doubles), and the single ln lands in the q6 fixed point (the
+# unigram/bigram-LM precedent), so the per-doc mean divides identical
+# integers cross-engine.
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256
+_DSIR_TARGET_LANG = "en"
+
+
+def sample_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text_analysis import tokens
+
+    toks = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "lang",
+                    F.explode(tokens(F.col("text"))).alias("w"))
+            .select("doc_id", "lang",
+                    F.substring(F.md5(F.col("w")), 1, 2).alias("b")))
+    toks = scoped_persist(toks)
+    raw = toks.groupBy("b").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt = (toks.filter(F.col("lang") == _DSIR_TARGET_LANG)
+           .groupBy("b").agg(F.count(F.lit(1)).alias("c_tgt")))
+    totals = (toks.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1).otherwise(0))
+        .alias("n_tgt")))
+    llr = (raw.join(tgt, "b", "left")
+           .na.fill({"c_tgt": 0})
+           .crossJoin(totals)
+           .select("b", F.floor(F.log(
+               ((F.col("c_tgt") + 1) * (F.col("n_raw") + _DSIR_BUCKETS))
+               .cast("double")
+               / ((F.col("c_raw") + 1) * (F.col("n_tgt") + _DSIR_BUCKETS))
+               .cast("double")) * 1000000 + F.lit(0.5))
+               .cast("bigint").alias("qv")))
+    return (toks.join(F.broadcast(llr), "b")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 (F.sum("qv").cast("double") / F.count(F.lit(1)) / 1000000.0)
+                 .alias("dsir_logweight")))
+
+
+_DSIR_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         substring(md5(unnest(regexp_split_to_array(lower(text), '\s+'))),
+                   1, 2) AS b
+  FROM documents),
+raw AS (SELECT b, CAST(count(*) AS BIGINT) AS c_raw FROM toks GROUP BY b),
+tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS c_tgt FROM toks
+        WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_raw,
+         CAST(sum(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_tgt
+  FROM toks),
+llr AS (
+  SELECT b, CAST(floor(ln(
+           CAST((coalesce(c_tgt, 0) + 1) * (n_raw + {_DSIR_BUCKETS})
+                AS DOUBLE)
+           / CAST((c_raw + 1) * (n_tgt + {_DSIR_BUCKETS}) AS DOUBLE))
+           * 1000000 + 0.5) AS BIGINT) AS qv
+  FROM raw LEFT JOIN tgt USING (b) CROSS JOIN totals)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(qv) AS DOUBLE) / count(*) / 1000000.0 AS dsir_logweight
+FROM toks JOIN llr USING (b)
+GROUP BY doc_id
+"""
+
 # Full register() payloads, promoted in round 9 by moving each entry into
 # a @register decorator (the round-7 → round-8 protocol).
 STAGED: dict = {
@@ -476,4 +664,6 @@ STAGED: dict = {
                                 _cluster_balanced_sql()),
     "sim_mmr_rerank": (sim_mmr_rerank, _mmr_sql()),
     "text_bigram_logprob": (text_bigram_logprob, _BIGRAM_LM_SQL),
+    "dedup_containment": (dedup_containment, _CONTAINMENT_SQL),
+    "sample_importance_weights": (sample_importance_weights, _DSIR_SQL),
 }

@@ -273,9 +273,162 @@ SELECT src_type, dst_type, n_transitions,
 FROM c
 """
 
+# ---------------------------------------------------------------------------
+# graph_kcore — k-core peeling of the co-purchase graph: repeatedly drop
+# nodes of degree < K until a fixed point; what survives is the K-core,
+# the standard density primitive behind community seeds and graph
+# sparsification.  The query reports the peeling TRAJECTORY — per round,
+# how many nodes/edges survive — because that is what an engineer
+# actually inspects: a stable core (sf0.01 converges to a 1,857-node
+# core by round 5 at K=80) versus a full cascade unravel (sf0.001's
+# near-regular graph collapses to ∅ by round 2), both real phenomena.
+#
+# 100-TB design — the bounded-depth iteration recipe (graph_pagerank_deep
+# precedent): each peel round is ONE map-side-combinable degree census
+# (groupBy node) plus TWO semi-joins confining edges to survivors — all
+# equi-joins on node keys, shuffle-partitioned, no driver-side graph.
+# Rounds are a fixed R=6 (convergence at these SFs is measured ≤5;
+# deeper peels would localCheckpoint every few rounds exactly as
+# pagerank_ranks does); every intermediate is persisted so round r+1
+# reuses round r's edges instead of recomputing the cascade.  The oracle
+# unrolls the identical recurrence as an R-step CTE chain.  Per-round
+# 1-row count aggregates are the allowlisted scalar-exchange pattern.
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 80
+_KCORE_ROUNDS = 6
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..registry import scoped_persist
+
+    items = (load_table(spark, sf_dir, "lineitem")
+             .select("l_orderkey", "l_partkey").distinct())
+    edges = (items.alias("a")
+             .join(items.select("l_orderkey",
+                                F.col("l_partkey").alias("pb")).alias("b"),
+                   ["l_orderkey"])
+             .filter(F.col("a.l_partkey") < F.col("pb"))
+             .select(F.col("a.l_partkey").alias("pa"), "pb")
+             .distinct())
+    # lineage is CUT each round (eager localCheckpoint, the pagerank_ranks
+    # recipe) — the trajectory unions all R rounds into one plan, so
+    # without truncation the plan tree is O(R²) and the final union
+    # re-prints every cascade level
+    edges = edges.localCheckpoint(eager=True)
+    rounds = []
+    for r in range(_KCORE_ROUNDS):
+        deg = (edges.select(F.col("pa").alias("node"))
+               .unionAll(edges.select(F.col("pb").alias("node")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
+        surv = (deg.filter(F.col("d") >= _KCORE_K).select("node")
+                .localCheckpoint(eager=True))
+        nxt = (edges.join(surv.select(F.col("node").alias("pa")), "pa",
+                          "left_semi")
+               .join(surv.select(F.col("node").alias("pb")), "pb",
+                     "left_semi")
+               .select("pa", "pb")
+               .localCheckpoint(eager=True))
+        rounds.append(
+            surv.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+            .crossJoin(nxt.agg(F.count(F.lit(1)).cast("bigint")
+                               .alias("n_edges")))
+            .select(F.lit(r).alias("peel_round"), "n_nodes", "n_edges"))
+        edges = nxt
+    out = rounds[0]
+    for x in rounds[1:]:
+        out = out.unionByName(x)
+    return out.orderBy("peel_round")
+
+
+def _kcore_sql() -> str:
+    # every CTE is MATERIALIZED: each round references the previous one
+    # three times (edge base + both endpoint-membership subqueries), so
+    # inlining would re-expand the cascade ~5^R times — materialization
+    # keeps the oracle the same linear R-round recurrence the Spark loop
+    # runs
+    parts = ["""e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+    USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey)"""]
+    selects = []
+    for r in range(_KCORE_ROUNDS):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT node, count(*) AS d FROM "
+            f"(SELECT pa AS node FROM e{r} "
+            f"UNION ALL SELECT pb FROM e{r}) GROUP BY node)")
+        parts.append(
+            f"s{r} AS MATERIALIZED "
+            f"(SELECT node FROM d{r} WHERE d >= {_KCORE_K})")
+        parts.append(
+            f"e{r + 1} AS MATERIALIZED (SELECT pa, pb FROM e{r} "
+            f"WHERE pa IN (SELECT node FROM s{r}) "
+            f"AND pb IN (SELECT node FROM s{r}))")
+        selects.append(
+            f"SELECT {r} AS peel_round, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM s{r}) AS n_nodes, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM e{r + 1}) AS n_edges")
+    return ("WITH " + ",\n".join(parts) + "\n"
+            + "\nUNION ALL ".join(selects) + "\nORDER BY peel_round")
+
+
+# ---------------------------------------------------------------------------
+# window_cumulative_distinct — per-user running count of DISTINCT event
+# types over the event timeline ("how much of the product has this user
+# touched by event t?" — the engagement-breadth curve).  The naive form,
+# count(DISTINCT x) OVER (... ROWS UNBOUNDED PRECEDING), re-scans every
+# prefix (quadratic per user) and Spark does not support DISTINCT window
+# aggregates at all; the scale-correct rewrite is FIRST-SEEN + RUNNING
+# SUM: row_number() = 1 over (user, type) marks each type's first
+# occurrence, and a plain cumulative sum of that 0/1 flag over the user
+# timeline IS the distinct count — two linear windows instead of a
+# quadratic rescan.  The oracle runs DuckDB's genuinely different
+# evaluation (native DISTINCT window aggregate), so the differential
+# check crosses evaluation strategies, not just engines.
+#
+# 100-TB design: both windows hash-partition on user_id (the second's
+# key is a prefix of the first's, so AQE/exchange reuse can pipeline
+# them); (ts, event_id) is a total order per user, making RANGE/ROWS
+# frames coincide and the flag deterministic.  No shuffle beyond the
+# per-user repartition the event log needs anyway; no state beyond the
+# running counter.
+# ---------------------------------------------------------------------------
+
+
+def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type")
+    first_w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    cum_w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+             .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (ev
+            .withColumn("first_seen",
+                        F.when(F.row_number().over(first_w) == 1,
+                               F.lit(1)).otherwise(F.lit(0)))
+            .select("event_id", "user_id",
+                    F.sum("first_seen").over(cum_w).cast("bigint")
+                    .alias("n_distinct_types")))
+
+
+_CUMDISTINCT_SQL = """
+SELECT event_id, user_id,
+       CAST(count(DISTINCT event_type) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_distinct_types
+FROM events
+"""
+
 STAGED: dict = {
     "q_copurchase_pairs": (q_copurchase_pairs, _COPURCHASE_SQL),
     "graph_triangle_count": (graph_triangle_count, _TRIANGLE_SQL),
     "snapshot_rollback": (snapshot_rollback, _rollback_sql()),
     "events_transition_matrix": (events_transition_matrix, _TRANSITION_SQL),
+    "graph_kcore": (graph_kcore, _kcore_sql()),
+    "window_cumulative_distinct": (window_cumulative_distinct,
+                                   _CUMDISTINCT_SQL),
 }

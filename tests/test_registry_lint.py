@@ -196,6 +196,9 @@ _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
         "probe list (Q×nprobe), per-cell ADC table (Q×nprobe×M×K), "
         "query vectors (Q)",
     ("llm/search.py", "text_inverted_index_search"): "literal query terms",
+    ("llm/staged_r9.py", "sample_importance_weights"):
+        "256-row hashed-bucket LLR table — fixed feature space at any "
+        "corpus size (the DSIR hashing trick)",
     ("llm/search.py", "bm25_probe"):
         "literal query terms + 1-row corpus stats + per-query-term df rows",
     ("llm/similarity.py", "cell_similarities"): "label centroids (≤10)",

@@ -429,6 +429,22 @@ def _scale_corpus(spark, sf_dir, tmp_root, mult):
     ])
     lineitem.write.mode("overwrite").parquet(os.path.join(path,
                                                           "lineitem.parquet"))
+
+    # r8 second batch — window_cumulative_distinct needs the event log;
+    # replicas shift user_id and event_id so per-user timelines stay the
+    # same length (more users, not longer histories — the shape a growing
+    # product has; window state per user is CONSTANT across scale)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type")
+    events = _rep_union([ev] + [
+        ev.select((F.col("event_id") + rep * 10_000_000).alias("event_id"),
+                  "ts",
+                  (F.col("user_id") + rep * 1_000_000).alias("user_id"),
+                  "event_type")
+        for rep in range(1, mult)
+    ])
+    events.write.mode("overwrite").parquet(os.path.join(path,
+                                                        "events.parquet"))
     return path
 
 
@@ -461,7 +477,10 @@ def test_scale_curve_heavy_ops_near_linear(spark, tmp_path_factory):
            "text_decontamination", "sample_split_no_leakage",
            # r8 — round-9 staged ops measured BEFORE promotion
            "text_repetition_filter", "sim_kcenter_coreset",
-           "q_copurchase_pairs", "sim_mmr_rerank"]
+           "q_copurchase_pairs", "sim_mmr_rerank",
+           # r8 second batch of round-9 staged ops
+           "dedup_containment", "sample_importance_weights",
+           "graph_kcore", "window_cumulative_distinct"]
     # graph_triangle_count is deliberately NOT in the recurring list: the
     # sf0.1 co-purchase graph is dense (avg degree ~60), so its base cost
     # (~40 s) would dominate this test.  Its one-off measured curve

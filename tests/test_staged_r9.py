@@ -96,6 +96,11 @@ def test_staged_no_unintended_scale_flags(spark, sf_dir):
             # per-version scalar summary (count + sum over a snapshot
             # read), as the registered snapshot_* queries
             "snapshot_rollback",
+            # per-peel-round 1-row node/edge counts (6 rounds, fixed)
+            "graph_kcore",
+            # 1-row corpus/target token totals feeding the 256-row LLR
+            # broadcast
+            "sample_importance_weights",
         },
     }
     bad = []
