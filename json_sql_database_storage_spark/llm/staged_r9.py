@@ -654,6 +654,64 @@ FROM toks JOIN llr USING (b)
 GROUP BY doc_id
 """
 
+# ---------------------------------------------------------------------------
+# 9. text_token_entropy — per-document Shannon entropy of the token
+# distribution (lexical diversity): H = ln n − (1/n)·Σ_types c·ln c.
+# Low-entropy docs are boilerplate/keyword-stuffed (the MassiveText /
+# RefinedWeb diversity filters use exactly this signal); unlike the
+# repetition rules it is threshold-free, so it composes with the
+# LM-quality bucketing as a second curation axis.
+#
+# 100-TB design: one explode + one (doc, token) count + one per-doc fold
+# — every aggregation map-side-combinable, no cross-doc state, corpus
+# touched once.  Determinism: c and n are exact integers, ln c lands in
+# the q6 fixed point BEFORE the Σ c·q6(ln c) fold (an exact BIGINT sum,
+# ordering-free), and the final H assembles from those integers with
+# one division — the unigram/bigram-LM discipline applied to entropy.
+# ---------------------------------------------------------------------------
+
+
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text_analysis import tokens
+
+    tc = (load_table(spark, sf_dir, "documents")
+          .select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+          .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c")))
+    per = (tc.groupBy("doc_id")
+           .agg(F.sum("c").alias("n"),
+                F.count(F.lit(1)).alias("n_types"),
+                F.sum(F.col("c")
+                      * F.floor(F.log(F.col("c").cast("double")) * 1000000
+                                + F.lit(0.5)).cast("bigint"))
+                .alias("sq")))
+    return per.select(
+        "doc_id", F.col("n").alias("n_tokens"), "n_types",
+        (F.floor(F.log(F.col("n").cast("double")) * 1000000 + F.lit(0.5))
+         .cast("double") / 1000000.0
+         - F.col("sq").cast("double") / F.col("n") / 1000000.0)
+        .alias("entropy_nats"))
+
+
+_ENTROPY_SQL = r"""
+WITH tc AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        FROM documents)
+  GROUP BY doc_id, w),
+per AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS sq
+  FROM tc GROUP BY doc_id)
+SELECT doc_id, n AS n_tokens, n_types,
+       CAST(floor(ln(CAST(n AS DOUBLE)) * 1000000 + 0.5) AS DOUBLE)
+         / 1000000.0
+       - CAST(sq AS DOUBLE) / n / 1000000.0 AS entropy_nats
+FROM per
+"""
+
 # Full register() payloads, promoted in round 9 by moving each entry into
 # a @register decorator (the round-7 → round-8 protocol).
 STAGED: dict = {
@@ -666,4 +724,5 @@ STAGED: dict = {
     "text_bigram_logprob": (text_bigram_logprob, _BIGRAM_LM_SQL),
     "dedup_containment": (dedup_containment, _CONTAINMENT_SQL),
     "sample_importance_weights": (sample_importance_weights, _DSIR_SQL),
+    "text_token_entropy": (text_token_entropy, _ENTROPY_SQL),
 }

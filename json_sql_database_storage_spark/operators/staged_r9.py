@@ -423,6 +423,132 @@ SELECT event_id, user_id,
 FROM events
 """
 
+# ---------------------------------------------------------------------------
+# graph_label_propagation — community detection by synchronous label
+# propagation (Raghavan et al. 2007) over the customer↔supplier trade
+# graph (the graph_pagerank edge set, multi-edges kept so propagation is
+# TRADE-VOLUME-weighted): every node starts as its own label; each
+# superstep it adopts the most frequent label among its neighbors, ties
+# to the smallest label — a deterministic tie-break making the whole
+# trajectory reproducible cross-engine (vanilla LPA breaks ties
+# randomly; a fleet re-run must not).  Output is the community census
+# (label, n_members) after R=4 supersteps.
+#
+# 100-TB design: a superstep is ONE edge equi-join on src + ONE
+# map-side-combinable (dst, label) count + ONE per-dst argmax folded as
+# min(struct(-cnt, label)) — the same K×-shuffle-avoiding aggregation
+# argmax the ANN assignment sites use; no windows, no driver-side graph.
+# Supersteps are fixed-R with lineage cut per step (localCheckpoint, the
+# pagerank_ranks recipe).  The oracle unrolls the identical recurrence
+# as an R-step MATERIALIZED CTE chain with row_number() — a genuinely
+# different argmax evaluation that must agree because counts are exact
+# integers and the tie-break is total.
+# ---------------------------------------------------------------------------
+
+_LPA_STEPS = 4
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _PR_OFFSET = 1000000
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_suppkey")
+    e0 = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+          .select(F.col("o_custkey").alias("c"),
+                  (F.col("l_suppkey") + _PR_OFFSET).alias("s")))
+    edges = (e0.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+             .unionByName(e0.select(F.col("s").alias("src"),
+                                    F.col("c").alias("dst")))
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .select("node", F.col("node").alias("label"))
+              .localCheckpoint(eager=True))
+    for _ in range(_LPA_STEPS):
+        cnt = (edges.join(labels.withColumnRenamed("node", "src"), "src")
+               .groupBy(F.col("dst").alias("node"), "label")
+               .agg(F.count(F.lit(1)).alias("cnt")))
+        labels = (cnt.groupBy("node")
+                  .agg(F.min(F.struct((-F.col("cnt")).alias("neg"),
+                                      F.col("label").alias("l")))
+                       .alias("m"))
+                  .select("node", F.col("m.l").alias("label"))
+                  .localCheckpoint(eager=True))
+    return (labels.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+            .orderBy("label"))
+
+
+def _lpa_sql() -> str:
+    parts = ["""e AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT l_suppkey + 1000000 AS src, o_custkey AS dst
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey))""",
+             "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, "
+             "src AS label FROM e)"]
+    for r in range(1, _LPA_STEPS + 1):
+        parts.append(f"""l{r} AS MATERIALIZED (
+  SELECT node, label FROM (
+    SELECT e.dst AS node, l.label, count(*) AS cnt,
+           row_number() OVER (PARTITION BY e.dst
+                              ORDER BY count(*) DESC, l.label) AS rk
+    FROM e JOIN l{r - 1} l ON l.node = e.src
+    GROUP BY e.dst, l.label)
+  WHERE rk = 1)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT label, CAST(count(*) AS BIGINT) AS n_members "
+              f"FROM l{_LPA_STEPS} GROUP BY label ORDER BY label")
+
+
+# ---------------------------------------------------------------------------
+# window_ewma_smoothing — exponentially-weighted moving average of each
+# user's event values (the monitoring/feature-engineering smoother).
+# EWMA is a RECURRENCE (y_t = αx_t + (1−α)y_{t−1}) — inexpressible as a
+# built-in window aggregate — but with α = 1/2 the weights 2^-(k+1)
+# decay below double noise after a few lags, so the production form is
+# the TRUNCATED kernel: y_t = Σ_{k<8} 2^-(k+1) x_{t−k} / Σ_{k<8,
+# present} 2^-(k+1), all eight lags evaluated inside ONE window operator
+# (one user_id exchange + one sort, eight lag() reads of the same
+# sorted run).  α = 1/2 is chosen deliberately: every weight is a power
+# of two, so each product is an exact double SCALING and the fixed
+# left-to-right sum is bit-identical cross-engine — no guard band, no
+# fixed point needed.  The oracle runs the identical eight-lag kernel.
+# ---------------------------------------------------------------------------
+
+_EWMA_LAGS = 8
+
+
+def window_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(_EWMA_LAGS):
+        wk = 2.0 ** -(k + 1)
+        x = F.lag("value", k).over(w)
+        num = num + F.when(x.isNotNull(), x * F.lit(wk)).otherwise(F.lit(0.0))
+        den = den + F.when(x.isNotNull(), F.lit(wk)).otherwise(F.lit(0.0))
+    return ev.select("event_id", "user_id",
+                     (num / den).alias("ewma_value"))
+
+
+def _ewma_sql() -> str:
+    num, den = [], []
+    for k in range(_EWMA_LAGS):
+        wk = repr(2.0 ** -(k + 1))
+        lag = (f"lag(value, {k}) OVER (PARTITION BY user_id "
+               f"ORDER BY ts, event_id)")
+        num.append(f"coalesce({lag} * {wk}, 0.0)")
+        den.append(f"CASE WHEN {lag} IS NOT NULL THEN {wk} ELSE 0.0 END")
+    return (f"SELECT event_id, user_id,\n       ({' + '.join(num)})\n"
+            f"       / ({' + '.join(den)}) AS ewma_value\nFROM events")
+
+
 STAGED: dict = {
     "q_copurchase_pairs": (q_copurchase_pairs, _COPURCHASE_SQL),
     "graph_triangle_count": (graph_triangle_count, _TRIANGLE_SQL),
@@ -431,4 +557,6 @@ STAGED: dict = {
     "graph_kcore": (graph_kcore, _kcore_sql()),
     "window_cumulative_distinct": (window_cumulative_distinct,
                                    _CUMDISTINCT_SQL),
+    "graph_label_propagation": (graph_label_propagation, _lpa_sql()),
+    "window_ewma_smoothing": (window_ewma_smoothing, _ewma_sql()),
 }
