@@ -450,6 +450,39 @@ class DocumentStore:
         raise SnapshotConflict(f"compact of {table!r} lost the commit race "
                                f"{_MAX_COMMIT_RETRIES} times")
 
+    # Maintenance: clone a table (Delta SHALLOW CLONE / Iceberg
+    # snapshot-ref counterpart).  Shallow = the clone's v0 manifest is the
+    # source's current manifest verbatim — O(1) metadata, ZERO data copied;
+    # both tables then evolve independently (a write to either lands in
+    # its own root; COW means shared dirs are never mutated, only
+    # dereferenced).  deep=True materializes instead: one O(table) write
+    # into the clone's own root, after which the clone is storage-
+    # independent.
+    #
+    # GC HAZARD (same as Delta's): a shallow clone references data dirs
+    # under the SOURCE's root, and vacuum is per-table — it cannot know
+    # about clones, so vacuuming the source after its cloned version
+    # expires DELETES dirs the clone still references, breaking the
+    # clone (pinned in tests/test_documents.py).  The safe recipes:
+    # deep-clone, or never vacuum a shallow-cloned source past the
+    # cloned version.
+    def clone(self, src: str, dst: str, deep: bool = False) -> None:
+        if self.version(dst) >= 0:
+            raise ValueError(f"clone target {dst!r} already exists")
+        m = self._manifest(src)               # raises if src uncommitted
+        if deep:
+            cur = self.read(src)
+            b = self._buckets_of(m)
+            new_dirs = self._write_data(cur, dst, b)
+            manifest: dict = {_META_KEY: b,
+                              _SCHEMA_KEY: cur.schema.json()}
+            for bucket, d in new_dirs.items():
+                manifest[bucket] = [d]
+        else:
+            manifest = dict(m)                # same dir paths, src's root
+        os.makedirs(self._root(dst), exist_ok=True)
+        self._commit_at(dst, 0, manifest)
+
     # A1 end-to-end: shred documents and upsert every produced table
     def save_docs(self, docs: DataFrame, root: str) -> ShredResult:
         result = shred(docs, root)

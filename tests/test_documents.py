@@ -848,3 +848,74 @@ def test_store_diff_across_maintenance_commits_is_empty(spark, tmp_path):
                  "things")                                             # v4
     assert ([tuple(r) for r in store.diff("things", 3, 4).collect()]
             == [("upsert", 20)])
+
+
+def test_store_clone_shallow_is_metadata_only_and_diverges(spark, tmp_path):
+    """r8: clone() is the SHALLOW CLONE verb — the clone's v0 manifest is
+    the source's current manifest verbatim (zero data copied, dirs under
+    the SOURCE's root), after which the two tables evolve independently:
+    a write to the clone rewrites only its touched bucket into the
+    CLONE's root while untouched buckets stay physically shared."""
+    import os
+
+    from json_sql_database_storage_spark.documents.store import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "collections"), n_buckets=4)
+    store.upsert(docs_df(spark, [{"rowNum": k, "name": f"n{k}", "v": k}
+                                 for k in range(1, 9)]), "things")
+    store.clone("things", "things2")
+    m_src = store._manifest("things")
+    m_dst = store._manifest("things2", 0)
+    assert ({k: [os.path.realpath(p) for p in v]
+             for k, v in m_dst.items() if k >= 0}
+            == {k: [os.path.realpath(p) for p in v]
+                for k, v in m_src.items() if k >= 0})
+    # zero data dirs under the clone's root
+    root2 = store._root("things2")
+    assert not [e for e in os.scandir(root2)
+                if e.is_dir() and e.name.startswith("data-")]
+    assert (sorted(r["name"] for r in store.read("things2").collect())
+            == [f"n{k}" for k in range(1, 9)])
+    # divergence: write to the clone; source unchanged; untouched buckets
+    # still physically shared with the source's dirs
+    store.upsert(docs_df(spark, [{"rowNum": 3, "name": "CLONE", "v": 0}]),
+                 "things2")
+    assert store.read("things").filter("rowNum = 3").collect()[0]["name"] == "n3"
+    assert store.read("things2").filter("rowNum = 3").collect()[0]["name"] == "CLONE"
+    m1 = store._manifest("things2", 1)
+    src_real = os.path.realpath(store._root("things"))
+    touched = 3 % 4
+    for b in (k for k in m1 if k >= 0):
+        for p in m1[b]:
+            inside_src = os.path.commonpath(
+                [src_real, os.path.realpath(p)]) == src_real
+            assert inside_src == (b != touched), (b, p)
+    # re-cloning onto an existing table fails loudly
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        store.clone("things", "things2")
+
+
+def test_store_clone_vacuum_hazard_and_deep_clone_safety(spark, tmp_path):
+    """r8: the documented shallow-clone GC hazard (Delta has the same
+    one): vacuum is per-table and cannot know about clones, so vacuuming
+    the source past the cloned version deletes dirs the shallow clone
+    still references — the clone breaks.  A deep clone is
+    storage-independent and survives the same vacuum."""
+    import pytest as _pytest
+
+    from json_sql_database_storage_spark.documents.store import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "collections"), n_buckets=4)
+    store.upsert(docs_df(spark, [{"rowNum": k, "name": f"n{k}", "v": k}
+                                 for k in range(1, 9)]), "things")      # v0
+    store.clone("things", "shallow")
+    store.clone("things", "deep", deep=True)
+    # advance the source so v0's dirs become exclusively clone-referenced
+    store.upsert(docs_df(spark, [{"rowNum": k, "name": f"m{k}", "v": -k}
+                                 for k in range(1, 9)]), "things")      # v1
+    store.vacuum("things", keep_last=1, min_age_seconds=0.0)
+    assert store.read("things").count() == 8           # source intact
+    assert store.read("deep").count() == 8             # deep clone intact
+    with _pytest.raises(Exception):                    # the pinned hazard
+        store.read("shallow").collect()
