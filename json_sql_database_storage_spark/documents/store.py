@@ -77,8 +77,18 @@ _SCHEMA_KEY = -2        # manifest slot holding the commit's schema JSON —
                         # what makes a ZERO-ROW committed version readable
                         # (every table format records schema in metadata;
                         # parquet footers alone can't serve an empty table)
-_RESERVED = (_META_KEY, _SCHEMA_KEY)
+_CONSTRAINT_KEY = -3    # manifest slot holding {name: SQL predicate} CHECK
+                        # constraints — versioned metadata like the schema,
+                        # so AS-OF readers see the rules their version was
+                        # written under
+_RESERVED = (_META_KEY, _SCHEMA_KEY, _CONSTRAINT_KEY)
 _BUCKET = "_bucket"     # partition column name inside a commit's data dir
+
+
+class ConstraintViolation(Exception):
+    """A write's delta failed a table CHECK constraint; nothing was
+    committed (and nothing was written — validation runs BEFORE the data
+    write, so a rejected delta leaves no orphan dirs for VACUUM)."""
 
 
 class DocumentStore:
@@ -137,6 +147,81 @@ class DocumentStore:
         return (self.spark.read.option("mergeSchema", "true")
                 .parquet(*dirs))
 
+    # ---- CHECK constraints (Delta ADD CONSTRAINT counterpart) --------------
+    def _constraints_of(self, manifest: dict) -> dict[str, str]:
+        return dict(manifest.get(_CONSTRAINT_KEY) or {})
+
+    def _validate(self, df: DataFrame, constraints: dict[str, str]) -> None:
+        """SQL-standard CHECK semantics: a row violates only when the
+        predicate is FALSE (NULL passes, as in Delta).  One validation
+        pass over the DELTA only — existing rows were validated by the
+        commit that wrote them, so enforcement stays O(delta) at any
+        table size."""
+        for name in sorted(constraints):
+            pred = constraints[name]
+            n_bad = df.filter(
+                ~F.coalesce(F.expr(pred), F.lit(True))).count()
+            if n_bad:
+                raise ConstraintViolation(
+                    f"constraint {name!r} ({pred}) violated by {n_bad} "
+                    f"delta row(s); commit aborted")
+
+    def add_constraint(self, table: str, name: str, predicate: str) -> None:
+        """Record a CHECK constraint as versioned table metadata.  Like
+        Delta's ALTER TABLE ADD CONSTRAINT, the EXISTING rows are
+        validated first (one O(table) pass, the only time the full table
+        is ever checked); the commit itself is metadata-only — the new
+        manifest re-references every current data dir.  Constraints ride
+        the manifest, so AS-OF reads and restore() see the rules their
+        version was written under, and every later append/upsert
+        validates its delta against them."""
+        for _ in range(_MAX_COMMIT_RETRIES):
+            base_v = self.version(table)
+            if base_v < 0:
+                raise ValueError(f"table {table!r} has no committed version")
+            prev = self._manifest(table, base_v)
+            cons = self._constraints_of(prev)
+            self._validate(self.read_asof(table, base_v),
+                           {name: predicate})
+            cons[name] = predicate
+            manifest = dict(prev)
+            manifest[_CONSTRAINT_KEY] = cons
+            try:
+                self._commit_at(table, base_v + 1, manifest)
+                return
+            except SnapshotConflict:
+                continue    # a writer landed meanwhile: re-validate on it
+        raise SnapshotConflict(f"add_constraint on {table!r} lost the "
+                               f"commit race {_MAX_COMMIT_RETRIES} times")
+
+    def drop_constraint(self, table: str, name: str) -> None:
+        """Metadata-only removal; history keeps the constraint in the
+        versions that were written under it."""
+        for _ in range(_MAX_COMMIT_RETRIES):
+            base_v = self.version(table)
+            prev = self._manifest(table, base_v)
+            cons = self._constraints_of(prev)
+            cons.pop(name, None)
+            manifest = dict(prev)
+            if cons:
+                manifest[_CONSTRAINT_KEY] = cons
+            else:
+                manifest.pop(_CONSTRAINT_KEY, None)
+            try:
+                self._commit_at(table, base_v + 1, manifest)
+                return
+            except SnapshotConflict:
+                continue
+        raise SnapshotConflict(f"drop_constraint on {table!r} lost the "
+                               f"commit race {_MAX_COMMIT_RETRIES} times")
+
+    def constraints(self, table: str,
+                    version: int | None = None) -> dict[str, str]:
+        """The CHECK constraints a version was committed under (latest
+        when None) — versioned metadata, so restore() also restores the
+        rule set of the target version."""
+        return self._constraints_of(self._manifest(table, version))
+
     # ---- commit machinery ---------------------------------------------------
     def _write_data(self, df: DataFrame, table: str,
                     n_buckets: int | None = None) -> dict[int, str]:
@@ -189,8 +274,13 @@ class DocumentStore:
                 b = self._buckets_of(prev)
             else:
                 prev, b = {_META_KEY: self.n_buckets}, self.n_buckets
+            cons = self._constraints_of(prev)
+            if cons:
+                self._validate(df, cons)    # O(delta), before any write
             delta = self._write_data(df, table, b)
             manifest: dict = {_META_KEY: b, _SCHEMA_KEY: df.schema.json()}
+            if cons:
+                manifest[_CONSTRAINT_KEY] = cons
             for bucket in range(b):
                 dirs = list(prev.get(bucket, []))
                 if bucket in delta:
@@ -225,6 +315,10 @@ class DocumentStore:
                 prev = self._manifest(table, base_v)
                 b = self._buckets_of(prev)
                 touched = set(self._touched_buckets(df, b))
+            cons = self._constraints_of(prev)
+            if cons:
+                self._validate(df, cons)    # O(delta), before any write
+            if base_v >= 0:
                 old_dirs = self._dirs_of(prev, touched)
                 if old_dirs:
                     old = (self.spark.read.option("mergeSchema", "true")
@@ -239,6 +333,8 @@ class DocumentStore:
                 touched = set(new_dirs)
             manifest: dict = {_META_KEY: b,
                               _SCHEMA_KEY: merged.schema.json()}
+            if cons:
+                manifest[_CONSTRAINT_KEY] = cons
             for bucket in range(b):
                 if bucket in touched:
                     if bucket in new_dirs:
@@ -282,6 +378,8 @@ class DocumentStore:
             manifest: dict = {_META_KEY: b}
             if schema_json is not None:
                 manifest[_SCHEMA_KEY] = schema_json
+            if self._constraints_of(prev):
+                manifest[_CONSTRAINT_KEY] = self._constraints_of(prev)
             for bucket in range(b):
                 if bucket in touched:
                     if bucket in new_dirs:
@@ -313,6 +411,9 @@ class DocumentStore:
             new_dirs = self._write_data(cur, table, n_buckets)
             manifest: dict = {_META_KEY: n_buckets,
                               _SCHEMA_KEY: cur.schema.json()}
+            cons = self._constraints_of(self._manifest(table, base_v))
+            if cons:
+                manifest[_CONSTRAINT_KEY] = cons
             for bucket, d in new_dirs.items():
                 manifest[bucket] = [d]
             try:
@@ -436,6 +537,8 @@ class DocumentStore:
             manifest: dict = {_META_KEY: b}
             if _SCHEMA_KEY in prev:
                 manifest[_SCHEMA_KEY] = prev[_SCHEMA_KEY]
+            if self._constraints_of(prev):
+                manifest[_CONSTRAINT_KEY] = self._constraints_of(prev)
             for bucket in range(b):
                 if bucket in frag:
                     if bucket in new_dirs:
@@ -476,6 +579,8 @@ class DocumentStore:
             new_dirs = self._write_data(cur, dst, b)
             manifest: dict = {_META_KEY: b,
                               _SCHEMA_KEY: cur.schema.json()}
+            if self._constraints_of(m):
+                manifest[_CONSTRAINT_KEY] = self._constraints_of(m)
             for bucket, d in new_dirs.items():
                 manifest[bucket] = [d]
         else:

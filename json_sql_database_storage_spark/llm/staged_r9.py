@@ -712,6 +712,71 @@ SELECT doc_id, n AS n_tokens, n_types,
 FROM per
 """
 
+# ---------------------------------------------------------------------------
+# 10. text_keyword_topk — per-document keyword extraction: the top-3
+# TF-IDF terms of every doc (the labeling/faceting primitive behind
+# search snippets and topic tagging).  Differs from the registered
+# text_tfidf (a corpus-level score table) by the per-doc RANKED
+# selection, which is exactly the plan shape that matters at scale:
+# top-N per group runs as WindowGroupLimit (rank pushed BEFORE the
+# exchange, so the shuffle carries O(docs·k) rows, not every (doc,term)
+# score — the window_top_n_per_group scale story applied to text).
+#
+# Determinism: score = tf · q6(ln(N/df)) is an exact BIGINT (tf, N, df
+# integers; ln in the q6 fixed point BEFORE the multiply), so ranking by
+# (score desc, term) is a total order over exact values and both engines
+# select identical keyword sets.
+# ---------------------------------------------------------------------------
+
+_KEYWORD_K = 3
+
+
+def text_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text_analysis import tokens
+
+    tc = (load_table(spark, sf_dir, "documents")
+          .select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+          .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")))
+    tc = scoped_persist(tc)
+    n_docs = (tc.select("doc_id").distinct()
+              .agg(F.count(F.lit(1)).alias("n_docs")))
+    df_tbl = tc.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    scored = (tc.join(df_tbl, "w").crossJoin(F.broadcast(n_docs))
+              .select("doc_id", "w",
+                      (F.col("tf") * F.floor(
+                          F.log(F.col("n_docs").cast("double")
+                                / F.col("df").cast("double")) * 1000000
+                          + F.lit(0.5)).cast("bigint")).alias("score_q6")))
+    ranked = scored.withColumn(
+        "rk", F.row_number().over(
+            W.partitionBy("doc_id").orderBy(F.col("score_q6").desc(), "w")))
+    return (ranked.filter(F.col("rk") <= _KEYWORD_K)
+            .select("doc_id", "rk", F.col("w").alias("keyword"), "score_q6"))
+
+
+_KEYWORD_SQL = rf"""
+WITH tc AS (
+  SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        FROM documents)
+  GROUP BY doc_id, w),
+n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tc),
+dft AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tc GROUP BY w),
+scored AS (
+  SELECT doc_id, w,
+         tf * CAST(floor(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+                         * 1000000 + 0.5) AS BIGINT) AS score_q6
+  FROM tc JOIN dft USING (w) CROSS JOIN n),
+ranked AS (
+  SELECT doc_id, w, score_q6,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score_q6 DESC, w) AS rk
+  FROM scored)
+SELECT doc_id, rk, w AS keyword, score_q6
+FROM ranked WHERE rk <= {_KEYWORD_K}
+"""
+
 # Full register() payloads, promoted in round 9 by moving each entry into
 # a @register decorator (the round-7 → round-8 protocol).
 STAGED: dict = {
@@ -725,4 +790,5 @@ STAGED: dict = {
     "dedup_containment": (dedup_containment, _CONTAINMENT_SQL),
     "sample_importance_weights": (sample_importance_weights, _DSIR_SQL),
     "text_token_entropy": (text_token_entropy, _ENTROPY_SQL),
+    "text_keyword_topk": (text_keyword_topk, _KEYWORD_SQL),
 }

@@ -549,6 +549,219 @@ def _ewma_sql() -> str:
             f"       / ({' + '.join(den)}) AS ewma_value\nFROM events")
 
 
+# ---------------------------------------------------------------------------
+# q_basket_lift — association-rule LIFT for co-purchased part pairs:
+# lift(a,b) = P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b), the
+# market-basket step AFTER the raw pair census (q_copurchase_pairs):
+# high-count pairs of two individually-popular parts are expected;
+# lift > 1 finds genuinely associated ones.  A support floor (n_ab ≥ 3,
+# the Apriori discipline) kills the rare-pair noise where a single
+# co-occurrence of two rare parts fakes a huge lift.
+#
+# 100-TB design: the pair census is the bounded-blow-up order-local
+# self-join (see q_copurchase_pairs); per-part counts are one map-side
+# census; N is a 1-row broadcast.  Every lift is a ratio of EXACT
+# integer products (all < 2^53), so the double compares bit-identically
+# cross-engine and the top-20 ordering (lift desc, part_a, part_b — a
+# total order) selects the same set in both engines.
+# ---------------------------------------------------------------------------
+
+_LIFT_MIN_SUPPORT = 3
+
+
+def q_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    items = (load_table(spark, sf_dir, "lineitem")
+             .select("l_orderkey", "l_partkey").distinct())
+    n_orders = (items.select("l_orderkey").distinct()
+                .agg(F.count(F.lit(1)).alias("n_orders")))
+    per_part = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_part"))
+    pairs = (items.alias("a")
+             .join(items.select(F.col("l_orderkey"),
+                                F.col("l_partkey").alias("pb")).alias("b"),
+                   ["l_orderkey"])
+             .filter(F.col("a.l_partkey") < F.col("pb"))
+             .groupBy(F.col("a.l_partkey").alias("part_a"),
+                      F.col("pb").alias("part_b"))
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .filter(F.col("n_ab") >= _LIFT_MIN_SUPPORT))
+    return (pairs
+            .join(per_part.select(F.col("l_partkey").alias("part_a"),
+                                  F.col("n_part").alias("n_a")), "part_a")
+            .join(per_part.select(F.col("l_partkey").alias("part_b"),
+                                  F.col("n_part").alias("n_b")), "part_b")
+            .crossJoin(F.broadcast(n_orders))
+            .select("part_a", "part_b", "n_ab",
+                    ((F.col("n_ab") * F.col("n_orders")).cast("double")
+                     / (F.col("n_a") * F.col("n_b")).cast("double"))
+                    .alias("lift"))
+            .orderBy(F.col("lift").desc(), "part_a", "part_b")
+            .limit(_TOPN))
+
+
+_LIFT_SQL = f"""
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM items),
+pp AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_part
+       FROM items GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {_LIFT_MIN_SUPPORT})
+SELECT part_a, part_b, n_ab,
+       CAST(n_ab * n_orders AS DOUBLE)
+       / CAST(pa.n_part * pb.n_part AS DOUBLE) AS lift
+FROM pairs
+JOIN pp pa ON pa.l_partkey = part_a
+JOIN pp pb ON pb.l_partkey = part_b
+CROSS JOIN n
+ORDER BY lift DESC, part_a, part_b
+LIMIT {_TOPN}
+"""
+
+# ---------------------------------------------------------------------------
+# graph_connected_components — component census of the STRONG trade
+# graph: customer↔supplier edges kept only where the pair traded ≥ 4
+# lineitems (the raw bipartite graph is one giant component — thresholding
+# to strong relationships is what splinters it into the analytically
+# interesting clusters).  Labels come from the dedup family's
+# pointer-jumping cc_labels (llm/dedup.py) — O(log diameter) supersteps,
+# each one equi-join + one map-side min, no driver-side graph — the SAME
+# primitive the leakage-safe split and survivor election already rely
+# on, here surfaced as a first-class graph query.  The oracle reaches
+# the identical fixed point by a different algorithm entirely:
+# R=12 MATERIALIZED rounds of min-label propagation (R ≥ any strong
+# component's diameter at these SFs; propagation past convergence is a
+# no-op, so overshooting is safe).  Output: one row per component
+# (component id = min node, member count), plus member list for exact
+# hash-matching.
+# ---------------------------------------------------------------------------
+
+_STRONG_EDGE_MIN = 4
+_CC_ORACLE_ROUNDS = 12
+
+
+def graph_connected_components(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from ..llm.dedup import cc_labels
+
+    _PR_OFFSET = 1000000
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
+                                                      "l_suppkey")
+    strong = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+              .groupBy(F.col("o_custkey").alias("c"),
+                       (F.col("l_suppkey") + _PR_OFFSET).alias("s"))
+              .agg(F.count(F.lit(1)).alias("w"))
+              .filter(F.col("w") >= _STRONG_EDGE_MIN))
+    labels = cc_labels(strong.select(F.col("c").alias("id_a"),
+                                     F.col("s").alias("id_b")))
+    return (labels.groupBy(F.col("label").alias("component_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"),
+                 F.to_json(F.array_sort(F.collect_list("node")))
+                 .alias("members"))
+            .orderBy("component_id"))
+
+
+def _cc_sql() -> str:
+    parts = [f"""strong AS MATERIALIZED (
+  SELECT o_custkey AS c, l_suppkey + 1000000 AS s
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {_STRONG_EDGE_MIN})""",
+             """e AS MATERIALIZED (
+  SELECT c AS src, s AS dst FROM strong
+  UNION ALL SELECT s AS src, c AS dst FROM strong)""",
+             "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, "
+             "src AS label FROM e)"]
+    for r in range(1, _CC_ORACLE_ROUNDS + 1):
+        parts.append(f"""l{r} AS MATERIALIZED (
+  SELECT n.node, least(n.label, coalesce(min(nb.label), n.label)) AS label
+  FROM l{r - 1} n
+  LEFT JOIN e ON e.src = n.node
+  LEFT JOIN l{r - 1} nb ON nb.node = e.dst
+  GROUP BY n.node, n.label)""")
+    return ("WITH " + ",\n".join(parts)
+            + f"""
+SELECT label AS component_id, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(to_json(list(node ORDER BY node)) AS VARCHAR) AS members
+FROM l{_CC_ORACLE_ROUNDS} GROUP BY label ORDER BY component_id""")
+
+
+# ---------------------------------------------------------------------------
+# stream_distinct_running — the STREAMING twin of
+# window_cumulative_distinct: per-user distinct event-type census
+# maintained as custom state across micro-batches
+# (applyInPandasWithState, the b9.6 recipe with SET-valued state).  The
+# scale argument is the state bound: the stored set can never exceed
+# the event-TYPE domain (5 values here; any real product's taxonomy is
+# O(100s)) — state per user is O(|type domain|), NOT O(stream length),
+# the difference between a stream that runs forever and one that OOMs.
+# Updates are monotone (sets only grow), so the final state per user is
+# the row with the max count, and replayed batches are value-idempotent
+# (set union — the same monotone-merge discipline as the CDC-sink
+# recipe).  Oracle: final state ≡ the whole-table batch distinct census,
+# member lists included (sorted, comma-joined — exact string equality).
+# ---------------------------------------------------------------------------
+
+
+def stream_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..streaming.runner import (cleanup, read_event_stream,
+                                    run_stream_to_table, stage_event_chunks)
+
+    def update(key, batches, state: "GroupState"):
+        seen: set[str] = set()
+        if state.exists and state.get[0]:
+            seen = set(state.get[0].split(","))
+        for pdf in batches:
+            seen |= set(pdf["event_type"].astype(str))
+        joined = ",".join(sorted(seen))
+        state.update((joined,))
+        yield pd.DataFrame({"user_id": [key[0]],
+                            "n_distinct_types": [len(seen)],
+                            "types": [joined]})
+
+    staged = stage_event_chunks(spark, sf_dir)
+    try:
+        ev = read_event_stream(spark, staged)
+        out = ev.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType=("user_id BIGINT, n_distinct_types BIGINT, "
+                              "types STRING"),
+            stateStructType="types STRING",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout)
+        sink = run_stream_to_table(out, output_mode="update")
+        # update mode appends one row per (user, micro-batch); the final
+        # state is the max-count row (counts are monotone, and equal
+        # counts imply the identical set — sets only grow)
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("user_id").orderBy(
+            F.col("n_distinct_types").desc(), F.col("types"))
+        return (sink.withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") == 1).drop("rk")
+                .orderBy("user_id"))
+    finally:
+        cleanup(staged)
+
+
+_STREAM_DISTINCT_SQL = """
+SELECT user_id,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct_types,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
 STAGED: dict = {
     "q_copurchase_pairs": (q_copurchase_pairs, _COPURCHASE_SQL),
     "graph_triangle_count": (graph_triangle_count, _TRIANGLE_SQL),
@@ -559,4 +772,8 @@ STAGED: dict = {
                                    _CUMDISTINCT_SQL),
     "graph_label_propagation": (graph_label_propagation, _lpa_sql()),
     "window_ewma_smoothing": (window_ewma_smoothing, _ewma_sql()),
+    "q_basket_lift": (q_basket_lift, _LIFT_SQL),
+    "graph_connected_components": (graph_connected_components, _cc_sql()),
+    "stream_distinct_running": (stream_distinct_running,
+                                _STREAM_DISTINCT_SQL),
 }

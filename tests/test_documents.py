@@ -919,3 +919,64 @@ def test_store_clone_vacuum_hazard_and_deep_clone_safety(spark, tmp_path):
     assert store.read("deep").count() == 8             # deep clone intact
     with _pytest.raises(Exception):                    # the pinned hazard
         store.read("shallow").collect()
+
+
+def test_store_check_constraints_gate_commits(spark, tmp_path):
+    """r8: CHECK constraints as versioned table metadata (Delta ADD
+    CONSTRAINT counterpart).  add_constraint validates EXISTING rows once
+    (O(table), metadata-only commit); every later append/upsert validates
+    its DELTA only, BEFORE any data write — a rejected delta leaves no
+    new version AND no orphan data dir.  NULL predicate results pass
+    (SQL-standard CHECK semantics); constraints survive compact/rebucket
+    and roll back with restore()."""
+    import os
+
+    import pytest as _pytest
+
+    from json_sql_database_storage_spark.documents.store import (
+        ConstraintViolation, DocumentStore)
+
+    store = DocumentStore(spark, str(tmp_path / "collections"), n_buckets=4)
+    store.upsert(docs_df(spark, [{"rowNum": k, "name": f"n{k}", "v": k}
+                                 for k in range(1, 9)]), "things")      # v0
+    store.add_constraint("things", "v_positive", "v >= 0")              # v1
+    assert store.constraints("things") == {"v_positive": "v >= 0"}
+    # adding a constraint existing rows violate fails and commits nothing
+    with _pytest.raises(ConstraintViolation):
+        store.add_constraint("things", "impossible", "v > 100")
+    assert store.version("things") == 1
+
+    def n_data_dirs():
+        root = store._root("things")
+        return len([e for e in os.scandir(root)
+                    if e.is_dir() and e.name.startswith("data-")])
+
+    dirs_before = n_data_dirs()
+    with _pytest.raises(ConstraintViolation):                # bad delta
+        store.append(docs_df(spark, [{"rowNum": 50, "name": "bad",
+                                      "v": -1}]), "things")
+    assert store.version("things") == 1          # nothing committed …
+    assert n_data_dirs() == dirs_before          # … and nothing written
+    with _pytest.raises(ConstraintViolation):
+        store.upsert(docs_df(spark, [{"rowNum": 3, "name": "bad",
+                                      "v": -9}]), "things")
+    # a clean delta commits; a NULL predicate result passes (std CHECK)
+    store.append(docs_df(spark, [{"rowNum": 60, "name": "ok", "v": 7},
+                                 {"rowNum": 61, "name": "nul", "v": None}]),
+                 "things")                                              # v2
+    assert store.read("things").count() == 10
+    # constraints ride maintenance commits …
+    store.compact("things")                                            # v3
+    store.rebucket("things", 8)                                        # v4
+    assert store.constraints("things") == {"v_positive": "v >= 0"}
+    # … and restore() restores the PRE-constraint rule set with the data
+    store.restore("things", 0)                                         # v5
+    assert store.constraints("things") == {}
+    store.append(docs_df(spark, [{"rowNum": 70, "name": "neg", "v": -5}]),
+                 "things")                        # legal again at v5's rules
+    # drop_constraint is metadata-only
+    store.restore("things", 4)                                         # v7
+    store.drop_constraint("things", "v_positive")                      # v8
+    store.append(docs_df(spark, [{"rowNum": 71, "name": "neg2", "v": -6}]),
+                 "things")
+    assert (store.read("things").filter("v < 0").count() == 1)

@@ -199,6 +199,10 @@ _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
     ("llm/staged_r9.py", "sample_importance_weights"):
         "256-row hashed-bucket LLR table — fixed feature space at any "
         "corpus size (the DSIR hashing trick)",
+    ("llm/staged_r9.py", "text_keyword_topk"):
+        "1-row global doc count (IDF denominator)",
+    ("operators/staged_r9.py", "q_basket_lift"):
+        "1-row global order count (lift denominator)",
     ("llm/search.py", "bm25_probe"):
         "literal query terms + 1-row corpus stats + per-query-term df rows",
     ("llm/similarity.py", "cell_similarities"): "label centroids (≤10)",

@@ -101,6 +101,8 @@ def test_staged_no_unintended_scale_flags(spark, sf_dir):
             # 1-row corpus/target token totals feeding the 256-row LLR
             # broadcast
             "sample_importance_weights",
+            # 1-row global order / doc counts (broadcast scalars)
+            "q_basket_lift", "text_keyword_topk",
         },
     }
     bad = []
