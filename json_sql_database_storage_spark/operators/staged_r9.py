@@ -762,6 +762,46 @@ GROUP BY user_id
 ORDER BY user_id
 """
 
+# ---------------------------------------------------------------------------
+# scan_python_datasource — the b1-family extension-point exhibit: ingest
+# through a CUSTOM Python data source (Spark 4 pyspark.sql.datasource —
+# sources/pyds.py), the API for formats Spark has no built-in reader for.
+# The exhibit round-trips the documents projection through JSON-lines
+# chunk files read back by the custom source (one InputPartition per
+# file — scan parallelism = file count, as the built-in file sources),
+# then aggregates per language; the oracle computes the same census
+# straight off the parquet table, so the differential proves the custom
+# reader is lossless and correctly typed.  Honest caveat in the module
+# docstring: rows cross the Python boundary, so this is the extension
+# point, not the fast path for formats Spark already knows.
+# ---------------------------------------------------------------------------
+
+
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pyds import register_jsondocs
+    from .scans import _sink
+
+    out = _sink("pyds_docs", spark)
+    (load_table(spark, sf_dir, "documents")
+     .select("doc_id", "lang", "n_chars")
+     .repartition(4)
+     .write.mode("overwrite").json(out))
+    register_jsondocs(spark)
+    docs = (spark.read.format("jsondocs").option("path", out).load())
+    return (docs.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"))
+            .orderBy("lang"))
+
+
+_PYDS_SQL = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
 STAGED: dict = {
     "q_copurchase_pairs": (q_copurchase_pairs, _COPURCHASE_SQL),
     "graph_triangle_count": (graph_triangle_count, _TRIANGLE_SQL),
@@ -776,4 +816,5 @@ STAGED: dict = {
     "graph_connected_components": (graph_connected_components, _cc_sql()),
     "stream_distinct_running": (stream_distinct_running,
                                 _STREAM_DISTINCT_SQL),
+    "scan_python_datasource": (scan_python_datasource, _PYDS_SQL),
 }

@@ -187,3 +187,31 @@ def test_r7_primitives_on_empty_inputs(spark, sf_dir, tmp_path):
         expire_snapshots(str(tmp_path / "root"),
                          {0: {1995: str(outside)}, 1: {}}, keep_last=1)
     assert outside.exists()
+
+
+def test_store_constraints_and_clone_on_empty_states(spark, tmp_path):
+    """r8 verbs at the degenerate states a first crawl hits: an EMPTY
+    delta passes constraint validation and commits cleanly (no touched
+    buckets — the manifest just re-references every prior dir), and a
+    table whose current version is fully emptied still shallow-clones
+    (the clone reads as a typed empty DataFrame via the manifest-recorded
+    schema)."""
+    from json_sql_database_storage_spark.documents.fixtures import docs_df
+    from json_sql_database_storage_spark.documents.store import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "collections"), n_buckets=2)
+    base = docs_df(spark, [{"rowNum": k, "name": f"n{k}", "v": k}
+                           for k in (1, 2, 3)])
+    store.upsert(base, "things")                                       # v0
+    store.add_constraint("things", "pos", "v >= 0")                    # v1
+    empty = base.filter("rowNum < 0")
+    store.append(empty, "things")                                      # v2
+    store.upsert(empty, "things")                                      # v3
+    assert store.version("things") == 3
+    assert store.read("things").count() == 3
+    # empty the table, then clone the empty version
+    store.delete(base.select("rowNum"), "things")                      # v4
+    assert store.read("things").count() == 0
+    store.clone("things", "things_empty")
+    out = store.read("things_empty")
+    assert out.count() == 0 and "name" in out.columns

@@ -480,7 +480,11 @@ def test_scale_curve_heavy_ops_near_linear(spark, tmp_path_factory):
            "q_copurchase_pairs", "sim_mmr_rerank",
            # r8 second batch of round-9 staged ops
            "dedup_containment", "sample_importance_weights",
-           "graph_kcore", "window_cumulative_distinct"]
+           "graph_kcore", "window_cumulative_distinct",
+           # r8 third/fourth batches (corpus-sized members only: EWMA and
+           # keyword-topk ride already-measured families)
+           "graph_label_propagation", "q_basket_lift",
+           "graph_connected_components"]
     # graph_triangle_count is deliberately NOT in the recurring list: the
     # sf0.1 co-purchase graph is dense (avg degree ~60), so its base cost
     # (~40 s) would dominate this test.  Its one-off measured curve

@@ -112,3 +112,16 @@ def test_staged_no_unintended_scale_flags(spark, sf_dir):
             if label in plan and name not in allow[label]:
                 bad.append((name, label))
     assert not bad, bad
+
+
+def test_staged_keyword_topk_uses_window_group_limit(spark, sf_dir):
+    """The COVERAGE claim made literal: the per-doc top-3 rank runs as
+    WindowGroupLimit (rank limit pushed before the exchange), so the
+    shuffle carries O(docs·k) rows — the top-N-per-group scale story."""
+    from json_sql_database_storage_spark.llm.staged_r9 import STAGED
+    from json_sql_database_storage_spark.plans.inspect import (
+        explain_formatted,
+    )
+
+    plan = explain_formatted(STAGED["text_keyword_topk"][0](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
