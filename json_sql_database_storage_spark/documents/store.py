@@ -222,6 +222,38 @@ class DocumentStore:
         rule set of the target version."""
         return self._constraints_of(self._manifest(table, version))
 
+    def upsert_with_quarantine(self, df: DataFrame, table: str,
+                               quarantine: str) -> dict[str, int]:
+        """The expect-or-quarantine ingest recipe (Delta Live Tables'
+        ``expect_or_drop`` with a dead-letter table): instead of aborting
+        the whole commit on a bad delta (plain upsert + constraints),
+        split the delta ONCE against the table's rule set — clean rows
+        commit to `table`, violating rows commit to the `quarantine`
+        table annotated with the names of the constraints they broke —
+        so a 100-TB crawl ingests what it can and quarantines what it
+        can't, without a human in the loop.  One pass over the delta
+        computes the verdict column; both halves commit through the
+        normal CAS path (each crash-safe on its own).  Returns
+        {"committed": n, "quarantined": n}."""
+        cons = self.constraints(table)
+        if not cons:
+            self.upsert(df, table)
+            return {"committed": df.count(), "quarantined": 0}
+        broken = F.array_compact(F.array(*[
+            F.when(~F.coalesce(F.expr(pred), F.lit(True)), F.lit(name))
+            for name, pred in sorted(cons.items())]))
+        tagged = df.withColumn("_broken", broken)
+        bad = (tagged.filter(F.size("_broken") > 0)
+               .withColumn("_broken", F.to_json("_broken")))
+        good = tagged.filter(F.size("_broken") == 0).drop("_broken")
+        n_bad = bad.count()
+        if n_bad:
+            self.upsert(bad, quarantine)
+        n_good = good.count()
+        if n_good:
+            self.upsert(good, table)
+        return {"committed": n_good, "quarantined": n_bad}
+
     # ---- commit machinery ---------------------------------------------------
     def _write_data(self, df: DataFrame, table: str,
                     n_buckets: int | None = None) -> dict[int, str]:

@@ -11,6 +11,10 @@ Reference parity note (SURVEY.md §2 docstring convention): the reference
 (DatabaseManager.java:280-381) has no analytical surface; these rows are
 Part-B derived operators mandated by the driver contract's LLM-pipeline
 families (dedup / similarity / text analysis / curation sampling).
+Beyond the four documented below, later round-8 batches added (each with
+its own section comment): the bigram LM, MMR re-ranking, asymmetric
+containment dedup, DSIR importance weights, token entropy, and per-doc
+TF-IDF keyword extraction.
 
 1. text_repetition_filter — the Gopher repetition rules (Rae et al. 2021
    §A1.1): documents dominated by repeated n-grams are boilerplate or

@@ -1,6 +1,12 @@
-"""Decision-support shape STAGED for round 9 (same window-budgeting
-protocol as llm/staged_r9.py; promoted by moving the STAGED entry into a
-@register decorator next round).
+"""Relational / graph / window / streaming shapes STAGED for round 9
+(same window-budgeting protocol as llm/staged_r9.py; promoted by moving
+the STAGED entry into a @register decorator next round).  Current
+entries — see each operator's section comment for its 100-TB design:
+market-basket pair census + association-rule lift, triangle census,
+snapshot rollback, Markov transition matrix, k-core peeling trajectory,
+cumulative-distinct and truncated-EWMA windows, label-propagation
+communities, strong-edge connected components, a set-valued-state
+streaming distinct census, and a custom Python data source exhibit.
 
 q_copurchase_pairs — market-basket co-purchase mining: the top part pairs
 that appear together in the same order (the retail affinity query behind

@@ -980,3 +980,36 @@ def test_store_check_constraints_gate_commits(spark, tmp_path):
     store.append(docs_df(spark, [{"rowNum": 71, "name": "neg2", "v": -6}]),
                  "things")
     assert (store.read("things").filter("v < 0").count() == 1)
+
+
+def test_store_upsert_with_quarantine_splits_delta(spark, tmp_path):
+    """r8: the expect-or-quarantine ingest recipe (DLT expect_or_drop
+    with a dead-letter table): one pass tags each delta row with the
+    constraints it breaks; clean rows commit to the table, violators to
+    the quarantine table with their verdicts — ingest never aborts and
+    nothing is silently dropped."""
+    from json_sql_database_storage_spark.documents.store import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "collections"), n_buckets=2)
+    store.upsert(docs_df(spark, [{"rowNum": k, "name": f"n{k}", "v": k}
+                                 for k in (1, 2, 3)]), "things")
+    store.add_constraint("things", "pos", "v >= 0")
+    store.add_constraint("things", "named", "name IS NOT NULL")
+    delta = docs_df(spark, [
+        {"rowNum": 5, "name": "ok", "v": 5},          # clean
+        {"rowNum": 6, "name": "neg", "v": -1},        # breaks pos
+        {"rowNum": 7, "name": None, "v": -2},         # breaks both
+    ])
+    res = store.upsert_with_quarantine(delta, "things", "things_dead")
+    assert res == {"committed": 1, "quarantined": 2}
+    assert (sorted(r["rowNum"] for r in store.read("things").collect())
+            == [1, 2, 3, 5])
+    dead = {r["rowNum"]: r["_broken"]
+            for r in store.read("things_dead").collect()}
+    assert dead == {6: '["pos"]', 7: '["named","pos"]'}
+    # a fully-clean delta takes the plain-upsert path
+    res2 = store.upsert_with_quarantine(
+        docs_df(spark, [{"rowNum": 8, "name": "ok8", "v": 8}]),
+        "things", "things_dead")
+    assert res2 == {"committed": 1, "quarantined": 0}
+    assert store.read("things_dead").count() == 2
