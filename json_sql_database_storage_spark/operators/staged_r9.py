@@ -6,7 +6,9 @@ market-basket pair census + association-rule lift, triangle census,
 snapshot rollback, Markov transition matrix, k-core peeling trajectory,
 cumulative-distinct and truncated-EWMA windows, label-propagation
 communities, strong-edge connected components, a set-valued-state
-streaming distinct census, and a custom Python data source exhibit.
+streaming distinct census, an incrementally-maintained Misra-Gries
+heavy-hitter sketch over the stream, and a custom Python data source
+exhibit.
 
 q_copurchase_pairs — market-basket co-purchase mining: the top part pairs
 that appear together in the same order (the retail affinity query behind
@@ -808,6 +810,114 @@ GROUP BY lang
 ORDER BY lang
 """
 
+# ---------------------------------------------------------------------------
+# stream_heavy_hitters — Misra-Gries top-k maintained INCREMENTALLY over
+# the event stream through the idempotent versioned-state protocol
+# (versioned_batch_apply): per micro-batch, the per-term counts merge
+# into the sketch table and a RELATIONAL MG reduction (subtract the
+# (cap+1)-th largest count, drop non-positive — the same rule as
+# llm/sketches._mg_reduce, here as a DataFrame transform over the
+# ≤ cap + batch-terms row state) caps it back to k−1 entries.  The
+# mergeable-summaries guarantee (Agarwal et al. 2012) survives batching:
+# every term with frequency > W/k is still present when the stream
+# drains, so the exact verification pass over the static table —
+# restricted to the sketch's candidates — returns EXACTLY the brute-force
+# heavy hitters, which is the oracle.  Terms are (event_type, value
+# bucket) pairs so the sketch genuinely reduces (≈20 live terms vs
+# cap 9) and five true hitters exist at every SF.
+#
+# 100-TB design: sketch state is O(k) rows REGARDLESS of stream length
+# or term cardinality (the whole point of MG); each micro-batch costs
+# one map-side per-term count + one tiny-state merge; state versions are
+# parquet + marker (durable, replay-idempotent, driver-restart-safe) —
+# the b9.8 commit protocol, not an in-memory Counter.  The per-version
+# rank window runs on the O(k) state table (allowlisted single
+# partition: constant bytes at any scale).
+# ---------------------------------------------------------------------------
+
+_SHH_K = 10
+
+
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from ..streaming.queries import (_read_version_marker,
+                                     versioned_batch_apply)
+    from ..streaming.runner import (cleanup, read_event_stream,
+                                    stage_event_chunks)
+
+    cap = _SHH_K - 1
+    term = F.concat_ws("_", F.col("event_type"),
+                       F.floor(F.col("value") / 50).cast("int")
+                       .cast("string"))
+    staged = stage_event_chunks(spark, sf_dir)
+    state_dir = tempfile.mkdtemp(prefix="mg_state_")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        part = (batch_df.select(term.alias("term"))
+                .groupBy("term").agg(F.count(F.lit(1)).alias("c")))
+
+        def make_version(prev: DataFrame | None) -> DataFrame:
+            merged = part if prev is None else (
+                prev.unionByName(part).groupBy("term")
+                .agg(F.sum("c").alias("c")))
+            ranked = merged.withColumn(
+                "rk", F.row_number().over(
+                    W.orderBy(F.col("c").desc(), "term")))
+            m = ranked.agg(F.coalesce(
+                F.max(F.when(F.col("rk") == cap + 1, F.col("c"))),
+                F.lit(0)).alias("m"))
+            return (ranked.crossJoin(F.broadcast(m))
+                    .select("term", (F.col("c") - F.col("m")).alias("c"))
+                    .filter(F.col("c") > 0))
+
+        versioned_batch_apply(spark, state_dir, batch_id, make_version)
+
+    try:
+        q = (read_event_stream(spark, staged)
+             .writeStream.foreachBatch(merge)
+             .outputMode("append").start())
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        latest = _read_version_marker(state_dir)
+        # the sketch IS bounded driver state (≤ cap rows by construction) —
+        # collect it eagerly so the returned plan outlives the temp state
+        # dir (the manifest-sized-collect convention)
+        cand_terms = sorted(
+            r["term"] for r in
+            spark.read.parquet(f"{state_dir}/v{latest}").collect())
+        words = (load_table(spark, sf_dir, "events")
+                 .select(term.alias("term")))
+        n = words.agg(F.count(F.lit(1)).cast("double").alias("n_words"))
+        return (words.filter(F.col("term").isin(cand_terms))
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("freq"))
+                .crossJoin(F.broadcast(n))
+                .filter(F.col("freq") > F.col("n_words") / _SHH_K)
+                .select("term", "freq")
+                .orderBy(F.col("freq").desc(), "term"))
+    finally:
+        cleanup(staged)
+        shutil.rmtree(state_dir, ignore_errors=True)
+
+
+_STREAM_HH_SQL = f"""
+WITH w AS (SELECT event_type || '_' ||
+                  CAST(CAST(floor(value / 50) AS INT) AS VARCHAR) AS term
+           FROM events),
+n AS (SELECT count(*) AS n_words FROM w)
+SELECT term, count(*) AS freq
+FROM w, n
+GROUP BY term, n.n_words
+HAVING count(*) > n.n_words / {_SHH_K}.0
+ORDER BY freq DESC, term
+"""
+
 STAGED: dict = {
     "q_copurchase_pairs": (q_copurchase_pairs, _COPURCHASE_SQL),
     "graph_triangle_count": (graph_triangle_count, _TRIANGLE_SQL),
@@ -823,4 +933,5 @@ STAGED: dict = {
     "stream_distinct_running": (stream_distinct_running,
                                 _STREAM_DISTINCT_SQL),
     "scan_python_datasource": (scan_python_datasource, _PYDS_SQL),
+    "stream_heavy_hitters": (stream_heavy_hitters, _STREAM_HH_SQL),
 }

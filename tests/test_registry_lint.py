@@ -203,6 +203,12 @@ _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
         "1-row global doc count (IDF denominator)",
     ("operators/staged_r9.py", "q_basket_lift"):
         "1-row global order count (lift denominator)",
+    ("operators/staged_r9.py", "stream_heavy_hitters"):
+        "1-row corpus word count (threshold scalar) + the O(k)-row MG "
+        "reduction scalar inside make_version",
+    ("operators/staged_r9.py", "make_version"):
+        "1-row MG reduction scalar (the (cap+1)-th largest count) — the "
+        "state table it reduces is O(k) rows by construction",
     ("llm/search.py", "bm25_probe"):
         "literal query terms + 1-row corpus stats + per-query-term df rows",
     ("llm/similarity.py", "cell_similarities"): "label centroids (≤10)",

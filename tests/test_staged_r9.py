@@ -103,6 +103,9 @@ def test_staged_no_unintended_scale_flags(spark, sf_dir):
             "sample_importance_weights",
             # 1-row global order / doc counts (broadcast scalars)
             "q_basket_lift", "text_keyword_topk",
+            # 1-row corpus word count (the text_heavy_hitters threshold
+            # scalar, same as the registered query's allowlisted shape)
+            "stream_heavy_hitters",
         },
     }
     bad = []
@@ -125,3 +128,14 @@ def test_staged_keyword_topk_uses_window_group_limit(spark, sf_dir):
 
     plan = explain_formatted(STAGED["text_keyword_topk"][0](spark, sf_dir))
     assert "WindowGroupLimit" in plan
+
+
+def test_staged_ewma_runs_in_one_window_operator(spark, sf_dir):
+    """The EWMA kernel's scale claim made literal: all eight lag() reads
+    evaluate inside ONE Window operator (single user_id exchange + one
+    sort), not one window per lag."""
+    from json_sql_database_storage_spark.operators.staged_r9 import STAGED
+
+    plan = (STAGED["window_ewma_smoothing"][0](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Window ") == 1
