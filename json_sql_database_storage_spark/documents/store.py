@@ -153,18 +153,25 @@ class DocumentStore:
 
     def _validate(self, df: DataFrame, constraints: dict[str, str]) -> None:
         """SQL-standard CHECK semantics: a row violates only when the
-        predicate is FALSE (NULL passes, as in Delta).  One validation
-        pass over the DELTA only — existing rows were validated by the
-        commit that wrote them, so enforcement stays O(delta) at any
-        table size."""
-        for name in sorted(constraints):
-            pred = constraints[name]
-            n_bad = df.filter(
-                ~F.coalesce(F.expr(pred), F.lit(True))).count()
-            if n_bad:
-                raise ConstraintViolation(
-                    f"constraint {name!r} ({pred}) violated by {n_bad} "
-                    f"delta row(s); commit aborted")
+        predicate is FALSE (NULL passes, as in Delta).  ONE aggregation
+        pass over the DELTA validates every constraint at once (a
+        per-constraint violation counter in a single job — not one scan
+        per rule); existing rows were validated by the commit that wrote
+        them, so enforcement stays O(delta) at any table size and any
+        rule count."""
+        names = sorted(constraints)
+        counts = df.agg(*[
+            F.sum(F.when(~F.coalesce(F.expr(constraints[n]), F.lit(True)),
+                         1).otherwise(0)).alias(n)
+            for n in names]).collect()[0]
+        bad = {n: counts[n] for n in names if counts[n]}
+        if bad:
+            detail = "; ".join(
+                f"{n!r} ({constraints[n]}): {c} row(s)"
+                for n, c in bad.items())
+            raise ConstraintViolation(
+                f"constraint(s) violated by the delta — {detail}; "
+                f"commit aborted")
 
     def add_constraint(self, table: str, name: str, predicate: str) -> None:
         """Record a CHECK constraint as versioned table metadata.  Like

@@ -7,8 +7,8 @@ snapshot rollback, Markov transition matrix, k-core peeling trajectory,
 cumulative-distinct and truncated-EWMA windows, label-propagation
 communities, strong-edge connected components, a set-valued-state
 streaming distinct census, an incrementally-maintained Misra-Gries
-heavy-hitter sketch over the stream, and a custom Python data source
-exhibit.
+heavy-hitter sketch over the stream, an exact rolling median, and a
+custom Python data source exhibit.
 
 q_copurchase_pairs — market-basket co-purchase mining: the top part pairs
 that appear together in the same order (the retail affinity query behind
@@ -918,6 +918,47 @@ HAVING count(*) > n.n_words / {_SHH_K}.0
 ORDER BY freq DESC, term
 """
 
+# ---------------------------------------------------------------------------
+# window_rolling_median — exact rolling median of each user's last 7
+# event values (the robust-statistics window member: medians shrug off
+# the value spikes that wreck rolling means — the monitoring smoother
+# you reach for when EWMA is too jumpy).  Spark has no median window
+# function; the scale-correct form for a SMALL FIXED frame is
+# collect_list over a ROWS frame + in-expression sort + middle element —
+# per-row cost O(L log L) with L = 7 CONSTANT, so the whole thing is
+# still one linear window pass (one user exchange + one sort), state
+# bounded by the frame length.  Even-length prefixes average the two
+# middle values; both engines compute (lo + hi) / 2.0 over exact parquet
+# doubles, so the result is bit-identical (DuckDB's continuous median
+# does exactly this interpolation).
+# ---------------------------------------------------------------------------
+
+_MEDIAN_FRAME = 7          # ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+
+
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value")
+    w = (W.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-(_MEDIAN_FRAME - 1), W.currentRow))
+    arr = F.sort_array(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    return ev.select("event_id", "user_id",
+                     ((lo + hi) / 2.0).alias("rolling_median"))
+
+
+_ROLLING_MEDIAN_SQL = f"""
+SELECT event_id, user_id,
+       median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN {_MEDIAN_FRAME - 1} PRECEDING
+                           AND CURRENT ROW) AS rolling_median
+FROM events
+"""
+
 STAGED: dict = {
     "q_copurchase_pairs": (q_copurchase_pairs, _COPURCHASE_SQL),
     "graph_triangle_count": (graph_triangle_count, _TRIANGLE_SQL),
@@ -934,4 +975,5 @@ STAGED: dict = {
                                 _STREAM_DISTINCT_SQL),
     "scan_python_datasource": (scan_python_datasource, _PYDS_SQL),
     "stream_heavy_hitters": (stream_heavy_hitters, _STREAM_HH_SQL),
+    "window_rolling_median": (window_rolling_median, _ROLLING_MEDIAN_SQL),
 }

@@ -1013,3 +1013,41 @@ def test_store_upsert_with_quarantine_splits_delta(spark, tmp_path):
         "things", "things_dead")
     assert res2 == {"committed": 1, "quarantined": 0}
     assert store.read("things_dead").count() == 2
+
+
+def test_store_rebase_revalidates_concurrently_added_constraint(spark,
+                                                                tmp_path):
+    """r8 constraints × CAS interplay: a writer validated its delta
+    against version N's rule set; if it loses the race to a concurrent
+    ADD CONSTRAINT, the rebase must RE-VALIDATE against the winner's
+    rules — otherwise the constraint is bypassed in exactly the race it
+    exists to survive.  Pinned with the same deterministic interleave as
+    the rebase test: our delta is legal under v0 (no rules), a
+    concurrent add_constraint wins v1, and our rebased attempt must be
+    REJECTED."""
+    import pytest as _pytest
+
+    from json_sql_database_storage_spark.documents.store import (
+        ConstraintViolation, DocumentStore)
+
+    base = str(tmp_path / "collections")
+    ours = DocumentStore(spark, base)
+    ours.upsert(docs_df(spark, [{"rowNum": 1, "name": "a", "v": 1}]),
+                "things")                                              # v0
+    other = DocumentStore(spark, base)
+    orig_commit = ours._commit_at
+    state = {"raced": False}
+
+    def racing_commit(table, version, manifest):
+        if not state["raced"]:
+            state["raced"] = True
+            other.add_constraint("things", "pos", "v >= 0")            # v1
+        return orig_commit(table, version, manifest)
+
+    ours._commit_at = racing_commit
+    with _pytest.raises(ConstraintViolation):
+        ours.upsert(docs_df(spark, [{"rowNum": 2, "name": "neg",
+                                     "v": -5}]), "things")
+    assert state["raced"]
+    assert ours.version("things") == 1       # only the constraint commit
+    assert ours.read("things").count() == 1  # the bad delta never landed

@@ -435,12 +435,12 @@ def _scale_corpus(spark, sf_dir, tmp_root, mult):
     # same length (more users, not longer histories — the shape a growing
     # product has; window state per user is CONSTANT across scale)
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type")
+        "event_id", "ts", "user_id", "event_type", "value")
     events = _rep_union([ev] + [
         ev.select((F.col("event_id") + rep * 10_000_000).alias("event_id"),
                   "ts",
                   (F.col("user_id") + rep * 1_000_000).alias("user_id"),
-                  "event_type")
+                  "event_type", "value")
         for rep in range(1, mult)
     ])
     events.write.mode("overwrite").parquet(os.path.join(path,
@@ -484,7 +484,10 @@ def test_scale_curve_heavy_ops_near_linear(spark, tmp_path_factory):
            # r8 third/fourth batches (corpus-sized members only: EWMA and
            # keyword-topk ride already-measured families)
            "graph_label_propagation", "q_basket_lift",
-           "graph_connected_components"]
+           "graph_connected_components",
+           # r8 fifth batch: the streaming MG sketch (state O(k) at any
+           # scale — the curve should show pure replay-volume growth)
+           "stream_heavy_hitters"]
     # graph_triangle_count is deliberately NOT in the recurring list: the
     # sf0.1 co-purchase graph is dense (avg degree ~60), so its base cost
     # (~40 s) would dominate this test.  Its one-off measured curve
