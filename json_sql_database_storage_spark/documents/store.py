@@ -81,7 +81,13 @@ _CONSTRAINT_KEY = -3    # manifest slot holding {name: SQL predicate} CHECK
                         # constraints — versioned metadata like the schema,
                         # so AS-OF readers see the rules their version was
                         # written under
-_RESERVED = (_META_KEY, _SCHEMA_KEY, _CONSTRAINT_KEY)
+_TS_KEY = -4            # manifest slot holding the commit's wall-clock
+                        # epoch seconds — what TIMESTAMP AS OF resolves
+                        # against (Delta records the same in its commit
+                        # metadata); stamped at claim time by _commit_at,
+                        # so even a restore (which re-commits an OLD
+                        # manifest verbatim) gets ITS OWN commit time
+_RESERVED = (_META_KEY, _SCHEMA_KEY, _CONSTRAINT_KEY, _TS_KEY)
 _BUCKET = "_bucket"     # partition column name inside a commit's data dir
 
 
@@ -293,8 +299,30 @@ class DocumentStore:
         version is pinned by the caller at READ time — committing at
         current_version()+1 computed here instead would let a racer's
         commit slide ours to a fresh number with no conflict, silently
-        dropping the racer's rows from our merge (lost update)."""
-        commit_manifest(self._root(table), version, manifest)
+        dropping the racer's rows from our merge (lost update).  Every
+        claim is stamped with ITS OWN wall-clock commit time (_TS_KEY,
+        overwriting any inherited stamp — a restore re-commits an old
+        manifest verbatim and must not inherit the old clock, or
+        TIMESTAMP AS OF ordering breaks)."""
+        stamped = dict(manifest)
+        stamped[_TS_KEY] = time.time()
+        commit_manifest(self._root(table), version, stamped)
+
+    def read_asof_timestamp(self, table: str, ts: float) -> DataFrame:
+        """TIMESTAMP AS OF: read the latest version committed at or
+        before wall-clock `ts` (epoch seconds) — Delta's timestamp time
+        travel.  Resolution scans O(versions) manifest stamps (tiny JSON
+        reads, no data dirs); clock ties resolve to the higher version
+        (commit order wins)."""
+        best = None
+        for v in range(self.version(table) + 1):
+            m = self._manifest(table, v)
+            if float(m.get(_TS_KEY, float("inf"))) <= ts:
+                best = v
+        if best is None:
+            raise ValueError(
+                f"no version of {table!r} committed at or before {ts}")
+        return self.read_asof(table, best)
 
     def _touched_buckets(self, df: DataFrame, b: int) -> list[int]:
         """Distinct buckets the delta lands in — ≤ B rows of driver state
@@ -386,6 +414,70 @@ class DocumentStore:
             except SnapshotConflict:
                 continue    # rebase: re-read the winner's version, retry
         raise SnapshotConflict(f"upsert to {table!r} lost the commit race "
+                               f"{_MAX_COMMIT_RETRIES} times")
+
+    # The full MERGE INTO verb (Delta/Iceberg MERGE; ANSI SQL:2003):
+    # matched rows update or delete by predicate, unmatched source rows
+    # insert — ALL IN ONE COMMIT, unlike delete-then-upsert which burns
+    # two versions and exposes an intermediate state readers can see.
+    # Bucket-granular like every other commit: only the SOURCE keys'
+    # buckets are read/merged/rewritten; a bucket emptied by the delete
+    # clause drops from the manifest; untouched buckets' dirs are reused.
+    # Constraints validate the to-be-written rows (updates + inserts)
+    # before any data write.
+    def merge(self, source: DataFrame, table: str,
+              delete_when: str | None = None) -> None:
+        """Upsert `source` by key with an optional WHEN MATCHED AND
+        <delete_when> THEN DELETE clause (a SQL predicate over the
+        SOURCE row's columns).  Rows of `source` satisfying
+        `delete_when` delete their target row instead of updating it;
+        the rest update-or-insert (the plain upsert semantics)."""
+        doomed = (source.filter(F.expr(delete_when)) if delete_when
+                  else source.limit(0))
+        writes = (source.join(doomed.select(KEY), KEY, "left_anti")
+                  if delete_when else source)
+        for _ in range(_MAX_COMMIT_RETRIES):
+            base_v = self.version(table)
+            if base_v < 0:
+                prev, b = {_META_KEY: self.n_buckets}, self.n_buckets
+                merged = writes
+                touched = None
+            else:
+                prev = self._manifest(table, base_v)
+                b = self._buckets_of(prev)
+                touched = set(self._touched_buckets(source, b))
+                old_dirs = self._dirs_of(prev, touched)
+                if old_dirs:
+                    old = (self.spark.read.option("mergeSchema", "true")
+                           .parquet(*old_dirs))
+                    merged = writes.unionByName(
+                        old.join(source.select(KEY), on=KEY,
+                                 how="left_anti"),
+                        allowMissingColumns=True)
+                else:
+                    merged = writes
+            cons = self._constraints_of(prev)
+            if cons:
+                self._validate(writes, cons)   # O(delta), before any write
+            new_dirs = self._write_data(merged, table, b)
+            if touched is None:
+                touched = set(new_dirs)
+            manifest: dict = {_META_KEY: b,
+                              _SCHEMA_KEY: merged.schema.json()}
+            if cons:
+                manifest[_CONSTRAINT_KEY] = cons
+            for bucket in range(b):
+                if bucket in touched:
+                    if bucket in new_dirs:
+                        manifest[bucket] = [new_dirs[bucket]]
+                elif prev.get(bucket):
+                    manifest[bucket] = list(prev[bucket])
+            try:
+                self._commit_at(table, base_v + 1, manifest)
+                return
+            except SnapshotConflict:
+                continue    # rebase: re-read the winner's version, retry
+        raise SnapshotConflict(f"merge into {table!r} lost the commit race "
                                f"{_MAX_COMMIT_RETRIES} times")
 
     # A5's destructive half at the store surface (the reference deletes by
@@ -523,10 +615,11 @@ class DocumentStore:
             m = self._manifest(table, v)
             buckets = [k for k in m if k not in _RESERVED]
             rows.append((v, self._buckets_of(m), len(buckets),
-                         sum(len(m[b]) for b in buckets)))
+                         sum(len(m[b]) for b in buckets),
+                         float(m[_TS_KEY]) if _TS_KEY in m else None))
         return self.spark.createDataFrame(
             rows, "version INT, n_buckets INT, n_live_buckets INT, "
-                  "n_data_dirs INT")
+                  "n_data_dirs INT, commit_ts DOUBLE")
 
     # Maintenance: roll the table back to an earlier version — the undo
     # verb (Iceberg rollback_to_snapshot / Delta RESTORE).  Metadata-only

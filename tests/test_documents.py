@@ -1051,3 +1051,87 @@ def test_store_rebase_revalidates_concurrently_added_constraint(spark,
     assert state["raced"]
     assert ours.version("things") == 1       # only the constraint commit
     assert ours.read("things").count() == 1  # the bad delta never landed
+
+
+def test_store_merge_is_one_commit_with_all_three_clauses(spark, tmp_path):
+    """r8: the full MERGE INTO verb — matched-update, matched-delete (by
+    source predicate), and not-matched-insert land in ONE commit (one
+    version, no intermediate state), bucket-granular like every other
+    commit; a source row that satisfies the delete clause removes its
+    target instead of updating it."""
+    import os
+
+    from json_sql_database_storage_spark.documents.store import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "collections"), n_buckets=4)
+    store.upsert(docs_df(spark, [{"rowNum": k, "name": f"n{k}", "v": k}
+                                 for k in (1, 2, 3, 4)]), "things")    # v0
+    src = docs_df(spark, [
+        {"rowNum": 2, "name": "upd", "v": 20},          # matched → update
+        {"rowNum": 3, "name": "x", "v": -1},            # matched → DELETE
+        {"rowNum": 9, "name": "ins", "v": 9},           # unmatched → insert
+    ])
+    store.merge(src, "things", delete_when="v < 0")                    # v1
+    assert store.version("things") == 1                 # ONE commit
+    rows = {r["rowNum"]: r for r in store.read("things").collect()}
+    assert set(rows) == {1, 2, 4, 9}
+    assert rows[2]["name"] == "upd" and rows[9]["name"] == "ins"
+    # bucket granularity: source keys {2,3,9} touch buckets {2,3,1};
+    # bucket 0 (rowNum 4) must be physically shared with v0
+    m0, m1 = store._manifest("things", 0), store._manifest("things", 1)
+    assert ([os.path.realpath(p) for p in m1[0]]
+            == [os.path.realpath(p) for p in m0[0]])
+    # pre-merge state stays AS-OF readable
+    assert store.lookup_asof("things", 3, 0).collect()[0]["name"] == "n3"
+    # constraints gate the merge's writes (updates + inserts)
+    import pytest as _pytest
+
+    from json_sql_database_storage_spark.documents.store import (
+        ConstraintViolation)
+
+    store.add_constraint("things", "pos", "v >= 0")                    # v2
+    with _pytest.raises(ConstraintViolation):
+        store.merge(docs_df(spark, [{"rowNum": 1, "name": "bad",
+                                     "v": -7}]), "things")
+    # ... but a delete-clause row is NOT a write, so it passes the rules
+    store.merge(docs_df(spark, [{"rowNum": 9, "name": "kill", "v": -1}]),
+                "things", delete_when="v < 0")                         # v3
+    assert 9 not in {r["rowNum"] for r in store.read("things").collect()}
+
+
+def test_store_timestamp_as_of_resolves_wall_clock_reads(spark, tmp_path):
+    """r8: TIMESTAMP AS OF (Delta's timestamp time travel): every commit
+    is stamped at CLAIM time, read_asof_timestamp resolves the latest
+    version at-or-before the given wall clock, and a restore gets its
+    OWN commit time (re-committing an old manifest must not inherit the
+    old clock, or timestamp ordering breaks)."""
+    import time as _time
+
+    import pytest as _pytest
+
+    from json_sql_database_storage_spark.documents.store import DocumentStore
+
+    store = DocumentStore(spark, str(tmp_path / "collections"), n_buckets=2)
+    store.upsert(docs_df(spark, [{"rowNum": 1, "name": "v0", "v": 0}]),
+                 "things")                                             # v0
+    t0 = _time.time()
+    _time.sleep(0.05)
+    store.upsert(docs_df(spark, [{"rowNum": 1, "name": "v1", "v": 1}]),
+                 "things")                                             # v1
+    t1 = _time.time()
+    _time.sleep(0.05)
+    store.restore("things", 0)                                         # v2
+    t2 = _time.time()
+    assert (store.read_asof_timestamp("things", t0)
+            .collect()[0]["name"] == "v0")
+    assert (store.read_asof_timestamp("things", t1)
+            .collect()[0]["name"] == "v1")
+    # the restore's commit time is ITS OWN — at t2 the table reads v0's
+    # CONTENT through v2, not v1
+    assert (store.read_asof_timestamp("things", t2)
+            .collect()[0]["name"] == "v0")
+    h = {r["version"]: r["commit_ts"]
+         for r in store.history("things").collect()}
+    assert h[0] < h[1] < h[2]              # stamps strictly ordered
+    with _pytest.raises(ValueError):
+        store.read_asof_timestamp("things", h[0] - 10.0)
