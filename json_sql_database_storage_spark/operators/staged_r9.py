@@ -7,8 +7,9 @@ snapshot rollback, Markov transition matrix, k-core peeling trajectory,
 cumulative-distinct and truncated-EWMA windows, label-propagation
 communities, strong-edge connected components, a set-valued-state
 streaming distinct census, an incrementally-maintained Misra-Gries
-heavy-hitter sketch over the stream, an exact rolling median, and a
-custom Python data source exhibit.
+heavy-hitter sketch over the stream, an exact rolling median,
+fixed-threshold RFM customer scoring, per-nation year-over-year revenue
+growth, and a custom Python data source exhibit.
 
 q_copurchase_pairs — market-basket co-purchase mining: the top part pairs
 that appear together in the same order (the retail affinity query behind
@@ -959,6 +960,115 @@ SELECT event_id, user_id,
 FROM events
 """
 
+# ---------------------------------------------------------------------------
+# events_rfm_scores — RFM (recency / frequency / monetary) customer
+# scoring, the workhorse segmentation behind retention campaigns.  The
+# naive scoring assigns quintiles with ntile() over THREE global sorts —
+# a SinglePartition bottleneck at any real user count; the scale-correct
+# form (the sample_lm_quality_buckets precedent) scores against FIXED
+# business thresholds: one map-side per-user fold, three CASE
+# comparisons, no global sort anywhere, and the scores are reproducible
+# across crawls because the thresholds don't move with the data.
+# Monetary folds exact integer cents; recency compares timestamps under
+# the pinned-UTC session, so every decision is exact in both engines.
+# ---------------------------------------------------------------------------
+
+_RFM_F_LO, _RFM_F_HI = 62, 70             # events per user
+_RFM_M_LO, _RFM_M_HI = 300000, 352000     # lifetime cents
+_RFM_R_CUT = "2024-01-30 12:00:00"        # last-seen recency split
+
+
+def events_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"))
+    per = (ev.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").cast("bigint").alias("cents"),
+                F.max("ts").alias("last_ts")))
+    f_score = (F.when(F.col("n_events") < _RFM_F_LO, 1)
+               .when(F.col("n_events") < _RFM_F_HI, 2).otherwise(3))
+    m_score = (F.when(F.col("cents") < _RFM_M_LO, 1)
+               .when(F.col("cents") < _RFM_M_HI, 2).otherwise(3))
+    r_score = (F.when(F.col("last_ts")
+                      < F.lit(_RFM_R_CUT).cast("timestamp"), 1)
+               .otherwise(2))
+    return (per.select("user_id", "n_events", "cents",
+                       r_score.alias("r_score"),
+                       f_score.alias("f_score"),
+                       m_score.alias("m_score"))
+            .orderBy("user_id"))
+
+
+_RFM_SQL = f"""
+WITH per AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+         max(ts) AS last_ts
+  FROM events GROUP BY user_id)
+SELECT user_id, n_events, cents,
+       CASE WHEN last_ts < TIMESTAMP '{_RFM_R_CUT}' THEN 1 ELSE 2 END
+         AS r_score,
+       CASE WHEN n_events < {_RFM_F_LO} THEN 1
+            WHEN n_events < {_RFM_F_HI} THEN 2 ELSE 3 END AS f_score,
+       CASE WHEN cents < {_RFM_M_LO} THEN 1
+            WHEN cents < {_RFM_M_HI} THEN 2 ELSE 3 END AS m_score
+FROM per
+ORDER BY user_id
+"""
+
+# ---------------------------------------------------------------------------
+# q_yearly_growth — year-over-year revenue growth per nation (the
+# time-series decision-support shape TPC-H lacks): revenue cents per
+# (nation, order year), growth = this year / last year via lag() over
+# the nation partition — the window partitions by nation, so there is NO
+# global sort; each nation's short year series sorts locally.  Cents are
+# exact BIGINTs and growth divides two exact integers, so the double is
+# bit-identical cross-engine.  The nation dim broadcasts (25 rows,
+# audited); the orders→customer join is a plain equi-join (both grow
+# with SF).
+# ---------------------------------------------------------------------------
+
+
+def q_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").cast("int").alias("o_year"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name")
+    rev = (o.join(c, "o_custkey").join(F.broadcast(n), "c_nationkey")
+           .groupBy("n_name", "o_year")
+           .agg(F.sum("cents").cast("bigint").alias("revenue_cents")))
+    w = W.partitionBy("n_name").orderBy("o_year")
+    return (rev.select(
+        "n_name", "o_year", "revenue_cents",
+        (F.col("revenue_cents").cast("double")
+         / F.lag("revenue_cents").over(w).cast("double"))
+        .alias("yoy_growth"))
+        .orderBy("n_name", "o_year"))
+
+
+_YOY_SQL = """
+WITH rev AS (
+  SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY n_name, o_year)
+SELECT n_name, o_year, revenue_cents,
+       CAST(revenue_cents AS DOUBLE)
+       / CAST(lag(revenue_cents) OVER (PARTITION BY n_name ORDER BY o_year)
+              AS DOUBLE) AS yoy_growth
+FROM rev
+ORDER BY n_name, o_year
+"""
+
 STAGED: dict = {
     "q_copurchase_pairs": (q_copurchase_pairs, _COPURCHASE_SQL),
     "graph_triangle_count": (graph_triangle_count, _TRIANGLE_SQL),
@@ -976,4 +1086,6 @@ STAGED: dict = {
     "scan_python_datasource": (scan_python_datasource, _PYDS_SQL),
     "stream_heavy_hitters": (stream_heavy_hitters, _STREAM_HH_SQL),
     "window_rolling_median": (window_rolling_median, _ROLLING_MEDIAN_SQL),
+    "events_rfm_scores": (events_rfm_scores, _RFM_SQL),
+    "q_yearly_growth": (q_yearly_growth, _YOY_SQL),
 }

@@ -485,8 +485,8 @@ def test_store_delete_is_bucket_granular_and_versioned(spark, tmp_path):
 
 @pytest.mark.slow
 def test_store_random_op_sequence_matches_model(spark, tmp_path):
-    """r8 model-based pin: a seeded random interleaving of
-    upsert/append/delete commits must leave every committed VERSION equal
+    """r8 model-based pin: a seeded random interleaving of ALL the store's
+    write/maintenance verbs must leave every committed VERSION equal
     to an in-memory dict model's snapshot at that commit — current read,
     full AS-OF history, and bucket-pruned point lookups all agree with
     the model.  Catches cross-op manifest bugs (a bucket list dropped by
@@ -507,9 +507,9 @@ def test_store_random_op_sequence_matches_model(spark, tmp_path):
                                for k, n, v in rows])
 
     ops_seen: set[str] = set()
-    for step in range(16):
+    for step in range(20):
         op = rng.choice(["upsert", "append", "delete",
-                         "compact", "rebucket", "restore"]
+                         "compact", "rebucket", "restore", "merge"]
                         if model else ["upsert", "append"])
         ops_seen.add(op)
         if op == "compact":
@@ -539,6 +539,23 @@ def test_store_random_op_sequence_matches_model(spark, tmp_path):
             store.append(rows_df(rows), "t")
             model.update({k: (n, v) for k, n, v in rows})
             used.update(take)
+        elif op == "merge":
+            # one commit mixing all three MERGE clauses: update existing
+            # keys, insert fresh ones, delete-flag others (v = -1)
+            upd = rng.sample(sorted(model),
+                             min(len(model), rng.randint(0, 2)))
+            fresh = [k for k in range(80, 120) if k not in used]
+            ins = rng.sample(fresh, rng.randint(1, 2))
+            rest = sorted(set(model) - set(upd))
+            dels = rng.sample(rest, min(len(rest), rng.randint(0, 2)))
+            rows = ([(k, f"m{step}", step * 100 + k) for k in upd + ins]
+                    + [(k, "kill", -1) for k in dels])
+            store.merge(rows_df(rows), "t", delete_when="v < 0")
+            model.update({k: (f"m{step}", step * 100 + k)
+                          for k in upd + ins})
+            for k in dels:
+                model.pop(k)
+            used.update(ins)
         else:
             doomed = rng.sample(sorted(model), min(len(model),
                                                    rng.randint(1, 3)))
@@ -554,7 +571,7 @@ def test_store_random_op_sequence_matches_model(spark, tmp_path):
 
     # the seed must actually exercise every verb (re-pick it if this trips)
     assert ops_seen >= {"upsert", "append", "delete",
-                        "compact", "rebucket", "restore"}, ops_seen
+                        "compact", "rebucket", "restore", "merge"}, ops_seen
     assert store.version("t") == len(history) - 1
     # full AS-OF history equals the model's snapshots
     for v, snap in enumerate(history):

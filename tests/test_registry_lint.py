@@ -206,6 +206,7 @@ _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
     ("operators/staged_r9.py", "stream_heavy_hitters"):
         "1-row corpus word count (threshold scalar) + the O(k)-row MG "
         "reduction scalar inside make_version",
+    ("operators/staged_r9.py", "q_yearly_growth"): "nation dim (25 rows)",
     ("operators/staged_r9.py", "make_version"):
         "1-row MG reduction scalar (the (cap+1)-th largest count) — the "
         "state table it reduces is O(k) rows by construction",
