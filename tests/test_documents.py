@@ -1152,3 +1152,54 @@ def test_store_timestamp_as_of_resolves_wall_clock_reads(spark, tmp_path):
     assert h[0] < h[1] < h[2]              # stamps strictly ordered
     with _pytest.raises(ValueError):
         store.read_asof_timestamp("things", h[0] - 10.0)
+
+
+def test_store_cdf_drives_incremental_ivfpq(spark, sf_dir, tmp_path):
+    """r8 composition, the ANN twin of the CDF→BM25 loop: a crawl's
+    embedding rows commit to the DocumentStore, diff() names exactly the
+    new vectors, and ivfpq_append encodes ONLY that delta against the
+    frozen codebook/centroids — the probe is then row-identical to an
+    index encoding the full committed corpus with the same artifacts.
+    Ties A5-cdf to b11.28e end-to-end."""
+    from pyspark.sql import functions as F
+
+    from json_sql_database_storage_spark.documents.store import DocumentStore
+    from json_sql_database_storage_spark.llm.pq import (
+        _IPQ_NQ, _ivfpq_encode_into, ivfpq_append, ivfpq_build, ivfpq_probe)
+    from json_sql_database_storage_spark.llm.similarity import as_double
+    from json_sql_database_storage_spark.operators.scans import _sink
+    from json_sql_database_storage_spark.sources import load_table
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("e"))
+    n = v.count()
+    split = int(n * 0.8)
+    base = v.filter(F.col("vec_id") < split)
+    delta = v.filter(F.col("vec_id") >= split)
+
+    store = DocumentStore(spark, str(tmp_path / "collections"), n_buckets=8)
+    store.upsert(base.select(F.col("vec_id").alias("rowNum"), "e"),
+                 "vectors")                                            # v0
+    paths = ivfpq_build(spark, base, "ivfpq_cdf_base")
+    store.upsert(delta.select(F.col("vec_id").alias("rowNum"), "e"),
+                 "vectors")                                            # v1
+
+    new_keys = (store.diff("vectors", 0, 1)
+                .filter(F.col("op") == "upsert").select("rowNum"))
+    assert new_keys.count() == delta.count()        # CDF found the crawl
+    new_vecs = (store.read("vectors").join(new_keys, "rowNum")
+                .select(F.col("rowNum").alias("vec_id"), "e"))
+    ivfpq_append(spark, paths, new_vecs)
+
+    committed = store.read("vectors").select(
+        F.col("rowNum").alias("vec_id"), "e")
+    rebuilt = dict(paths, index=_sink("ivfpq_cdf_rebuild", spark))
+    _ivfpq_encode_into(spark, rebuilt, committed, mode="overwrite")
+
+    q = (v.filter(F.col("vec_id") < _IPQ_NQ)
+         .select(F.col("vec_id").alias("query_id"), "e"))
+    got = [tuple(r) for r in
+           ivfpq_probe(spark, paths, q, committed).collect()]
+    want = [tuple(r) for r in
+            ivfpq_probe(spark, rebuilt, q, committed).collect()]
+    assert got == want and got
