@@ -9,7 +9,8 @@ communities, strong-edge connected components, a set-valued-state
 streaming distinct census, an incrementally-maintained Misra-Gries
 heavy-hitter sketch over the stream, an exact rolling median,
 fixed-threshold RFM customer scoring, per-nation year-over-year revenue
-growth, and a custom Python data source exhibit.
+growth, a driver-checkable MERGE INTO exhibit through the real
+DocumentStore, and a custom Python data source exhibit.
 
 q_copurchase_pairs — market-basket co-purchase mining: the top part pairs
 that appear together in the same order (the retail affinity query behind
@@ -1069,6 +1070,61 @@ FROM rev
 ORDER BY n_name, o_year
 """
 
+# ---------------------------------------------------------------------------
+# doc_merge — the full MERGE INTO verb surfaced as a DRIVER-CHECKABLE
+# query (the doc_upsert/doc_lookup_asof convention: deterministic
+# construction over orders, relational oracle): base commits to a real
+# DocumentStore, then ONE merge() commit updates keys ≡1 (mod 100)
+# (+500 cents), DELETES keys ≡2 (delete_when on the source row), and
+# inserts offset copies of keys ≡3 — matched-update, matched-delete and
+# not-matched-insert in a single version.  The read-back equals the
+# relational MERGE the oracle states.  100-TB story: the commit reads
+# and rewrites only the source keys' buckets (A5-merge), and one commit
+# means half the version churn of delete-then-upsert.
+# ---------------------------------------------------------------------------
+
+
+def doc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..documents.model import KEY
+    from ..documents.store import DocumentStore
+    from .scans import _sink
+
+    store = DocumentStore(spark, _sink("doc_merge_store", spark))
+    t = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias(KEY), "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    store.upsert(t, "orders_m")                                     # v0
+    upd = (t.filter(F.col(KEY) % 100 == 1)
+           .withColumn("cents", F.col("cents") + 500))
+    dels = (t.filter(F.col(KEY) % 100 == 2)
+            .withColumn("cents", F.lit(-1).cast("bigint")))
+    ins = (t.filter(F.col(KEY) % 100 == 3)
+           .withColumn(KEY, F.col(KEY) + 1000000))
+    store.merge(upd.unionByName(dels).unionByName(ins), "orders_m",
+                delete_when="cents < 0")                            # v1
+    return (store.read("orders_m")
+            .select(KEY, "o_custkey", "cents").orderBy(KEY))
+
+
+_DOC_MERGE_SQL = """
+WITH t AS (
+  SELECT o_orderkey AS "rowNum", o_custkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), merged AS (
+  SELECT "rowNum", o_custkey, cents + 500 AS cents
+  FROM t WHERE "rowNum" % 100 = 1
+  UNION ALL
+  SELECT "rowNum" + 1000000, o_custkey, cents
+  FROM t WHERE "rowNum" % 100 = 3
+  UNION ALL
+  SELECT * FROM t WHERE "rowNum" % 100 NOT IN (1, 2)
+)
+SELECT "rowNum", o_custkey, CAST(cents AS BIGINT) AS cents
+FROM merged
+ORDER BY "rowNum"
+"""
+
 STAGED: dict = {
     "q_copurchase_pairs": (q_copurchase_pairs, _COPURCHASE_SQL),
     "graph_triangle_count": (graph_triangle_count, _TRIANGLE_SQL),
@@ -1088,4 +1144,5 @@ STAGED: dict = {
     "window_rolling_median": (window_rolling_median, _ROLLING_MEDIAN_SQL),
     "events_rfm_scores": (events_rfm_scores, _RFM_SQL),
     "q_yearly_growth": (q_yearly_growth, _YOY_SQL),
+    "doc_merge": (doc_merge, _DOC_MERGE_SQL),
 }
