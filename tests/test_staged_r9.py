@@ -139,3 +139,28 @@ def test_staged_ewma_runs_in_one_window_operator(spark, sf_dir):
     plan = (STAGED["window_ewma_smoothing"][0](spark, sf_dir)
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Window ") == 1
+
+
+def test_staged_pyds_scan_parallelism_equals_file_count(spark, sf_dir):
+    """The custom Python data source's scale claim made literal: the scan
+    produces one partition per chunk file, so a 1000-file layout reads
+    1000-wide — exactly like the built-in file sources."""
+    import os
+
+    from json_sql_database_storage_spark.operators.scans import _sink
+    from json_sql_database_storage_spark.sources import load_table
+    from json_sql_database_storage_spark.sources.pyds import (
+        register_jsondocs,
+    )
+
+    out = _sink("pyds_parallel", spark)
+    (load_table(spark, sf_dir, "documents")
+     .select("doc_id", "lang", "n_chars")
+     .repartition(4).write.mode("overwrite").json(out))
+    n_files = len([e for e in os.scandir(out)
+                   if e.name.endswith(".json") and not e.name.startswith(".")])
+    assert n_files == 4
+    register_jsondocs(spark)
+    df = spark.read.format("jsondocs").option("path", out).load()
+    assert df.rdd.getNumPartitions() == n_files
+    assert df.count() == load_table(spark, sf_dir, "documents").count()
