@@ -781,6 +781,134 @@ SELECT doc_id, rk, w AS keyword, score_q6
 FROM ranked WHERE rk <= {_KEYWORD_K}
 """
 
+
+# ---------------------------------------------------------------------------
+# 11. sim_embedding_drift — distribution-drift monitor over the embedding
+# space (the ML-ops check every continuously-crawled corpus needs: "did
+# the new crawl land in different regions than the old one?").  The
+# corpus splits at the midpoint id into OLD and NEW halves; both halves
+# assign to the SAME deterministic k=8 cells (the sim_kmeans seed set),
+# and the per-cell population shares are compared — share drift per cell
+# is the standard PSI-style signal, here in exact form.
+#
+# 100-TB design: one broadcast-centroid assignment pass (the clustering
+# family's pinned shape) + one map-side (cell, half) census; the split
+# point and the two half totals are 1-row broadcast scalars (audited).
+# Shares and drift divide exact BIGINTs in the same operand order in
+# both engines, so the doubles are bit-identical.
+# ---------------------------------------------------------------------------
+
+_DRIFT_K = 8
+
+
+def sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", as_double(F.col("embedding")).alias("e")))
+    a = assign_cells(v, _DRIFT_K)
+    split = v.agg(F.floor(F.max("vec_id") / 2).cast("bigint").alias("mid"))
+    cnt = (a.crossJoin(F.broadcast(split))
+           .groupBy("cluster")
+           .agg(F.sum(F.when(F.col("vec_id") <= F.col("mid"), 1)
+                      .otherwise(0)).cast("bigint").alias("n_old"),
+                F.sum(F.when(F.col("vec_id") > F.col("mid"), 1)
+                      .otherwise(0)).cast("bigint").alias("n_new")))
+    tot = cnt.agg(F.sum("n_old").cast("bigint").alias("t_old"),
+                  F.sum("n_new").cast("bigint").alias("t_new"))
+    share_old = F.col("n_old").cast("double") / F.col("t_old").cast("double")
+    share_new = F.col("n_new").cast("double") / F.col("t_new").cast("double")
+    return (cnt.crossJoin(F.broadcast(tot))
+            .select("cluster", "n_old", "n_new",
+                    share_old.alias("share_old"),
+                    share_new.alias("share_new"),
+                    (share_new - share_old).alias("drift"))
+            .orderBy("cluster"))
+
+
+def _drift_sql() -> str:
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cent0 AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id < {_DRIFT_K}),
+a1 AS ({_assign_sql("v", "cent0")}),
+split AS (SELECT CAST(floor(max(vec_id) / 2) AS BIGINT) AS mid FROM v),
+cnt AS (
+  SELECT cluster,
+         CAST(sum(CASE WHEN vec_id <= mid THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_old,
+         CAST(sum(CASE WHEN vec_id > mid THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new
+  FROM a1 CROSS JOIN split GROUP BY cluster),
+tot AS (SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+               CAST(sum(n_new) AS BIGINT) AS t_new FROM cnt)
+SELECT cluster, n_old, n_new,
+       CAST(n_old AS DOUBLE) / CAST(t_old AS DOUBLE) AS share_old,
+       CAST(n_new AS DOUBLE) / CAST(t_new AS DOUBLE) AS share_new,
+       CAST(n_new AS DOUBLE) / CAST(t_new AS DOUBLE)
+       - CAST(n_old AS DOUBLE) / CAST(t_old AS DOUBLE) AS drift
+FROM cnt CROSS JOIN tot
+ORDER BY cluster
+"""
+
+
+# ---------------------------------------------------------------------------
+# 12. text_vocab_growth — Heaps-law type-growth census: how many NEW
+# 3-gram types each tenth of the corpus contributes (the curve data
+# engineers read to decide whether more crawl still buys coverage; the
+# synthetic corpus's WORD vocabulary saturates in the first few docs, so
+# the measured unit is the 3-gram type space, which keeps growing).
+# Each type's first appearance is min(doc_id) — one map-side-combinable
+# aggregation over the exploded corpus; the decile is an exact integer
+# expression floor(first·10 / n_docs) (capped at 9), and the cumulative
+# type count is a running sum over the TEN decile rows (an O(1) window,
+# allowlisted).  Everything is exact integers — no floats anywhere.
+# ---------------------------------------------------------------------------
+
+
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text_analysis import tokens
+
+    d = (load_table(spark, sf_dir, "documents")
+         .select("doc_id", tokens(F.col("text")).alias("t")))
+    n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    first = (d.select("doc_id", F.explode(F.expr(
+                "transform(sequence(0, size(t) - 3), "
+                "i -> concat_ws(' ', t[i], t[i + 1], t[i + 2]))"))
+                .alias("w"))
+             .groupBy("w").agg(F.min("doc_id").alias("f")))
+    per = (first.crossJoin(F.broadcast(n_docs))
+           .select(F.least(F.lit(9), F.expr("(f * 10) div n_docs"))
+                   .cast("int").alias("decile"))
+           .groupBy("decile")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("new_types")))
+    cum = (W.orderBy("decile")
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (per.select("decile", "new_types",
+                       F.sum("new_types").over(cum).cast("bigint")
+                       .alias("cum_types"))
+            .orderBy("decile"))
+
+
+_VOCAB_GROWTH_SQL = r"""
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+         FROM documents),
+first AS (
+  SELECT w, min(doc_id) AS f
+  FROM (SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS w
+        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+              FROM toks))
+  GROUP BY w),
+per AS (
+  SELECT CAST(least(9, (f * 10) // n_docs) AS INT) AS decile,
+         CAST(count(*) AS BIGINT) AS new_types
+  FROM first CROSS JOIN n GROUP BY 1)
+SELECT decile, new_types,
+       CAST(sum(new_types) OVER (ORDER BY decile
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum_types
+FROM per
+ORDER BY decile
+"""
+
 # Full register() payloads, promoted in round 9 by moving each entry into
 # a @register decorator (the round-7 → round-8 protocol).
 STAGED: dict = {
@@ -795,4 +923,6 @@ STAGED: dict = {
     "sample_importance_weights": (sample_importance_weights, _DSIR_SQL),
     "text_token_entropy": (text_token_entropy, _ENTROPY_SQL),
     "text_keyword_topk": (text_keyword_topk, _KEYWORD_SQL),
+    "sim_embedding_drift": (sim_embedding_drift, _drift_sql()),
+    "text_vocab_growth": (text_vocab_growth, _VOCAB_GROWTH_SQL),
 }

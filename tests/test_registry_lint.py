@@ -201,6 +201,10 @@ _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
         "corpus size (the DSIR hashing trick)",
     ("llm/staged_r9.py", "text_keyword_topk"):
         "1-row global doc count (IDF denominator)",
+    ("llm/staged_r9.py", "sim_embedding_drift"):
+        "1-row split point + 1-row half totals over the k-cell census",
+    ("llm/staged_r9.py", "text_vocab_growth"):
+        "1-row global doc count (decile denominator)",
     ("operators/staged_r9.py", "q_basket_lift"):
         "1-row global order count (lift denominator)",
     ("operators/staged_r9.py", "stream_heavy_hitters"):

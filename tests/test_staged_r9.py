@@ -106,6 +106,10 @@ def test_staged_no_unintended_scale_flags(spark, sf_dir):
             # 1-row corpus word count (the text_heavy_hitters threshold
             # scalar, same as the registered query's allowlisted shape)
             "stream_heavy_hitters",
+            # 1-row split point + two half totals over the 8-cell census
+            "sim_embedding_drift",
+            # 1-row doc count + the O(1) ten-decile cumulative window
+            "text_vocab_growth",
         },
     }
     bad = []
