@@ -909,9 +909,11 @@ FROM per
 ORDER BY decile
 """
 
-# Full register() payloads, promoted in round 9 by moving each entry into
-# a @register decorator (the round-7 → round-8 protocol).
-STAGED: dict = {
+# Promoted round 9 (r8 verdict next-round #1); empty STAGED kept so the
+# staged-protocol tests can pin that nothing is both staged and registered.
+from ..registry import register  # noqa: E402  (promotion epilogue)
+
+for _name, (_fn, _sql) in {
     "text_repetition_filter": (text_repetition_filter, _REPETITION_SQL),
     "sample_domain_mixture": (sample_domain_mixture, _DOMAIN_MIXTURE_SQL),
     "sim_kcenter_coreset": (sim_kcenter_coreset, _kcenter_sql()),
@@ -925,4 +927,7 @@ STAGED: dict = {
     "text_keyword_topk": (text_keyword_topk, _KEYWORD_SQL),
     "sim_embedding_drift": (sim_embedding_drift, _drift_sql()),
     "text_vocab_growth": (text_vocab_growth, _VOCAB_GROWTH_SQL),
-}
+}.items():
+    register(_name, _sql)(_fn)
+
+STAGED: dict = {}

@@ -1131,7 +1131,11 @@ FROM merged
 ORDER BY "rowNum"
 """
 
-STAGED: dict = {
+# Promoted round 9 (r8 verdict next-round #1); empty STAGED kept so the
+# staged-protocol tests can pin that nothing is both staged and registered.
+from ..registry import register  # noqa: E402  (promotion epilogue)
+
+for _name, (_fn, _sql) in {
     "q_copurchase_pairs": (q_copurchase_pairs, _COPURCHASE_SQL),
     "graph_triangle_count": (graph_triangle_count, _TRIANGLE_SQL),
     "snapshot_rollback": (snapshot_rollback, _rollback_sql()),
@@ -1151,4 +1155,7 @@ STAGED: dict = {
     "events_rfm_scores": (events_rfm_scores, _RFM_SQL),
     "q_yearly_growth": (q_yearly_growth, _YOY_SQL),
     "doc_merge": (doc_merge, _DOC_MERGE_SQL),
-}
+}.items():
+    register(_name, _sql)(_fn)
+
+STAGED: dict = {}

@@ -267,6 +267,33 @@ def test_no_unintended_scale_flags(spark, sf_dir):
             # 1-row global leaked-cluster count broadcast onto the 2-row
             # split summary (plus the CC loop's bounded label tables)
             "sample_split_no_leakage",
+            # r9 promotions (allowlist carried over verbatim from the
+            # staged-era sweep, tests/test_staged_r9.py pre-promotion):
+            # ordered-fold denominators / 1-row vocab or census scalars —
+            # map-side partials, constant bytes at any corpus size
+            "sample_domain_mixture", "sample_cluster_balanced",
+            "text_bigram_logprob",
+            # per-round 1-row global argmax (the deep-BPE recipe)
+            "sim_kcenter_coreset",
+            # final 1-row triangle/node/edge census
+            "graph_triangle_count",
+            # per-version scalar summary (count + sum over a snapshot
+            # read), as the registered snapshot_* queries
+            "snapshot_rollback",
+            # per-peel-round 1-row node/edge counts (6 rounds, fixed)
+            "graph_kcore",
+            # 1-row corpus/target token totals feeding the 256-row LLR
+            # broadcast
+            "sample_importance_weights",
+            # 1-row global order / doc counts (broadcast scalars)
+            "q_basket_lift", "text_keyword_topk",
+            # 1-row corpus word count (the text_heavy_hitters threshold
+            # scalar, same as the registered query's allowlisted shape)
+            "stream_heavy_hitters",
+            # 1-row split point + two half totals over the 8-cell census
+            "sim_embedding_drift",
+            # 1-row doc count + the O(1) ten-decile cumulative window
+            "text_vocab_growth",
         },
     }
     bad = []
