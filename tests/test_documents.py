@@ -1203,3 +1203,153 @@ def test_store_cdf_drives_incremental_ivfpq(spark, sf_dir, tmp_path):
     want = [tuple(r) for r in
             ivfpq_probe(spark, rebuilt, q, committed).collect()]
     assert got == want and got
+
+
+def test_store_diff_key_never_in_fingerprint_under_evolution(spark, tmp_path):
+    """r9 regression (r8 verdict finding 3): the diff fingerprint's
+    column union once bound `- {KEY}` to the right operand only — a
+    precedence slip that a future edit could turn into KEY entering the
+    fingerprint (every row in a rewritten bucket would then diff as
+    changed).  Pin the contract the hard way: rewrite a bucket where the
+    COHABITING rows carry nulls and a schema-evolved column, and assert
+    the diff names ONLY the genuinely changed key."""
+    store = DocumentStore(spark, str(tmp_path / "collections"), n_buckets=4)
+    # rows 3, 7, 11, 15 share bucket 3 (B=4); 7 and 15 carry nulls
+    store.upsert(docs_df(spark, [
+        {"rowNum": 3, "name": "n3", "v": 3},
+        {"rowNum": 7, "name": None, "v": 7},
+        {"rowNum": 11, "name": "n11", "v": 11},
+        {"rowNum": 15, "name": "n15", "v": None},
+    ]), "things")                                                     # v0
+    # v1 evolves the schema (new column) and changes ONLY row 3 — but the
+    # COW rewrite rewrites the whole bucket, so rows 7/11/15 land in a new
+    # dir with null-padded "stars" and must still fingerprint as unchanged
+    store.upsert(docs_df(spark, [
+        {"rowNum": 3, "name": "n3+", "v": 30, "stars": 5},
+    ]), "things")                                                     # v1
+    assert ([tuple(r) for r in store.diff("things", 0, 1).collect()]
+            == [("upsert", 3)])
+    # and the reverse direction (old side carries the evolved column)
+    assert ([tuple(r) for r in store.diff("things", 1, 0).collect()]
+            == [("upsert", 3)])
+
+
+def test_store_verbs_evaluate_delta_once(spark, tmp_path):
+    """r9 (r8 verdict finding 1): a mutating verb's delta is pinned at
+    entry, so touched-bucket discovery, constraint validation, and the
+    data write share ONE evaluation of the upstream plan.  Counted with a
+    per-row accumulator UDF inside the delta: without the pin the three
+    actions would tick it 3× per row."""
+    store = DocumentStore(spark, str(tmp_path / "collections"), n_buckets=4)
+    store.upsert(docs_df(spark, [
+        {"rowNum": k, "name": f"n{k}", "v": k} for k in range(1, 9)
+    ]), "things")                                                     # v0
+    store.add_constraint("things", "v_nonneg", "v >= 0")
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def tick(x):
+        acc.add(1)
+        return x
+
+    tick_udf = F.udf(tick, "long")
+    delta = (spark.range(1, 9)
+             .select(F.col("id").alias(KEY),
+                     F.concat(F.lit("u"), F.col("id").cast("string"))
+                     .alias("name"),
+                     tick_udf(F.col("id") * 10).alias("v")))
+    store.upsert(delta, "things")
+    assert acc.value == 8, (
+        f"delta evaluated {acc.value / 8:.1f}x — the verb-entry persist "
+        f"is gone")
+    rows = {r[KEY]: r["v"] for r in store.read("things").collect()}
+    assert rows == {k: k * 10 for k in range(1, 9)}
+
+
+def test_store_bucket_files_are_key_sorted(spark, tmp_path):
+    """r9 (r8 verdict next-round #7): each bucket's data file lands
+    KEY-sorted, so Parquet row-group min/max stats on the key form tight
+    disjoint ranges and a point lookup prunes to one row group — the
+    pruning the store docstring promises.  Asserted on disk via pyarrow:
+    every bucket file's rowNum column is nondecreasing and its row-group
+    key stats are exact."""
+    import pyarrow.parquet as pq
+
+    store = DocumentStore(spark, str(tmp_path / "collections"), n_buckets=4)
+    # insert in a deliberately scrambled order
+    ks = [17, 3, 29, 1, 45, 9, 33, 5, 21, 13, 41, 25, 37, 49, 53, 57]
+    store.upsert(docs_df(spark, [{"rowNum": k, "v": k} for k in ks]),
+                 "things")
+    import os
+
+    m = store._manifest("things")
+    checked = 0
+    for b in sorted(k for k in m if isinstance(k, int) and k >= 0):
+        for d in m[b]:
+            for entry in os.scandir(d):
+                if not entry.name.endswith(".parquet"):
+                    continue
+                pf = pq.ParquetFile(entry.path)
+                keys = pf.read(columns=[KEY])[KEY].to_pylist()
+                assert keys == sorted(keys), (b, entry.path, keys)
+                for rg in range(pf.metadata.num_row_groups):
+                    col = pf.metadata.row_group(rg).column(0)
+                    assert col.statistics.min == min(keys)
+                    assert col.statistics.max == max(keys)
+                checked += 1
+    assert checked >= 2, "no bucket files inspected?"
+
+
+def test_store_save_docs_family_commit_is_atomic_across_tables(
+        spark, tmp_path, monkeypatch):
+    """r9 (r8 verdict next-round #3 / missing #3): save_docs commits a
+    shredded document family ATOMICALLY — child-table upserts are staged
+    writes, and one family-root CAS manifest pins every child's version
+    (the Iceberg catalog-transaction shape).  Crash injection between
+    child commits must leave the previous family fully readable through
+    read_family, even though one child table's CURRENT version already
+    moved on."""
+    store = DocumentStore(spark, str(tmp_path / "collections"))
+    docs = docs_df(spark, ALL_FIXTURES["f4"])
+    store.save_docs(docs, "fam")                             # family v0
+    assert store.family_version("fam") == 0
+    fam0 = store.family_tables("fam")
+    assert len(fam0) >= 2, "need a multi-table family for this pin"
+    before = {t: sorted(map(tuple, store.read_family("fam", t).collect()))
+              for t in fam0}
+
+    # inject a crash after the FIRST child commit of the second save
+    orig = DocumentStore.upsert
+    calls = {"n": 0}
+
+    def boom(self, df, table):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("injected crash between child commits")
+        return orig(self, df, table)
+
+    monkeypatch.setattr(DocumentStore, "upsert", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        store.save_docs(docs, "fam")
+    monkeypatch.setattr(DocumentStore, "upsert", orig)
+
+    # the family pointer never moved: previous family fully readable,
+    # values identical, even though exactly one child table's current
+    # version advanced past the family-pinned one
+    assert store.family_version("fam") == 0
+    assert store.family_tables("fam") == fam0
+    after = {t: sorted(map(tuple, store.read_family("fam", t).collect()))
+             for t in fam0}
+    assert after == before
+    advanced = [t for t in fam0 if store.version(t) > fam0[t]]
+    assert len(advanced) == 1, (advanced, fam0)
+
+    # a later successful save publishes family v1 in one CAS commit
+    store.save_docs(docs, "fam")
+    assert store.family_version("fam") == 1
+    fam1 = store.family_tables("fam")
+    assert all(fam1[t] > fam0[t] for t in fam0)
+    # and the old family stays AS-OF readable (versioned catalog)
+    old = {t: sorted(map(tuple, store.read_family("fam", t, 0).collect()))
+           for t in fam0}
+    assert old == before
