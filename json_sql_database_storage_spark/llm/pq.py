@@ -708,25 +708,70 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivfpq_build(spark: SparkSession, v: DataFrame,
                 name: str) -> dict[str, str]:
     """Train + encode + lay out the IVFPQ index for vectors (vec_id, e);
-    persist {centroids, codebook, index} under the session sink."""
+    persist {centroids, codebook, index, meta, tomb} under the session
+    sink.
+
+    Segments + tombstones (r8 verdict next-round #2, the vector mirror of
+    bm25_build's scheme): every code row carries the segment of the write
+    that produced it (build = 0; each append/apply_changes = next_seg from
+    the 1-row meta artifact), and the tombstone table (vec_id,
+    doomed_thru) marks code rows with seg ≤ doomed_thru dead.  Updates
+    re-encode at the new segment (possibly into a DIFFERENT cell — the
+    vector moved); deletes just tombstone.  The probe filters dead rows
+    with one vec_id equi-join against the O(changed vectors) tombstone
+    table; ivfpq_compact() physically drops them."""
     from ..operators.scans import _sink
     from ..registry import scoped_persist
 
     paths = {"centroids": _sink(f"{name}_cent", spark),
              "codebook": _sink(f"{name}_cb", spark),
-             "index": _sink(name, spark)}
+             "index": _sink(name, spark),
+             "meta": _sink(f"{name}_meta", spark),
+             "tomb": _sink(f"{name}_tomb", spark)}
     (v.filter(F.col("vec_id") < _IPQ_KC)
      .select(F.col("vec_id").alias("c_id"), F.col("e").alias("ce"))
      .write.mode("overwrite").parquet(paths["centroids"]))
     subs = subvectors(v).transform(scoped_persist)
     (train_codebooks(subs, _PQ_K)
      .write.mode("overwrite").parquet(paths["codebook"]))
-    _ivfpq_encode_into(spark, paths, v, mode="overwrite")
+    _ivfpq_encode_into(spark, paths, v, mode="overwrite", seg=0)
+    (spark.createDataFrame([(1,)], "next_seg bigint")
+     .write.mode("overwrite").parquet(paths["meta"]))
+    (v.select("vec_id").limit(0)
+     .withColumn("doomed_thru", F.lit(0).cast("bigint"))
+     .write.mode("overwrite").parquet(paths["tomb"]))
     return paths
 
 
+def _ivfpq_live(spark: SparkSession, paths: dict[str, str],
+                df: DataFrame) -> DataFrame:
+    """LIVE code rows: drop rows whose vec_id is tombstoned through their
+    segment.  One equi-join against the max-folded tombstones; legacy
+    layouts (no tomb artifact / no seg column) pass through."""
+    if "tomb" not in paths or "seg" not in df.columns:
+        return df
+    tomb = spark.read.parquet(paths["tomb"])
+    tmax = tomb.groupBy("vec_id").agg(F.max("doomed_thru").alias("_dt"))
+    return (df.join(tmax, "vec_id", "left")
+            .filter(F.col("_dt").isNull() | (F.col("seg") > F.col("_dt")))
+            .drop("_dt"))
+
+
+def _ivfpq_next_seg(spark: SparkSession, paths: dict[str, str]) -> int:
+    if "meta" not in paths:
+        return 1
+    return int(spark.read.parquet(paths["meta"]).collect()[0]["next_seg"])
+
+
+def _ivfpq_bump_seg(spark: SparkSession, paths: dict[str, str],
+                    next_seg: int) -> None:
+    if "meta" in paths:
+        (spark.createDataFrame([(next_seg,)], "next_seg bigint")
+         .write.mode("overwrite").parquet(paths["meta"]))
+
+
 def _ivfpq_encode_into(spark: SparkSession, paths: dict[str, str],
-                       v: DataFrame, mode: str) -> None:
+                       v: DataFrame, mode: str, seg: int = 0) -> None:
     """Encode vectors against the FROZEN persisted codebook + coarse
     centroids and write their (m, code, cell) rows into the
     cell-partitioned layout — the shared half of build (mode=overwrite)
@@ -742,7 +787,9 @@ def _ivfpq_encode_into(spark: SparkSession, paths: dict[str, str],
     enc = _pq_assign(subvectors(v), cb).select("vec_id", "m", "code")
     assigned = _assign(v, cent).select("vec_id", "cluster")
     (enc.join(assigned, "vec_id")
-     .select("vec_id", "m", "code", F.col("cluster").alias("cell"))
+     .select("vec_id", "m", "code",
+             F.lit(seg).cast("bigint").alias("seg"),
+             F.col("cluster").alias("cell"))
      .repartition("cell")
      .write.mode(mode).partitionBy("cell").parquet(paths["index"]))
 
@@ -760,7 +807,50 @@ def ivfpq_append(spark: SparkSession, paths: dict[str, str],
     joins against two broadcast-sized artifacts.  Codebook drift under a
     distribution shift is the documented trade — rebuild to re-train,
     exactly as in FAISS."""
-    _ivfpq_encode_into(spark, paths, new_vectors, mode="append")
+    seg = _ivfpq_next_seg(spark, paths)
+    _ivfpq_encode_into(spark, paths, new_vectors, mode="append", seg=seg)
+    _ivfpq_bump_seg(spark, paths, seg + 1)
+    return paths
+
+
+def ivfpq_apply_changes(spark: SparkSession, paths: dict[str, str],
+                        upsert_vectors: DataFrame,
+                        deleted_ids: DataFrame) -> dict[str, str]:
+    """Apply a FULL change-data-feed to a built IVFPQ index — inserts,
+    updates of already-indexed vectors, and deletes (r8 verdict
+    next-round #2; composes with DocumentStore.diff()'s upsert/delete
+    split).  O(delta): changed vec_ids are tombstoned through the current
+    segments (their old code rows go dead unread — even if the update
+    moves the vector to a different cell), and the upserts re-encode
+    against the FROZEN codebook at the new segment.
+    probe(apply_changes) ≡ probe(rebuild over the post-change corpus) is
+    pinned in tests/test_llm.py, including the stale-hit case a plain
+    append gets wrong."""
+    seg = _ivfpq_next_seg(spark, paths)
+    changed = (upsert_vectors.select("vec_id")
+               .unionByName(deleted_ids.select("vec_id")).distinct())
+    (changed.withColumn("doomed_thru", F.lit(seg - 1).cast("bigint"))
+     .write.mode("append").parquet(paths["tomb"]))
+    _ivfpq_encode_into(spark, paths, upsert_vectors, mode="append", seg=seg)
+    _ivfpq_bump_seg(spark, paths, seg + 1)
+    return paths
+
+
+def ivfpq_compact(spark: SparkSession, paths: dict[str, str]) -> dict[str, str]:
+    """Physically drop tombstoned code rows and empty the tombstone table
+    — bounds the probe's tombstone-join cost after many change cycles.
+    O(live index); value-neutral (probe before ≡ probe after, pinned)."""
+    from ..operators.scans import _sink
+
+    live = _ivfpq_live(spark, paths, spark.read.parquet(paths["index"]))
+    tmp = _sink("ivfpq_cmp_idx", spark)
+    (live.repartition("cell")
+     .write.mode("overwrite").partitionBy("cell").parquet(tmp))
+    (spark.read.parquet(tmp).repartition("cell")
+     .write.mode("overwrite").partitionBy("cell").parquet(paths["index"]))
+    (spark.read.parquet(paths["index"]).select("vec_id").limit(0)
+     .withColumn("doomed_thru", F.lit(0).cast("bigint"))
+     .write.mode("overwrite").parquet(paths["tomb"]))
     return paths
 
 
@@ -771,8 +861,11 @@ def ivfpq_probe(spark: SparkSession, paths: dict[str, str],
     """Top-k for each query vector (query_id, e) against a PREBUILT index:
     probe-cell selection from the persisted centroids, ADC shortlist from
     the DPP-pruned code scan + persisted codebook, exact re-rank against
-    the caller's raw `vectors` (vec_id, e) side table."""
-    idx = spark.read.parquet(paths["index"])
+    the caller's raw `vectors` (vec_id, e) side table.  Tombstoned code
+    rows (from ivfpq_apply_changes) are filtered by one vec_id equi-join
+    against the O(changed vectors) tombstone table, so deleted/superseded
+    vectors never reach the shortlist."""
+    idx = _ivfpq_live(spark, paths, spark.read.parquet(paths["index"]))
     cent = spark.read.parquet(paths["centroids"])
     cb = spark.read.parquet(paths["codebook"])
 

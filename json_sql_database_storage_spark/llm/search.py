@@ -221,25 +221,92 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def bm25_build(spark: SparkSession, docs: DataFrame,
                name: str) -> dict[str, str]:
-    """Write the three BM25 index artifacts under the session sink and
-    return their paths: bucket-partitioned postings, the doc-length side
-    table, and the 1-row corpus stats."""
+    """Write the BM25 index artifacts under the session sink and return
+    their paths: bucket-partitioned postings, the doc-length side table,
+    the 1-row corpus stats, and an (empty) tombstone table.
+
+    Segments + tombstones (r8 verdict next-round #2 — Lucene's
+    deleted-docs bitmap, relationally): every posting/dl row carries the
+    SEGMENT number of the write that produced it (build = seg 0, each
+    append/apply_changes = the next seg, tracked in the stats row), and
+    the tombstone table holds (doc_id, doomed_thru) rows meaning "this
+    doc's rows with seg ≤ doomed_thru are dead".  A delete tombstones the
+    doc entirely; an update tombstones the old segments and appends the
+    new text at the new seg — so maintenance stays O(delta) and the PROBE
+    filters dead rows with one equi-join on doc_id against the (small,
+    O(changed docs)) tombstone table.  bm25_compact() physically drops
+    dead rows and empties the tombstones — Lucene's segment rewrite."""
     from ..operators.scans import _sink
 
     paths = {"index": _sink(name, spark),
              "dl": _sink(f"{name}_dl", spark),
-             "stats": _sink(f"{name}_stats", spark)}
+             "stats": _sink(f"{name}_stats", spark),
+             "tomb": _sink(f"{name}_tomb", spark)}
     (build_inverted_index(docs)
+     .withColumn("seg", F.lit(0).cast("bigint"))
      .repartition(_IDX_BUCKETS, "bkt")
      .write.mode("overwrite").partitionBy("bkt").parquet(paths["index"]))
     dl_src = docs.select("doc_id",
                          F.size(tokens(F.col("text"))).cast("bigint")
-                         .alias("dl"))
+                         .alias("dl"),
+                         F.lit(0).cast("bigint").alias("seg"))
     dl_src.write.mode("overwrite").parquet(paths["dl"])
     (dl_src.agg(F.sum("dl").alias("t_tokens"),
                 F.count(F.lit(1)).alias("n_docs"))
+     .withColumn("next_seg", F.lit(1).cast("bigint"))
      .write.mode("overwrite").parquet(paths["stats"]))
+    (dl_src.select("doc_id").limit(0)
+     .withColumn("doomed_thru", F.lit(0).cast("bigint"))
+     .write.mode("overwrite").parquet(paths["tomb"]))
     return paths
+
+
+def _bm25_live(spark: SparkSession, paths: dict[str, str],
+               df: DataFrame) -> DataFrame:
+    """Filter a posting/dl frame down to LIVE rows: a row is dead when a
+    tombstone dooms its doc through its segment.  One equi-join on doc_id
+    against the max-folded tombstones — O(changed docs) side, never the
+    corpus; absent/legacy layouts (no tomb artifact or no seg column)
+    pass through untouched."""
+    if "tomb" not in paths or "seg" not in df.columns:
+        return df
+    tomb = spark.read.parquet(paths["tomb"])
+    tmax = tomb.groupBy("doc_id").agg(F.max("doomed_thru").alias("_dt"))
+    return (df.join(tmax, "doc_id", "left")
+            .filter(F.col("_dt").isNull() | (F.col("seg") > F.col("_dt")))
+            .drop("_dt"))
+
+
+def _bm25_next_seg(spark: SparkSession, paths: dict[str, str]) -> int:
+    row = spark.read.parquet(paths["stats"]).collect()[0]
+    return int(row["next_seg"]) if "next_seg" in row.__fields__ else 1
+
+
+def _bm25_write_stats(spark: SparkSession, paths: dict[str, str],
+                      t_tokens: int, n_docs: int, next_seg: int) -> None:
+    (spark.createDataFrame(
+        [(t_tokens, n_docs, next_seg)],
+        "t_tokens bigint, n_docs bigint, next_seg bigint")
+     .write.mode("overwrite").parquet(paths["stats"]))
+
+
+def _bm25_append_at(spark: SparkSession, paths: dict[str, str],
+                    new_docs: DataFrame, seg: int) -> tuple[int, int]:
+    """Shared append half: postings + dl rows for `new_docs` land at
+    segment `seg`; returns the delta's (token sum, doc count) for the
+    caller's stats arithmetic."""
+    (build_inverted_index(new_docs)
+     .withColumn("seg", F.lit(seg).cast("bigint"))
+     .repartition(_IDX_BUCKETS, "bkt")
+     .write.mode("append").partitionBy("bkt").parquet(paths["index"]))
+    dl_delta = new_docs.select("doc_id",
+                               F.size(tokens(F.col("text"))).cast("bigint")
+                               .alias("dl"),
+                               F.lit(seg).cast("bigint").alias("seg"))
+    dl_delta.write.mode("append").parquet(paths["dl"])
+    d = dl_delta.agg(F.sum("dl").alias("t"),
+                     F.count(F.lit(1)).alias("n")).collect()[0]
+    return int(d["t"] or 0), int(d["n"])
 
 
 def bm25_append(spark: SparkSession, paths: dict[str, str],
@@ -254,21 +321,77 @@ def bm25_append(spark: SparkSession, paths: dict[str, str],
     (probe(appended) ≡ probe(rebuilt over base ∪ delta) — pinned in
     tests/test_llm.py).  The stats read-back is a 1-row bounded collect
     (index metadata, same class as the bucket-offset collects)."""
-    (build_inverted_index(new_docs)
-     .repartition(_IDX_BUCKETS, "bkt")
-     .write.mode("append").partitionBy("bkt").parquet(paths["index"]))
-    dl_delta = new_docs.select("doc_id",
-                               F.size(tokens(F.col("text"))).cast("bigint")
-                               .alias("dl"))
-    dl_delta.write.mode("append").parquet(paths["dl"])
     old = spark.read.parquet(paths["stats"]).collect()[0]
-    d = dl_delta.agg(F.sum("dl").alias("t"),
-                     F.count(F.lit(1)).alias("n")).collect()[0]
-    (spark.createDataFrame(
-        [(int(old["t_tokens"]) + int(d["t"] or 0),
-          int(old["n_docs"]) + int(d["n"]))],
-        "t_tokens bigint, n_docs bigint")
-     .write.mode("overwrite").parquet(paths["stats"]))
+    seg = _bm25_next_seg(spark, paths)
+    dt, dn = _bm25_append_at(spark, paths, new_docs, seg)
+    _bm25_write_stats(spark, paths, int(old["t_tokens"]) + dt,
+                      int(old["n_docs"]) + dn, seg + 1)
+    return paths
+
+
+def bm25_apply_changes(spark: SparkSession, paths: dict[str, str],
+                       upsert_docs: DataFrame,
+                       deleted_ids: DataFrame) -> dict[str, str]:
+    """Apply a FULL change-data-feed to a built BM25 index — inserts,
+    updates of already-indexed docs, and deletes (r8 verdict next-round
+    #2; composes directly with DocumentStore.diff(), which emits exactly
+    this upsert/delete split).  O(delta + tombstone join):
+
+    1. Tombstone every changed doc_id (updates AND deletes) through the
+       current segments — their old postings/dl rows go dead without
+       being read or rewritten (Lucene's deleted-docs bitmap move).
+    2. Append the upserted docs' postings/dl at the NEW segment (new ids
+       simply have no dead predecessor).
+    3. Fix the corpus stats relationally: old − (live dl of the doomed
+       docs) + delta.  The doomed-dl lookup is one equi-join of the ids
+       against the live dl table — O(changed docs) rows.
+
+    probe(apply_changes) ≡ probe(rebuild over the post-change corpus) is
+    pinned in tests/test_llm.py, including the stale-hit case a plain
+    append gets wrong (deleted/superseded docs still surfacing)."""
+    old = spark.read.parquet(paths["stats"]).collect()[0]
+    seg = _bm25_next_seg(spark, paths)
+    changed = (upsert_docs.select("doc_id")
+               .unionByName(deleted_ids.select("doc_id")).distinct())
+    # live dl of the docs about to be doomed — BEFORE writing tombstones
+    doomed_live = (_bm25_live(spark, paths,
+                              spark.read.parquet(paths["dl"]))
+                   .join(changed, "doc_id")
+                   .agg(F.sum("dl").alias("t"),
+                        F.count(F.lit(1)).alias("n")).collect()[0])
+    (changed.withColumn("doomed_thru", F.lit(seg - 1).cast("bigint"))
+     .write.mode("append").parquet(paths["tomb"]))
+    dt, dn = _bm25_append_at(spark, paths, upsert_docs, seg)
+    _bm25_write_stats(
+        spark, paths,
+        int(old["t_tokens"]) - int(doomed_live["t"] or 0) + dt,
+        int(old["n_docs"]) - int(doomed_live["n"]) + dn,
+        seg + 1)
+    return paths
+
+
+def bm25_compact(spark: SparkSession, paths: dict[str, str]) -> dict[str, str]:
+    """Physically drop tombstoned posting/dl rows and empty the tombstone
+    table — the periodic segment rewrite that bounds tombstone-join cost
+    (Lucene's forceMerge/expungeDeletes).  O(live index) by design; stats
+    are already live-exact so they don't change.  Value-neutral: probe
+    before ≡ probe after (pinned)."""
+    live_idx = _bm25_live(spark, paths, spark.read.parquet(paths["index"]))
+    live_dl = _bm25_live(spark, paths, spark.read.parquet(paths["dl"]))
+    # materialize through temp dirs: parquet can't overwrite its own input
+    from ..operators.scans import _sink
+
+    tmp_idx, tmp_dl = _sink("bm25_cmp_idx", spark), _sink("bm25_cmp_dl", spark)
+    (live_idx.repartition(_IDX_BUCKETS, "bkt")
+     .write.mode("overwrite").partitionBy("bkt").parquet(tmp_idx))
+    live_dl.write.mode("overwrite").parquet(tmp_dl)
+    (spark.read.parquet(tmp_idx).repartition(_IDX_BUCKETS, "bkt")
+     .write.mode("overwrite").partitionBy("bkt").parquet(paths["index"]))
+    (spark.read.parquet(tmp_dl)
+     .write.mode("overwrite").parquet(paths["dl"]))
+    (spark.read.parquet(paths["dl"]).select("doc_id").limit(0)
+     .withColumn("doomed_thru", F.lit(0).cast("bigint"))
+     .write.mode("overwrite").parquet(paths["tomb"]))
     return paths
 
 
@@ -276,12 +399,16 @@ def bm25_probe(spark: SparkSession, paths: dict[str, str],
                terms: tuple[str, ...], topk: int) -> DataFrame:
     """Okapi BM25 top-k against a PREBUILT index: reads only the query
     terms' bucket directories (static PartitionFilter) + the dl equi-join
-    + broadcast stats — never the source corpus."""
+    + broadcast stats — never the source corpus.  Tombstoned rows (from
+    bm25_apply_changes) are filtered by one doc_id equi-join against the
+    O(changed docs) tombstone table, so deleted/superseded docs never
+    surface; the df counts and dl lookups below see only LIVE rows, so
+    scores match a fresh rebuild bit-for-bit."""
     from pyspark.sql import Window as W
 
-    idx = spark.read.parquet(paths["index"])
-    dl = spark.read.parquet(paths["dl"])
-    stats = spark.read.parquet(paths["stats"])
+    idx = _bm25_live(spark, paths, spark.read.parquet(paths["index"]))
+    dl = _bm25_live(spark, paths, spark.read.parquet(paths["dl"]))
+    stats = spark.read.parquet(paths["stats"]).select("t_tokens", "n_docs")
 
     bkt_pred = None
     for t in terms:

@@ -1353,3 +1353,62 @@ def test_store_save_docs_family_commit_is_atomic_across_tables(
     old = {t: sorted(map(tuple, store.read_family("fam", t, 0).collect()))
            for t in fam0}
     assert old == before
+
+
+def test_store_cdf_drives_tombstone_aware_bm25_maintenance(
+        spark, sf_dir, tmp_path):
+    """r9 composition (r8 verdict next-round #2, end-to-end): a crawl
+    commit that UPDATES and DELETES already-indexed docs drives
+    bm25_apply_changes straight from store.diff()'s upsert/delete split —
+    old postings tombstoned, new text appended, and the probe is
+    row-identical to a rebuild over the committed corpus.  The r8 loop
+    (test_store_cdf_drives_incremental_bm25) only exercised adds; this is
+    the mutation half the r8 verdict named as gap #1."""
+    from pyspark.sql import functions as F
+
+    from json_sql_database_storage_spark.documents.store import DocumentStore
+    from json_sql_database_storage_spark.llm.search import (
+        _BM25_TERMS, _BM25_TOPK, bm25_apply_changes, bm25_build, bm25_probe)
+    from json_sql_database_storage_spark.sources import load_table
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .select(F.col("doc_id").alias("rowNum"), "text"))
+    store = DocumentStore(spark, str(tmp_path / "collections"), n_buckets=8)
+    store.upsert(docs, "crawl")                                       # v0
+    paths = bm25_build(
+        spark, docs.select(F.col("rowNum").alias("doc_id"), "text"),
+        "bm25_cdf_mut_base")
+    top = bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK).collect()
+    victim, updated = int(top[0]["doc_id"]), int(top[1]["doc_id"])
+    new_id = int(docs.agg(F.max("rowNum")).collect()[0][0]) + 1
+
+    # ONE store commit: update a matching doc's text away from the query
+    # terms, insert a fresh matching doc, delete another matching doc
+    change = (docs.filter(F.col("rowNum") == updated)
+              .withColumn("text", F.lit("nothing relevant any more"))
+              .unionByName(spark.createDataFrame(
+                  [(new_id, " ".join(_BM25_TERMS) + " fresh crawl page"),
+                   (victim, "DOOMED")],
+                  "rowNum bigint, text string")))
+    store.merge(change, "crawl", delete_when="text = 'DOOMED'")       # v1
+
+    cdf = store.diff("crawl", 0, 1)
+    up_keys = cdf.filter(F.col("op") == "upsert").select("rowNum")
+    del_keys = (cdf.filter(F.col("op") == "delete")
+                .select(F.col("rowNum").alias("doc_id")))
+    assert sorted(r[0] for r in up_keys.collect()) == sorted([updated,
+                                                              new_id])
+    assert [r[0] for r in del_keys.collect()] == [victim]
+    up_docs = (store.read("crawl").join(up_keys, "rowNum")
+               .select(F.col("rowNum").alias("doc_id"), "text"))
+    bm25_apply_changes(spark, paths, up_docs, del_keys)
+
+    committed = store.read("crawl").select(
+        F.col("rowNum").alias("doc_id"), "text")
+    full = bm25_build(spark, committed, "bm25_cdf_mut_full")
+    got = [tuple(r) for r in
+           bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK).collect()]
+    want = [tuple(r) for r in
+            bm25_probe(spark, full, _BM25_TERMS, _BM25_TOPK).collect()]
+    assert got == want and got
+    assert victim not in {t[0] for t in got}

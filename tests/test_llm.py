@@ -1082,10 +1082,143 @@ def test_bm25_append_equals_rebuild(spark, sf_dir):
     want = [tuple(r) for r in
             bm25_probe(spark, full, _BM25_TERMS, _BM25_TOPK).collect()]
     assert got == want and got
-    # stats reflect the whole corpus after append
+    # stats reflect the whole corpus after append (next_seg is write
+    # bookkeeping and legitimately differs: 2 after one append vs 1 fresh)
     sa = spark.read.parquet(paths["stats"]).collect()[0]
     sb = spark.read.parquet(full["stats"]).collect()[0]
-    assert tuple(sa) == tuple(sb)
+    assert (sa["t_tokens"], sa["n_docs"]) == (sb["t_tokens"], sb["n_docs"])
     # probe over the appended index still never scans the corpus
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "documents.parquet" not in plan
+
+
+def test_bm25_apply_changes_handles_updates_and_deletes(spark, sf_dir):
+    """r9 (r8 verdict next-round #2): index maintenance beyond adds.  A
+    crawl that UPDATES an indexed doc's text and DELETES another must not
+    leave stale postings live — the old append-only path provably serves
+    the deleted doc (the stale-hit case, pinned failing first), while
+    bm25_apply_changes tombstones the changed docs' old segments, appends
+    the new text, fixes the stats relationally, and probes row-identical
+    to a rebuild over the post-change corpus.  bm25_compact then drops
+    the dead rows physically and stays value-neutral."""
+    from pyspark.sql import functions as F
+
+    from json_sql_database_storage_spark.llm.search import (
+        _BM25_TERMS, _BM25_TOPK, bm25_append, bm25_apply_changes,
+        bm25_build, bm25_compact, bm25_probe)
+    from json_sql_database_storage_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    paths = bm25_build(spark, docs, "bm25_chg_base")
+    top = bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK).collect()
+    victim, updated = int(top[0]["doc_id"]), int(top[1]["doc_id"])
+    new_id = int(docs.agg(F.max("doc_id")).collect()[0][0]) + 1
+
+    upserts = (docs.filter(F.col("doc_id") == updated)
+               .withColumn("text", F.lit("nothing relevant any more"))
+               .unionByName(spark.createDataFrame(
+                   [(new_id, " ".join(_BM25_TERMS) + " fresh crawl page")],
+                   "doc_id bigint, text string")))
+    deleted = spark.createDataFrame([(victim,)], "doc_id bigint")
+
+    # stale-hit pin: plain append (the adds-only verb) leaves the deleted
+    # doc's postings live — the probe still returns it
+    stale = bm25_build(spark, docs, "bm25_chg_stale")
+    bm25_append(spark, stale, upserts)
+    stale_ids = {int(r["doc_id"]) for r in
+                 bm25_probe(spark, stale, _BM25_TERMS, _BM25_TOPK).collect()}
+    assert victim in stale_ids, (
+        "stale-hit premise broken: pick a victim that matches the query")
+
+    # the right verb: tombstone updates+deletes, append the new text
+    bm25_apply_changes(spark, paths, upserts, deleted)
+    got_df = bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK)
+    got = [tuple(r) for r in got_df.collect()]
+    post = (docs.filter(~F.col("doc_id").isin(victim, updated))
+            .unionByName(upserts))
+    full = bm25_build(spark, post, "bm25_chg_full")
+    want = [tuple(r) for r in
+            bm25_probe(spark, full, _BM25_TERMS, _BM25_TOPK).collect()]
+    assert got == want and got
+    assert victim not in {t[0] for t in got}
+    assert new_id in {t[0] for t in got}
+    sa = spark.read.parquet(paths["stats"]).collect()[0]
+    sb = spark.read.parquet(full["stats"]).collect()[0]
+    assert (sa["t_tokens"], sa["n_docs"]) == (sb["t_tokens"], sb["n_docs"])
+    # probe plan stays corpus-free (tombstone join reads index artifacts)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan
+
+    # compact: physical drop of dead rows, value-neutral, tombstones empty
+    n_live_dl = post.count()
+    bm25_compact(spark, paths)
+    after = [tuple(r) for r in
+             bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK).collect()]
+    assert after == want
+    assert spark.read.parquet(paths["tomb"]).count() == 0
+    assert spark.read.parquet(paths["dl"]).count() == n_live_dl
+
+
+def test_ivfpq_apply_changes_handles_updates_and_deletes(spark, sf_dir):
+    """r9 (r8 verdict next-round #2), vector side: deleting an indexed
+    vector and moving another must kill their old code rows — even when
+    the update lands the vector in a DIFFERENT cell.  Stale-hit pinned
+    first via the adds-only append; then probe(apply_changes) ≡
+    probe(frozen-codebook re-encode of the post-change corpus), and
+    ivfpq_compact is value-neutral."""
+    from pyspark.sql import functions as F
+
+    from json_sql_database_storage_spark.llm.pq import (
+        _IPQ_NQ, _ivfpq_encode_into, ivfpq_append, ivfpq_apply_changes,
+        ivfpq_build, ivfpq_compact, ivfpq_probe)
+    from json_sql_database_storage_spark.operators.scans import _sink
+    from json_sql_database_storage_spark.sources import load_table
+
+    v = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", F.col("embedding").alias("e")))
+    q = (v.filter(F.col("vec_id") < _IPQ_NQ)
+         .select(F.col("vec_id").alias("query_id"), "e"))
+    paths = ivfpq_build(spark, v, "ivfpq_chg_base")
+    base = ivfpq_probe(spark, paths, q, v).collect()
+    neigh = [int(r["neighbor_id"]) for r in base
+             if int(r["neighbor_id"]) >= _IPQ_NQ]
+    victim, moved = neigh[0], next(x for x in neigh if x != neigh[0])
+    new_id = int(v.agg(F.max("vec_id")).collect()[0][0]) + 1
+
+    upserts = (v.filter(F.col("vec_id") == moved)
+               .withColumn("e", F.transform("e", lambda x: -x))
+               .unionByName(
+                   v.filter(F.col("vec_id") == victim)
+                   .select(F.lit(new_id).cast(v.schema["vec_id"].dataType)
+                           .alias("vec_id"), "e")))
+    deleted = spark.createDataFrame([(victim,)], "vec_id bigint")
+    post = (v.filter(~F.col("vec_id").isin(victim, moved))
+            .unionByName(upserts))
+
+    # stale-hit pin: adds-only append leaves the victim's codes live, so
+    # a reader whose raw-vector side table hasn't been cleaned yet (the
+    # realistic torn state) still gets the deleted vector back
+    stale = ivfpq_build(spark, v, "ivfpq_chg_stale")
+    ivfpq_append(spark, stale, upserts)
+    stale_ids = {int(r["neighbor_id"]) for r in
+                 ivfpq_probe(spark, stale, q, v).collect()}
+    assert victim in stale_ids
+
+    ivfpq_apply_changes(spark, paths, upserts, deleted)
+    got = [tuple(r) for r in ivfpq_probe(spark, paths, q, post).collect()]
+    # frozen-codebook rebuild over the post-change corpus (no tomb/meta
+    # keys: a fresh layout has nothing tombstoned)
+    rebuilt = {"centroids": paths["centroids"],
+               "codebook": paths["codebook"],
+               "index": _sink("ivfpq_chg_rebuild", spark)}
+    _ivfpq_encode_into(spark, rebuilt, post, mode="overwrite")
+    want = [tuple(r) for r in ivfpq_probe(spark, rebuilt, q, post).collect()]
+    assert got == want and got
+    assert victim not in {t[1] for t in got}
+
+    n_codes_live = spark.read.parquet(rebuilt["index"]).count()
+    ivfpq_compact(spark, paths)
+    after = [tuple(r) for r in ivfpq_probe(spark, paths, q, post).collect()]
+    assert after == want
+    assert spark.read.parquet(paths["tomb"]).count() == 0
+    assert spark.read.parquet(paths["index"]).count() == n_codes_live

@@ -475,6 +475,8 @@ def test_scale_curve_heavy_ops_near_linear(spark, tmp_path_factory):
            "text_bm25_topk", "sim_ivfpq_topk", "graph_pagerank",
            # r8 — the new corpus-sized LLM ops (documents-only inputs)
            "text_decontamination", "sample_split_no_leakage",
+           # r9 — the third r8 heavy the verdict asked curves for
+           "dedup_quality_survivor",
            # r8 — round-9 staged ops measured BEFORE promotion
            "text_repetition_filter", "sim_kcenter_coreset",
            "q_copurchase_pairs", "sim_mmr_rerank",
