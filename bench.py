@@ -96,6 +96,35 @@ EXTRA = [
     "dedup_quality_survivor",
     "text_decontamination",
     "sample_split_no_leakage",
+    # round-9 families (the 29 promoted staged queries; the two stream_*
+    # promotions are excluded per the standing replay-latency note below)
+    "q_copurchase_pairs",
+    "q_basket_lift",
+    "q_yearly_growth",
+    "graph_triangle_count",
+    "graph_kcore",
+    "graph_label_propagation",
+    "graph_connected_components",
+    "events_transition_matrix",
+    "events_rfm_scores",
+    "window_cumulative_distinct",
+    "window_ewma_smoothing",
+    "window_rolling_median",
+    "snapshot_rollback",
+    "doc_merge",
+    "scan_python_datasource",
+    "text_repetition_filter",
+    "sample_domain_mixture",
+    "sim_kcenter_coreset",
+    "sample_cluster_balanced",
+    "sim_mmr_rerank",
+    "text_bigram_logprob",
+    "dedup_containment",
+    "sample_importance_weights",
+    "text_token_entropy",
+    "text_keyword_topk",
+    "sim_embedding_drift",
+    "text_vocab_growth",
     # the stream-stream replays are excluded here: their wall time is
     # micro-batch scheduling of a 4-chunk replay (a latency regime the
     # batch bench's throughput number does not represent); their

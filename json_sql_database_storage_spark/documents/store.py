@@ -793,6 +793,14 @@ class DocumentStore:
     # anywhere between child commits leaves the previous family manifest
     # in place, so the previous document family stays fully readable and
     # the half-landed child versions are merely unreferenced history.
+    #
+    # GC HAZARD (the shallow-clone hazard's sibling, pinned in
+    # tests/test_documents.py): vacuum is per-table and cannot know about
+    # family manifests, so vacuuming a CHILD table past a version an
+    # older family commit pins breaks read_family at that family version
+    # — exactly as Iceberg's expire_snapshots breaks catalog refs older
+    # than the retention window.  The safe recipe: keep child retention
+    # ≥ the family versions you still serve.
     _FAMILY_SLOT = 0     # manifest slot holding the {table: version} map
 
     def _family_root(self, family: str) -> str:

@@ -1,0 +1,202 @@
+"""LLM-pipeline operators STAGED for round 10 (window-budgeting protocol
+of llm/staged_r9.py).  Each entry is a complete ``(callable, oracle)``
+register() payload, driver-identically verified at sf0.001 AND sf0.01 by
+tests/test_staged_r10.py; round 10 promotes them by moving the dict entry
+into a @register decorator.
+
+1. text_index_maintenance — the round-9 TOMBSTONE-AWARE index loop
+   surfaced as a driver row: build BM25 over the corpus, then apply ONE
+   change feed (update an indexed doc's text, delete another, insert a
+   fresh doc) through bm25_apply_changes, and probe.  The oracle scores
+   the POST-CHANGE corpus with the registered text_bm25_topk oracle SQL
+   (same snapped-idf / integer-cleared tf-norm discipline), so a stale
+   posting, an unfixed df count, or a double-counted dl row all
+   hash-mismatch.  100-TB: the change application is O(changed docs +
+   tombstone join) — the base corpus is tokenized once at build, never
+   again (llm/search.py b11.27g).
+
+2. text_ngram_novelty — per-decile 5-gram novelty (the tail signal of
+   corpus growth: what fraction of each decile's distinct 5-grams was
+   never seen in any earlier document; near-duplicate-heavy crawls show
+   novelty collapse).  Grams ride as (doc_id, gram) DISTINCT rows; first
+   occurrence is one min(doc_id) groupBy; novelty is a flag join back —
+   two map-side-combinable shuffles of hashed-gram-sized rows, one 1-row
+   doc-count scalar (the text_vocab_growth shape, one gram order wider).
+
+Reference parity note: the reference (DatabaseManager.java:280-381) has
+no analytical surface; these are Part-B derived operators mandated by the
+driver contract's LLM-pipeline families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+from .text_analysis import tokens
+
+# ---------------------------------------------------------------------------
+# text_index_maintenance
+# ---------------------------------------------------------------------------
+
+_MAINT_UPD_ID = 7       # gets new text (now matching the query terms hard)
+_MAINT_DEL_ID = 11      # deleted from the corpus
+_MAINT_UPD_TEXT = "join vector join vector benchmark"
+_MAINT_NEW_TEXT = "join vector fresh crawl page"
+
+
+def text_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .search import (_BM25_TERMS, _BM25_TOPK, bm25_apply_changes,
+                         bm25_build, bm25_probe)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    paths = bm25_build(spark, docs, "bm25_maint")
+    new_id = int(docs.agg(F.max("doc_id")).collect()[0][0]) + 1
+    upserts = spark.createDataFrame(
+        [(_MAINT_UPD_ID, _MAINT_UPD_TEXT), (new_id, _MAINT_NEW_TEXT)],
+        "doc_id bigint, text string")
+    deleted = spark.createDataFrame([(_MAINT_DEL_ID,)], "doc_id bigint")
+    bm25_apply_changes(spark, paths, upserts, deleted)
+    return bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK)
+
+
+def _maint_oracle() -> str:
+    # the registered text_bm25_topk oracle, scored over the POST-CHANGE
+    # corpus (search.py's exactness discipline: snapped fixed-point idf,
+    # integer-cleared tf-norm, ordered per-term sum)
+    from .search import _BM25_TERMS, _BM25_TOPK
+
+    return rf"""
+WITH documents_m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = {_MAINT_UPD_ID} THEN '{_MAINT_UPD_TEXT}'
+              ELSE text END AS text
+  FROM documents WHERE doc_id <> {_MAINT_DEL_ID}
+  UNION ALL
+  SELECT (SELECT max(doc_id) + 1 FROM documents), '{_MAINT_NEW_TEXT}'
+), w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+  FROM documents_m
+), stats AS (
+  SELECT count(*) AS t_tokens, count(DISTINCT doc_id) AS n_docs FROM w
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id
+), post AS (
+  SELECT doc_id, term, count(*) AS tf FROM w
+  WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM post GROUP BY term
+), idf AS (
+  SELECT df.term,
+         CAST(floor(ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                    * 1000000 + 0.5) AS BIGINT) AS idf_q6
+  FROM df CROSS JOIN stats
+), contrib AS (
+  SELECT p.doc_id, p.term,
+         (CAST(i.idf_q6 AS DOUBLE) / 1000000.0)
+         * (CAST(10 * s.t_tokens * p.tf AS DOUBLE)
+            / CAST(10 * s.t_tokens * p.tf + 3 * s.t_tokens
+                   + 9 * d.dl * s.n_docs AS DOUBLE)) AS c
+  FROM post p
+  JOIN idf i USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+), scored AS (
+  SELECT doc_id, count(*) AS n_terms_matched,
+         list_sum(list(c ORDER BY term)) AS score
+  FROM contrib GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id, n_terms_matched, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
+       score, rk
+FROM ranked WHERE rk <= {_BM25_TOPK}
+ORDER BY rk
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_novelty
+# ---------------------------------------------------------------------------
+
+_NOV_N = 5      # gram order
+
+
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    toks = (docs.select("doc_id", tokens(F.col("text")).alias("t"))
+            # BEFORE the explode: F.sequence(0, negative) would generate a
+            # DESCENDING range, not an empty one
+            .filter(F.size("t") >= _NOV_N))
+    grams = (toks
+             .select("doc_id",
+                     F.explode(F.transform(
+                         F.sequence(F.lit(0),
+                                    F.size("t") - F.lit(_NOV_N)),
+                         lambda i: F.concat_ws(
+                             " ", *[F.get(F.col("t"), i + k)
+                                    for k in range(_NOV_N)])))
+                     .alias("g"))
+             .distinct())
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("f"))
+    flagged = (grams.join(first, "g")
+               .select("doc_id",
+                       (F.col("doc_id") == F.col("f")).cast("int")
+                       .alias("novel")))
+    per_doc = (flagged.groupBy("doc_id")
+               .agg(F.sum("novel").cast("bigint").alias("novel"),
+                    F.count(F.lit(1)).cast("bigint").alias("total")))
+    dec = (per_doc.crossJoin(F.broadcast(n_docs))
+           # integer DIV, as the oracle's `//` — no float quotient anywhere
+           .select(F.least(F.lit(9),
+                           F.expr("CAST((doc_id * 10) DIV n AS INT)"))
+                   .alias("decile"),
+                   "novel", "total"))
+    return (dec.groupBy("decile")
+            .agg(F.sum("novel").cast("bigint").alias("novel_grams"),
+                 F.sum("total").cast("bigint").alias("total_grams"))
+            .withColumn("novelty",
+                        F.col("novel_grams").cast("double")
+                        / F.col("total_grams").cast("double"))
+            .orderBy("decile"))
+
+
+_NOVELTY_SQL = rf"""
+WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+toks AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+         FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]
+              || ' ' || t[i + 4] AS g
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - {_NOV_N - 1})) AS i
+        FROM toks WHERE len(t) >= {_NOV_N})
+), first AS (
+  SELECT g, min(doc_id) AS f FROM grams GROUP BY g
+), per_doc AS (
+  SELECT grams.doc_id,
+         CAST(sum(CASE WHEN grams.doc_id = first.f THEN 1 ELSE 0 END)
+              AS BIGINT) AS novel,
+         CAST(count(*) AS BIGINT) AS total
+  FROM grams JOIN first USING (g)
+  GROUP BY grams.doc_id
+)
+SELECT CAST(least(9, (doc_id * 10) // n_docs) AS INT) AS decile,
+       CAST(sum(novel) AS BIGINT) AS novel_grams,
+       CAST(sum(total) AS BIGINT) AS total_grams,
+       CAST(sum(novel) AS DOUBLE) / CAST(sum(total) AS DOUBLE) AS novelty
+FROM per_doc CROSS JOIN n
+GROUP BY 1
+ORDER BY decile
+"""
+
+STAGED: dict = {
+    "text_index_maintenance": (text_index_maintenance, _maint_oracle()),
+    "text_ngram_novelty": (text_ngram_novelty, _NOVELTY_SQL),
+}

@@ -1412,3 +1412,23 @@ def test_store_cdf_drives_tombstone_aware_bm25_maintenance(
             bm25_probe(spark, full, _BM25_TERMS, _BM25_TOPK).collect()]
     assert got == want and got
     assert victim not in {t[0] for t in got}
+
+
+def test_store_family_vacuum_hazard_is_pinned(spark, tmp_path):
+    """r9 (the shallow-clone GC hazard's sibling): vacuum is per-table
+    and cannot know about family manifests — vacuuming a child table
+    past a version an older family commit pins BREAKS read_family at
+    that family version, while the current family survives.  Pinned as
+    documented-by-design parity with Iceberg snapshot expiry vs catalog
+    refs."""
+    store = DocumentStore(spark, str(tmp_path / "collections"))
+    docs = docs_df(spark, ALL_FIXTURES["f4"])
+    store.save_docs(docs, "fam")                             # family v0
+    store.save_docs(docs, "fam")                             # family v1
+    child = next(t for t in store.family_tables("fam") if t != "fam")
+    # current family (v1) pins the child's latest version: vacuum keeps it
+    store.vacuum(child, keep_last=1, min_age_seconds=0)
+    assert store.read_family("fam", child, 1).count() > 0
+    # …but family v0 pinned the now-expired child version: broken, loudly
+    with pytest.raises(Exception):
+        store.read_family("fam", child, 0).collect()
