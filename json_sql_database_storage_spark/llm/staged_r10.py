@@ -196,7 +196,115 @@ GROUP BY 1
 ORDER BY decile
 """
 
+# ---------------------------------------------------------------------------
+# text_code_detection — symbol-density code-vs-prose heuristic (the cheap
+# first-stage router every code-aware pretraining pipeline runs before an
+# expensive classifier): a doc is code-like when its code-symbol count
+# ({} ; = () — counted via length-minus-replace, pure integers) exceeds
+# 2% of its characters, tested as the integer cross product
+# symbols·50 > chars so the decision is exact in both engines.
+#
+# 100-TB design: per-doc counters are map-side expressions; the census is
+# one map-side-combinable groupBy(source).  No joins, no global step.
+# ---------------------------------------------------------------------------
+
+_CODE_SYMBOLS = ("{", "}", ";", "=", "(", ")")
+
+
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sym = None
+    for ch in _CODE_SYMBOLS:
+        c = F.length("text") - F.length(F.replace(F.col("text"), F.lit(ch)))
+        sym = c if sym is None else sym + c
+    flagged = docs.select(
+        "source",
+        (sym.cast("bigint") * 50 > F.length("text").cast("bigint"))
+        .cast("int").alias("codelike"))
+    return (flagged.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("codelike").cast("bigint").alias("n_codelike"))
+            .orderBy("source"))
+
+
+_CODE_SQL = """
+WITH f AS (
+  SELECT source,
+         CASE WHEN CAST(
+                (length(text) - length(replace(text, '{', '')))
+              + (length(text) - length(replace(text, '}', '')))
+              + (length(text) - length(replace(text, ';', '')))
+              + (length(text) - length(replace(text, '=', '')))
+              + (length(text) - length(replace(text, '(', '')))
+              + (length(text) - length(replace(text, ')', '')))
+              AS BIGINT) * 50 > CAST(length(text) AS BIGINT)
+         THEN 1 ELSE 0 END AS codelike
+  FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(codelike) AS BIGINT) AS n_codelike
+FROM f GROUP BY source
+ORDER BY source
+"""
+
+# ---------------------------------------------------------------------------
+# sample_token_budget_epochs — per-source epoch plan under a global token
+# budget (the operational half of the mixture question sample_domain_
+# mixture answers: with budget B = T/10 tokens and sqrt-temperature
+# weights w_i, source i contributes quota_i = w_i·B tokens, i.e.
+# epochs_i = quota_i / tokens_i passes over that source — rare domains
+# epoch above 1, huge ones sample down).  The denominator and every
+# derived double use the ordered-fold convention (source-name order), so
+# all floats are bit-equal cross-engine.
+#
+# 100-TB design: one map-side-combinable token census per source + a
+# 1-row ordered fold; the plan is a catalog-sized table of per-source
+# scalars, computed without touching the corpus twice.
+# ---------------------------------------------------------------------------
+
+
+def sample_token_budget_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = (load_table(spark, sf_dir, "documents")
+           .select("source",
+                   F.size(F.split("text", " ")).cast("long").alias("ntok"))
+           .groupBy("source")
+           .agg(F.sum("ntok").alias("n_tokens"))
+           .withColumn("s", F.sqrt(F.col("n_tokens").cast("double"))))
+    tot = per.agg(
+        F.aggregate(F.array_sort(F.collect_list(F.struct("source", "s"))),
+                    F.lit(0.0), lambda acc, x: acc + x["s"]).alias("denom"),
+        F.sum("n_tokens").cast("bigint").alias("t_total"))
+    w = F.col("s") / F.col("denom")
+    budget = F.expr("t_total DIV 10").cast("double")    # integer floor-div
+    return (per.crossJoin(F.broadcast(tot))
+            .select("source", "n_tokens",
+                    w.alias("weight"),
+                    (w * budget).alias("quota_tokens"),
+                    ((w * budget) / F.col("n_tokens").cast("double"))
+                    .alias("epochs"))
+            .orderBy("source"))
+
+
+_EPOCHS_SQL = """
+WITH per AS (
+  SELECT source,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1),
+w AS (SELECT source, n_tokens,
+             sqrt(CAST(n_tokens AS DOUBLE)) AS s FROM per),
+d AS (SELECT list_sum(list(s ORDER BY source)) AS denom,
+             CAST(sum(n_tokens) AS BIGINT) AS t_total FROM w)
+SELECT source, n_tokens, s / denom AS weight,
+       (s / denom) * CAST(t_total // 10 AS DOUBLE) AS quota_tokens,
+       ((s / denom) * CAST(t_total // 10 AS DOUBLE))
+         / CAST(n_tokens AS DOUBLE) AS epochs
+FROM w, d
+ORDER BY source
+"""
+
 STAGED: dict = {
     "text_index_maintenance": (text_index_maintenance, _maint_oracle()),
     "text_ngram_novelty": (text_ngram_novelty, _NOVELTY_SQL),
+    "text_code_detection": (text_code_detection, _CODE_SQL),
+    "sample_token_budget_epochs": (sample_token_budget_epochs, _EPOCHS_SQL),
 }

@@ -88,6 +88,8 @@ LIMIT {_TOPN}
 
 
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..registry import scoped_persist
+
     items = (load_table(spark, sf_dir, "lineitem")
              .select("l_orderkey", "l_partkey").distinct())
     edges = (items.alias("a")
@@ -96,7 +98,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("b"), ["l_orderkey"])
              .filter(F.col("a.l_partkey") < F.col("pb"))
              .select(F.col("a.l_partkey").alias("pa"), "pb")
-             .distinct())
+             .distinct()
+             # the edge list feeds FOUR consumers (degree census, the
+             # oriented projection, and the node/edge count scalars);
+             # without the pin each re-runs the items self-join +
+             # distinct — measured 17.4 s → the pinned plan evaluates it
+             # once (r9; the graph_kcore materialization-cost precedent)
+             .transform(scoped_persist))
     deg = (edges.select(F.col("pa").alias("node"))
            .unionAll(edges.select(F.col("pb").alias("node")))
            .groupBy("node").agg(F.count("*").alias("d")))
@@ -114,7 +122,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.when((F.col("da") < F.col("db"))
                     | ((F.col("da") == F.col("db"))
                        & (F.col("pa") < F.col("pb"))),
-                    F.col("pb")).otherwise(F.col("pa")).alias("dst")))
+                    F.col("pb")).otherwise(F.col("pa")).alias("dst"))
+         # the oriented list is read three times (both wedge sides + the
+         # closing semi-join probe) — pin it so the degree joins run once
+         .transform(scoped_persist))
     wedges = (e.alias("e1")
               .join(e.select(F.col("src").alias("mid"),
                              F.col("dst").alias("far")).alias("e2"),

@@ -1432,3 +1432,67 @@ def test_store_family_vacuum_hazard_is_pinned(spark, tmp_path):
     # …but family v0 pinned the now-expired child version: broken, loudly
     with pytest.raises(Exception):
         store.read_family("fam", child, 0).collect()
+
+
+def test_store_cdf_drives_tombstone_aware_ivfpq_maintenance(
+        spark, sf_dir, tmp_path):
+    """r9 composition, the ANN twin of the CDF→BM25 tombstone loop: ONE
+    store commit updates an indexed vector's embedding, deletes another,
+    and inserts a fresh one; diff()'s upsert/delete split drives
+    ivfpq_apply_changes, and the probe is row-identical to a
+    frozen-codebook re-encode of the committed corpus."""
+    from pyspark.sql import functions as F
+
+    from json_sql_database_storage_spark.documents.store import DocumentStore
+    from json_sql_database_storage_spark.llm.pq import (
+        _IPQ_NQ, _ivfpq_encode_into, ivfpq_apply_changes, ivfpq_build,
+        ivfpq_probe)
+    from json_sql_database_storage_spark.operators.scans import _sink
+    from json_sql_database_storage_spark.sources import load_table
+
+    v = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", F.col("embedding").alias("e")))
+    store = DocumentStore(spark, str(tmp_path / "collections"), n_buckets=8)
+    store.upsert(v.select(F.col("vec_id").alias("rowNum"), "e"),
+                 "vectors")                                           # v0
+    paths = ivfpq_build(spark, v, "ivfpq_cdf_mut_base")
+
+    moved = _IPQ_NQ + 3
+    victim = _IPQ_NQ + 7
+    new_id = int(v.agg(F.max("vec_id")).collect()[0][0]) + 1
+    change = (v.filter(F.col("vec_id") == moved)
+              .select(F.col("vec_id").alias("rowNum"),
+                      F.transform("e", lambda x: -x).alias("e"))
+              .unionByName(
+                  v.filter(F.col("vec_id") == victim)
+                  .select(F.lit(new_id).cast("bigint").alias("rowNum"),
+                          "e")))
+    store.upsert(change, "vectors")                                   # v1
+    store.delete(spark.createDataFrame([(victim,)], "rowNum bigint"),
+                 "vectors")                                           # v2
+
+    cdf = store.diff("vectors", 0, 2)
+    up_keys = (cdf.filter(F.col("op") == "upsert")
+               .select(F.col("rowNum").alias("vec_id")))
+    del_keys = (cdf.filter(F.col("op") == "delete")
+                .select(F.col("rowNum").alias("vec_id")))
+    assert sorted(r[0] for r in up_keys.collect()) == sorted([moved,
+                                                              new_id])
+    assert [r[0] for r in del_keys.collect()] == [victim]
+    committed = store.read("vectors").select(
+        F.col("rowNum").alias("vec_id"), "e")
+    up_vecs = committed.join(up_keys, "vec_id")
+    ivfpq_apply_changes(spark, paths, up_vecs, del_keys)
+
+    q = (v.filter(F.col("vec_id") < _IPQ_NQ)
+         .select(F.col("vec_id").alias("query_id"), "e"))
+    got = [tuple(r) for r in
+           ivfpq_probe(spark, paths, q, committed).collect()]
+    rebuilt = {"centroids": paths["centroids"],
+               "codebook": paths["codebook"],
+               "index": _sink("ivfpq_cdf_mut_rebuild", spark)}
+    _ivfpq_encode_into(spark, rebuilt, committed, mode="overwrite")
+    want = [tuple(r) for r in
+            ivfpq_probe(spark, rebuilt, q, committed).collect()]
+    assert got == want and got
+    assert victim not in {t[1] for t in got}

@@ -149,6 +149,12 @@ def test_driver_check_bookkeeping_is_outcome_aware():
 _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
     ("streaming/queries.py", "stream_static_join"):
         "customer dimension table — |dim| ≪ facts; shuffle-join fallback if it outgrows executors",
+    ("operators/staged_r10.py", "stream_scd2_enrichment"):
+        "SCD2 customer dimension (≤2 versions × ≤500 keys) — metadata-sized next to the event stream",
+    ("llm/staged_r10.py", "text_ngram_novelty"):
+        "1-row corpus doc-count scalar",
+    ("llm/staged_r10.py", "sample_token_budget_epochs"):
+        "1-row (denominator, total-tokens) ordered-fold scalar",
     ("operators/aggregates.py", "agg_hll_sketch_rollup"):
         "1-row global count + per-group sketch summaries (groups × sketch size)",
     ("operators/aggregates.py", "agg_quantile_sketch_rollup"):

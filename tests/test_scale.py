@@ -492,9 +492,10 @@ def test_scale_curve_heavy_ops_near_linear(spark, tmp_path_factory):
            "stream_heavy_hitters"]
     # graph_triangle_count is deliberately NOT in the recurring list: the
     # sf0.1 co-purchase graph is dense (avg degree ~60), so its base cost
-    # (~40 s) would dominate this test.  Its one-off measured curve
-    # (1×/3×/10× = 39/66/256 s — 6.5× at 10× data, inside the contract)
-    # is recorded in SCALE.md next to the others.
+    # (~11 s after the r9 persist fix) would still dominate this test.
+    # Its one-off measured curve (1×/3×/10× = 11.2/28.5/58.2 s — 5.2× at
+    # 10× data, inside the contract; was 39/66/256 s before the edge list
+    # and oriented projection were pinned) is recorded in SCALE.md.
     fns = {name: (fn, _) for name, (fn, _) in
            {**_LLM_STAGED, **_OPS_STAGED}.items()}
     _fn = lambda op: (fns[op][0] if op in fns else _SPECS[op].fn)  # noqa: E731

@@ -91,6 +91,9 @@ def test_staged_no_unintended_scale_flags(spark, sf_dir):
             "graph_degree_assortativity",
             # 1-row corpus doc-count scalar (the text_vocab_growth shape)
             "text_ngram_novelty",
+            # ordered-fold denominator scalar (the sample_domain_mixture
+            # shape)
+            "sample_token_budget_epochs",
             # fixture-literal family docs (the scan_in_memory precedent)
             "doc_family_read",
             # the probe's ≤k-row final rank window + 1-row stats broadcast
