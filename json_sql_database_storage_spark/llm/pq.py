@@ -836,6 +836,25 @@ def ivfpq_apply_changes(spark: SparkSession, paths: dict[str, str],
     return paths
 
 
+def ivfpq_maintain(spark: SparkSession, paths: dict[str, str],
+                   max_tomb_ratio: float = 0.2) -> bool:
+    """Compaction policy, the bm25_maintain twin: compact when tombstoned
+    vectors exceed `max_tomb_ratio` of the live count; otherwise the
+    probe's tombstone join stays cheaper than the O(live index) rewrite.
+    Counts are index metadata (codes rows / M per vector, distinct
+    tombstoned ids).  Returns True when a compaction ran."""
+    n_tomb = (spark.read.parquet(paths["tomb"])
+              .select("vec_id").distinct().count())
+    if not n_tomb:
+        return False
+    n_live = (_ivfpq_live(spark, paths, spark.read.parquet(paths["index"]))
+              .select("vec_id").distinct().count())
+    if n_live and n_tomb <= max_tomb_ratio * n_live:
+        return False
+    ivfpq_compact(spark, paths)
+    return True
+
+
 def ivfpq_compact(spark: SparkSession, paths: dict[str, str]) -> dict[str, str]:
     """Physically drop tombstoned code rows and empty the tombstone table
     — bounds the probe's tombstone-join cost after many change cycles.

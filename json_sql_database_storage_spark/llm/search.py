@@ -370,6 +370,26 @@ def bm25_apply_changes(spark: SparkSession, paths: dict[str, str],
     return paths
 
 
+def bm25_maintain(spark: SparkSession, paths: dict[str, str],
+                  max_tomb_ratio: float = 0.2) -> bool:
+    """The compaction POLICY (Lucene's expungeDeletes cadence): compact
+    when tombstoned docs exceed `max_tomb_ratio` of the live doc count —
+    below that, the probe's tombstone join is cheaper than an O(live
+    index) rewrite.  The decision reads two 1-row counts (dl live rows vs
+    distinct tombstoned ids — both index metadata, never the corpus).
+    Returns True when a compaction ran."""
+    n_tomb = (spark.read.parquet(paths["tomb"])
+              .select("doc_id").distinct().count())
+    if not n_tomb:
+        return False
+    n_live = _bm25_live(spark, paths,
+                        spark.read.parquet(paths["dl"])).count()
+    if n_live and n_tomb <= max_tomb_ratio * n_live:
+        return False
+    bm25_compact(spark, paths)
+    return True
+
+
 def bm25_compact(spark: SparkSession, paths: dict[str, str]) -> dict[str, str]:
     """Physically drop tombstoned posting/dl rows and empty the tombstone
     table — the periodic segment rewrite that bounds tombstone-join cost

@@ -532,6 +532,151 @@ FROM t WHERE "rowNum" % 100 = 1
 ORDER BY op, "rowNum"
 """
 
+# ---------------------------------------------------------------------------
+# q_customer_pareto — revenue-concentration census (the 80/20 question:
+# which revenue decile of customers carries what share of total revenue).
+# The global revenue ranking uses the TWO-PASS recipe from
+# operators/scale.py (scale_percent_rank): bucket by the revenue VALUE
+# (ties can never straddle a bucket), rank within buckets, add
+# ≤32-bucket literal offsets — so there is no single-partition global
+# sort anywhere; the only global step is the 10-row decile cumulative.
+#
+# 100-TB design: one map-side-combinable revenue agg, one value-range
+# bucketing (bounded 2×32-row collects of bucket stats — index-metadata
+# class), per-bucket windows, then a 10-row census.  Cumulative share is
+# exact-integer cents divided as doubles — bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+_PARETO_BUCKETS = 32
+
+
+def q_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (load_table(spark, sf_dir, "orders")
+           .groupBy("o_custkey")
+           .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint").alias("cents")))
+    lo_hi = rev.agg(F.min("cents").alias("lo"),
+                    F.max("cents").alias("hi")).collect()[0]
+    lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
+    if lo == hi:
+        base = rev.withColumn("__b", F.lit(0))
+    else:
+        width = (hi - lo) / _PARETO_BUCKETS
+        base = rev.withColumn(
+            "__b",
+            F.least(F.lit(_PARETO_BUCKETS - 1),
+                    F.floor((F.col("cents") - F.lit(lo)) / F.lit(width))
+                    .cast("int")))
+    partials = (base.groupBy("__b").agg(F.count(F.lit(1)).alias("pn"))
+                .collect())
+    pcnt = {int(r["__b"]): int(r["pn"]) for r in partials}
+    n_total = sum(pcnt.values())
+    # rank DESC by cents: offset(b) = customers in HIGHER-value buckets
+    off = {b: sum(pcnt.get(x, 0) for x in range(b + 1, _PARETO_BUCKETS))
+           for b in range(_PARETO_BUCKETS)}
+    off_map = F.create_map(*[x for b in range(_PARETO_BUCKETS)
+                             for x in (F.lit(b), F.lit(off[b]))])
+    wrk = W.partitionBy("__b").orderBy(F.col("cents").desc(), "o_custkey")
+    ranked = base.select(
+        "cents",
+        (off_map[F.col("__b")] + F.row_number().over(wrk)).alias("rk"))
+    per = (ranked
+           .select("cents",
+                   F.least(F.lit(9),
+                           F.expr(f"CAST(((rk - 1) * 10) DIV {n_total} "
+                                  f"AS INT)")).alias("decile"))
+           .groupBy("decile")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                F.sum("cents").cast("bigint").alias("decile_cents")))
+    wcum = W.orderBy("decile").rowsBetween(W.unboundedPreceding,
+                                           W.currentRow)
+    tot = F.sum("decile_cents").over(
+        W.orderBy("decile").rowsBetween(W.unboundedPreceding,
+                                        W.unboundedFollowing))
+    return (per.select("decile", "n_customers", "decile_cents",
+                       (F.sum("decile_cents").over(wcum).cast("double")
+                        / tot.cast("double")).alias("cum_share"))
+            .orderBy("decile"))
+
+
+_PARETO_SQL = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY 1
+), rk AS (
+  SELECT cents,
+         row_number() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+         count(*) OVER () AS n
+  FROM rev
+), per AS (
+  SELECT CAST(least(9, ((rk - 1) * 10) // n) AS INT) AS decile,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(cents) AS BIGINT) AS decile_cents
+  FROM rk GROUP BY 1
+)
+SELECT decile, n_customers, decile_cents,
+       CAST(sum(decile_cents)
+              OVER (ORDER BY decile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE)
+       / CAST(sum(decile_cents)
+                OVER (ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)
+              AS DOUBLE) AS cum_share
+FROM per
+ORDER BY decile
+"""
+
+# ---------------------------------------------------------------------------
+# window_streak_detection — gaps-and-islands: each user's longest run of
+# CONSECUTIVE active days (the retention/engagement staple; the classic
+# `date − row_number()` island trick).  Portable island key: integer
+# days-since-epoch minus the per-user day rank.
+#
+# 100-TB design: one distinct over (user, day) — map-side combinable;
+# one per-user window (single user_id exchange); one (user, island)
+# census.  No global step.
+# ---------------------------------------------------------------------------
+
+
+def window_streak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (load_table(spark, sf_dir, "events")
+            .select("user_id", F.to_date("ts").alias("d")).distinct())
+    wd = W.partitionBy("user_id").orderBy("d")
+    grp = (days.select(
+        "user_id",
+        (F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+         - F.row_number().over(wd)).alias("grp")))
+    runs = (grp.groupBy("user_id", "grp")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("len")))
+    return (runs.groupBy("user_id")
+            .agg(F.sum("len").cast("bigint").alias("n_active_days"),
+                 F.max("len").alias("longest_streak"))
+            .orderBy("user_id"))
+
+
+_STREAK_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+), r AS (
+  SELECT user_id, d,
+         row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn
+  FROM days
+), runs AS (
+  SELECT user_id,
+         datediff('day', DATE '1970-01-01', d) - rn AS grp,
+         count(*) AS len
+  FROM r GROUP BY user_id, grp
+)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(max(len) AS BIGINT) AS longest_streak
+FROM runs
+GROUP BY user_id
+ORDER BY user_id
+"""
+
 STAGED: dict = {
     "graph_degree_assortativity": (graph_degree_assortativity, _ASSORT_SQL),
     "graph_degree_histogram": (graph_degree_histogram, _DEGHIST_SQL),
@@ -541,4 +686,6 @@ STAGED: dict = {
     "stream_scd2_enrichment": (stream_scd2_enrichment, _SCD2_STREAM_SQL),
     "doc_family_read": (doc_family_read, _FAMILY_SQL),
     "doc_quarantine": (doc_quarantine, _QUARANTINE_SQL),
+    "q_customer_pareto": (q_customer_pareto, _PARETO_SQL),
+    "window_streak_detection": (window_streak_detection, _STREAK_SQL),
 }

@@ -1222,3 +1222,46 @@ def test_ivfpq_apply_changes_handles_updates_and_deletes(spark, sf_dir):
     assert after == want
     assert spark.read.parquet(paths["tomb"]).count() == 0
     assert spark.read.parquet(paths["index"]).count() == n_codes_live
+
+
+def test_index_maintain_policy_compacts_only_past_threshold(spark, sf_dir):
+    """r9: the compaction POLICY — below the tombstone-ratio threshold
+    maintain() is a metadata decision (no rewrite, tombstones kept);
+    past it, it compacts (tombstones emptied) and stays value-neutral."""
+    from pyspark.sql import functions as F
+
+    from json_sql_database_storage_spark.llm.search import (
+        _BM25_TERMS, _BM25_TOPK, bm25_apply_changes, bm25_build,
+        bm25_maintain, bm25_probe)
+    from json_sql_database_storage_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    paths = bm25_build(spark, docs, "bm25_policy")
+    assert bm25_maintain(spark, paths) is False       # nothing tombstoned
+
+    # delete 1 doc: far below the 20% default — keep the tombstone
+    one = spark.createDataFrame([(3,)], "doc_id bigint")
+    bm25_apply_changes(spark, paths, docs.limit(0), one)
+    want = [tuple(r) for r in
+            bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK).collect()]
+    assert bm25_maintain(spark, paths) is False
+    assert spark.read.parquet(paths["tomb"]).count() == 1
+
+    # delete 30% of the corpus: past the threshold — compacts
+    n = docs.count()
+    many = docs.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+    bm25_apply_changes(spark, paths, docs.limit(0), many)
+    assert bm25_maintain(spark, paths) is True
+    assert spark.read.parquet(paths["tomb"]).count() == 0
+    live = (docs.filter(~(F.col("doc_id") % 3 == 1))
+            .filter(F.col("doc_id") != 3))
+    assert spark.read.parquet(paths["dl"]).count() == live.count() < n
+    got = [tuple(r) for r in
+           bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK).collect()]
+    # value-neutral relative to a pre-compact probe over the same state
+    from json_sql_database_storage_spark.llm.search import bm25_build as _b
+    full = _b(spark, live, "bm25_policy_full")
+    assert got == [tuple(r) for r in
+                   bm25_probe(spark, full, _BM25_TERMS, _BM25_TOPK)
+                   .collect()]
+    assert want  # the single-delete probe ran (sanity)

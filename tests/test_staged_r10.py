@@ -94,6 +94,10 @@ def test_staged_no_unintended_scale_flags(spark, sf_dir):
             # ordered-fold denominator scalar (the sample_domain_mixture
             # shape)
             "sample_token_budget_epochs",
+            # the O(1) ten-decile cumulative window (text_vocab_growth's
+            # allowlisted shape) — the RANKING itself is two-pass bucketed,
+            # never single-partition
+            "q_customer_pareto",
             # fixture-literal family docs (the scan_in_memory precedent)
             "doc_family_read",
             # the probe's ≤k-row final rank window + 1-row stats broadcast
