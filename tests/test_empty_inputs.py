@@ -215,3 +215,39 @@ def test_store_constraints_and_clone_on_empty_states(spark, tmp_path):
     store.clone("things", "things_empty")
     out = store.read("things_empty")
     assert out.count() == 0 and "name" in out.columns
+
+
+def test_index_apply_changes_on_empty_cdf_is_noop(spark, sf_dir):
+    """r9: the incremental-maintenance verbs must no-op cleanly on an
+    empty change feed (the first crawl of an unchanged corpus): no
+    tombstones written, stats unchanged, probe identical."""
+    from json_sql_database_storage_spark.llm.pq import (
+        _IPQ_NQ, ivfpq_apply_changes, ivfpq_build, ivfpq_probe)
+    from json_sql_database_storage_spark.llm.search import (
+        _BM25_TERMS, _BM25_TOPK, bm25_apply_changes, bm25_build, bm25_probe)
+    from json_sql_database_storage_spark.llm.similarity import as_double
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    paths = bm25_build(spark, docs, "bm25_empty_cdf")
+    want = [tuple(r) for r in
+            bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK).collect()]
+    s0 = tuple(spark.read.parquet(paths["stats"]).collect()[0])[:2]
+    bm25_apply_changes(spark, paths, docs.limit(0),
+                       docs.select("doc_id").limit(0))
+    assert [tuple(r) for r in
+            bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK).collect()] \
+        == want
+    assert tuple(spark.read.parquet(paths["stats"]).collect()[0])[:2] == s0
+    assert spark.read.parquet(paths["tomb"]).count() == 0
+
+    v = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", as_double(F.col("embedding")).alias("e")))
+    q = (v.filter(F.col("vec_id") < _IPQ_NQ)
+         .select(F.col("vec_id").alias("query_id"), "e"))
+    vpaths = ivfpq_build(spark, v, "ivfpq_empty_cdf")
+    vwant = [tuple(r) for r in ivfpq_probe(spark, vpaths, q, v).collect()]
+    ivfpq_apply_changes(spark, vpaths, v.limit(0),
+                        v.select("vec_id").limit(0))
+    assert [tuple(r) for r in
+            ivfpq_probe(spark, vpaths, q, v).collect()] == vwant
+    assert spark.read.parquet(vpaths["tomb"]).count() == 0
