@@ -708,108 +708,190 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivfpq_build(spark: SparkSession, v: DataFrame,
                 name: str) -> dict[str, str]:
     """Train + encode + lay out the IVFPQ index for vectors (vec_id, e);
-    persist {centroids, codebook, index, meta, tomb} under the session
+    persist {centroids, codebook, index, tomb, meta} under the session
     sink.
 
-    Segments + tombstones (r8 verdict next-round #2, the vector mirror of
-    bm25_build's scheme): every code row carries the segment of the write
-    that produced it (build = 0; each append/apply_changes = next_seg from
-    the 1-row meta artifact), and the tombstone table (vec_id,
-    doomed_thru) marks code rows with seg ≤ doomed_thru dead.  Updates
-    re-encode at the new segment (possibly into a DIFFERENT cell — the
-    vector moved); deletes just tombstone.  The probe filters dead rows
-    with one vec_id equi-join against the O(changed vectors) tombstone
-    table; ivfpq_compact() physically drops them."""
+    ATOMIC, VERSIONED index commits (r9 — the bm25_build segments_N
+    twin): every maintenance verb writes its code/tombstone rows as NEW
+    ``seg=N`` partition dirs (invisible) and then claims ONE manifest
+    version via the write-fsync-link CAS; a crash before the claim
+    leaves the previous index version fully consistent.  The manifest
+    lists the live code/tombstone segment sets and the next segment
+    number; centroids and codebook are immutable after build (re-train =
+    rebuild, the FAISS contract).
+
+    Segments + tombstones (r8 verdict next-round #2): code rows carry
+    the segment of the write that produced them; tombstones (vec_id,
+    doomed_thru) mark rows with seg ≤ doomed_thru dead — updates
+    re-encode at the new segment (possibly into a DIFFERENT cell, the
+    vector moved), deletes just tombstone, and the probe filters dead
+    rows with one vec_id equi-join against the O(changed vectors)
+    tombstones.  ivfpq_compact() rewrites live rows into one fresh
+    segment.  Single writer per index (the Lucene write.lock
+    discipline)."""
     from ..operators.scans import _sink
     from ..registry import scoped_persist
 
     paths = {"centroids": _sink(f"{name}_cent", spark),
              "codebook": _sink(f"{name}_cb", spark),
              "index": _sink(name, spark),
-             "meta": _sink(f"{name}_meta", spark),
-             "tomb": _sink(f"{name}_tomb", spark)}
+             "tomb": _sink(f"{name}_tomb", spark),
+             "meta": _sink(f"{name}_meta", spark)}
     (v.filter(F.col("vec_id") < _IPQ_KC)
      .select(F.col("vec_id").alias("c_id"), F.col("e").alias("ce"))
      .write.mode("overwrite").parquet(paths["centroids"]))
     subs = subvectors(v).transform(scoped_persist)
     (train_codebooks(subs, _PQ_K)
      .write.mode("overwrite").parquet(paths["codebook"]))
-    _ivfpq_encode_into(spark, paths, v, mode="overwrite", seg=0)
-    (spark.createDataFrame([(1,)], "next_seg bigint")
-     .write.mode("overwrite").parquet(paths["meta"]))
-    (v.select("vec_id").limit(0)
-     .withColumn("doomed_thru", F.lit(0).cast("bigint"))
-     .write.mode("overwrite").parquet(paths["tomb"]))
+    _ivfpq_encode_into(spark, paths, v, seg=0)
+    _ivfpq_commit(paths, {_V_CODES: [0], _V_TOMB: [], _V_NEXT: 1})
     return paths
 
 
-def _ivfpq_live(spark: SparkSession, paths: dict[str, str],
-                df: DataFrame) -> DataFrame:
+# manifest slots (commit_manifest int-keys the top level)
+_V_CODES, _V_TOMB, _V_NEXT = 0, 1, 2
+
+
+def _ivfpq_manifest(paths: dict[str, str],
+                    version: int | None = None) -> dict:
+    from ..operators.snapshots import (current_version,
+                                       read_committed_manifest)
+
+    v = current_version(paths["meta"]) if version is None else version
+    return read_committed_manifest(paths["meta"], v)
+
+
+def _ivfpq_commit(paths: dict[str, str], manifest: dict) -> None:
+    import os
+
+    from ..operators.snapshots import (SnapshotConflict, commit_manifest,
+                                       current_version)
+
+    os.makedirs(paths["meta"], exist_ok=True)
+    for _ in range(5):
+        try:
+            commit_manifest(paths["meta"],
+                            current_version(paths["meta"]) + 1, manifest)
+            return
+        except SnapshotConflict:
+            continue
+    raise SnapshotConflict(f"index commit under {paths['meta']} lost the "
+                           f"race 5 times")
+
+
+def _ivfpq_clear_seg(root: str, seg: int) -> None:
+    """Remove a possibly-orphaned seg dir before (re)writing it — a
+    crashed writer's uncommitted files must not merge into the retried
+    segment (the bm25 _clear_seg twin)."""
+    import os
+    import shutil
+
+    p = os.path.join(root, f"seg={seg}")
+    if os.path.isdir(p):
+        shutil.rmtree(p)
+
+
+def _ivfpq_read(spark: SparkSession, paths: dict[str, str], root_key: str,
+                segs: list[int], empty_schema: str) -> DataFrame:
+    import os
+
+    root = paths[root_key]
+    if (not segs or not os.path.isdir(root)
+            or not any(e.name.startswith("seg=") and e.is_dir()
+                       for e in os.scandir(root))):
+        return spark.createDataFrame([], empty_schema)
+    return (spark.read.parquet(root)
+            .filter(F.col("seg").isin([int(s) for s in segs])))
+
+
+def _ivfpq_codes(spark: SparkSession, paths: dict[str, str],
+                 m: dict) -> DataFrame:
+    return _ivfpq_read(spark, paths, "index", m[_V_CODES],
+                       "vec_id bigint, m int, code int, seg int, cell int")
+
+
+def _ivfpq_tomb(spark: SparkSession, paths: dict[str, str],
+                m: dict) -> DataFrame:
+    return _ivfpq_read(spark, paths, "tomb", m[_V_TOMB],
+                       "vec_id bigint, doomed_thru bigint, seg int")
+
+
+def _ivfpq_live(spark: SparkSession, paths: dict[str, str], df: DataFrame,
+                m: dict) -> DataFrame:
     """LIVE code rows: drop rows whose vec_id is tombstoned through their
-    segment.  One equi-join against the max-folded tombstones; legacy
-    layouts (no tomb artifact / no seg column) pass through."""
-    if "tomb" not in paths or "seg" not in df.columns:
+    segment — one equi-join against the max-folded tombstones; skipped
+    when the manifest lists none."""
+    if not m[_V_TOMB]:
         return df
-    tomb = spark.read.parquet(paths["tomb"])
+    tomb = _ivfpq_tomb(spark, paths, m)
     tmax = tomb.groupBy("vec_id").agg(F.max("doomed_thru").alias("_dt"))
     return (df.join(tmax, "vec_id", "left")
             .filter(F.col("_dt").isNull() | (F.col("seg") > F.col("_dt")))
             .drop("_dt"))
 
 
-def _ivfpq_next_seg(spark: SparkSession, paths: dict[str, str]) -> int:
-    if "meta" not in paths:
-        return 1
-    return int(spark.read.parquet(paths["meta"]).collect()[0]["next_seg"])
+def ivfpq_reencode(spark: SparkSession, base_paths: dict[str, str],
+                   vectors: DataFrame, name: str) -> dict[str, str]:
+    """A FRESH manifest-backed index layout over `vectors`, encoded
+    against `base_paths`' FROZEN centroids + codebook — the rebuild
+    baseline the append/apply equality pins compare probes to."""
+    from ..operators.scans import _sink
 
+    paths = {"centroids": base_paths["centroids"],
+             "codebook": base_paths["codebook"],
+             "index": _sink(name, spark),
+             "tomb": _sink(f"{name}_tomb", spark),
+             "meta": _sink(f"{name}_meta", spark)}
+    import shutil
 
-def _ivfpq_bump_seg(spark: SparkSession, paths: dict[str, str],
-                    next_seg: int) -> None:
-    if "meta" in paths:
-        (spark.createDataFrame([(next_seg,)], "next_seg bigint")
-         .write.mode("overwrite").parquet(paths["meta"]))
+    shutil.rmtree(paths["meta"], ignore_errors=True)
+    _ivfpq_encode_into(spark, paths, vectors, seg=0)
+    _ivfpq_commit(paths, {_V_CODES: [0], _V_TOMB: [], _V_NEXT: 1})
+    return paths
 
 
 def _ivfpq_encode_into(spark: SparkSession, paths: dict[str, str],
-                       v: DataFrame, mode: str, seg: int = 0) -> None:
+                       v: DataFrame, seg: int) -> None:
     """Encode vectors against the FROZEN persisted codebook + coarse
-    centroids and write their (m, code, cell) rows into the
-    cell-partitioned layout — the shared half of build (mode=overwrite)
-    and delta-append (mode=append).  Because both artifacts are read back
-    from parquet, an append encodes its deltas with bit-identical floats
-    to the original build: append-then-probe equals
-    rebuild-with-the-same-codebook-then-probe (pinned in
-    tests/test_llm.py)."""
+    centroids and write their (m, code, cell) rows as segment `seg`'s
+    partition dirs — uncommitted until a manifest lists the segment.
+    Because both artifacts are read back from parquet, an append encodes
+    its deltas with bit-identical floats to the original build:
+    append-then-probe equals rebuild-with-the-same-codebook-then-probe
+    (pinned in tests/test_llm.py)."""
     from .clustering import _assign
 
+    _ivfpq_clear_seg(paths["index"], seg)
     cb = spark.read.parquet(paths["codebook"])
     cent = spark.read.parquet(paths["centroids"])
     enc = _pq_assign(subvectors(v), cb).select("vec_id", "m", "code")
     assigned = _assign(v, cent).select("vec_id", "cluster")
     (enc.join(assigned, "vec_id")
      .select("vec_id", "m", "code",
-             F.lit(seg).cast("bigint").alias("seg"),
+             F.lit(seg).cast("int").alias("seg"),
              F.col("cluster").alias("cell"))
      .repartition("cell")
-     .write.mode(mode).partitionBy("cell").parquet(paths["index"]))
+     .write.mode("append").partitionBy("seg", "cell")
+     .parquet(paths["index"]))
 
 
 def ivfpq_append(spark: SparkSession, paths: dict[str, str],
                  new_vectors: DataFrame) -> dict[str, str]:
     """Delta-append NEW vectors (previously unseen vec_ids) into a built
     IVFPQ index — the per-crawl maintenance path (r7 verdict next-round
-    #5, mirroring dedup_minhash_incremental's O(delta) contract,
-    dedup.py:926): the deltas are encoded against the FROZEN codebook and
-    coarse centroids (no retraining — the FAISS IVFPQ add() contract) and
-    their code rows land in the existing cell directories as appended
-    parquet files.  Cost is O(|delta|): the base corpus is never read,
-    rewritten, or re-encoded; the only cluster work is the delta's encode
-    joins against two broadcast-sized artifacts.  Codebook drift under a
-    distribution shift is the documented trade — rebuild to re-train,
-    exactly as in FAISS."""
-    seg = _ivfpq_next_seg(spark, paths)
-    _ivfpq_encode_into(spark, paths, new_vectors, mode="append", seg=seg)
-    _ivfpq_bump_seg(spark, paths, seg + 1)
+    #5): deltas are encoded against the FROZEN codebook and coarse
+    centroids (no retraining — the FAISS IVFPQ add() contract) into a
+    fresh segment, made visible by ONE CAS manifest claim.  Cost is
+    O(|delta|): the base corpus is never read, rewritten, or re-encoded,
+    and a crash before the claim leaves the previous index version
+    intact.  Codebook drift under a distribution shift is the documented
+    trade — rebuild to re-train, exactly as in FAISS."""
+    m = _ivfpq_manifest(paths)
+    seg = int(m[_V_NEXT])
+    _ivfpq_encode_into(spark, paths, new_vectors, seg)
+    _ivfpq_commit(paths, {_V_CODES: list(m[_V_CODES]) + [seg],
+                          _V_TOMB: list(m[_V_TOMB]),
+                          _V_NEXT: seg + 1})
     return paths
 
 
@@ -819,20 +901,26 @@ def ivfpq_apply_changes(spark: SparkSession, paths: dict[str, str],
     """Apply a FULL change-data-feed to a built IVFPQ index — inserts,
     updates of already-indexed vectors, and deletes (r8 verdict
     next-round #2; composes with DocumentStore.diff()'s upsert/delete
-    split).  O(delta): changed vec_ids are tombstoned through the current
-    segments (their old code rows go dead unread — even if the update
-    moves the vector to a different cell), and the upserts re-encode
-    against the FROZEN codebook at the new segment.
+    split).  O(delta), committed ATOMICALLY: changed vec_ids are
+    tombstoned through the current segments (their old code rows go dead
+    unread — even if the update moves the vector to a different cell),
+    the upserts re-encode against the FROZEN codebook at the new
+    segment, and ONE CAS manifest claim publishes both.
     probe(apply_changes) ≡ probe(rebuild over the post-change corpus) is
     pinned in tests/test_llm.py, including the stale-hit case a plain
     append gets wrong."""
-    seg = _ivfpq_next_seg(spark, paths)
+    m = _ivfpq_manifest(paths)
+    seg = int(m[_V_NEXT])
     changed = (upsert_vectors.select("vec_id")
                .unionByName(deleted_ids.select("vec_id")).distinct())
+    _ivfpq_clear_seg(paths["tomb"], seg)
     (changed.withColumn("doomed_thru", F.lit(seg - 1).cast("bigint"))
-     .write.mode("append").parquet(paths["tomb"]))
-    _ivfpq_encode_into(spark, paths, upsert_vectors, mode="append", seg=seg)
-    _ivfpq_bump_seg(spark, paths, seg + 1)
+     .withColumn("seg", F.lit(seg).cast("int"))
+     .write.mode("append").partitionBy("seg").parquet(paths["tomb"]))
+    _ivfpq_encode_into(spark, paths, upsert_vectors, seg)
+    _ivfpq_commit(paths, {_V_CODES: list(m[_V_CODES]) + [seg],
+                          _V_TOMB: list(m[_V_TOMB]) + [seg],
+                          _V_NEXT: seg + 1})
     return paths
 
 
@@ -843,11 +931,14 @@ def ivfpq_maintain(spark: SparkSession, paths: dict[str, str],
     probe's tombstone join stays cheaper than the O(live index) rewrite.
     Counts are index metadata (codes rows / M per vector, distinct
     tombstoned ids).  Returns True when a compaction ran."""
-    n_tomb = (spark.read.parquet(paths["tomb"])
+    m = _ivfpq_manifest(paths)
+    if not m[_V_TOMB]:
+        return False
+    n_tomb = (_ivfpq_tomb(spark, paths, m)
               .select("vec_id").distinct().count())
     if not n_tomb:
         return False
-    n_live = (_ivfpq_live(spark, paths, spark.read.parquet(paths["index"]))
+    n_live = (_ivfpq_live(spark, paths, _ivfpq_codes(spark, paths, m), m)
               .select("vec_id").distinct().count())
     if n_live and n_tomb <= max_tomb_ratio * n_live:
         return False
@@ -856,21 +947,54 @@ def ivfpq_maintain(spark: SparkSession, paths: dict[str, str],
 
 
 def ivfpq_compact(spark: SparkSession, paths: dict[str, str]) -> dict[str, str]:
-    """Physically drop tombstoned code rows and empty the tombstone table
-    — bounds the probe's tombstone-join cost after many change cycles.
-    O(live index); value-neutral (probe before ≡ probe after, pinned)."""
-    from ..operators.scans import _sink
-
-    live = _ivfpq_live(spark, paths, spark.read.parquet(paths["index"]))
-    tmp = _sink("ivfpq_cmp_idx", spark)
-    (live.repartition("cell")
-     .write.mode("overwrite").partitionBy("cell").parquet(tmp))
-    (spark.read.parquet(tmp).repartition("cell")
-     .write.mode("overwrite").partitionBy("cell").parquet(paths["index"]))
-    (spark.read.parquet(paths["index"]).select("vec_id").limit(0)
-     .withColumn("doomed_thru", F.lit(0).cast("bigint"))
-     .write.mode("overwrite").parquet(paths["tomb"]))
+    """Physically drop tombstoned code rows: rewrite the live rows into
+    ONE fresh segment and commit a manifest listing only it (and no
+    tombstones) — bounds the probe's tombstone-join cost after many
+    change cycles.  O(live index); value-neutral (probe before ≡ probe
+    after, pinned); rolled-over segment dirs stay unreferenced on disk
+    until ivfpq_vacuum sweeps them."""
+    m = _ivfpq_manifest(paths)
+    seg = int(m[_V_NEXT])
+    live = _ivfpq_live(spark, paths, _ivfpq_codes(spark, paths, m), m)
+    _ivfpq_clear_seg(paths["index"], seg)
+    (live.withColumn("seg", F.lit(seg).cast("int"))
+     .repartition("cell")
+     .write.mode("append").partitionBy("seg", "cell")
+     .parquet(paths["index"]))
+    _ivfpq_commit(paths, {_V_CODES: [seg], _V_TOMB: [],
+                          _V_NEXT: seg + 1})
     return paths
+
+
+def ivfpq_vacuum(paths: dict[str, str], keep_last: int = 1) -> list[str]:
+    """Reclaim rolled-over / orphaned segment dirs (the bm25_vacuum
+    twin): keep segments any retained manifest references, delete the
+    rest.  Returns deleted dirs."""
+    import os
+    import shutil
+
+    from ..operators.snapshots import current_version
+
+    head = current_version(paths["meta"])
+    keep = list(range(max(0, head - keep_last + 1), head + 1))
+    live: dict[str, set[int]] = {"index": set(), "tomb": set()}
+    for v in keep:
+        m = _ivfpq_manifest(paths, v)
+        live["index"] |= set(m[_V_CODES])
+        live["tomb"] |= set(m[_V_TOMB])
+    for v in range(head - keep_last, -1, -1):
+        os.remove(os.path.join(paths["meta"], f"manifest-v{v}.json"))
+    deleted = []
+    for key, segs in live.items():
+        root = paths[key]
+        if not os.path.isdir(root):
+            continue
+        for entry in os.scandir(root):
+            if (entry.is_dir() and entry.name.startswith("seg=")
+                    and int(entry.name.split("=", 1)[1]) not in segs):
+                shutil.rmtree(entry.path)
+                deleted.append(entry.path)
+    return deleted
 
 
 def ivfpq_probe(spark: SparkSession, paths: dict[str, str],
@@ -880,11 +1004,14 @@ def ivfpq_probe(spark: SparkSession, paths: dict[str, str],
     """Top-k for each query vector (query_id, e) against a PREBUILT index:
     probe-cell selection from the persisted centroids, ADC shortlist from
     the DPP-pruned code scan + persisted codebook, exact re-rank against
-    the caller's raw `vectors` (vec_id, e) side table.  Tombstoned code
-    rows (from ivfpq_apply_changes) are filtered by one vec_id equi-join
-    against the O(changed vectors) tombstone table, so deleted/superseded
+    the caller's raw `vectors` (vec_id, e) side table.  The probe
+    resolves ONE committed manifest version up front (a consistent
+    segment set even mid-commit); tombstoned code rows (from
+    ivfpq_apply_changes) are filtered by one vec_id equi-join against
+    the O(changed vectors) tombstone segments, so deleted/superseded
     vectors never reach the shortlist."""
-    idx = _ivfpq_live(spark, paths, spark.read.parquet(paths["index"]))
+    m = _ivfpq_manifest(paths)
+    idx = _ivfpq_live(spark, paths, _ivfpq_codes(spark, paths, m), m)
     cent = spark.read.parquet(paths["centroids"])
     cb = spark.read.parquet(paths["codebook"])
 

@@ -1165,7 +1165,7 @@ def test_store_cdf_drives_incremental_ivfpq(spark, sf_dir, tmp_path):
 
     from json_sql_database_storage_spark.documents.store import DocumentStore
     from json_sql_database_storage_spark.llm.pq import (
-        _IPQ_NQ, _ivfpq_encode_into, ivfpq_append, ivfpq_build, ivfpq_probe)
+        _IPQ_NQ, ivfpq_append, ivfpq_build, ivfpq_probe, ivfpq_reencode)
     from json_sql_database_storage_spark.llm.similarity import as_double
     from json_sql_database_storage_spark.operators.scans import _sink
     from json_sql_database_storage_spark.sources import load_table
@@ -1193,8 +1193,7 @@ def test_store_cdf_drives_incremental_ivfpq(spark, sf_dir, tmp_path):
 
     committed = store.read("vectors").select(
         F.col("rowNum").alias("vec_id"), "e")
-    rebuilt = dict(paths, index=_sink("ivfpq_cdf_rebuild", spark))
-    _ivfpq_encode_into(spark, rebuilt, committed, mode="overwrite")
+    rebuilt = ivfpq_reencode(spark, paths, committed, "ivfpq_cdf_rebuild")
 
     q = (v.filter(F.col("vec_id") < _IPQ_NQ)
          .select(F.col("vec_id").alias("query_id"), "e"))
@@ -1445,8 +1444,8 @@ def test_store_cdf_drives_tombstone_aware_ivfpq_maintenance(
 
     from json_sql_database_storage_spark.documents.store import DocumentStore
     from json_sql_database_storage_spark.llm.pq import (
-        _IPQ_NQ, _ivfpq_encode_into, ivfpq_apply_changes, ivfpq_build,
-        ivfpq_probe)
+        _IPQ_NQ, ivfpq_apply_changes, ivfpq_build, ivfpq_probe,
+        ivfpq_reencode)
     from json_sql_database_storage_spark.operators.scans import _sink
     from json_sql_database_storage_spark.sources import load_table
 
@@ -1488,10 +1487,8 @@ def test_store_cdf_drives_tombstone_aware_ivfpq_maintenance(
          .select(F.col("vec_id").alias("query_id"), "e"))
     got = [tuple(r) for r in
            ivfpq_probe(spark, paths, q, committed).collect()]
-    rebuilt = {"centroids": paths["centroids"],
-               "codebook": paths["codebook"],
-               "index": _sink("ivfpq_cdf_mut_rebuild", spark)}
-    _ivfpq_encode_into(spark, rebuilt, committed, mode="overwrite")
+    rebuilt = ivfpq_reencode(spark, paths, committed,
+                             "ivfpq_cdf_mut_rebuild")
     want = [tuple(r) for r in
             ivfpq_probe(spark, rebuilt, q, committed).collect()]
     assert got == want and got

@@ -229,16 +229,19 @@ def test_index_apply_changes_on_empty_cdf_is_noop(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     paths = bm25_build(spark, docs, "bm25_empty_cdf")
+    from json_sql_database_storage_spark.llm.search import (
+        _bm25_manifest, _bm25_tomb, bm25_stats)
+
     want = [tuple(r) for r in
             bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK).collect()]
-    s0 = tuple(spark.read.parquet(paths["stats"]).collect()[0])[:2]
+    s0 = bm25_stats(spark, paths)
     bm25_apply_changes(spark, paths, docs.limit(0),
                        docs.select("doc_id").limit(0))
     assert [tuple(r) for r in
             bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK).collect()] \
         == want
-    assert tuple(spark.read.parquet(paths["stats"]).collect()[0])[:2] == s0
-    assert spark.read.parquet(paths["tomb"]).count() == 0
+    assert bm25_stats(spark, paths) == s0
+    assert _bm25_tomb(spark, paths, _bm25_manifest(paths)).count() == 0
 
     v = (load_table(spark, sf_dir, "embeddings")
          .select("vec_id", as_double(F.col("embedding")).alias("e")))
@@ -250,4 +253,7 @@ def test_index_apply_changes_on_empty_cdf_is_noop(spark, sf_dir):
                         v.select("vec_id").limit(0))
     assert [tuple(r) for r in
             ivfpq_probe(spark, vpaths, q, v).collect()] == vwant
-    assert spark.read.parquet(vpaths["tomb"]).count() == 0
+    from json_sql_database_storage_spark.llm.pq import (_ivfpq_manifest,
+                                                        _ivfpq_tomb)
+
+    assert _ivfpq_tomb(spark, vpaths, _ivfpq_manifest(vpaths)).count() == 0

@@ -1022,7 +1022,7 @@ def test_ivfpq_append_equals_rebuild_with_frozen_codebook(spark, sf_dir):
     frozen artifacts).  The base corpus is never re-encoded — O(delta)
     per crawl, the dedup_minhash_incremental contract for the ANN index."""
     from json_sql_database_storage_spark.llm.pq import (
-        _IPQ_NQ, _ivfpq_encode_into, ivfpq_append, ivfpq_build, ivfpq_probe)
+        _IPQ_NQ, ivfpq_append, ivfpq_build, ivfpq_probe, ivfpq_reencode)
     from json_sql_database_storage_spark.llm.similarity import as_double
     from json_sql_database_storage_spark.operators.scans import _sink
     from json_sql_database_storage_spark.sources import load_table
@@ -1039,8 +1039,7 @@ def test_ivfpq_append_equals_rebuild_with_frozen_codebook(spark, sf_dir):
     paths = ivfpq_build(spark, base, "ivfpq_app_base")
     ivfpq_append(spark, paths, delta)
 
-    rebuilt = dict(paths, index=_sink("ivfpq_app_rebuild", spark))
-    _ivfpq_encode_into(spark, rebuilt, v, mode="overwrite")
+    rebuilt = ivfpq_reencode(spark, paths, v, "ivfpq_app_rebuild")
 
     q = (v.filter(F.col("vec_id") < _IPQ_NQ)
          .select(F.col("vec_id").alias("query_id"), "e"))
@@ -1082,11 +1081,10 @@ def test_bm25_append_equals_rebuild(spark, sf_dir):
     want = [tuple(r) for r in
             bm25_probe(spark, full, _BM25_TERMS, _BM25_TOPK).collect()]
     assert got == want and got
-    # stats reflect the whole corpus after append (next_seg is write
-    # bookkeeping and legitimately differs: 2 after one append vs 1 fresh)
-    sa = spark.read.parquet(paths["stats"]).collect()[0]
-    sb = spark.read.parquet(full["stats"]).collect()[0]
-    assert (sa["t_tokens"], sa["n_docs"]) == (sb["t_tokens"], sb["n_docs"])
+    # stats reflect the whole corpus after append (manifest metadata)
+    from json_sql_database_storage_spark.llm.search import bm25_stats
+
+    assert bm25_stats(spark, paths) == bm25_stats(spark, full)
     # probe over the appended index still never scans the corpus
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "documents.parquet" not in plan
@@ -1142,9 +1140,10 @@ def test_bm25_apply_changes_handles_updates_and_deletes(spark, sf_dir):
     assert got == want and got
     assert victim not in {t[0] for t in got}
     assert new_id in {t[0] for t in got}
-    sa = spark.read.parquet(paths["stats"]).collect()[0]
-    sb = spark.read.parquet(full["stats"]).collect()[0]
-    assert (sa["t_tokens"], sa["n_docs"]) == (sb["t_tokens"], sb["n_docs"])
+    from json_sql_database_storage_spark.llm.search import (
+        _bm25_dl, _bm25_manifest, _bm25_tomb, bm25_stats)
+
+    assert bm25_stats(spark, paths) == bm25_stats(spark, full)
     # probe plan stays corpus-free (tombstone join reads index artifacts)
     plan = got_df._jdf.queryExecution().executedPlan().toString()
     assert "documents.parquet" not in plan
@@ -1155,8 +1154,9 @@ def test_bm25_apply_changes_handles_updates_and_deletes(spark, sf_dir):
     after = [tuple(r) for r in
              bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK).collect()]
     assert after == want
-    assert spark.read.parquet(paths["tomb"]).count() == 0
-    assert spark.read.parquet(paths["dl"]).count() == n_live_dl
+    mc = _bm25_manifest(paths)
+    assert _bm25_tomb(spark, paths, mc).count() == 0
+    assert _bm25_dl(spark, paths, mc).count() == n_live_dl
 
 
 def test_ivfpq_apply_changes_handles_updates_and_deletes(spark, sf_dir):
@@ -1169,9 +1169,9 @@ def test_ivfpq_apply_changes_handles_updates_and_deletes(spark, sf_dir):
     from pyspark.sql import functions as F
 
     from json_sql_database_storage_spark.llm.pq import (
-        _IPQ_NQ, _ivfpq_encode_into, ivfpq_append, ivfpq_apply_changes,
-        ivfpq_build, ivfpq_compact, ivfpq_probe)
-    from json_sql_database_storage_spark.operators.scans import _sink
+        _IPQ_NQ, _ivfpq_codes, _ivfpq_manifest, _ivfpq_tomb, ivfpq_append,
+        ivfpq_apply_changes, ivfpq_build, ivfpq_compact, ivfpq_probe,
+        ivfpq_reencode)
     from json_sql_database_storage_spark.sources import load_table
 
     v = (load_table(spark, sf_dir, "embeddings")
@@ -1206,22 +1206,20 @@ def test_ivfpq_apply_changes_handles_updates_and_deletes(spark, sf_dir):
 
     ivfpq_apply_changes(spark, paths, upserts, deleted)
     got = [tuple(r) for r in ivfpq_probe(spark, paths, q, post).collect()]
-    # frozen-codebook rebuild over the post-change corpus (no tomb/meta
-    # keys: a fresh layout has nothing tombstoned)
-    rebuilt = {"centroids": paths["centroids"],
-               "codebook": paths["codebook"],
-               "index": _sink("ivfpq_chg_rebuild", spark)}
-    _ivfpq_encode_into(spark, rebuilt, post, mode="overwrite")
+    # frozen-codebook rebuild over the post-change corpus
+    rebuilt = ivfpq_reencode(spark, paths, post, "ivfpq_chg_rebuild")
     want = [tuple(r) for r in ivfpq_probe(spark, rebuilt, q, post).collect()]
     assert got == want and got
     assert victim not in {t[1] for t in got}
 
-    n_codes_live = spark.read.parquet(rebuilt["index"]).count()
+    mr = _ivfpq_manifest(rebuilt)
+    n_codes_live = _ivfpq_codes(spark, rebuilt, mr).count()
     ivfpq_compact(spark, paths)
     after = [tuple(r) for r in ivfpq_probe(spark, paths, q, post).collect()]
     assert after == want
-    assert spark.read.parquet(paths["tomb"]).count() == 0
-    assert spark.read.parquet(paths["index"]).count() == n_codes_live
+    mc = _ivfpq_manifest(paths)
+    assert _ivfpq_tomb(spark, paths, mc).count() == 0
+    assert _ivfpq_codes(spark, paths, mc).count() == n_codes_live
 
 
 def test_index_maintain_policy_compacts_only_past_threshold(spark, sf_dir):
@@ -1244,18 +1242,22 @@ def test_index_maintain_policy_compacts_only_past_threshold(spark, sf_dir):
     bm25_apply_changes(spark, paths, docs.limit(0), one)
     want = [tuple(r) for r in
             bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK).collect()]
+    from json_sql_database_storage_spark.llm.search import (
+        _bm25_dl, _bm25_manifest, _bm25_tomb)
+
     assert bm25_maintain(spark, paths) is False
-    assert spark.read.parquet(paths["tomb"]).count() == 1
+    assert _bm25_tomb(spark, paths, _bm25_manifest(paths)).count() == 1
 
     # delete 30% of the corpus: past the threshold — compacts
     n = docs.count()
     many = docs.filter(F.col("doc_id") % 3 == 1).select("doc_id")
     bm25_apply_changes(spark, paths, docs.limit(0), many)
     assert bm25_maintain(spark, paths) is True
-    assert spark.read.parquet(paths["tomb"]).count() == 0
+    mc = _bm25_manifest(paths)
+    assert _bm25_tomb(spark, paths, mc).count() == 0
     live = (docs.filter(~(F.col("doc_id") % 3 == 1))
             .filter(F.col("doc_id") != 3))
-    assert spark.read.parquet(paths["dl"]).count() == live.count() < n
+    assert _bm25_dl(spark, paths, mc).count() == live.count() < n
     got = [tuple(r) for r in
            bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK).collect()]
     # value-neutral relative to a pre-compact probe over the same state
@@ -1265,3 +1267,173 @@ def test_index_maintain_policy_compacts_only_past_threshold(spark, sf_dir):
                    bm25_probe(spark, full, _BM25_TERMS, _BM25_TOPK)
                    .collect()]
     assert want  # the single-delete probe ran (sanity)
+
+
+def test_bm25_index_commit_is_atomic_under_crash(spark, sf_dir, monkeypatch):
+    """r9: the segments_N discipline under fire — a crash AFTER the new
+    segment dirs are written but BEFORE the CAS manifest claim leaves the
+    previous index version fully consistent (probe unchanged, stats
+    unchanged), and the retried apply_changes then lands cleanly."""
+    from json_sql_database_storage_spark.llm.search import (
+        _BM25_TERMS, _BM25_TOPK, bm25_apply_changes, bm25_build, bm25_probe,
+        bm25_stats)
+    from json_sql_database_storage_spark.operators import snapshots
+    from json_sql_database_storage_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    paths = bm25_build(spark, docs, "bm25_crash")
+    before = [tuple(r) for r in
+              bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK).collect()]
+    s0 = bm25_stats(spark, paths)
+
+    upserts = spark.createDataFrame(
+        [(7, "join vector join vector crash probe")],
+        "doc_id bigint, text string")
+    deleted = spark.createDataFrame([(int(before[0][0]),)],
+                                    "doc_id bigint")
+
+    orig = snapshots.commit_manifest
+
+    def boom(root, version, manifest):
+        if "bm25_crash_meta" in root:
+            raise RuntimeError("injected crash before the manifest claim")
+        return orig(root, version, manifest)
+
+    monkeypatch.setattr(snapshots, "commit_manifest", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        bm25_apply_changes(spark, paths, upserts, deleted)
+    monkeypatch.setattr(snapshots, "commit_manifest", orig)
+
+    # previous version fully intact — the orphaned seg dirs are invisible
+    assert [tuple(r) for r in
+            bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK).collect()] \
+        == before
+    assert bm25_stats(spark, paths) == s0
+
+    # the retry lands, and the result equals a rebuild over the
+    # post-change corpus
+    bm25_apply_changes(spark, paths, upserts, deleted)
+    post = (docs.filter(~F.col("doc_id").isin(7, int(before[0][0])))
+            .unionByName(upserts))
+    full = bm25_build(spark, post, "bm25_crash_full")
+    got = [tuple(r) for r in
+           bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK).collect()]
+    want = [tuple(r) for r in
+            bm25_probe(spark, full, _BM25_TERMS, _BM25_TOPK).collect()]
+    assert got == want and got
+
+
+def test_ivfpq_index_commit_is_atomic_under_crash(spark, sf_dir,
+                                                  monkeypatch):
+    """r9, the vector twin of the BM25 crash pin: a crash after the new
+    code/tombstone segment dirs land but before the CAS manifest claim
+    leaves the previous index version fully consistent, and the retried
+    apply_changes then lands cleanly (orphaned seg dirs cleared, not
+    merged into)."""
+    from pyspark.sql import functions as F
+
+    from json_sql_database_storage_spark.llm.pq import (
+        _IPQ_NQ, ivfpq_apply_changes, ivfpq_build, ivfpq_probe,
+        ivfpq_reencode)
+    from json_sql_database_storage_spark.operators import snapshots
+    from json_sql_database_storage_spark.sources import load_table
+
+    v = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", F.col("embedding").alias("e")))
+    q = (v.filter(F.col("vec_id") < _IPQ_NQ)
+         .select(F.col("vec_id").alias("query_id"), "e"))
+    paths = ivfpq_build(spark, v, "ivfpq_crash")
+    before = [tuple(r) for r in ivfpq_probe(spark, paths, q, v).collect()]
+
+    victim = _IPQ_NQ + 5
+    upserts = (v.filter(F.col("vec_id") == _IPQ_NQ + 9)
+               .withColumn("e", F.transform("e", lambda x: -x)))
+    deleted = spark.createDataFrame([(victim,)], "vec_id bigint")
+
+    orig = snapshots.commit_manifest
+
+    def boom(root, version, manifest):
+        if "ivfpq_crash_meta" in root:
+            raise RuntimeError("injected crash before the manifest claim")
+        return orig(root, version, manifest)
+
+    monkeypatch.setattr(snapshots, "commit_manifest", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        ivfpq_apply_changes(spark, paths, upserts, deleted)
+    monkeypatch.setattr(snapshots, "commit_manifest", orig)
+
+    assert [tuple(r) for r in
+            ivfpq_probe(spark, paths, q, v).collect()] == before
+
+    ivfpq_apply_changes(spark, paths, upserts, deleted)
+    post = (v.filter(~F.col("vec_id").isin(victim, _IPQ_NQ + 9))
+            .unionByName(upserts))
+    rebuilt = ivfpq_reencode(spark, paths, post, "ivfpq_crash_rebuild")
+    got = [tuple(r) for r in ivfpq_probe(spark, paths, q, post).collect()]
+    want = [tuple(r) for r in
+            ivfpq_probe(spark, rebuilt, q, post).collect()]
+    assert got == want and got
+
+
+def test_index_vacuum_sweeps_rolled_over_segments(spark, sf_dir):
+    """r9: after compaction, the rolled-over segment dirs are
+    unreferenced history — vacuum deletes them (and expired manifests)
+    while the probe stays identical; the compacted segment survives."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from json_sql_database_storage_spark.llm.search import (
+        _BM25_TERMS, _BM25_TOPK, bm25_apply_changes, bm25_build,
+        bm25_compact, bm25_probe, bm25_vacuum)
+    from json_sql_database_storage_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    paths = bm25_build(spark, docs, "bm25_vac")
+    bm25_apply_changes(
+        spark, paths,
+        spark.createDataFrame([(7, "join vector vacuum probe")],
+                              "doc_id bigint, text string"),
+        spark.createDataFrame([(11,)], "doc_id bigint"))
+    bm25_compact(spark, paths)
+    want = [tuple(r) for r in
+            bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK).collect()]
+
+    def segs(root):
+        return sorted(e.name for e in os.scandir(root)
+                      if e.is_dir() and e.name.startswith("seg="))
+
+    assert len(segs(paths["index"])) == 3      # build + apply + compact
+    deleted = bm25_vacuum(paths, keep_last=1)
+    assert deleted, "vacuum found nothing to sweep?"
+    assert segs(paths["index"]) == ["seg=2"]   # only the compacted seg
+    assert segs(paths["dl"]) == ["seg=2"]
+    got = [tuple(r) for r in
+           bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK).collect()]
+    assert got == want and got
+    n_manifests = len([e for e in os.scandir(paths["meta"])
+                       if e.name.startswith("manifest-v")])
+    assert n_manifests == 1
+
+    # vector twin
+    from json_sql_database_storage_spark.llm.pq import (
+        _IPQ_NQ, ivfpq_apply_changes, ivfpq_build, ivfpq_compact,
+        ivfpq_probe, ivfpq_vacuum)
+
+    v = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", F.col("embedding").alias("e")))
+    q = (v.filter(F.col("vec_id") < _IPQ_NQ)
+         .select(F.col("vec_id").alias("query_id"), "e"))
+    vp = ivfpq_build(spark, v, "ivfpq_vac")
+    ivfpq_apply_changes(spark, vp, v.limit(0),
+                        spark.createDataFrame([(int(_IPQ_NQ) + 4,)],
+                                              "vec_id bigint"))
+    ivfpq_compact(spark, vp)
+    vv = v.filter(F.col("vec_id") != _IPQ_NQ + 4)
+    vwant = [tuple(r) for r in ivfpq_probe(spark, vp, q, vv).collect()]
+    vdel = ivfpq_vacuum(vp, keep_last=1)
+    assert vdel
+    assert segs(vp["index"]) == ["seg=2"]
+    assert [tuple(r) for r in
+            ivfpq_probe(spark, vp, q, vv).collect()] == vwant
