@@ -1437,3 +1437,79 @@ def test_index_vacuum_sweeps_rolled_over_segments(spark, sf_dir):
     assert segs(vp["index"]) == ["seg=2"]
     assert [tuple(r) for r in
             ivfpq_probe(spark, vp, q, vv).collect()] == vwant
+
+
+def test_bm25_random_maintenance_sequence_matches_model(spark, sf_dir):
+    """r9 model-based pin (the DocumentStore random-op test's index
+    twin): a seeded random sequence of append / apply_changes / compact /
+    maintain / vacuum, after EACH step probed against a fresh rebuild of
+    an in-memory model corpus — the whole verb set composes, in any
+    order, without drift."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from json_sql_database_storage_spark.llm.search import (
+        _BM25_TERMS, _BM25_TOPK, bm25_append, bm25_apply_changes,
+        bm25_build, bm25_compact, bm25_maintain, bm25_probe, bm25_stats,
+        bm25_vacuum)
+    from json_sql_database_storage_spark.sources import load_table
+
+    rng = random.Random(20260815)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    model = {int(r["doc_id"]): r["text"] for r in docs.collect()}
+    base_ids = sorted(model)
+    next_id = max(base_ids) + 1
+
+    paths = bm25_build(spark, docs, "bm25_model")
+    words = ["join", "vector", "dup", "merge", "sort", "crawl", "page"]
+
+    def rand_text():
+        return " ".join(rng.choice(words)
+                        for _ in range(rng.randint(3, 12)))
+
+    for step in range(8):
+        op = rng.choice(["append", "apply", "apply", "compact", "maintain",
+                         "vacuum"])
+        if op == "append":
+            rows = [(next_id + i, rand_text()) for i in range(3)]
+            next_id += 3
+            for i, t in rows:
+                model[i] = t
+            bm25_append(spark, paths,
+                        spark.createDataFrame(rows,
+                                              "doc_id bigint, text string"))
+        elif op == "apply":
+            live = sorted(model)
+            upd = rng.sample(live, 3)
+            dele = rng.sample([x for x in live if x not in upd], 2)
+            rows = [(i, rand_text()) for i in upd]
+            rows.append((next_id, rand_text()))
+            for i, t in rows:
+                model[i] = t
+            next_id += 1
+            for i in dele:
+                del model[i]
+            bm25_apply_changes(
+                spark, paths,
+                spark.createDataFrame(rows, "doc_id bigint, text string"),
+                spark.createDataFrame([(i,) for i in dele],
+                                      "doc_id bigint"))
+        elif op == "compact":
+            bm25_compact(spark, paths)
+        elif op == "maintain":
+            bm25_maintain(spark, paths, max_tomb_ratio=0.05)
+        elif op == "vacuum":
+            bm25_vacuum(paths, keep_last=1)
+        got = [tuple(r) for r in
+               bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK).collect()]
+        fresh = bm25_build(
+            spark,
+            spark.createDataFrame(sorted(model.items()),
+                                  "doc_id bigint, text string"),
+            f"bm25_model_ref_{step}")
+        want = [tuple(r) for r in
+                bm25_probe(spark, fresh, _BM25_TERMS, _BM25_TOPK).collect()]
+        assert got == want and got, (step, op)
+        assert bm25_stats(spark, paths) == bm25_stats(spark, fresh), \
+            (step, op)
