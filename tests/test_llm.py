@@ -1513,3 +1513,74 @@ def test_bm25_random_maintenance_sequence_matches_model(spark, sf_dir):
         assert got == want and got, (step, op)
         assert bm25_stats(spark, paths) == bm25_stats(spark, fresh), \
             (step, op)
+
+
+def test_ivfpq_random_maintenance_sequence_matches_model(spark, sf_dir):
+    """r9 model-based pin, vector twin: seeded random append /
+    apply_changes / compact / maintain / vacuum sequences, after each
+    step probed against a frozen-codebook re-encode of the in-memory
+    model corpus."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from json_sql_database_storage_spark.llm.pq import (
+        _IPQ_NQ, ivfpq_append, ivfpq_apply_changes, ivfpq_build,
+        ivfpq_compact, ivfpq_maintain, ivfpq_probe, ivfpq_reencode,
+        ivfpq_vacuum)
+    from json_sql_database_storage_spark.llm.similarity import as_double
+    from json_sql_database_storage_spark.sources import load_table
+
+    rng = random.Random(20260815)
+    v = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", as_double(F.col("embedding")).alias("e")))
+    model = {int(r["vec_id"]): list(r["e"]) for r in v.collect()}
+    next_id = max(model) + 1
+    protected = set(range(_IPQ_NQ))        # the fixed query vectors
+
+    paths = ivfpq_build(spark, v, "ivfpq_model")
+    q = (v.filter(F.col("vec_id") < _IPQ_NQ)
+         .select(F.col("vec_id").alias("query_id"), "e"))
+
+    def df_of(items):
+        return spark.createDataFrame(
+            [(i, e) for i, e in items],
+            "vec_id bigint, e array<double>")
+
+    for step in range(6):
+        op = rng.choice(["append", "apply", "apply", "compact",
+                         "maintain", "vacuum"])
+        if op == "append":
+            src = rng.sample(sorted(model), 2)
+            rows = [(next_id + k, [-x for x in model[s]])
+                    for k, s in enumerate(src)]
+            next_id += 2
+            model.update(dict(rows))
+            ivfpq_append(spark, paths, df_of(rows))
+        elif op == "apply":
+            free = [i for i in sorted(model) if i not in protected]
+            upd = rng.sample(free, 2)
+            dele = rng.sample([i for i in free if i not in upd], 1)
+            rows = [(i, [x * -1.0 for x in model[i]]) for i in upd]
+            rows.append((next_id, [x + 1.0 for x in model[upd[0]]]))
+            next_id += 1
+            model.update(dict(rows))
+            for i in dele:
+                del model[i]
+            ivfpq_apply_changes(spark, paths, df_of(rows),
+                                spark.createDataFrame(
+                                    [(i,) for i in dele], "vec_id bigint"))
+        elif op == "compact":
+            ivfpq_compact(spark, paths)
+        elif op == "maintain":
+            ivfpq_maintain(spark, paths, max_tomb_ratio=0.02)
+        elif op == "vacuum":
+            ivfpq_vacuum(paths, keep_last=1)
+        corpus = df_of(sorted(model.items()))
+        got = [tuple(r) for r in
+               ivfpq_probe(spark, paths, q, corpus).collect()]
+        fresh = ivfpq_reencode(spark, paths, corpus,
+                               f"ivfpq_model_ref_{step}")
+        want = [tuple(r) for r in
+                ivfpq_probe(spark, fresh, q, corpus).collect()]
+        assert got == want and got, (step, op)
