@@ -743,8 +743,11 @@ def ivfpq_build(spark: SparkSession, v: DataFrame,
     subs = subvectors(v).transform(scoped_persist)
     (train_codebooks(subs, _PQ_K)
      .write.mode("overwrite").parquet(paths["codebook"]))
-    _ivfpq_encode_into(spark, paths, v, seg=0)
-    _ivfpq_commit(paths, {_V_CODES: [0], _V_TOMB: [], _V_NEXT: 1})
+    from .search import _index_write_lock
+
+    with _index_write_lock(paths["meta"]):
+        _ivfpq_encode_into(spark, paths, v, seg=0)
+        _ivfpq_commit(paths, {_V_CODES: [0], _V_TOMB: [], _V_NEXT: 1})
     return paths
 
 
@@ -886,12 +889,15 @@ def ivfpq_append(spark: SparkSession, paths: dict[str, str],
     and a crash before the claim leaves the previous index version
     intact.  Codebook drift under a distribution shift is the documented
     trade — rebuild to re-train, exactly as in FAISS."""
-    m = _ivfpq_manifest(paths)
-    seg = int(m[_V_NEXT])
-    _ivfpq_encode_into(spark, paths, new_vectors, seg)
-    _ivfpq_commit(paths, {_V_CODES: list(m[_V_CODES]) + [seg],
-                          _V_TOMB: list(m[_V_TOMB]),
-                          _V_NEXT: seg + 1})
+    from .search import _index_write_lock
+
+    with _index_write_lock(paths["meta"]):
+        m = _ivfpq_manifest(paths)
+        seg = int(m[_V_NEXT])
+        _ivfpq_encode_into(spark, paths, new_vectors, seg)
+        _ivfpq_commit(paths, {_V_CODES: list(m[_V_CODES]) + [seg],
+                              _V_TOMB: list(m[_V_TOMB]),
+                              _V_NEXT: seg + 1})
     return paths
 
 
@@ -909,18 +915,21 @@ def ivfpq_apply_changes(spark: SparkSession, paths: dict[str, str],
     probe(apply_changes) ≡ probe(rebuild over the post-change corpus) is
     pinned in tests/test_llm.py, including the stale-hit case a plain
     append gets wrong."""
-    m = _ivfpq_manifest(paths)
-    seg = int(m[_V_NEXT])
-    changed = (upsert_vectors.select("vec_id")
-               .unionByName(deleted_ids.select("vec_id")).distinct())
-    _ivfpq_clear_seg(paths["tomb"], seg)
-    (changed.withColumn("doomed_thru", F.lit(seg - 1).cast("bigint"))
-     .withColumn("seg", F.lit(seg).cast("int"))
-     .write.mode("append").partitionBy("seg").parquet(paths["tomb"]))
-    _ivfpq_encode_into(spark, paths, upsert_vectors, seg)
-    _ivfpq_commit(paths, {_V_CODES: list(m[_V_CODES]) + [seg],
-                          _V_TOMB: list(m[_V_TOMB]) + [seg],
-                          _V_NEXT: seg + 1})
+    from .search import _index_write_lock
+
+    with _index_write_lock(paths["meta"]):
+        m = _ivfpq_manifest(paths)
+        seg = int(m[_V_NEXT])
+        changed = (upsert_vectors.select("vec_id")
+                   .unionByName(deleted_ids.select("vec_id")).distinct())
+        _ivfpq_clear_seg(paths["tomb"], seg)
+        (changed.withColumn("doomed_thru", F.lit(seg - 1).cast("bigint"))
+         .withColumn("seg", F.lit(seg).cast("int"))
+         .write.mode("append").partitionBy("seg").parquet(paths["tomb"]))
+        _ivfpq_encode_into(spark, paths, upsert_vectors, seg)
+        _ivfpq_commit(paths, {_V_CODES: list(m[_V_CODES]) + [seg],
+                              _V_TOMB: list(m[_V_TOMB]) + [seg],
+                              _V_NEXT: seg + 1})
     return paths
 
 
@@ -953,16 +962,19 @@ def ivfpq_compact(spark: SparkSession, paths: dict[str, str]) -> dict[str, str]:
     change cycles.  O(live index); value-neutral (probe before ≡ probe
     after, pinned); rolled-over segment dirs stay unreferenced on disk
     until ivfpq_vacuum sweeps them."""
-    m = _ivfpq_manifest(paths)
-    seg = int(m[_V_NEXT])
-    live = _ivfpq_live(spark, paths, _ivfpq_codes(spark, paths, m), m)
-    _ivfpq_clear_seg(paths["index"], seg)
-    (live.withColumn("seg", F.lit(seg).cast("int"))
-     .repartition("cell")
-     .write.mode("append").partitionBy("seg", "cell")
-     .parquet(paths["index"]))
-    _ivfpq_commit(paths, {_V_CODES: [seg], _V_TOMB: [],
-                          _V_NEXT: seg + 1})
+    from .search import _index_write_lock
+
+    with _index_write_lock(paths["meta"]):
+        m = _ivfpq_manifest(paths)
+        seg = int(m[_V_NEXT])
+        live = _ivfpq_live(spark, paths, _ivfpq_codes(spark, paths, m), m)
+        _ivfpq_clear_seg(paths["index"], seg)
+        (live.withColumn("seg", F.lit(seg).cast("int"))
+         .repartition("cell")
+         .write.mode("append").partitionBy("seg", "cell")
+         .parquet(paths["index"]))
+        _ivfpq_commit(paths, {_V_CODES: [seg], _V_TOMB: [],
+                              _V_NEXT: seg + 1})
     return paths
 
 

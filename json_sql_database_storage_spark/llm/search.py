@@ -251,15 +251,71 @@ def bm25_build(spark: SparkSession, docs: DataFrame,
              "dl": _sink(f"{name}_dl", spark),
              "tomb": _sink(f"{name}_tomb", spark),
              "meta": _sink(f"{name}_meta", spark)}
-    dt, dn = _bm25_write_seg(spark, paths, docs, seg=0)
-    _bm25_commit(paths, {_M_POST: [0], _M_DL: [0], _M_TOMB: [],
-                         _M_STATS: {"t_tokens": dt, "n_docs": dn},
-                         _M_NEXT: 1})
+    with _index_write_lock(paths["meta"]):
+        dt, dn = _bm25_write_seg(spark, paths, docs, seg=0)
+        _bm25_commit(paths, {_M_POST: [0], _M_DL: [0], _M_TOMB: [],
+                             _M_STATS: {"t_tokens": dt, "n_docs": dn},
+                             _M_NEXT: 1})
     return paths
 
 
 # manifest slots (commit_manifest int-keys the top level)
 _M_POST, _M_DL, _M_TOMB, _M_STATS, _M_NEXT = 0, 1, 2, 3, 4
+
+_LOCK_STALE_SECONDS = 600.0
+
+
+class ConcurrentIndexWriter(Exception):
+    """A second writer entered an index whose write.lock is held — the
+    segment dirs are shared append space, so two in-flight writers would
+    corrupt each other's segments (the reason Lucene takes write.lock
+    before any segment write)."""
+
+
+class _index_write_lock:
+    """Advisory single-writer lock spanning data write + manifest claim
+    (Lucene's write.lock): O_EXCL-created under the meta dir, released on
+    exit (including the crash-injection path — the verb's exception
+    propagates through this finally).  A lock older than
+    _LOCK_STALE_SECONDS is presumed crashed-without-cleanup and broken —
+    its writer's uncommitted seg dirs are cleared by the next writer's
+    _clear_seg anyway."""
+
+    def __init__(self, meta_dir: str):
+        import os
+
+        os.makedirs(meta_dir, exist_ok=True)
+        self.path = os.path.join(meta_dir, "write.lock")
+
+    def __enter__(self):
+        import os
+        import time
+
+        try:
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(self.path)
+            except FileNotFoundError:
+                age = 0.0    # racer released between open and stat: retry
+            if age <= _LOCK_STALE_SECONDS:
+                raise ConcurrentIndexWriter(
+                    f"{self.path} held by a live writer — one writer per "
+                    f"index (retry, or investigate the holder)") from None
+            os.remove(self.path)     # stale: presumed crashed
+            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+        return self
+
+    def __exit__(self, *exc):
+        import os
+
+        try:
+            os.remove(self.path)
+        except FileNotFoundError:
+            pass
+        return False
 
 
 def _bm25_manifest(paths: dict[str, str],
@@ -401,17 +457,18 @@ def bm25_append(spark: SparkSession, paths: dict[str, str],
     claim leaves the previous index version intact
     (probe(appended) ≡ probe(rebuilt over base ∪ delta) — pinned in
     tests/test_llm.py)."""
-    m = _bm25_manifest(paths)
-    seg = int(m[_M_NEXT])
-    dt, dn = _bm25_write_seg(spark, paths, new_docs, seg)
-    s = m[_M_STATS]
-    _bm25_commit(paths, {
-        _M_POST: list(m[_M_POST]) + [seg],
-        _M_DL: list(m[_M_DL]) + [seg],
-        _M_TOMB: list(m[_M_TOMB]),
-        _M_STATS: {"t_tokens": int(s["t_tokens"]) + dt,
-                   "n_docs": int(s["n_docs"]) + dn},
-        _M_NEXT: seg + 1})
+    with _index_write_lock(paths["meta"]):
+        m = _bm25_manifest(paths)
+        seg = int(m[_M_NEXT])
+        dt, dn = _bm25_write_seg(spark, paths, new_docs, seg)
+        s = m[_M_STATS]
+        _bm25_commit(paths, {
+            _M_POST: list(m[_M_POST]) + [seg],
+            _M_DL: list(m[_M_DL]) + [seg],
+            _M_TOMB: list(m[_M_TOMB]),
+            _M_STATS: {"t_tokens": int(s["t_tokens"]) + dt,
+                       "n_docs": int(s["n_docs"]) + dn},
+            _M_NEXT: seg + 1})
     return paths
 
 
@@ -437,30 +494,32 @@ def bm25_apply_changes(spark: SparkSession, paths: dict[str, str],
     probe(apply_changes) ≡ probe(rebuild over the post-change corpus) is
     pinned in tests/test_llm.py, including the stale-hit case a plain
     append gets wrong (deleted/superseded docs still surfacing)."""
-    m = _bm25_manifest(paths)
-    seg = int(m[_M_NEXT])
-    changed = (upsert_docs.select("doc_id")
-               .unionByName(deleted_ids.select("doc_id")).distinct())
-    # live dl of the docs about to be doomed — against the CURRENT version
-    doomed_live = (_bm25_live(spark, paths, _bm25_dl(spark, paths, m), m)
-                   .join(changed, "doc_id")
-                   .agg(F.sum("dl").alias("t"),
-                        F.count(F.lit(1)).alias("n")).collect()[0])
-    _clear_seg(paths["tomb"], seg)
-    (changed.withColumn("doomed_thru", F.lit(seg - 1).cast("bigint"))
-     .withColumn("seg", F.lit(seg).cast("int"))
-     .write.mode("append").partitionBy("seg").parquet(paths["tomb"]))
-    dt, dn = _bm25_write_seg(spark, paths, upsert_docs, seg)
-    s = m[_M_STATS]
-    _bm25_commit(paths, {
-        _M_POST: list(m[_M_POST]) + [seg],
-        _M_DL: list(m[_M_DL]) + [seg],
-        _M_TOMB: list(m[_M_TOMB]) + [seg],
-        _M_STATS: {"t_tokens": int(s["t_tokens"])
-                   - int(doomed_live["t"] or 0) + dt,
-                   "n_docs": int(s["n_docs"])
-                   - int(doomed_live["n"]) + dn},
-        _M_NEXT: seg + 1})
+    with _index_write_lock(paths["meta"]):
+        m = _bm25_manifest(paths)
+        seg = int(m[_M_NEXT])
+        changed = (upsert_docs.select("doc_id")
+                   .unionByName(deleted_ids.select("doc_id")).distinct())
+        # live dl of the docs about to be doomed — vs the CURRENT version
+        doomed_live = (_bm25_live(spark, paths,
+                                  _bm25_dl(spark, paths, m), m)
+                       .join(changed, "doc_id")
+                       .agg(F.sum("dl").alias("t"),
+                            F.count(F.lit(1)).alias("n")).collect()[0])
+        _clear_seg(paths["tomb"], seg)
+        (changed.withColumn("doomed_thru", F.lit(seg - 1).cast("bigint"))
+         .withColumn("seg", F.lit(seg).cast("int"))
+         .write.mode("append").partitionBy("seg").parquet(paths["tomb"]))
+        dt, dn = _bm25_write_seg(spark, paths, upsert_docs, seg)
+        s = m[_M_STATS]
+        _bm25_commit(paths, {
+            _M_POST: list(m[_M_POST]) + [seg],
+            _M_DL: list(m[_M_DL]) + [seg],
+            _M_TOMB: list(m[_M_TOMB]) + [seg],
+            _M_STATS: {"t_tokens": int(s["t_tokens"])
+                       - int(doomed_live["t"] or 0) + dt,
+                       "n_docs": int(s["n_docs"])
+                       - int(doomed_live["n"]) + dn},
+            _M_NEXT: seg + 1})
     return paths
 
 
@@ -494,19 +553,23 @@ def bm25_compact(spark: SparkSession, paths: dict[str, str]) -> dict[str, str]:
     stats are already live-exact so they carry over.  The rolled-over
     segment dirs stay on disk, unreferenced, until bm25_vacuum sweeps
     them.  Value-neutral: probe before ≡ probe after (pinned)."""
-    m = _bm25_manifest(paths)
-    seg = int(m[_M_NEXT])
-    live_post = _bm25_live(spark, paths,
-                           _bm25_postings(spark, paths, m), m)
-    live_dl = _bm25_live(spark, paths, _bm25_dl(spark, paths, m), m)
-    (live_post.withColumn("seg", F.lit(seg).cast("int"))
-     .repartition(_IDX_BUCKETS, "bkt")
-     .write.mode("append").partitionBy("seg", "bkt")
-     .parquet(paths["index"]))
-    (live_dl.withColumn("seg", F.lit(seg).cast("int"))
-     .write.mode("append").partitionBy("seg").parquet(paths["dl"]))
-    _bm25_commit(paths, {_M_POST: [seg], _M_DL: [seg], _M_TOMB: [],
-                         _M_STATS: dict(m[_M_STATS]), _M_NEXT: seg + 1})
+    with _index_write_lock(paths["meta"]):
+        m = _bm25_manifest(paths)
+        seg = int(m[_M_NEXT])
+        live_post = _bm25_live(spark, paths,
+                               _bm25_postings(spark, paths, m), m)
+        live_dl = _bm25_live(spark, paths, _bm25_dl(spark, paths, m), m)
+        _clear_seg(paths["index"], seg)
+        _clear_seg(paths["dl"], seg)
+        (live_post.withColumn("seg", F.lit(seg).cast("int"))
+         .repartition(_IDX_BUCKETS, "bkt")
+         .write.mode("append").partitionBy("seg", "bkt")
+         .parquet(paths["index"]))
+        (live_dl.withColumn("seg", F.lit(seg).cast("int"))
+         .write.mode("append").partitionBy("seg").parquet(paths["dl"]))
+        _bm25_commit(paths, {_M_POST: [seg], _M_DL: [seg], _M_TOMB: [],
+                             _M_STATS: dict(m[_M_STATS]),
+                             _M_NEXT: seg + 1})
     return paths
 
 

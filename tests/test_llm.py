@@ -1584,3 +1584,40 @@ def test_ivfpq_random_maintenance_sequence_matches_model(spark, sf_dir):
         want = [tuple(r) for r in
                 ivfpq_probe(spark, fresh, q, corpus).collect()]
         assert got == want and got, (step, op)
+
+
+def test_index_write_lock_excludes_second_writer(spark, sf_dir):
+    """r9: the write.lock discipline enforced, not just documented — a
+    second writer entering a locked index raises instead of corrupting
+    shared segment space; a crashed holder's STALE lock is broken; the
+    lock always releases on exception (the crash-injection tests pass
+    through it)."""
+    import os
+    import time
+
+    import json_sql_database_storage_spark.llm.search as search
+    from json_sql_database_storage_spark.llm.search import (
+        ConcurrentIndexWriter, _index_write_lock, bm25_append, bm25_build)
+    from json_sql_database_storage_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    paths = bm25_build(spark, docs, "bm25_lock")
+    delta = spark.createDataFrame(
+        [(10 ** 9, "join vector lock probe")], "doc_id bigint, text string")
+
+    # a held lock excludes the second writer
+    with _index_write_lock(paths["meta"]):
+        with pytest.raises(ConcurrentIndexWriter):
+            bm25_append(spark, paths, delta)
+    # released on exit: the same append now lands
+    bm25_append(spark, paths, delta)
+
+    # a stale lock (crashed holder) is broken, not honored forever
+    lock = os.path.join(paths["meta"], "write.lock")
+    with open(lock, "w") as f:
+        f.write("0")
+    os.utime(lock, (time.time() - 10_000, time.time() - 10_000))
+    bm25_append(spark, paths,
+                spark.createDataFrame([(10 ** 9 + 1, "stale lock broken")],
+                                      "doc_id bigint, text string"))
+    assert not os.path.exists(lock)
