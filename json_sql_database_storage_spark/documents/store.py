@@ -97,6 +97,15 @@ class ConstraintViolation(Exception):
     write, so a rejected delta leaves no orphan dirs for VACUUM)."""
 
 
+class FamilyCommitConflict(Exception):
+    """A family commit tried to pin child-table versions OLDER than the
+    ones the family head already pins — publishing it would regress the
+    family head (readers would see a child table travel backwards past a
+    sibling commit's rows: the torn mix read_family exists to prevent).
+    The loser re-runs its child upserts (rebasing on the winner's
+    versions) and commits again; save_docs does this automatically."""
+
+
 from contextlib import contextmanager  # noqa: E402
 
 
@@ -794,13 +803,13 @@ class DocumentStore:
     # in place, so the previous document family stays fully readable and
     # the half-landed child versions are merely unreferenced history.
     #
-    # GC HAZARD (the shallow-clone hazard's sibling, pinned in
-    # tests/test_documents.py): vacuum is per-table and cannot know about
-    # family manifests, so vacuuming a CHILD table past a version an
-    # older family commit pins breaks read_family at that family version
-    # — exactly as Iceberg's expire_snapshots breaks catalog refs older
-    # than the retention window.  The safe recipe: keep child retention
-    # ≥ the family versions you still serve.
+    # GC (r10 — the r9-pinned hazard, now guarded): per-table vacuum
+    # retains any version a live family manifest pins
+    # (_family_pinned_versions — the Iceberg rule that expire_snapshots
+    # must not break catalog refs), so vacuuming a child can no longer
+    # break read_family at a served family version.  vacuum_family() is
+    # the unit-of-GC verb: expire family manifests first (moving the
+    # floor up), then vacuum every retained child.
     _FAMILY_SLOT = 0     # manifest slot holding the {table: version} map
 
     def _family_root(self, family: str) -> str:
@@ -818,7 +827,12 @@ class DocumentStore:
         v = self.family_version(family) if version is None else version
         if v < 0:
             raise ValueError(f"family {family!r} has no committed version")
-        m = read_committed_manifest(self._family_root(family), v)
+        try:
+            m = read_committed_manifest(self._family_root(family), v)
+        except FileNotFoundError:
+            raise ValueError(
+                f"family {family!r} version {v} was never committed or "
+                f"has been expired by vacuum_family") from None
         return dict(m[self._FAMILY_SLOT])
 
     def read_family(self, family: str, table: str,
@@ -829,27 +843,58 @@ class DocumentStore:
                                                         version)[table])
 
     def _commit_family(self, family: str, tables: dict[str, int]) -> int:
+        """Publish a family manifest, REJECTING regressive pins (r9
+        advice #4): two concurrent save_docs each rebase their child
+        upserts independently, so the loser's manifest can pin a child
+        version that predates rows the winner already published — CAS
+        alone would still claim it the next family version, letting the
+        family head travel backwards (a torn mix).  The check runs
+        inside the CAS retry loop: validate against the head, claim
+        head+1 — the claim is atomic, so a manifest that lands was
+        validated against its true predecessor."""
         root = self._family_root(family)
         os.makedirs(root, exist_ok=True)
         for _ in range(_MAX_COMMIT_RETRIES):
-            v = self.family_version(family) + 1
+            head = self.family_version(family)
+            if head >= 0:
+                pinned = self.family_tables(family, head)
+                stale = {t: (v, pinned[t]) for t, v in tables.items()
+                         if t in pinned and v < pinned[t]}
+                if stale:
+                    raise FamilyCommitConflict(
+                        f"family {family!r} commit pins versions older "
+                        f"than the head's (ours, head's): {stale} — a "
+                        f"sibling commit landed after our child upserts; "
+                        f"re-run the upserts (save_docs retries this "
+                        f"automatically)")
             try:
                 self._commit_at(f"_family_{family.replace(os.sep, '_')}",
-                                v, {self._FAMILY_SLOT: tables})
-                return v
+                                head + 1, {self._FAMILY_SLOT: tables})
+                return head + 1
             except SnapshotConflict:
                 continue    # another family commit landed — claim the next
         raise SnapshotConflict(f"family commit for {family!r} lost the "
                                f"commit race {_MAX_COMMIT_RETRIES} times")
 
     # A1 end-to-end: shred documents, upsert every produced table (the
-    # staged writes), then make the whole family visible in ONE CAS commit
+    # staged writes), then make the whole family visible in ONE CAS commit.
+    # Losing the family race (a sibling's commit pinned newer child
+    # versions while ours were in flight) is retried whole: the re-run
+    # upserts rebase on the winner's versions, so the retried manifest
+    # pins versions ≥ the new head's and both writers' rows survive.
     def save_docs(self, docs: DataFrame, root: str) -> ShredResult:
-        result = shred(docs, root)
-        versions = {name: self.upsert(tdf, name)
-                    for name, tdf in result.tables.items()}
-        self._commit_family(root, versions)
-        return result
+        for _ in range(_MAX_COMMIT_RETRIES):
+            result = shred(docs, root)
+            versions = {name: self.upsert(tdf, name)
+                        for name, tdf in result.tables.items()}
+            try:
+                self._commit_family(root, versions)
+                return result
+            except FamilyCommitConflict:
+                continue
+        raise FamilyCommitConflict(
+            f"save_docs for family {root!r} lost the family commit race "
+            f"{_MAX_COMMIT_RETRIES} times")
 
     # A3 — point lookup by primary key, pruned to the key's bucket: the
     # scan touches 1/B of the table's directories before Parquet row-group
@@ -894,7 +939,14 @@ class DocumentStore:
         dir is removed, so a crash mid-vacuum never leaves a manifest
         resolving to deleted paths.  Deletion granularity is the bucket
         directory; a commit's top-level data dir is removed once it holds
-        no surviving bucket.  Returns {kept_versions, deleted_dirs}."""
+        no surviving bucket.  Returns {kept_versions, deleted_dirs}.
+
+        FAMILY FLOOR (r10, closing the r9-pinned GC hazard): a version of
+        `table` that any live family manifest under this store still pins
+        is retained regardless of `keep_last` — per-table vacuum can no
+        longer break read_family AS-OF a served family version.  Run
+        vacuum_family first to expire old family manifests and move the
+        floor up."""
         import shutil
 
         root = self._root(table)
@@ -902,7 +954,9 @@ class DocumentStore:
             int(e.name[len("manifest-v"):-len(".json")])
             for e in os.scandir(root)
             if e.name.startswith("manifest-v") and e.name.endswith(".json"))
-        keep = versions[-keep_last:]
+        keep = sorted(set(versions[-keep_last:])
+                      | (self._family_pinned_versions(table)
+                         & set(versions)))
         kept_dirs = {os.path.realpath(p) for v in keep
                      for p in self._dirs_of(self._manifest(table, v))}
         now = time.time()
@@ -933,6 +987,59 @@ class DocumentStore:
                        for sub in os.scandir(d)):
                 shutil.rmtree(d)
         return {"kept_versions": keep, "deleted_dirs": doomed}
+
+    def _family_pinned_versions(self, table: str) -> set[int]:
+        """Versions of `table` pinned by ANY live family manifest under
+        this store — the per-table GC floor set vacuum must retain.
+        O(family manifests): a scan of the tiny _family_* CAS logs, never
+        of data."""
+        pins: set[int] = set()
+        for entry in os.scandir(self.base_dir):
+            if not (entry.is_dir() and entry.name.startswith("_family_")):
+                continue
+            for m in os.scandir(entry.path):
+                if not (m.name.startswith("manifest-v")
+                        and m.name.endswith(".json")):
+                    continue
+                v = int(m.name[len("manifest-v"):-len(".json")])
+                try:
+                    fam = read_committed_manifest(entry.path, v)
+                except (OSError, ValueError, KeyError):
+                    continue    # racing expiry/commit: skip, not crash
+                t2v = dict(fam.get(self._FAMILY_SLOT) or {})
+                if table in t2v:
+                    pins.add(int(t2v[table]))
+        return pins
+
+    def vacuum_family(self, family: str, keep_last: int = 1,
+                      min_age_seconds: float = 600.0) -> dict:
+        """GC a document family AS A UNIT (r9 verdict next-round #3):
+        expire family manifests beyond the last `keep_last`, then vacuum
+        every child table the retained manifests reference.  Child vacuum
+        respects the family floor (_family_pinned_versions), so this is
+        the one-call recipe that reclaims family history WITHOUT breaking
+        read_family at any retained family version — the safe form of the
+        per-table-vacuum footgun the r9 hazard test pinned.  Metadata
+        first: family manifests expire before any child data moves, so a
+        crash mid-call only shrinks retention, never dangles a pin."""
+        root = self._family_root(family)
+        if self.family_version(family) < 0:
+            raise ValueError(f"family {family!r} has no committed version")
+        versions = sorted(
+            int(e.name[len("manifest-v"):-len(".json")])
+            for e in os.scandir(root)
+            if e.name.startswith("manifest-v") and e.name.endswith(".json"))
+        keep = versions[-keep_last:]
+        for v in versions:
+            if v not in keep:
+                os.remove(os.path.join(root, f"manifest-v{v}.json"))
+        children: set[str] = set()
+        for v in keep:
+            children |= set(self.family_tables(family, v))
+        swept = {t: self.vacuum(t, keep_last=1,
+                                min_age_seconds=min_age_seconds)
+                 for t in sorted(children)}
+        return {"kept_family_versions": keep, "children": swept}
 
     def assemble_from_disk(self, result: ShredResult,
                            table: str | None = None) -> DataFrame:

@@ -981,31 +981,40 @@ def ivfpq_compact(spark: SparkSession, paths: dict[str, str]) -> dict[str, str]:
 def ivfpq_vacuum(paths: dict[str, str], keep_last: int = 1) -> list[str]:
     """Reclaim rolled-over / orphaned segment dirs (the bm25_vacuum
     twin): keep segments any retained manifest references, delete the
-    rest.  Returns deleted dirs."""
+    rest.  Returns deleted dirs.  Takes write.lock (vacuum mutates shared
+    segment space — racing a writer it could sweep an uncommitted seg dir
+    the writer's CAS is about to publish) and is idempotent over
+    already-expired manifests (repeated vacuums are no-ops for the
+    reclaimed range)."""
+    import contextlib
     import os
     import shutil
 
     from ..operators.snapshots import current_version
+    from .search import _index_write_lock
 
-    head = current_version(paths["meta"])
-    keep = list(range(max(0, head - keep_last + 1), head + 1))
-    live: dict[str, set[int]] = {"index": set(), "tomb": set()}
-    for v in keep:
-        m = _ivfpq_manifest(paths, v)
-        live["index"] |= set(m[_V_CODES])
-        live["tomb"] |= set(m[_V_TOMB])
-    for v in range(head - keep_last, -1, -1):
-        os.remove(os.path.join(paths["meta"], f"manifest-v{v}.json"))
-    deleted = []
-    for key, segs in live.items():
-        root = paths[key]
-        if not os.path.isdir(root):
-            continue
-        for entry in os.scandir(root):
-            if (entry.is_dir() and entry.name.startswith("seg=")
-                    and int(entry.name.split("=", 1)[1]) not in segs):
-                shutil.rmtree(entry.path)
-                deleted.append(entry.path)
+    with _index_write_lock(paths["meta"]):
+        head = current_version(paths["meta"])
+        keep = list(range(max(0, head - keep_last + 1), head + 1))
+        live: dict[str, set[int]] = {"index": set(), "tomb": set()}
+        for v in keep:
+            m = _ivfpq_manifest(paths, v)
+            live["index"] |= set(m[_V_CODES])
+            live["tomb"] |= set(m[_V_TOMB])
+        for v in range(head - keep_last, -1, -1):
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(paths["meta"],
+                                       f"manifest-v{v}.json"))
+        deleted = []
+        for key, segs in live.items():
+            root = paths[key]
+            if not os.path.isdir(root):
+                continue
+            for entry in os.scandir(root):
+                if (entry.is_dir() and entry.name.startswith("seg=")
+                        and int(entry.name.split("=", 1)[1]) not in segs):
+                    shutil.rmtree(entry.path)
+                    deleted.append(entry.path)
     return deleted
 
 

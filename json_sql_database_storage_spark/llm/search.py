@@ -261,6 +261,11 @@ def bm25_build(spark: SparkSession, docs: DataFrame,
 
 # manifest slots (commit_manifest int-keys the top level)
 _M_POST, _M_DL, _M_TOMB, _M_STATS, _M_NEXT = 0, 1, 2, 3, 4
+# last applied stream-batch tag (exactly-once streaming maintenance):
+# recorded IN the manifest so the dedup decision commits atomically with
+# the change itself — the foreachBatch twin of versioned_batch_apply's
+# _latest marker, with the index's own CAS as the atomicity point
+_M_TAG = 5
 
 _LOCK_STALE_SECONDS = 600.0
 
@@ -277,15 +282,46 @@ class _index_write_lock:
     (Lucene's write.lock): O_EXCL-created under the meta dir, released on
     exit (including the crash-injection path — the verb's exception
     propagates through this finally).  A lock older than
-    _LOCK_STALE_SECONDS is presumed crashed-without-cleanup and broken —
-    its writer's uncommitted seg dirs are cleared by the next writer's
-    _clear_seg anyway."""
+    _LOCK_STALE_SECONDS AND whose recorded pid is provably not running is
+    presumed crashed-without-cleanup and broken — its writer's uncommitted
+    seg dirs are cleared by the next writer's _clear_seg anyway.  The pid
+    liveness check means a legitimate build/compact outliving the stale
+    threshold (plausible at the 100-TB design point) keeps its lock: age
+    alone never breaks a lock whose holder is still alive (same-host
+    deployment; on shared storage across hosts the pid is advisory and the
+    threshold is the only signal — size it to the job duration)."""
 
     def __init__(self, meta_dir: str):
         import os
 
         os.makedirs(meta_dir, exist_ok=True)
         self.path = os.path.join(meta_dir, "write.lock")
+
+    @staticmethod
+    def _holder_alive(path: str) -> bool:
+        """True unless the lock's recorded pid provably cannot be a live
+        holder.  A real existing pid counts as alive even when owned by
+        another user (a false 'dead' re-enables two concurrent writers —
+        the exact corruption the lock exists to prevent); an unreadable
+        or invalid pid can't have been written by this acquire path (it
+        always records os.getpid()), so it never pins the lock past the
+        stale age — else a corrupted lock file wedges the index forever."""
+        import os
+
+        try:
+            with open(path) as f:
+                pid = int(f.read().strip())
+        except (OSError, ValueError):
+            return False
+        if pid <= 0:
+            return False
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True      # exists, owned by another user
+        return True
 
     def __enter__(self):
         import os
@@ -298,12 +334,21 @@ class _index_write_lock:
                 age = time.time() - os.path.getmtime(self.path)
             except FileNotFoundError:
                 age = 0.0    # racer released between open and stat: retry
-            if age <= _LOCK_STALE_SECONDS:
+            if age <= _LOCK_STALE_SECONDS or self._holder_alive(self.path):
                 raise ConcurrentIndexWriter(
                     f"{self.path} held by a live writer — one writer per "
                     f"index (retry, or investigate the holder)") from None
-            os.remove(self.path)     # stale: presumed crashed
-            fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            import contextlib
+
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(self.path)     # stale AND holder dead: crashed
+            try:
+                fd = os.open(self.path,
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise ConcurrentIndexWriter(
+                    f"{self.path} re-acquired by another writer while "
+                    f"breaking the stale lock") from None
         os.write(fd, str(os.getpid()).encode())
         os.close(fd)
         return self
@@ -462,19 +507,23 @@ def bm25_append(spark: SparkSession, paths: dict[str, str],
         seg = int(m[_M_NEXT])
         dt, dn = _bm25_write_seg(spark, paths, new_docs, seg)
         s = m[_M_STATS]
-        _bm25_commit(paths, {
+        out = {
             _M_POST: list(m[_M_POST]) + [seg],
             _M_DL: list(m[_M_DL]) + [seg],
             _M_TOMB: list(m[_M_TOMB]),
             _M_STATS: {"t_tokens": int(s["t_tokens"]) + dt,
                        "n_docs": int(s["n_docs"]) + dn},
-            _M_NEXT: seg + 1})
+            _M_NEXT: seg + 1}
+        if m.get(_M_TAG) is not None:       # carry the stream tag forward
+            out[_M_TAG] = int(m[_M_TAG])
+        _bm25_commit(paths, out)
     return paths
 
 
 def bm25_apply_changes(spark: SparkSession, paths: dict[str, str],
                        upsert_docs: DataFrame,
-                       deleted_ids: DataFrame) -> dict[str, str]:
+                       deleted_ids: DataFrame,
+                       tag: int | None = None) -> dict[str, str]:
     """Apply a FULL change-data-feed to a built BM25 index — inserts,
     updates of already-indexed docs, and deletes (r8 verdict next-round
     #2; composes directly with DocumentStore.diff(), which emits exactly
@@ -493,9 +542,26 @@ def bm25_apply_changes(spark: SparkSession, paths: dict[str, str],
 
     probe(apply_changes) ≡ probe(rebuild over the post-change corpus) is
     pinned in tests/test_llm.py, including the stale-hit case a plain
-    append gets wrong (deleted/superseded docs still surfacing)."""
+    append gets wrong (deleted/superseded docs still surfacing).
+
+    `tag` (r10): exactly-once STREAMING maintenance — pass the
+    foreachBatch batch_id and a re-delivered batch no-ops (the manifest
+    records the last applied tag atomically with the change; Structured
+    Streaming replays a crashed batch with the same id).  A tag GAP
+    fails loudly, as versioned_batch_apply does: consecutive ids are the
+    delivery contract, so a skip means lost batches, not progress."""
     with _index_write_lock(paths["meta"]):
         m = _bm25_manifest(paths)
+        if tag is not None:
+            last = m.get(_M_TAG)
+            last = -1 if last is None else int(last)
+            if tag <= last:
+                return paths            # replayed batch: already applied
+            if tag != last + 1:
+                raise ValueError(
+                    f"stream-batch tag gap on {paths['meta']}: last "
+                    f"applied {last}, got {tag} — refusing to silently "
+                    f"skip {tag - last - 1} batch(es)")
         seg = int(m[_M_NEXT])
         changed = (upsert_docs.select("doc_id")
                    .unionByName(deleted_ids.select("doc_id")).distinct())
@@ -511,7 +577,7 @@ def bm25_apply_changes(spark: SparkSession, paths: dict[str, str],
          .write.mode("append").partitionBy("seg").parquet(paths["tomb"]))
         dt, dn = _bm25_write_seg(spark, paths, upsert_docs, seg)
         s = m[_M_STATS]
-        _bm25_commit(paths, {
+        out = {
             _M_POST: list(m[_M_POST]) + [seg],
             _M_DL: list(m[_M_DL]) + [seg],
             _M_TOMB: list(m[_M_TOMB]) + [seg],
@@ -519,7 +585,11 @@ def bm25_apply_changes(spark: SparkSession, paths: dict[str, str],
                        - int(doomed_live["t"] or 0) + dt,
                        "n_docs": int(s["n_docs"])
                        - int(doomed_live["n"]) + dn},
-            _M_NEXT: seg + 1})
+            _M_NEXT: seg + 1}
+        new_tag = tag if tag is not None else m.get(_M_TAG)
+        if new_tag is not None:
+            out[_M_TAG] = int(new_tag)
+        _bm25_commit(paths, out)
     return paths
 
 
@@ -567,43 +637,98 @@ def bm25_compact(spark: SparkSession, paths: dict[str, str]) -> dict[str, str]:
          .parquet(paths["index"]))
         (live_dl.withColumn("seg", F.lit(seg).cast("int"))
          .write.mode("append").partitionBy("seg").parquet(paths["dl"]))
-        _bm25_commit(paths, {_M_POST: [seg], _M_DL: [seg], _M_TOMB: [],
-                             _M_STATS: dict(m[_M_STATS]),
-                             _M_NEXT: seg + 1})
+        out = {_M_POST: [seg], _M_DL: [seg], _M_TOMB: [],
+               _M_STATS: dict(m[_M_STATS]),
+               _M_NEXT: seg + 1}
+        if m.get(_M_TAG) is not None:       # carry the stream tag forward
+            out[_M_TAG] = int(m[_M_TAG])
+        _bm25_commit(paths, out)
     return paths
 
 
 def bm25_vacuum(paths: dict[str, str], keep_last: int = 1) -> list[str]:
     """Reclaim rolled-over / orphaned segment dirs: keep the segments any
     retained manifest references, delete the rest (the store's vacuum
-    discipline — metadata first, then data).  Returns deleted dirs."""
+    discipline — metadata first, then data).  Returns deleted dirs.
+
+    Takes write.lock: vacuum mutates the shared segment space, so racing
+    an in-flight writer it could sweep the writer's freshly written but
+    not-yet-committed seg dir (referenced by no retained manifest) right
+    before that writer's CAS publishes a manifest pointing at it — silent
+    row loss.  Idempotent: manifests a prior vacuum already expired are
+    skipped, so repeated vacuums (with or without intervening commits)
+    are no-ops for the already-reclaimed range."""
+    import contextlib
     import os
     import shutil
 
     from ..operators.snapshots import current_version
 
-    head = current_version(paths["meta"])
-    keep = list(range(max(0, head - keep_last + 1), head + 1))
-    live: dict[str, set[int]] = {"index": set(), "dl": set(),
-                                 "tomb": set()}
-    for v in keep:
-        m = _bm25_manifest(paths, v)
-        live["index"] |= set(m[_M_POST])
-        live["dl"] |= set(m[_M_DL])
-        live["tomb"] |= set(m[_M_TOMB])
-    for v in range(head - keep_last, -1, -1):
-        os.remove(os.path.join(paths["meta"], f"manifest-v{v}.json"))
-    deleted = []
-    for key, segs in live.items():
-        root = paths[key]
-        if not os.path.isdir(root):
-            continue
-        for entry in os.scandir(root):
-            if (entry.is_dir() and entry.name.startswith("seg=")
-                    and int(entry.name.split("=", 1)[1]) not in segs):
-                shutil.rmtree(entry.path)
-                deleted.append(entry.path)
+    with _index_write_lock(paths["meta"]):
+        head = current_version(paths["meta"])
+        keep = list(range(max(0, head - keep_last + 1), head + 1))
+        live: dict[str, set[int]] = {"index": set(), "dl": set(),
+                                     "tomb": set()}
+        for v in keep:
+            m = _bm25_manifest(paths, v)
+            live["index"] |= set(m[_M_POST])
+            live["dl"] |= set(m[_M_DL])
+            live["tomb"] |= set(m[_M_TOMB])
+        for v in range(head - keep_last, -1, -1):
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(paths["meta"],
+                                       f"manifest-v{v}.json"))
+        deleted = []
+        for key, segs in live.items():
+            root = paths[key]
+            if not os.path.isdir(root):
+                continue
+            for entry in os.scandir(root):
+                if (entry.is_dir() and entry.name.startswith("seg=")
+                        and int(entry.name.split("=", 1)[1]) not in segs):
+                    shutil.rmtree(entry.path)
+                    deleted.append(entry.path)
     return deleted
+
+
+_BM25_CDF_SCHEMA = "doc_id BIGINT, text STRING, op STRING"
+
+
+def bm25_stream_maintain(spark: SparkSession, paths: dict[str, str],
+                         staged_dir: str) -> dict[str, str]:
+    """STREAMING index maintenance (r9 verdict next-round #7): keep a
+    built BM25 index fresh from a document change-feed stream.  Each
+    micro-batch is one CDF slice (doc_id, text, op ∈ {'u','d'} — the
+    DocumentStore.diff() split, serialized); the foreachBatch body routes
+    it through bm25_apply_changes with tag=batch_id, so foreachBatch's
+    at-least-once replay contract becomes exactly-once index state: a
+    re-delivered batch no-ops on the manifest-recorded tag.  This is the
+    versioned_batch_apply protocol (streaming/queries.py) with the
+    index's OWN CAS commit as the atomicity point — no separate marker
+    file that could drift from the data it guards.
+
+    100-TB: per-batch cost is apply_changes' O(delta + tombstone join)
+    contract — the stream never re-reads or re-tokenizes the base corpus;
+    compaction stays a cadence decision (bm25_maintain between batches or
+    out-of-band — its commit carries the stream tag forward)."""
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()   # read twice: the up/del split
+        try:
+            ups = (batch_df.filter(F.col("op") == "u")
+                   .select("doc_id", "text"))
+            dels = batch_df.filter(F.col("op") == "d").select("doc_id")
+            bm25_apply_changes(spark, paths, ups, dels, tag=batch_id)
+        finally:
+            batch_df.unpersist()
+
+    q = (spark.readStream.schema(_BM25_CDF_SCHEMA)
+         .option("maxFilesPerTrigger", 1).parquet(staged_dir)
+         .writeStream.foreachBatch(apply).outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return paths
 
 
 def bm25_probe(spark: SparkSession, paths: dict[str, str],

@@ -302,9 +302,17 @@ FROM w, d
 ORDER BY source
 """
 
-STAGED: dict = {
+# Promoted round 10 (r9 verdict next-round #1 and #5); empty STAGED kept so
+# the staged-protocol tests can pin that nothing is both staged and
+# registered.
+from ..registry import register  # noqa: E402  (promotion epilogue)
+
+for _name, (_fn, _sql) in {
     "text_index_maintenance": (text_index_maintenance, _maint_oracle()),
     "text_ngram_novelty": (text_ngram_novelty, _NOVELTY_SQL),
     "text_code_detection": (text_code_detection, _CODE_SQL),
     "sample_token_budget_epochs": (sample_token_budget_epochs, _EPOCHS_SQL),
-}
+}.items():
+    register(_name, _sql)(_fn)
+
+STAGED: dict = {}

@@ -677,7 +677,11 @@ GROUP BY user_id
 ORDER BY user_id
 """
 
-STAGED: dict = {
+# Promoted round 10 (r9 verdict next-round #1); empty STAGED kept so the
+# staged-protocol tests can pin that nothing is both staged and registered.
+from ..registry import register  # noqa: E402  (promotion epilogue)
+
+for _name, (_fn, _sql) in {
     "graph_degree_assortativity": (graph_degree_assortativity, _ASSORT_SQL),
     "graph_degree_histogram": (graph_degree_histogram, _DEGHIST_SQL),
     "events_anomaly_mad": (events_anomaly_mad, _MAD_SQL),
@@ -688,4 +692,7 @@ STAGED: dict = {
     "doc_quarantine": (doc_quarantine, _QUARANTINE_SQL),
     "q_customer_pareto": (q_customer_pareto, _PARETO_SQL),
     "window_streak_detection": (window_streak_detection, _STREAK_SQL),
-}
+}.items():
+    register(_name, _sql)(_fn)
+
+STAGED: dict = {}

@@ -304,16 +304,29 @@ FROM c
 # core by round 5 at K=80) versus a full cascade unravel (sf0.001's
 # near-regular graph collapses to ∅ by round 2), both real phenomena.
 #
-# 100-TB design — the bounded-depth iteration recipe (graph_pagerank_deep
-# precedent): each peel round is ONE map-side-combinable degree census
-# (groupBy node) plus TWO semi-joins confining edges to survivors — all
-# equi-joins on node keys, shuffle-partitioned, no driver-side graph.
-# Rounds are a fixed R=6 (convergence at these SFs is measured ≤5;
-# deeper peels would localCheckpoint every few rounds exactly as
-# pagerank_ranks does); every intermediate is persisted so round r+1
-# reuses round r's edges instead of recomputing the cascade.  The oracle
-# unrolls the identical recurrence as an R-step CTE chain.  Per-round
-# 1-row count aggregates are the allowlisted scalar-exchange pattern.
+# 100-TB design — DELTA PEELING (r10; the r9 verdict flagged the classic
+# formulation's 9.1× 10×-curve as the registry's worst): the textbook
+# loop re-filters and re-materializes the FULL edge list every round,
+# O(R·E) writes.  Here the edge list is STATIC — materialized once, kept
+# in two copies pre-partitioned by each endpoint so per-round joins
+# never re-shuffle it — and the only iterated state is the O(V) degree
+# table:
+#   round r: removed_r = alive nodes with d < K  (O(V) scan);
+#            decrements = static edges ⋈ removed_r, grouped by the other
+#            endpoint (shuffle O(removed + touched edges); the edge side
+#            is already partitioned on the join key);
+#            alive_{r+1} = (alive − removed_r) with d −= decrements,
+#            checkpointed (O(V), not O(E)).
+# An edge incident to an earlier-dead node never double-decrements: its
+# dead endpoint is absent from removed_r, and the surviving endpoint's
+# decrement for it was applied in the round the neighbor died.  The
+# trajectory census falls out AFTER the loop from death rounds — a node
+# dies the round it is peeled (survivors get sentinel R); an edge dies
+# with its FIRST endpoint; suffix-sums over the ≤R+1-bucket death
+# histograms give per-round survivor counts, touching the edge list O(1)
+# times total instead of R.  Early exit when a round peels nothing (the
+# fixed point: all later rounds are identical by construction).  The
+# oracle unrolls the identical recurrence as an R-step CTE chain.
 # ---------------------------------------------------------------------------
 
 _KCORE_K = 80
@@ -321,8 +334,6 @@ _KCORE_ROUNDS = 6
 
 
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..registry import scoped_persist
-
     items = (load_table(spark, sf_dir, "lineitem")
              .select("l_orderkey", "l_partkey").distinct())
     edges = (items.alias("a")
@@ -332,40 +343,68 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("a.l_partkey") < F.col("pb"))
              .select(F.col("a.l_partkey").alias("pa"), "pb")
              .distinct())
-    from ..registry import scoped_persist
-
-    # lineage is CUT once per round (eager localCheckpoint of the round's
-    # EDGES, the pagerank_ranks recipe) — the trajectory unions all R
-    # rounds into one plan, so without truncation the plan tree is O(R²)
-    # and the final union re-prints every cascade level.  Survivors are
-    # merely PERSISTED (lazy, reused by both semi-joins and the count):
-    # their lineage is one aggregation off checkpointed edges, so the
-    # plan stays O(R) while paying ONE materialization job per round
-    # instead of three (measured ~5.3 s → ~3.8 s warm at sf0.1)
-    edges = edges.localCheckpoint(eager=True)
-    rounds = []
+    # the pair explosion is computed ONCE: e_pa materializes it
+    # (partitioned by pa), e_pb re-keys the materialized rows by pb —
+    # localCheckpoint preserves outputPartitioning, so every per-round
+    # join below shuffles only the (small) removed set
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    e_pa = (edges.repartition(n_part, "pa")
+            .localCheckpoint(eager=True))
+    e_pb = (e_pa.repartition(n_part, "pb")
+            .localCheckpoint(eager=True))
+    alive = (e_pa.select(F.col("pa").alias("node"))
+             .unionAll(e_pb.select(F.col("pb").alias("node")))
+             .groupBy("node")
+             .agg(F.count(F.lit(1)).cast("long").alias("d"))
+             .localCheckpoint(eager=True))
+    deaths = None
     for r in range(_KCORE_ROUNDS):
-        deg = (edges.select(F.col("pa").alias("node"))
-               .unionAll(edges.select(F.col("pb").alias("node")))
-               .groupBy("node").agg(F.count(F.lit(1)).alias("d")))
-        surv = scoped_persist(deg.filter(F.col("d") >= _KCORE_K)
-                              .select("node"))
-        nxt = (edges.join(surv.select(F.col("node").alias("pa")), "pa",
-                          "left_semi")
-               .join(surv.select(F.col("node").alias("pb")), "pb",
-                     "left_semi")
-               .select("pa", "pb")
-               .localCheckpoint(eager=True))
-        rounds.append(
-            surv.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
-            .crossJoin(nxt.agg(F.count(F.lit(1)).cast("bigint")
-                               .alias("n_edges")))
-            .select(F.lit(r).alias("peel_round"), "n_nodes", "n_edges"))
-        edges = nxt
-    out = rounds[0]
-    for x in rounds[1:]:
-        out = out.unionByName(x)
-    return out.orderBy("peel_round")
+        removed = (alive.filter(F.col("d") < _KCORE_K).select("node")
+                   .localCheckpoint(eager=True))
+        d_r = removed.select("node", F.lit(r).cast("int").alias("dr"))
+        deaths = d_r if deaths is None else deaths.unionByName(d_r)
+        if not removed.take(1):
+            break                       # fixed point: nothing else peels
+        dec = (e_pa.join(removed.withColumnRenamed("node", "pa"), "pa")
+               .select(F.col("pb").alias("node"))
+               .unionAll(
+                   e_pb.join(removed.withColumnRenamed("node", "pb"), "pb")
+                   .select(F.col("pa").alias("node")))
+               .groupBy("node").agg(F.count(F.lit(1)).alias("dec")))
+        alive = (alive.join(removed, "node", "left_anti")
+                 .join(dec, "node", "left")
+                 .select("node",
+                         (F.col("d") - F.coalesce(F.col("dec"), F.lit(0)))
+                         .alias("d"))
+                 .localCheckpoint(eager=True))
+    deaths = deaths.localCheckpoint(eager=True)   # O(V); read three times
+    sent = F.lit(_KCORE_ROUNDS).cast("int")
+    node_hist = (alive.select(sent.alias("dr"))       # survivors: dr = R
+                 .unionAll(deaths.select("dr"))
+                 .groupBy("dr")
+                 .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    ed = (e_pa
+          .join(deaths.select(F.col("node").alias("pa"),
+                              F.col("dr").alias("da")), "pa", "left")
+          .join(deaths.select(F.col("node").alias("pb"),
+                              F.col("dr").alias("db")), "pb", "left")
+          .select(F.least(F.coalesce(F.col("da"), sent),
+                          F.coalesce(F.col("db"), sent)).alias("dr")))
+    edge_hist = ed.groupBy("dr").agg(F.count(F.lit(1)).cast("long")
+                                     .alias("n"))
+    rounds = spark.range(_KCORE_ROUNDS).select(
+        F.col("id").cast("int").alias("peel_round"))
+    n_nodes = (rounds.join(node_hist,
+                           node_hist["dr"] > rounds["peel_round"], "left")
+               .groupBy("peel_round")
+               .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint")
+                    .alias("n_nodes")))
+    n_edges = (rounds.join(edge_hist,
+                           edge_hist["dr"] > rounds["peel_round"], "left")
+               .groupBy("peel_round")
+               .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint")
+                    .alias("n_edges")))
+    return n_nodes.join(n_edges, "peel_round").orderBy("peel_round")
 
 
 def _kcore_sql() -> str:

@@ -496,11 +496,86 @@ ORDER BY cntrycode
 """
 
 
+# ---------------------------------------------------------------------------
+# Q20 — suppliers with excess stock of selected parts, adapted (r10, r9
+# verdict next-round #6; no partsupp, so ps_availqty has no source — the
+# availqty > 0.5·year_shipped test becomes a SUPPLY-SHARE test derived
+# from lineitem: a supplier has "excess supply" of a part when its shipped
+# quantity of that part in the target year exceeds 20% of the part's total
+# shipped quantity that year).  The defining plan shape is preserved: a
+# SEMI-JOIN of the supplier dimension against a set derived from nested
+# aggregates (per-(part,supplier) vs per-part totals joined back — the
+# decorrelated form of Q20's correlated subquery), with the part-name
+# prefix and the nation cut as pushed scan filters.  Quantities ride as
+# integer centi-units and the 20% test is the integer cross product
+# qs·5 > qt, so membership is engine-exact.  100-TB: the year+part filters
+# prune the lineitem scan; both aggregates are map-side combinable on
+# (partkey[, suppkey]); the qualifying-supplier set is dimension-bounded
+# and drives a LEFT SEMI join (plan-pinned) — the fact table is read once.
+# ---------------------------------------------------------------------------
+
+_Q20_PREFIX = "small"
+_Q20_Y0, _Q20_Y1 = "1996-01-01", "1997-01-01"
+_Q20_NATIONS = 5            # s_nationkey < 5 — the single-nation-cut analog
+
+
+def q20_excess_supply_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pf = (load_table(spark, sf_dir, "part")
+          .filter(F.col("p_name").startswith(_Q20_PREFIX))
+          .select(F.col("p_partkey").alias("l_partkey")))
+    li = (load_table(spark, sf_dir, "lineitem")
+          .filter((F.col("l_shipdate") >= F.lit(_Q20_Y0).cast("date"))
+                  & (F.col("l_shipdate") < F.lit(_Q20_Y1).cast("date")))
+          .join(F.broadcast(pf), "l_partkey")
+          .select("l_partkey", "l_suppkey",
+                  F.round(F.col("l_quantity") * 100).cast("bigint")
+                  .alias("q")))
+    per_sp = (li.groupBy("l_partkey", "l_suppkey")
+              .agg(F.sum("q").cast("bigint").alias("qs")))
+    per_p = li.groupBy("l_partkey").agg(F.sum("q").cast("bigint")
+                                        .alias("qt"))
+    excess = (per_sp.join(per_p, "l_partkey")
+              .filter(F.col("qs") * 5 > F.col("qt"))
+              .select(F.col("l_suppkey").alias("s_suppkey")).distinct())
+    nat = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name")
+    return (load_table(spark, sf_dir, "supplier")
+            .filter(F.col("s_nationkey") < _Q20_NATIONS)
+            .join(excess, "s_suppkey", "left_semi")
+            .join(F.broadcast(nat), "s_nationkey")
+            .select("s_name", "n_name")
+            .orderBy("s_name"))
+
+
+_Q20_SQL = f"""
+WITH pf AS (SELECT p_partkey FROM part WHERE p_name LIKE '{_Q20_PREFIX}%'),
+li AS (
+  SELECT l_partkey, l_suppkey, CAST(round(l_quantity * 100) AS BIGINT) AS q
+  FROM lineitem JOIN pf ON p_partkey = l_partkey
+  WHERE l_shipdate >= DATE '{_Q20_Y0}' AND l_shipdate < DATE '{_Q20_Y1}'
+), per_sp AS (
+  SELECT l_partkey, l_suppkey, CAST(sum(q) AS BIGINT) AS qs
+  FROM li GROUP BY 1, 2
+), per_p AS (
+  SELECT l_partkey, CAST(sum(q) AS BIGINT) AS qt FROM li GROUP BY 1
+), excess AS (
+  SELECT DISTINCT l_suppkey
+  FROM per_sp JOIN per_p USING (l_partkey) WHERE qs * 5 > qt
+)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+WHERE s_nationkey < {_Q20_NATIONS}
+  AND s_suppkey IN (SELECT l_suppkey FROM excess)
+ORDER BY s_name
+"""
+
+
 # Promoted round 8 (r7 verdict next-round #1): every former STAGED entry is
 # now a live registry row; the empty dict remains so the staged-protocol
 # tests can pin that promotion happened (no entry both staged AND
 # registered).
 for _name, _fn, _sql in (
+    ("q20_excess_supply_share", q20_excess_supply_share, _Q20_SQL),
     ("q4_order_priority", q4_order_priority, _Q4_SQL),
     ("q6_forecast_revenue", q6_forecast_revenue, _Q6_SQL),
     ("q7_volume_shipping", q7_volume_shipping, _Q7_SQL),

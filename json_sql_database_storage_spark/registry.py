@@ -64,6 +64,8 @@ _OPERATOR_MODULES = (
     "json_sql_database_storage_spark.llm.staged",
     "json_sql_database_storage_spark.operators.staged_r9",
     "json_sql_database_storage_spark.llm.staged_r9",
+    "json_sql_database_storage_spark.operators.staged_r10",
+    "json_sql_database_storage_spark.llm.staged_r10",
 )
 
 # The driver's per-round correctness check covers the first ~50 registry

@@ -1413,24 +1413,101 @@ def test_store_cdf_drives_tombstone_aware_bm25_maintenance(
     assert victim not in {t[0] for t in got}
 
 
-def test_store_family_vacuum_hazard_is_pinned(spark, tmp_path):
-    """r9 (the shallow-clone GC hazard's sibling): vacuum is per-table
-    and cannot know about family manifests — vacuuming a child table
-    past a version an older family commit pins BREAKS read_family at
-    that family version, while the current family survives.  Pinned as
-    documented-by-design parity with Iceberg snapshot expiry vs catalog
-    refs."""
+def test_store_family_vacuum_hazard_is_guarded(spark, tmp_path):
+    """r10 (flipping the r9-pinned hazard): per-table vacuum now retains
+    any child version a live family manifest pins, so vacuuming a child
+    can no longer break read_family at a served family version; and
+    vacuum_family() expires old family manifests FIRST, moving the floor
+    up so the reclaim actually happens — as a unit, never torn."""
     store = DocumentStore(spark, str(tmp_path / "collections"))
     docs = docs_df(spark, ALL_FIXTURES["f4"])
     store.save_docs(docs, "fam")                             # family v0
     store.save_docs(docs, "fam")                             # family v1
     child = next(t for t in store.family_tables("fam") if t != "fam")
-    # current family (v1) pins the child's latest version: vacuum keeps it
-    store.vacuum(child, keep_last=1, min_age_seconds=0)
+    fam0 = [tuple(r) for r in store.read_family("fam", child, 0).collect()]
+
+    # per-table vacuum respects the family floor: BOTH family versions'
+    # pinned child versions survive a keep_last=1 vacuum
+    out = store.vacuum(child, keep_last=1, min_age_seconds=0)
+    pinned = {store.family_tables("fam", v)[child] for v in (0, 1)}
+    assert pinned <= set(out["kept_versions"])
+    assert [tuple(r) for r in
+            store.read_family("fam", child, 0).collect()] == fam0
     assert store.read_family("fam", child, 1).count() > 0
-    # …but family v0 pinned the now-expired child version: broken, loudly
-    with pytest.raises(Exception):
-        store.read_family("fam", child, 0).collect()
+
+    # vacuum_family is the unit-of-GC verb: family v0's manifest expires,
+    # the floor moves up, the child's now-unpinned version reclaims, and
+    # the retained family version still reads end-to-end
+    res = store.vacuum_family("fam", keep_last=1, min_age_seconds=0)
+    assert res["kept_family_versions"] == [1]
+    assert store.read_family("fam", child, 1).count() > 0
+    with pytest.raises(ValueError):
+        store.family_tables("fam", 0)    # expired family version is gone
+    # the floor moved: a fresh per-table vacuum retains only the pin set
+    # of the surviving family manifest (plus the head)
+    out2 = store.vacuum(child, keep_last=1, min_age_seconds=0)
+    assert store.family_tables("fam", 1)[child] in out2["kept_versions"]
+
+
+def test_store_family_commit_rejects_regressive_pins(spark, tmp_path):
+    """r10 (advice #4): a family commit whose pins are OLDER than the
+    head's is rejected — the torn-manifest race (two concurrent
+    save_docs, the loser publishing a manifest that regresses the family
+    head behind the winner's rows) can no longer publish."""
+    from json_sql_database_storage_spark.documents.model import shred
+    from json_sql_database_storage_spark.documents.store import (
+        FamilyCommitConflict,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "collections"))
+    docs = docs_df(spark, ALL_FIXTURES["f4"])
+    store.save_docs(docs, "fam")                             # family v0
+
+    # writer A stages its child upserts…
+    result_a = shred(docs_df(spark, ALL_FIXTURES["f4"]), "fam")
+    versions_a = {name: store.upsert(tdf, name)
+                  for name, tdf in result_a.tables.items()}
+    # …writer B's full save_docs lands in between (rebasing on A's rows)
+    store.save_docs(docs, "fam")                             # family v1
+    head_pins = store.family_tables("fam")
+    assert any(head_pins[t] > versions_a[t] for t in versions_a)
+    # …so A's now-stale pins must be refused, and the head never regresses
+    with pytest.raises(FamilyCommitConflict):
+        store._commit_family("fam", versions_a)
+    assert store.family_tables("fam") == head_pins
+
+
+def test_store_save_docs_retries_family_race(spark, tmp_path):
+    """r10 (advice #4, the writer side): save_docs losing the family race
+    re-runs its child upserts (rebased on the winner) and commits again —
+    the caller sees one successful save, with pins ≥ the interloper's."""
+    from json_sql_database_storage_spark.documents.store import (
+        FamilyCommitConflict,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "collections"))
+    docs = docs_df(spark, ALL_FIXTURES["f4"])
+    store.save_docs(docs, "fam")                             # family v0
+
+    orig = DocumentStore._commit_family
+    calls = {"n": 0}
+
+    def lose_once(self, family, tables):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FamilyCommitConflict("injected lost family race")
+        return orig(self, family, tables)
+
+    import pytest as _pytest  # noqa: F401  (monkeypatch import convention)
+    DocumentStore._commit_family = lose_once
+    try:
+        before = store.family_tables("fam")
+        store.save_docs(docs, "fam")
+        after = store.family_tables("fam")
+    finally:
+        DocumentStore._commit_family = orig
+    assert calls["n"] == 2                    # retried exactly once
+    assert all(after[t] > before[t] for t in before)   # rebased pins won
 
 
 def test_store_cdf_drives_tombstone_aware_ivfpq_maintenance(

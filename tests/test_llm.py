@@ -1612,7 +1612,8 @@ def test_index_write_lock_excludes_second_writer(spark, sf_dir):
     # released on exit: the same append now lands
     bm25_append(spark, paths, delta)
 
-    # a stale lock (crashed holder) is broken, not honored forever
+    # a stale lock (crashed holder — invalid pid) is broken, not honored
+    # forever
     lock = os.path.join(paths["meta"], "write.lock")
     with open(lock, "w") as f:
         f.write("0")
@@ -1621,3 +1622,170 @@ def test_index_write_lock_excludes_second_writer(spark, sf_dir):
                 spark.createDataFrame([(10 ** 9 + 1, "stale lock broken")],
                                       "doc_id bigint, text string"))
     assert not os.path.exists(lock)
+
+    # r10 (advice): age alone never breaks a LIVE holder's lock — a
+    # legitimate build/compact outliving the stale threshold keeps it
+    # (the pid records a running process: this one)
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))
+    os.utime(lock, (time.time() - 10_000, time.time() - 10_000))
+    try:
+        with pytest.raises(ConcurrentIndexWriter):
+            bm25_append(spark, paths, delta)
+        assert os.path.exists(lock)    # the live holder's lock survives
+    finally:
+        os.remove(lock)
+
+
+def test_index_vacuum_is_idempotent_and_locked(spark, sf_dir):
+    """r10 (advice): (a) repeated vacuums — including after intervening
+    commits — are no-ops for the already-reclaimed manifest range, not
+    FileNotFoundError crashes mid-sweep; (b) vacuum takes write.lock, so
+    it can never sweep an in-flight writer's uncommitted seg dir right
+    before that writer's CAS publishes it (silent row loss)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from json_sql_database_storage_spark.llm.search import (
+        _BM25_TERMS, _BM25_TOPK, ConcurrentIndexWriter, _index_write_lock,
+        bm25_append, bm25_build, bm25_compact, bm25_probe, bm25_vacuum)
+    from json_sql_database_storage_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    paths = bm25_build(spark, docs, "bm25_revac")
+    bm25_append(spark, paths,
+                spark.createDataFrame([(10 ** 9, "join vector revac")],
+                                      "doc_id bigint, text string"))
+    bm25_compact(spark, paths)
+    assert bm25_vacuum(paths, keep_last=1)          # first vacuum reclaims
+    # intervening commit, then vacuum again: the expired-manifest range
+    # below the previous head is already gone — must be a no-op for it,
+    # not a crash (pre-fix: os.remove(manifest-v0) raised
+    # FileNotFoundError mid-sweep, leaving seg dirs unreclaimed)
+    bm25_append(spark, paths,
+                spark.createDataFrame([(10 ** 9 + 1, "second revac")],
+                                      "doc_id bigint, text string"))
+    bm25_vacuum(paths, keep_last=1)
+    # and a back-to-back vacuum with nothing new reclaims nothing
+    assert bm25_vacuum(paths, keep_last=1) == []
+    want = [tuple(r) for r in
+            bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK).collect()]
+    assert want
+
+    # (b) a held write.lock excludes vacuum entirely
+    with _index_write_lock(paths["meta"]):
+        with pytest.raises(ConcurrentIndexWriter):
+            bm25_vacuum(paths, keep_last=1)
+
+    # vector twin: same repeated-vacuum sequence through the IVFPQ verbs
+    from json_sql_database_storage_spark.llm.pq import (
+        ivfpq_append, ivfpq_build, ivfpq_compact, ivfpq_vacuum)
+
+    v = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", F.col("embedding").alias("e")))
+    vp = ivfpq_build(spark, v, "ivfpq_revac")
+    ivfpq_append(spark, vp, v.limit(3).select(
+        (F.col("vec_id") + 10 ** 9).alias("vec_id"), "e"))
+    ivfpq_compact(spark, vp)
+    assert ivfpq_vacuum(vp, keep_last=1)
+    ivfpq_append(spark, vp, v.limit(2).select(
+        (F.col("vec_id") + 2 * 10 ** 9).alias("vec_id"), "e"))
+    ivfpq_vacuum(vp, keep_last=1)
+    assert ivfpq_vacuum(vp, keep_last=1) == []
+    with _index_write_lock(vp["meta"]):
+        with pytest.raises(ConcurrentIndexWriter):
+            ivfpq_vacuum(vp, keep_last=1)
+
+
+def _stage_cdf_chunks(chunks) -> str:
+    """Write each (doc_id, text, op) DataFrame as ONE parquet chunk file
+    with increasing mtimes — the streaming/runner.py staging recipe, for
+    document change feeds (maxFilesPerTrigger=1 → one micro-batch each)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    base = tempfile.mkdtemp(prefix="bm25_cdf_stream_")
+    for seq, df in enumerate(chunks):
+        tmp = os.path.join(base, f"__stage_{seq}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        for f in os.listdir(tmp):
+            if f.endswith(".parquet"):
+                dst = os.path.join(base, f"chunk_{seq:03d}.parquet")
+                shutil.move(os.path.join(tmp, f), dst)
+                ts = time.time() + seq
+                os.utime(dst, (ts, ts))
+        shutil.rmtree(tmp)
+    return base
+
+
+def test_bm25_stream_maintain_replay_is_exactly_once(spark, sf_dir):
+    """r10 (r9 verdict next-round #7): the streaming twin of the CDF→
+    index loop.  Three CDF micro-batches (update, delete,
+    update+delete-of-an-insert) flow through bm25_stream_maintain; then
+    the WHOLE stream replays from scratch (fresh query, batch ids
+    re-delivered from 0) and every batch no-ops on the manifest tag — the
+    index commits exactly once per batch, and the final probe is
+    row-identical to a batch rebuild over the post-change corpus."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from json_sql_database_storage_spark.llm.search import (
+        _BM25_TERMS, _BM25_TOPK, bm25_apply_changes, bm25_build,
+        bm25_probe, bm25_stream_maintain)
+    from json_sql_database_storage_spark.operators.snapshots import (
+        current_version,
+    )
+    from json_sql_database_storage_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new_id = int(docs.agg(F.max("doc_id")).collect()[0][0]) + 1
+    paths = bm25_build(spark, docs, "bm25_stream")
+
+    cdf = "doc_id bigint, text string, op string"
+    chunks = [
+        spark.createDataFrame(
+            [(7, "join vector stream fresh", "u"),
+             (new_id, "join vector crawl stream", "u")], cdf),
+        spark.createDataFrame([(11, None, "d")], cdf),
+        spark.createDataFrame(
+            [(3, "vector benchmark stream update", "u"),
+             (new_id, None, "d")], cdf),    # insert-then-delete across batches
+    ]
+    staged = _stage_cdf_chunks(chunks)
+    try:
+        bm25_stream_maintain(spark, paths, staged)
+        v_after = current_version(paths["meta"])
+        want = [tuple(r) for r in
+                bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK).collect()]
+
+        # full replay from scratch: fresh query, no checkpoint → batches
+        # re-delivered as 0,1,2 — every one must no-op on the manifest tag
+        bm25_stream_maintain(spark, paths, staged)
+        assert current_version(paths["meta"]) == v_after
+        got = [tuple(r) for r in
+               bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK).collect()]
+        assert got == want and got
+
+        # probe ≡ batch rebuild over the post-change corpus
+        final = (docs.filter(~F.col("doc_id").isin(7, 3, 11))
+                 .unionByName(spark.createDataFrame(
+                     [(7, "join vector stream fresh"),
+                      (3, "vector benchmark stream update")],
+                     "doc_id bigint, text string")))
+        full = bm25_build(spark, final, "bm25_stream_full")
+        assert got == [tuple(r) for r in
+                       bm25_probe(spark, full, _BM25_TERMS,
+                                  _BM25_TOPK).collect()]
+
+        # a tag GAP fails loudly (the versioned_batch_apply contract)
+        with pytest.raises(ValueError, match="tag gap"):
+            bm25_apply_changes(
+                spark, paths,
+                spark.createDataFrame([], "doc_id bigint, text string"),
+                spark.createDataFrame([(5,)], "doc_id bigint"), tag=9)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)

@@ -294,6 +294,25 @@ def test_no_unintended_scale_flags(spark, sf_dir):
             "sim_embedding_drift",
             # 1-row doc count + the O(1) ten-decile cumulative window
             "text_vocab_growth",
+            # r10 promotions (allowlist carried over verbatim from the
+            # staged-era sweep, tests/test_staged_r10.py pre-promotion):
+            # 1-row six-moment census (map-side partials — one row per
+            # input partition, constant bytes at any graph size)
+            "graph_degree_assortativity",
+            # 1-row corpus doc-count scalar (the text_vocab_growth shape)
+            "text_ngram_novelty",
+            # ordered-fold denominator scalar (the sample_domain_mixture
+            # shape)
+            "sample_token_budget_epochs",
+            # the O(1) ten-decile cumulative window (text_vocab_growth's
+            # allowlisted shape) — the RANKING itself is two-pass bucketed,
+            # never single-partition
+            "q_customer_pareto",
+            # fixture-literal family docs (the scan_in_memory precedent)
+            "doc_family_read",
+            # the probe's ≤k-row final rank window + 1-row stats broadcast
+            # (the registered text_bm25_topk's allowlisted shape)
+            "text_index_maintenance",
         },
     }
     bad = []
@@ -305,6 +324,19 @@ def test_no_unintended_scale_flags(spark, sf_dir):
             if label in plan and name not in allow[label]:
                 bad.append((name, label))
     assert not bad, bad
+
+
+def test_q20_semi_join_of_aggregates(spark, sf_dir):
+    """Q20's defining shape survives the adaptation: the supplier
+    dimension is confined by a LEFT SEMI join against the
+    aggregate-derived excess-supply set (never a row-multiplying inner
+    join), and the part-name prefix + nation cut reach the scans as
+    pushed filters."""
+    df = _SPECS["q20_excess_supply_share"].fn(spark, sf_dir)
+    plan = explain_formatted(df)
+    assert "LeftSemi" in plan, plan[:2000]
+    pushed = " ".join(pushed_filters(df))
+    assert "s_nationkey" in pushed and "p_name" in pushed
 
 
 def test_funnel_single_data_shuffle(spark, sf_dir):

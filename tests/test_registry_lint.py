@@ -172,6 +172,8 @@ _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
         "nation dim (25 rows) / region-filtered nation keys (≤25)",
     ("operators/tpch_staged.py", "q15_top_supplier"):
         "1-row max-revenue aggregate",
+    ("operators/tpch_staged.py", "q20_excess_supply_share"):
+        "prefix-filtered part keys (dimension-bounded) + nation dim (25 rows)",
     ("operators/tpch_staged.py", "q22_global_sales_opportunity"):
         "1-row global average-balance threshold",
     ("operators/joins.py", "join_broadcast_dim"): "region dim (5 rows)",

@@ -607,3 +607,106 @@ def test_kmeans_checkpoint_keeps_iteration_time_flat(spark):
           [round(x, 2) for x in segments])
     base = max(segments[0], 0.5)
     assert segments[-1] < 3.0 * base, segments
+
+
+@pytest.mark.slow
+def test_lpa_checkpoint_keeps_step_time_flat(spark):
+    """r10 (r9 verdict next-round #8): graph_label_propagation's
+    per-step checkpoint claim, measured like PageRank's — per-3-step
+    SEGMENT time stays flat across 12 synchronous LPA steps at sf0.1
+    (each step ends in an eager localCheckpoint of the O(V) label table,
+    so lineage never exceeds one step).  Timings recorded in SCALE.md."""
+    import time
+
+    sf01 = "/root/testdata/sf0.1"
+    OFF = 1000000
+    o = load_table(spark, sf01, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf01, "lineitem").select("l_orderkey",
+                                                    "l_suppkey")
+    e0 = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+          .select(F.col("o_custkey").alias("c"),
+                  (F.col("l_suppkey") + OFF).alias("s")))
+    edges = (e0.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+             .unionByName(e0.select(F.col("s").alias("src"),
+                                    F.col("c").alias("dst")))
+             .localCheckpoint(eager=True))
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .select("node", F.col("node").alias("label"))
+              .localCheckpoint(eager=True))
+    segments, t0 = [], time.monotonic()
+    for i in range(1, 13):
+        cnt = (edges.join(labels.withColumnRenamed("node", "src"), "src")
+               .groupBy(F.col("dst").alias("node"), "label")
+               .agg(F.count(F.lit(1)).alias("cnt")))
+        labels = (cnt.groupBy("node")
+                  .agg(F.min(F.struct((-F.col("cnt")).alias("neg"),
+                                      F.col("label").alias("l")))
+                       .alias("m"))
+                  .select("node", F.col("m.l").alias("label"))
+                  .localCheckpoint(eager=True))
+        if i % 3 == 0:
+            segments.append(time.monotonic() - t0)
+            t0 = time.monotonic()
+    print("\nlpa 3-step segment times (sec):",
+          [round(x, 2) for x in segments])
+    base = max(segments[0], 0.5)
+    assert segments[-1] < 3.0 * base, segments
+    assert labels.count() > 0
+
+
+@pytest.mark.slow
+def test_cc_checkpoint_keeps_round_time_flat(spark):
+    """r10 (r9 verdict next-round #8): the connected-components
+    min-label + pointer-jumping loop (llm/dedup.py::cc_labels core),
+    driven 12 rounds WITHOUT the convergence break over the sf0.1
+    strong-co-purchase graph — per-3-round SEGMENT time stays flat
+    (labels checkpoint each round, O(V) state).  Timings recorded in
+    SCALE.md."""
+    import time
+
+    from json_sql_database_storage_spark.operators.staged_r9 import (
+        _STRONG_EDGE_MIN,
+    )
+
+    sf01 = "/root/testdata/sf0.1"
+    OFF = 1000000
+    o = load_table(spark, sf01, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf01, "lineitem").select("l_orderkey",
+                                                    "l_suppkey")
+    strong = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+              .groupBy(F.col("o_custkey").alias("c"),
+                       (F.col("l_suppkey") + OFF).alias("s"))
+              .agg(F.count(F.lit(1)).alias("w"))
+              .filter(F.col("w") >= _STRONG_EDGE_MIN))
+    sym = (strong.select(F.col("c").alias("a"), F.col("s").alias("b"))
+           .unionByName(strong.select(F.col("s").alias("a"),
+                                      F.col("c").alias("b")))
+           .localCheckpoint(eager=True))
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=True))
+    segments, t0 = [], time.monotonic()
+    for i in range(1, 13):
+        neigh = (sym.join(labels, sym["b"] == labels["node"])
+                 .groupBy("a").agg(F.min("label").alias("nl")))
+        prop = (labels.join(neigh, labels["node"] == neigh["a"], "left")
+                .select(labels["node"], labels["label"],
+                        F.least(labels["label"],
+                                F.coalesce(F.col("nl"), labels["label"]))
+                        .alias("mid")))
+        lut = prop.select(F.col("node").alias("hn"),
+                          F.col("mid").alias("hl"))
+        labels = (prop.join(lut, prop["mid"] == lut["hn"], "left")
+                  .select(prop["node"],
+                          F.least(F.col("mid"),
+                                  F.coalesce(F.col("hl"), F.col("mid")))
+                          .alias("label"))
+                  .localCheckpoint(eager=True))
+        if i % 3 == 0:
+            segments.append(time.monotonic() - t0)
+            t0 = time.monotonic()
+    print("\ncc 3-round segment times (sec):",
+          [round(x, 2) for x in segments])
+    base = max(segments[0], 0.5)
+    assert segments[-1] < 3.0 * base, segments
+    assert labels.count() > 0
