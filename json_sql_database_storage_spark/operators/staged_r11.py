@@ -1,0 +1,340 @@
+"""Relational / window / store shapes STAGED for round 11 (the
+window-budgeting protocol of operators/staged_r10.py — round 10's driver
+window is filled by the 15 r10 promotions plus stale refreshes, so these
+ship as verified (callable, oracle) payloads and are promoted by moving
+the STAGED entry into a @register decorator next round).  Every entry
+runs driver-identically against DuckDB at sf0.001 AND sf0.01 via
+tests/test_staged_r11.py.
+
+Reference parity note (SURVEY.md §2 docstring convention): the reference
+(DatabaseManager.java:280-381) has no analytical surface; these rows are
+Part-B derived operators plus a driver-checkable exhibit of the round-10
+`vacuum_family` store verb (the doc_family_read precedent).
+
+Per-operator 100-TB notes live in each section comment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.exact import dec, dec_factor, dsum_expr
+from ..sources import load_table
+
+# ---------------------------------------------------------------------------
+# q_supplier_churn — per-year supplier attrition: suppliers who shipped in
+# year y but not in y+1 (the retention question every marketplace asks of
+# its supply side).  Activity is one DISTINCT (year, supplier) census;
+# churn is a self anti-join on (supplier, next-year) — both
+# map-side-combinable equi-ops on int keys.  The last data year is
+# excluded (no y+1 to churn into).  churn_rate divides two exact BIGINTs
+# as doubles — bit-identical cross-engine.
+#
+# 100-TB design: the distinct census collapses the fact table to
+# O(years × suppliers) rows before any join; the anti-join and the final
+# census shuffle dimension-sized rows only.  No global step.
+# ---------------------------------------------------------------------------
+
+
+def q_supplier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    act = (load_table(spark, sf_dir, "lineitem")
+           .select(F.year("l_shipdate").cast("int").alias("y"),
+                   "l_suppkey")
+           .distinct())
+    last_y = act.agg(F.max("y").alias("m"))
+    churned = (act.alias("a")
+               .join(act.select((F.col("y") - 1).alias("y"),
+                                F.col("l_suppkey")).alias("b"),
+                     ["y", "l_suppkey"], "left_anti"))
+    per = (act.groupBy("y")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_active")))
+    chn = (churned.groupBy("y")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned")))
+    return (per.join(chn, "y", "left")
+            .join(F.broadcast(last_y), F.col("y") < F.col("m"))
+            .select(F.col("y").alias("year"), "n_active",
+                    F.coalesce(F.col("n_churned"), F.lit(0)).cast("bigint")
+                    .alias("n_churned"))
+            .withColumn("churn_rate",
+                        F.col("n_churned").cast("double")
+                        / F.col("n_active").cast("double"))
+            .orderBy("year"))
+
+
+_CHURN_SQL = """
+WITH act AS (
+  SELECT DISTINCT CAST(year(l_shipdate) AS INT) AS y, l_suppkey
+  FROM lineitem
+), churned AS (
+  SELECT a.y, a.l_suppkey FROM act a
+  WHERE NOT EXISTS (SELECT 1 FROM act b
+                    WHERE b.l_suppkey = a.l_suppkey AND b.y = a.y + 1)
+)
+SELECT a.y AS year,
+       CAST(count(DISTINCT a.l_suppkey) AS BIGINT) AS n_active,
+       CAST(count(DISTINCT c.l_suppkey) AS BIGINT) AS n_churned,
+       CAST(count(DISTINCT c.l_suppkey) AS DOUBLE)
+       / CAST(count(DISTINCT a.l_suppkey) AS DOUBLE) AS churn_rate
+FROM act a
+LEFT JOIN churned c ON c.y = a.y AND c.l_suppkey = a.l_suppkey
+WHERE a.y < (SELECT max(y) FROM act)
+GROUP BY a.y
+ORDER BY year
+"""
+
+# ---------------------------------------------------------------------------
+# window_inter_event_gap — the inter-arrival-time distribution per user
+# (the latency histogram of user behavior; the input to session-timeout
+# tuning).  Gaps ride as exact BIGINT milliseconds from ONE lag window
+# per user; the census buckets by power-of-two millisecond magnitude
+# (`length(bin(gap_ms))` — the graph_degree_histogram integer-bucket
+# recipe, no float log flap).
+#
+# 100-TB design: one user_id exchange + sort for the lag; the census is
+# map-side-combinable (int, int) rows.  No global step.
+# ---------------------------------------------------------------------------
+
+
+def window_inter_event_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", "event_id",
+                  F.unix_millis("ts").alias("ms")))
+    wu = W.partitionBy("user_id").orderBy("ms", "event_id")
+    gaps = (ev.select((F.col("ms") - F.lag("ms").over(wu)).alias("gap_ms"))
+            .filter(F.col("gap_ms").isNotNull() & (F.col("gap_ms") > 0)))
+    return (gaps.groupBy(F.length(F.bin("gap_ms")).cast("int")
+                         .alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+                 F.min("gap_ms").alias("min_ms"),
+                 F.max("gap_ms").alias("max_ms"))
+            .orderBy("bucket"))
+
+
+_GAP_SQL = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events
+), gaps AS (
+  SELECT ms - lag(ms) OVER (PARTITION BY user_id
+                            ORDER BY ms, event_id) AS gap_ms
+  FROM ev
+)
+SELECT CAST(length(bin(gap_ms)) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       min(gap_ms) AS min_ms, max(gap_ms) AS max_ms
+FROM gaps WHERE gap_ms IS NOT NULL AND gap_ms > 0
+GROUP BY 1
+ORDER BY bucket
+"""
+
+# ---------------------------------------------------------------------------
+# doc_vacuum_family — the round-10 `vacuum_family` verb surfaced as a
+# driver row (the doc_family_read convention): THREE save_docs commits of
+# a 2-table family, then vacuum_family(keep_last=2) — the oldest family
+# manifest expires, the per-child GC floor moves up, and the two retained
+# family versions still read end-to-end through read_family.  The output
+# carries the retained-manifest count so the GC effect itself is
+# hash-checked, not just the survivors.
+#
+# 100-TB design: vacuum_family touches only the tiny _family CAS log plus
+# per-table manifests; data deletion is bucket-dir granular (store vacuum
+# contract).  Reads after GC are ordinary bucket-pruned AS-OF reads.
+# ---------------------------------------------------------------------------
+
+_VFAM_DOCS = [
+    [{"rowNum": 1, "name": "v0",
+      "items": [{"type": "pay", "rowNum": 11, "amt": 10}]}],
+    [{"rowNum": 1, "name": "v1",
+      "items": [{"type": "pay", "rowNum": 11, "amt": 20},
+                {"type": "pay", "rowNum": 12, "amt": 5}]}],
+    [{"rowNum": 2, "name": "w2",
+      "items": [{"type": "pay", "rowNum": 21, "amt": 7}]}],
+]
+
+
+def doc_vacuum_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..documents.fixtures import docs_df
+    from ..documents.model import KEY
+    from ..documents.store import DocumentStore
+    from .scans import _sink
+
+    # fresh store per invocation (under the session-lifetime sink, so the
+    # returned lazy reads stay valid): family VERSION NUMBERS are part of
+    # the output, so reusing one store across invocations — the plan
+    # sweep and the oracle harness both call this — would drift them
+    import os
+
+    base = _sink("doc_vacuum_family_store", spark)
+    os.makedirs(base, exist_ok=True)
+    store = DocumentStore(spark, tempfile.mkdtemp(dir=base))
+    for batch in _VFAM_DOCS:
+        store.save_docs(docs_df(spark, batch), "vfam")   # family v0,v1,v2
+    res = store.vacuum_family("vfam", keep_last=2, min_age_seconds=0)
+    n_kept = len(res["kept_family_versions"])
+    out = None
+    for fv in res["kept_family_versions"]:
+        parent = store.read_family("vfam", "vfam", fv).select(
+            F.col(KEY).alias("doc"), "name")
+        child = (store.read_family("vfam", "pay", fv)
+                 .groupBy(F.col("vfam").alias("doc"))
+                 .agg(F.sum("amt").cast("bigint").alias("total_amt")))
+        one = (parent.join(child, "doc")
+               .select(F.lit(fv).alias("fam_version"),
+                       F.lit(n_kept).alias("n_kept_versions"),
+                       F.col("doc").cast("bigint").alias("doc"),
+                       "name", "total_amt"))
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("fam_version", "doc")
+
+
+_VFAM_SQL = """
+SELECT * FROM (VALUES
+  (1, 2, CAST(1 AS BIGINT), 'v1', CAST(25 AS BIGINT)),
+  (2, 2, CAST(1 AS BIGINT), 'v1', CAST(25 AS BIGINT)),
+  (2, 2, CAST(2 AS BIGINT), 'w2', CAST(7 AS BIGINT))
+) AS t(fam_version, n_kept_versions, doc, name, total_amt)
+ORDER BY fam_version, doc
+"""
+
+# ---------------------------------------------------------------------------
+# q_nation_trade_balance — per-nation outbound revenue (as the SUPPLIER
+# nation) vs inbound spend (as the CUSTOMER nation) and the balance — the
+# import/export ledger of the trade graph, a 6-table star that exercises
+# both fact→dimension directions in one query.  Revenue follows the
+# functions/exact.py decimal discipline, so both sums and the balance are
+# bit-identical cross-engine.
+#
+# 100-TB design: the fact table is scanned once per direction with only
+# the join keys + money columns read; both nation joins broadcast (25
+# rows); each side collapses map-side to 25 partial rows before the final
+# 25-row join.  No global step.
+# ---------------------------------------------------------------------------
+
+
+def q_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = F.broadcast(load_table(spark, sf_dir, "nation")
+                    .select("n_nationkey", "n_name"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey",
+                                                     "s_nationkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey",
+                                                     "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_custkey")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey",
+                  (dec("l_extendedprice")
+                   * dec_factor(1 - F.col("l_discount"))).alias("rev")))
+    outb = (li.join(s, li["l_suppkey"] == s["s_suppkey"])
+            .join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(dsum_expr(F.col("rev")).alias("outbound")))
+    inb = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+           .join(c, o["o_custkey"] == c["c_custkey"])
+           .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+           .groupBy("n_name")
+           .agg(dsum_expr(F.col("rev")).alias("inbound")))
+    return (outb.join(inb, "n_name", "full")
+            .select(F.col("n_name").alias("nation"),
+                    F.coalesce("outbound", F.lit(0.0)).alias("outbound"),
+                    F.coalesce("inbound", F.lit(0.0)).alias("inbound"))
+            .withColumn("balance", F.col("outbound") - F.col("inbound"))
+            .orderBy("nation"))
+
+
+_REV_SQL = ("CAST(l_extendedprice AS DECIMAL(12,4)) "
+            "* CAST(1 - l_discount AS DECIMAL(6,4))")
+
+_TRADE_SQL = f"""
+WITH outb AS (
+  SELECT n_name, CAST(round(sum({_REV_SQL}), 2) AS DOUBLE) AS outbound
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  GROUP BY n_name
+), inb AS (
+  SELECT n_name, CAST(round(sum({_REV_SQL}), 2) AS DOUBLE) AS inbound
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY n_name
+)
+SELECT coalesce(outb.n_name, inb.n_name) AS nation,
+       coalesce(outbound, 0.0) AS outbound,
+       coalesce(inbound, 0.0) AS inbound,
+       coalesce(outbound, 0.0) - coalesce(inbound, 0.0) AS balance
+FROM outb FULL JOIN inb ON outb.n_name = inb.n_name
+ORDER BY nation
+"""
+
+# ---------------------------------------------------------------------------
+# q_brand_monthly_movers — the largest month-over-month demand swings per
+# part brand (the inventory planner's exception report).  Monthly
+# quantities ride as exact BIGINT centi-units; the MoM delta is one lag
+# window per brand (months are contiguous within the data range or the
+# lag row simply doesn't exist); the global top-20 by |delta| is
+# TakeOrdered (per-partition heaps, no global sort), with deterministic
+# (|delta| desc, brand, month) tie-break.
+#
+# 100-TB design: the fact scan collapses map-side to O(brands × months)
+# rows before the window; ONE brand-key exchange; TakeOrderedAndProject
+# bounds the driver result to k rows.
+# ---------------------------------------------------------------------------
+
+_MOVERS_K = 20
+
+
+def q_brand_monthly_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_partkey",
+                  # month rides as TIMESTAMP: a cross-engine DATE output
+                  # canonicalizes differently (date vs midnight-timestamp
+                  # pandas dtypes) — the compare convention every
+                  # registered query follows
+                  F.date_trunc("month", "l_shipdate").alias("month"),
+                  F.round(F.col("l_quantity") * 100).cast("bigint")
+                  .alias("q")))
+    monthly = (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+               .groupBy("p_brand", "month")
+               .agg(F.sum("q").cast("bigint").alias("qty")))
+    wb = W.partitionBy("p_brand").orderBy("month")
+    delta = (monthly
+             .select("p_brand", "month", "qty",
+                     (F.col("qty") - F.lag("qty").over(wb)).alias("delta"))
+             .filter(F.col("delta").isNotNull()))
+    return (delta
+            .orderBy(F.abs("delta").desc(), "p_brand", "month")
+            .limit(_MOVERS_K)
+            .select("p_brand", "month", "qty", "delta"))
+
+
+_MOVERS_SQL = f"""
+WITH monthly AS (
+  SELECT p_brand,
+         CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY 1, 2
+), delta AS (
+  SELECT p_brand, month, qty,
+         qty - lag(qty) OVER (PARTITION BY p_brand ORDER BY month)
+           AS delta
+  FROM monthly
+)
+SELECT p_brand, month, qty, delta
+FROM delta WHERE delta IS NOT NULL
+ORDER BY abs(delta) DESC, p_brand, month
+LIMIT {_MOVERS_K}
+"""
+
+STAGED: dict = {
+    "q_supplier_churn": (q_supplier_churn, _CHURN_SQL),
+    "window_inter_event_gap": (window_inter_event_gap, _GAP_SQL),
+    "doc_vacuum_family": (doc_vacuum_family, _VFAM_SQL),
+    "q_nation_trade_balance": (q_nation_trade_balance, _TRADE_SQL),
+    "q_brand_monthly_movers": (q_brand_monthly_movers, _MOVERS_SQL),
+}
