@@ -753,6 +753,10 @@ def ivfpq_build(spark: SparkSession, v: DataFrame,
 
 # manifest slots (commit_manifest int-keys the top level)
 _V_CODES, _V_TOMB, _V_NEXT = 0, 1, 2
+# last applied stream-batch tag (the bm25 _M_TAG twin): recorded IN the
+# manifest so exactly-once streaming maintenance commits atomically with
+# the change itself
+_V_TAG = 3
 
 
 def _ivfpq_manifest(paths: dict[str, str],
@@ -895,15 +899,19 @@ def ivfpq_append(spark: SparkSession, paths: dict[str, str],
         m = _ivfpq_manifest(paths)
         seg = int(m[_V_NEXT])
         _ivfpq_encode_into(spark, paths, new_vectors, seg)
-        _ivfpq_commit(paths, {_V_CODES: list(m[_V_CODES]) + [seg],
-                              _V_TOMB: list(m[_V_TOMB]),
-                              _V_NEXT: seg + 1})
+        out = {_V_CODES: list(m[_V_CODES]) + [seg],
+               _V_TOMB: list(m[_V_TOMB]),
+               _V_NEXT: seg + 1}
+        if m.get(_V_TAG) is not None:       # carry the stream tag forward
+            out[_V_TAG] = int(m[_V_TAG])
+        _ivfpq_commit(paths, out)
     return paths
 
 
 def ivfpq_apply_changes(spark: SparkSession, paths: dict[str, str],
                         upsert_vectors: DataFrame,
-                        deleted_ids: DataFrame) -> dict[str, str]:
+                        deleted_ids: DataFrame,
+                        tag: int | None = None) -> dict[str, str]:
     """Apply a FULL change-data-feed to a built IVFPQ index — inserts,
     updates of already-indexed vectors, and deletes (r8 verdict
     next-round #2; composes with DocumentStore.diff()'s upsert/delete
@@ -914,11 +922,25 @@ def ivfpq_apply_changes(spark: SparkSession, paths: dict[str, str],
     segment, and ONE CAS manifest claim publishes both.
     probe(apply_changes) ≡ probe(rebuild over the post-change corpus) is
     pinned in tests/test_llm.py, including the stale-hit case a plain
-    append gets wrong."""
+    append gets wrong.
+
+    `tag` (r10): exactly-once STREAMING maintenance — the bm25 twin:
+    pass the foreachBatch batch_id and a re-delivered batch no-ops on
+    the manifest-recorded tag; a tag gap fails loudly."""
     from .search import _index_write_lock
 
     with _index_write_lock(paths["meta"]):
         m = _ivfpq_manifest(paths)
+        if tag is not None:
+            last = m.get(_V_TAG)
+            last = -1 if last is None else int(last)
+            if tag <= last:
+                return paths            # replayed batch: already applied
+            if tag != last + 1:
+                raise ValueError(
+                    f"stream-batch tag gap on {paths['meta']}: last "
+                    f"applied {last}, got {tag} — refusing to silently "
+                    f"skip {tag - last - 1} batch(es)")
         seg = int(m[_V_NEXT])
         changed = (upsert_vectors.select("vec_id")
                    .unionByName(deleted_ids.select("vec_id")).distinct())
@@ -927,9 +949,45 @@ def ivfpq_apply_changes(spark: SparkSession, paths: dict[str, str],
          .withColumn("seg", F.lit(seg).cast("int"))
          .write.mode("append").partitionBy("seg").parquet(paths["tomb"]))
         _ivfpq_encode_into(spark, paths, upsert_vectors, seg)
-        _ivfpq_commit(paths, {_V_CODES: list(m[_V_CODES]) + [seg],
-                              _V_TOMB: list(m[_V_TOMB]) + [seg],
-                              _V_NEXT: seg + 1})
+        out = {_V_CODES: list(m[_V_CODES]) + [seg],
+               _V_TOMB: list(m[_V_TOMB]) + [seg],
+               _V_NEXT: seg + 1}
+        new_tag = tag if tag is not None else m.get(_V_TAG)
+        if new_tag is not None:
+            out[_V_TAG] = int(new_tag)
+        _ivfpq_commit(paths, out)
+    return paths
+
+
+_IVFPQ_CDF_SCHEMA = "vec_id BIGINT, e ARRAY<DOUBLE>, op STRING"
+
+
+def ivfpq_stream_maintain(spark: SparkSession, paths: dict[str, str],
+                          staged_dir: str) -> dict[str, str]:
+    """STREAMING index maintenance — the bm25_stream_maintain twin for
+    the vector family: each micro-batch is one CDF slice (vec_id, e,
+    op ∈ {'u','d'}); the foreachBatch body routes it through
+    ivfpq_apply_changes with tag=batch_id, so at-least-once replay
+    becomes exactly-once index state at the index's own CAS commit.
+    100-TB: per-batch cost is the O(delta) frozen-codebook re-encode +
+    tombstone write; the base corpus is never re-read."""
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()   # read twice: the up/del split
+        try:
+            ups = (batch_df.filter(F.col("op") == "u")
+                   .select("vec_id", "e"))
+            dels = batch_df.filter(F.col("op") == "d").select("vec_id")
+            ivfpq_apply_changes(spark, paths, ups, dels, tag=batch_id)
+        finally:
+            batch_df.unpersist()
+
+    q = (spark.readStream.schema(_IVFPQ_CDF_SCHEMA)
+         .option("maxFilesPerTrigger", 1).parquet(staged_dir)
+         .writeStream.foreachBatch(apply).outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
     return paths
 
 
@@ -943,12 +1001,17 @@ def ivfpq_maintain(spark: SparkSession, paths: dict[str, str],
     m = _ivfpq_manifest(paths)
     if not m[_V_TOMB]:
         return False
-    n_tomb = (_ivfpq_tomb(spark, paths, m)
-              .select("vec_id").distinct().count())
+    # one action for both policy counts (r9 verdict wrong #3)
+    counts = {r["k"]: r["n"] for r in (
+        _ivfpq_tomb(spark, paths, m).select("vec_id").distinct()
+        .select(F.lit("t").alias("k"))
+        .unionAll(
+            _ivfpq_live(spark, paths, _ivfpq_codes(spark, paths, m), m)
+            .select("vec_id").distinct().select(F.lit("l").alias("k")))
+        .groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect())}
+    n_tomb, n_live = counts.get("t", 0), counts.get("l", 0)
     if not n_tomb:
         return False
-    n_live = (_ivfpq_live(spark, paths, _ivfpq_codes(spark, paths, m), m)
-              .select("vec_id").distinct().count())
     if n_live and n_tomb <= max_tomb_ratio * n_live:
         return False
     ivfpq_compact(spark, paths)
@@ -973,8 +1036,10 @@ def ivfpq_compact(spark: SparkSession, paths: dict[str, str]) -> dict[str, str]:
          .repartition("cell")
          .write.mode("append").partitionBy("seg", "cell")
          .parquet(paths["index"]))
-        _ivfpq_commit(paths, {_V_CODES: [seg], _V_TOMB: [],
-                              _V_NEXT: seg + 1})
+        out = {_V_CODES: [seg], _V_TOMB: [], _V_NEXT: seg + 1}
+        if m.get(_V_TAG) is not None:       # carry the stream tag forward
+            out[_V_TAG] = int(m[_V_TAG])
+        _ivfpq_commit(paths, out)
     return paths
 
 

@@ -604,11 +604,17 @@ def bm25_maintain(spark: SparkSession, paths: dict[str, str],
     m = _bm25_manifest(paths)
     if not m[_M_TOMB]:
         return False
-    n_tomb = (_bm25_tomb(spark, paths, m)
-              .select("doc_id").distinct().count())
+    # one action for both policy counts (r9 verdict wrong #3): tag-union
+    # the tombstone ids and the live dl rows, census by tag
+    counts = {r["k"]: r["n"] for r in (
+        _bm25_tomb(spark, paths, m).select("doc_id").distinct()
+        .select(F.lit("t").alias("k"))
+        .unionAll(_bm25_live(spark, paths, _bm25_dl(spark, paths, m), m)
+                  .select(F.lit("l").alias("k")))
+        .groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect())}
+    n_tomb, n_live = counts.get("t", 0), counts.get("l", 0)
     if not n_tomb:
         return False
-    n_live = _bm25_live(spark, paths, _bm25_dl(spark, paths, m), m).count()
     if n_live and n_tomb <= max_tomb_ratio * n_live:
         return False
     bm25_compact(spark, paths)

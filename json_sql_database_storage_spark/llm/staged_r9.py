@@ -80,38 +80,61 @@ _TOP_BIGRAM_NUM, _TOP_BIGRAM_DEN = 1, 5      # top-bigram share > 1/5
 _DUP_5GRAM_NUM, _DUP_5GRAM_DEN = 3, 10       # duplicate-5-gram share > 3/10
 
 
+def _gram_run_stats(grams: F.Column) -> F.Column:
+    """Per-doc gram-repetition stats WITHOUT a shuffle (r10 rewrite; the
+    r9 form exploded every gram and paid two corpus-wide (doc_id, gram)
+    exchanges — measured 7.4 s at sf0.1 for what is per-row arithmetic):
+    sort the doc's gram array, then ONE linear fold over equal-runs gives
+    the top gram count (longest run) and the duplicated-gram mass (sum of
+    runs > 1).  struct(top, dup) — exact integers, identical to the
+    grouped counts.  100-TB: cost is per-doc O(L log L) inside the scan
+    stage; gram rows never leave their document, nothing shuffles."""
+    z = F.lit(0).cast("long")
+    init = F.struct(F.lit("").alias("prev"), z.alias("run"),
+                    z.alias("top"), z.alias("dup"))
+
+    def step(acc, g):
+        run = (F.when(acc["prev"] == g, acc["run"] + 1)
+               .otherwise(F.lit(1).cast("long")))
+        dup = (F.when(acc["prev"] == g, acc["dup"])
+               .otherwise(acc["dup"] + F.when(acc["run"] > 1, acc["run"])
+                          .otherwise(z)))
+        return F.struct(g.alias("prev"), run.alias("run"),
+                        F.greatest(acc["top"], run).alias("top"),
+                        dup.alias("dup"))
+
+    def finish(acc):
+        return F.struct(
+            acc["top"].alias("top"),
+            (acc["dup"] + F.when(acc["run"] > 1, acc["run"]).otherwise(z))
+            .alias("dup"))
+
+    return F.aggregate(F.array_sort(grams), init, step, finish)
+
+
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (load_table(spark, sf_dir, "documents")
          .select("doc_id", F.split("text", " ").alias("t")))
-    # optimization barrier: without it Catalyst's projection collapse
-    # re-inlines the split() into every gram expression (the measured 7×
-    # recompute — see text_decontamination's r8 note)
-    d = scoped_persist(d)
-    big = (d.select("doc_id", F.explode(F.expr(
-               "transform(sequence(0, size(t) - 2), "
-               "i -> concat(t[i], ' ', t[i + 1]))")).alias("g"))
-           .groupBy("doc_id", "g").count()
-           .groupBy("doc_id")
-           .agg(F.sum("count").alias("n_bigrams"),
-                F.max("count").alias("top_bigram_n")))
-    five = (d.select("doc_id", F.explode(F.expr(
-                "transform(sequence(0, size(t) - 5), "
-                "i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))"))
-                .alias("g"))
-            .groupBy("doc_id", "g").count()
-            .groupBy("doc_id")
-            .agg(F.sum("count").alias("n_5grams"),
-                 F.sum(F.when(F.col("count") > 1, F.col("count"))
-                       .otherwise(F.lit(0))).alias("dup_5gram_n")))
-    return (big.join(five, "doc_id")    # every doc has ≥10 tokens (TESTDATA)
-            .select(
-                "doc_id", "n_bigrams", "top_bigram_n", "n_5grams",
-                "dup_5gram_n",
-                F.when((F.col("top_bigram_n") * _TOP_BIGRAM_DEN
-                        > F.col("n_bigrams") * _TOP_BIGRAM_NUM)
-                       | (F.col("dup_5gram_n") * _DUP_5GRAM_DEN
-                          > F.col("n_5grams") * _DUP_5GRAM_NUM),
-                       F.lit(1)).otherwise(F.lit(0)).alias("flagged")))
+    bg = F.expr("transform(sequence(0, size(t) - 2), "
+                "i -> concat(t[i], ' ', t[i + 1]))")
+    fg = F.expr("transform(sequence(0, size(t) - 5), "
+                "i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))")
+    bs = _gram_run_stats(bg)
+    fs = _gram_run_stats(fg)
+    # every doc has ≥10 tokens (TESTDATA), so both gram arrays are
+    # non-empty and the stats are total
+    out = d.select("doc_id",
+                   F.size(bg).cast("long").alias("n_bigrams"),
+                   bs["top"].alias("top_bigram_n"),
+                   F.size(fg).cast("long").alias("n_5grams"),
+                   fs["dup"].alias("dup_5gram_n"))
+    return out.select(
+        "doc_id", "n_bigrams", "top_bigram_n", "n_5grams", "dup_5gram_n",
+        F.when((F.col("top_bigram_n") * _TOP_BIGRAM_DEN
+                > F.col("n_bigrams") * _TOP_BIGRAM_NUM)
+               | (F.col("dup_5gram_n") * _DUP_5GRAM_DEN
+                  > F.col("n_5grams") * _DUP_5GRAM_NUM),
+               F.lit(1)).otherwise(F.lit(0)).alias("flagged"))
 
 
 _REPETITION_SQL = f"""
@@ -196,8 +219,16 @@ def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     seed = v.orderBy("vec_id").select("vec_id", "e").head()
     picks = [(1, int(seed["vec_id"]), 0.0)]
+    # per-round min-distance state is PERSISTED and rolled (r10: the lazy
+    # least()-chain made round r's argmax recompute all r prior distance
+    # expressions — O(k²) distance folds total; caching each round's m and
+    # releasing the predecessor after the next action makes it O(k), one
+    # distance fold per round, with at most TWO corpus-sized cached copies
+    # alive at any moment — measured 6.1 s → see BASELINE r10)
     cur = v.select("vec_id", "e",
                    _l2sq(F.col("e"), lit_vec(seed["e"])).alias("m"))
+    cur.persist()
+    prev = None
     for rank in range(2, _KCENTER_K + 1):
         # 1-row bounded collect per round (the deep-BPE argmax precedent):
         # max(struct(m, -vec_id, e)) = farthest point, ties to lowest id;
@@ -205,11 +236,23 @@ def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         sel = cur.agg(F.max(F.struct(
             F.col("m"), (-F.col("vec_id")).alias("nid"),
             F.col("e"))).alias("s")).head()["s"]
+        if prev is not None:    # cur is materialized now; prev can go
+            prev.unpersist()
+            prev = None
         picks.append((rank, int(-sel["nid"]), float(sel["m"])))
-        cur = cur.select(
-            "vec_id", "e",
-            F.least(F.col("m"),
-                    _l2sq(F.col("e"), lit_vec(sel["e"]))).alias("m"))
+        if rank < _KCENTER_K:
+            nxt = cur.select(
+                "vec_id", "e",
+                F.least(F.col("m"),
+                        _l2sq(F.col("e"), lit_vec(sel["e"]))).alias("m"))
+            nxt.persist()
+            prev, cur = cur, nxt
+    for df in (prev, cur):
+        if df is not None:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
     return spark.createDataFrame(
         [(r, i, d) for r, i, d in picks],
         "pick_rank INT, vec_id BIGINT, d2 DOUBLE")

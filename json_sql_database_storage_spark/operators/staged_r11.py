@@ -297,7 +297,10 @@ def q_brand_monthly_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.date_trunc("month", "l_shipdate").alias("month"),
                   F.round(F.col("l_quantity") * 100).cast("bigint")
                   .alias("q")))
-    monthly = (li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    # no broadcast hint on part: it's 2 columns of a dimension table, but
+    # dimension-scale ≠ bounded at 100 TB — AQE picks broadcast when the
+    # runtime size qualifies
+    monthly = (li.join(p, li["l_partkey"] == p["p_partkey"])
                .groupBy("p_brand", "month")
                .agg(F.sum("q").cast("bigint").alias("qty")))
     wb = W.partitionBy("p_brand").orderBy("month")

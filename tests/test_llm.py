@@ -1789,3 +1789,74 @@ def test_bm25_stream_maintain_replay_is_exactly_once(spark, sf_dir):
                 spark.createDataFrame([(5,)], "doc_id bigint"), tag=9)
     finally:
         shutil.rmtree(staged, ignore_errors=True)
+
+
+def test_ivfpq_stream_maintain_replay_is_exactly_once(spark, sf_dir):
+    """r10: the vector twin of the streaming CDF→index loop.  Two CDF
+    micro-batches (update-moves-vector, delete+insert) flow through
+    ivfpq_stream_maintain; the whole stream replays from scratch and
+    every batch no-ops on the manifest tag; the final probe is
+    row-identical to a frozen-codebook rebuild over the post-change
+    corpus (ivfpq_reencode — the apply_changes contract)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from json_sql_database_storage_spark.llm.pq import (
+        _IPQ_NQ, ivfpq_build, ivfpq_probe, ivfpq_reencode,
+        ivfpq_stream_maintain)
+    from json_sql_database_storage_spark.operators.snapshots import (
+        current_version,
+    )
+    from json_sql_database_storage_spark.sources import load_table
+
+    v = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", F.col("embedding").cast("array<double>")
+                 .alias("e")))
+    q = (v.filter(F.col("vec_id") < _IPQ_NQ)
+         .select(F.col("vec_id").alias("query_id"), "e"))
+    paths = ivfpq_build(spark, v, "ivfpq_stream")
+
+    moved = int(_IPQ_NQ) + 3
+    victim = int(_IPQ_NQ) + 7
+    new_id = int(v.agg(F.max("vec_id")).collect()[0][0]) + 1
+    moved_e = (v.filter(F.col("vec_id") == moved)
+               .select(F.transform("e", lambda x: -x).alias("e")))
+    chunks = [
+        moved_e.select(F.lit(moved).cast("bigint").alias("vec_id"), "e",
+                       F.lit("u").alias("op")),
+        v.filter(F.col("vec_id") == victim)
+        .select(F.lit(new_id).cast("bigint").alias("vec_id"), "e",
+                F.lit("u").alias("op"))
+        .unionByName(v.limit(1).select(
+            F.lit(victim).cast("bigint").alias("vec_id"),
+            F.lit(None).cast("array<double>").alias("e"),
+            F.lit("d").alias("op"))),
+    ]
+    staged = _stage_cdf_chunks(chunks)
+    try:
+        ivfpq_stream_maintain(spark, paths, staged)
+        v_after = current_version(paths["meta"])
+
+        # post-change corpus: moved flipped, victim deleted, new_id added
+        final = (v.filter(~F.col("vec_id").isin(moved, victim))
+                 .unionByName(moved_e.select(
+                     F.lit(moved).cast("bigint").alias("vec_id"), "e"))
+                 .unionByName(v.filter(F.col("vec_id") == victim).select(
+                     F.lit(new_id).cast("bigint").alias("vec_id"), "e")))
+        want = [tuple(r) for r in
+                ivfpq_probe(spark, paths, q, final).collect()]
+
+        # full replay: every batch must no-op on the manifest tag
+        ivfpq_stream_maintain(spark, paths, staged)
+        assert current_version(paths["meta"]) == v_after
+        got = [tuple(r) for r in
+               ivfpq_probe(spark, paths, q, final).collect()]
+        assert got == want and got
+
+        # probe ≡ frozen-codebook rebuild over the post-change corpus
+        full = ivfpq_reencode(spark, paths, final, "ivfpq_stream_full")
+        assert got == [tuple(r) for r in
+                       ivfpq_probe(spark, full, q, final).collect()]
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)

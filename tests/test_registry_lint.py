@@ -174,6 +174,10 @@ _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
         "1-row max-revenue aggregate",
     ("operators/tpch_staged.py", "q20_excess_supply_share"):
         "prefix-filtered part keys (dimension-bounded) + nation dim (25 rows)",
+    ("operators/staged_r11.py", "q_supplier_churn"):
+        "1-row last-data-year scalar (map-side max partial)",
+    ("operators/staged_r11.py", "q_nation_trade_balance"):
+        "nation dim (25 rows), both fact→dimension directions",
     ("operators/tpch_staged.py", "q22_global_sales_opportunity"):
         "1-row global average-balance threshold",
     ("operators/joins.py", "join_broadcast_dim"): "region dim (5 rows)",
