@@ -334,10 +334,109 @@ ORDER BY abs(delta) DESC, p_brand, month
 LIMIT {_MOVERS_K}
 """
 
+# ---------------------------------------------------------------------------
+# q9_product_type_profit — TPC-H Q9 analog, adapted (no partsupp, so
+# ps_supplycost has no source — the per-unit cost becomes a documented
+# 60% share of p_retailprice, the q20 adaptation convention): profit =
+# revenue − cost for suffix-filtered parts, by SUPPLIER nation × ship
+# year (no o_orderdate join needed — l_shipdate carries the year, as
+# q7/yearly-growth do).  All money stays in the decimal domain
+# (functions/exact.py) until ONE round(…, 2)::DOUBLE — bit-identical
+# cross-engine.
+#
+# 100-TB design: the part filter prunes before the fact join (broadcast —
+# suffix-filtered part keys + retail price, dimension-bounded); supplier
+# and nation join broadcast; the profit aggregate is map-side combinable
+# on (nation, year) — 25×|years| partials.  No global step.
+# ---------------------------------------------------------------------------
+
+_Q9_SUFFIX = "bolt"
+_Q9_COST_SHARE = "0.6"          # documented supply-cost share of retail
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_name").endswith(_Q9_SUFFIX))
+         .select(F.col("p_partkey").alias("l_partkey"), "p_retailprice"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey",
+                                                     "s_nationkey")
+    n = F.broadcast(load_table(spark, sf_dir, "nation")
+                    .select(F.col("n_nationkey").alias("s_nationkey"),
+                            F.col("n_name").alias("nation")))
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate", "l_quantity",
+        "l_extendedprice", "l_discount")
+    amount = (dec("l_extendedprice") * dec_factor(1 - F.col("l_discount"))
+              - dec("p_retailprice")
+              * dec_factor(F.lit(float(_Q9_COST_SHARE)))
+              * dec("l_quantity"))
+    return (li.join(F.broadcast(p), "l_partkey")
+            .join(s, li["l_suppkey"] == s["s_suppkey"])
+            .join(n, "s_nationkey")
+            .groupBy("nation",
+                     F.year("l_shipdate").cast("bigint").alias("o_year"))
+            .agg(dsum_expr(amount).alias("profit"))
+            .orderBy("nation", F.col("o_year").desc()))
+
+
+_Q9_SQL = f"""
+SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+       CAST(round(sum(
+         CAST(l_extendedprice AS DECIMAL(12,4))
+           * CAST(1 - l_discount AS DECIMAL(6,4))
+         - CAST(p_retailprice AS DECIMAL(12,4))
+           * CAST({_Q9_COST_SHARE} AS DECIMAL(6,4))
+           * CAST(l_quantity AS DECIMAL(12,4))
+       ), 2) AS DOUBLE) AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%{_Q9_SUFFIX}'
+GROUP BY n_name, year(l_shipdate)
+ORDER BY nation, o_year DESC
+"""
+
+# ---------------------------------------------------------------------------
+# events_weekday_profile — event volume by (event_type × weekday), the
+# seasonality fingerprint behind capacity planning and anomaly baselines.
+# Weekday via Spark's weekday() (0 = Monday) ≡ DuckDB isodow − 1 — pure
+# integer calendar arithmetic, no locale/week-start flap (dayofweek()
+# would differ: Spark 1 = Sunday, DuckDB 0 = Sunday).
+#
+# 100-TB design: one map-side-combinable census on a 5×7-value domain;
+# value cents sum exact.  No joins, no global step.
+# ---------------------------------------------------------------------------
+
+
+def events_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .select("event_type",
+                  F.expr("weekday(ts)").cast("int").alias("wd"),
+                  F.round(F.col("value") * 100).cast("bigint")
+                  .alias("cents")))
+    return (ev.groupBy("event_type", "wd")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 F.sum("cents").cast("bigint").alias("total_cents"))
+            .orderBy("event_type", "wd"))
+
+
+_WEEKDAY_SQL = """
+SELECT event_type, CAST(isodow(ts) - 1 AS INT) AS wd,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, wd
+"""
+
 STAGED: dict = {
     "q_supplier_churn": (q_supplier_churn, _CHURN_SQL),
     "window_inter_event_gap": (window_inter_event_gap, _GAP_SQL),
     "doc_vacuum_family": (doc_vacuum_family, _VFAM_SQL),
     "q_nation_trade_balance": (q_nation_trade_balance, _TRADE_SQL),
     "q_brand_monthly_movers": (q_brand_monthly_movers, _MOVERS_SQL),
+    "q9_product_type_profit": (q9_product_type_profit, _Q9_SQL),
+    "events_weekday_profile": (events_weekday_profile, _WEEKDAY_SQL),
 }

@@ -178,6 +178,8 @@ _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
         "1-row last-data-year scalar (map-side max partial)",
     ("operators/staged_r11.py", "q_nation_trade_balance"):
         "nation dim (25 rows), both fact→dimension directions",
+    ("operators/staged_r11.py", "q9_product_type_profit"):
+        "suffix-filtered part keys + retail price (dimension-bounded) + nation dim (25 rows)",
     ("operators/tpch_staged.py", "q22_global_sales_opportunity"):
         "1-row global average-balance threshold",
     ("operators/joins.py", "join_broadcast_dim"): "region dim (5 rows)",

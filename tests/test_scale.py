@@ -499,16 +499,29 @@ def test_scale_curve_heavy_ops_near_linear(spark, tmp_path_factory):
     fns = {name: (fn, _) for name, (fn, _) in
            {**_LLM_STAGED, **_OPS_STAGED}.items()}
     _fn = lambda op: (fns[op][0] if op in fns else _SPECS[op].fn)  # noqa: E731
+
+    def _run(op, df):
+        # text_repetition_filter is SHUFFLE-FREE after the r10 run-length
+        # rewrite: a bare count() lets Catalyst prune the per-row gram
+        # folds entirely and times nothing — force evaluation by summing
+        # every stat column instead
+        if op == "text_repetition_filter":
+            df.agg(*[F.sum(c) for c in
+                     ("n_bigrams", "top_bigram_n", "n_5grams",
+                      "dup_5gram_n", "flagged")]).collect()
+        else:
+            df.count()
+
     dirs = {m: _scale_corpus(spark, sf01, root, m) for m in (1, 3, 10)}
     # plan-warm at 1x: codegen + Python worker startup out of the timings
     for op in ops:
-        _fn(op)(spark, dirs[1]).count()
+        _run(op, _fn(op)(spark, dirs[1]))
         registry.release_caches()   # staged fns have no releasing wrapper
     t = {}
     for m in (1, 3, 10):
         for op in ops:
             t0 = time.monotonic()
-            _fn(op)(spark, dirs[m]).count()
+            _run(op, _fn(op)(spark, dirs[m]))
             t[(op, m)] = time.monotonic() - t0
             registry.release_caches()
     for op in ops:
