@@ -1570,3 +1570,78 @@ def test_store_cdf_drives_tombstone_aware_ivfpq_maintenance(
             ivfpq_probe(spark, rebuilt, q, committed).collect()]
     assert got == want and got
     assert victim not in {t[1] for t in got}
+
+
+def test_store_family_random_ops_match_model(spark, tmp_path):
+    """r10 model-based pin for the FAMILY verb set (the DocumentStore /
+    index random-op tests' family twin): a seeded random sequence of
+    save_docs (varying parent names and child amounts, fixed rowNums) and
+    vacuum_family(keep_last ∈ {1,2,3}), after EACH step checking every
+    RETAINED family version's read_family view against an in-memory
+    model — parent names, per-doc child sums, and that every EXPIRED
+    family version raises.  The whole verb set composes, in any order,
+    without torn reads or dangling pins."""
+    import random
+
+    from json_sql_database_storage_spark.documents.model import KEY
+
+    rng = random.Random(20260815)
+    store = DocumentStore(spark, str(tmp_path / "collections"))
+
+    def batch(step):
+        docs, expect = [], {}
+        for doc in (1, 2):
+            if doc == 2 and step % 3 == 0:
+                continue                    # sometimes touch only doc 1
+            name = f"n{step}_{doc}"
+            amts = [rng.randint(1, 50) for _ in range(rng.randint(1, 3))]
+            docs.append({
+                "rowNum": doc, "name": name,
+                "items": [{"type": "pay", "rowNum": doc * 10 + i,
+                           "amt": a} for i, a in enumerate(amts)]})
+            expect[doc] = (name, doc * 10, len(amts), sum(amts))
+        return docs, expect
+
+    # model: family version -> {doc: (name, child_base, n_children, sum)}
+    # NOTE child rows persist across versions (upsert semantics): a doc's
+    # visible children at version v are the rows last written at or
+    # before v — rowNums are doc*10+i, so writing FEWER children leaves
+    # older high-i rows in place.  Track the full child row state.
+    child_state: dict[int, int] = {}        # child rowNum -> amt
+    parent_state: dict[int, str] = {}
+    model: dict[int, dict] = {}
+    retained: set[int] = set()
+
+    def snapshot():
+        return (dict(parent_state), dict(child_state))
+
+    for step in range(12):
+        if retained and rng.random() < 0.3:
+            keep_last = rng.randint(1, 3)
+            store.vacuum_family("fam", keep_last=keep_last,
+                                min_age_seconds=0)
+            kept = sorted(retained)[-keep_last:]
+            retained.intersection_update(kept)
+        else:
+            docs, _ = batch(step)
+            store.save_docs(docs_df(spark, docs), "fam")
+            for d in docs:
+                parent_state[d["rowNum"]] = d["name"]
+                for it in d["items"]:
+                    child_state[it["rowNum"]] = it["amt"]
+            v = store.family_version("fam")
+            model[v] = snapshot()
+            retained.add(v)
+
+        for v in sorted(model):
+            if v not in retained:
+                with pytest.raises(ValueError):
+                    store.family_tables("fam", v)
+                continue
+            parents, children = model[v]
+            got_p = {int(r[KEY]): r["name"] for r in
+                     store.read_family("fam", "fam", v).collect()}
+            assert got_p == parents, (v, got_p, parents)
+            got_c = {int(r[KEY]): int(r["amt"]) for r in
+                     store.read_family("fam", "pay", v).collect()}
+            assert got_c == children, (v, got_c, children)
