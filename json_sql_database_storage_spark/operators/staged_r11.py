@@ -431,7 +431,153 @@ GROUP BY 1, 2
 ORDER BY event_type, wd
 """
 
+# ---------------------------------------------------------------------------
+# q2_min_cost_supplier — TPC-H Q2 analog, adapted (no partsupp, so
+# ps_supplycost has no source — "cost" becomes each (part, supplier)'s
+# MINIMUM OBSERVED line total from lineitem, an exact integer): for
+# size-filtered parts, the EUROPE-region supplier(s) achieving the
+# part's minimum cost.  Q2's defining shape is preserved: a per-group
+# MIN aggregate EQUALITY-JOINED BACK onto the detail (the decorrelated
+# form of Q2's correlated subquery), supplier details re-attached by a
+# dimension join, TakeOrdered output (acctbal desc, deterministic
+# tie-break).
+#
+# 100-TB design: region+size filters prune both dimension scans before
+# any fact work; the regional supplier set broadcasts (twice — cost join
+# and detail join, both audited); the min/join-back pair is two
+# map-side-combinable aggs + one equi-join on (part, cents); TakeOrdered
+# bounds the result.
+# ---------------------------------------------------------------------------
+
+_Q2_SIZE = 13
+_Q2_REGION = "EUROPE"
+_Q2_K = 20
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = (load_table(spark, sf_dir, "region")
+         .filter(F.col("r_name") == _Q2_REGION).select("r_regionkey"))
+    n = (load_table(spark, sf_dir, "nation")
+         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+         .select("n_nationkey", "n_name"))
+    su = (load_table(spark, sf_dir, "supplier")
+          .join(F.broadcast(n),
+                F.col("s_nationkey") == F.col("n_nationkey"))
+          .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    p = (load_table(spark, sf_dir, "part")
+         .filter(F.col("p_size") == _Q2_SIZE)
+         .select(F.col("p_partkey").alias("l_partkey")))
+    cost = (load_table(spark, sf_dir, "lineitem")
+            .join(F.broadcast(p), "l_partkey")
+            .join(F.broadcast(su.select("s_suppkey")),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("l_partkey", "l_suppkey")
+            .agg(F.min(F.round(F.col("l_extendedprice") * 100)
+                       .cast("bigint")).cast("bigint").alias("cents")))
+    best = (cost.groupBy("l_partkey")
+            .agg(F.min("cents").alias("min_cents"))
+            .select(F.col("l_partkey").alias("b_partkey"), "min_cents"))
+    return (cost.join(best, (F.col("l_partkey") == F.col("b_partkey"))
+                      & (F.col("cents") == F.col("min_cents")))
+            .select(F.col("l_partkey").alias("p_partkey"),
+                    "l_suppkey", "cents")
+            .join(F.broadcast(su),
+                  F.col("l_suppkey") == su["s_suppkey"])
+            .select("s_name", "s_acctbal", "n_name", "p_partkey", "cents")
+            .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
+            .limit(_Q2_K))
+
+
+_Q2_SQL = f"""
+WITH su AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = '{_Q2_REGION}'
+), cost AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN su ON s_suppkey = l_suppkey
+  WHERE p_size = {_Q2_SIZE}
+  GROUP BY 1, 2
+), best AS (
+  SELECT l_partkey, min(cents) AS min_cents FROM cost GROUP BY 1
+)
+SELECT s_name, s_acctbal, n_name, cost.l_partkey AS p_partkey, cents
+FROM cost
+JOIN best ON best.l_partkey = cost.l_partkey AND cents = min_cents
+JOIN su ON su.s_suppkey = cost.l_suppkey
+ORDER BY s_acctbal DESC, p_partkey, s_name
+LIMIT {_Q2_K}
+"""
+
+# ---------------------------------------------------------------------------
+# q11_important_stock — TPC-H Q11 analog, adapted (no partsupp
+# availqty/supplycost — part "stock value" becomes Σ quantity×retailprice
+# over the target supplier group's lineitems, exact integer centi²):
+# parts whose value share within the group exceeds 1/1000 of the group
+# total, Q11's defining HAVING-share-of-global-scalar shape (the
+# q15/q22 1-row-threshold-broadcast pattern).  The nation cut follows
+# q20's convention (s_nationkey < 5 — a single named nation is empty at
+# sf0.001's 10-supplier scale).
+#
+# 100-TB design: the supplier filter prunes at the scan; the value
+# aggregate is map-side combinable on partkey; the threshold is ONE
+# 1-row broadcast scalar; the share test is the integer cross product
+# v·1000 > t — engine-exact.
+# ---------------------------------------------------------------------------
+
+_Q11_NATIONS = 5
+_Q11_DEN = 1000          # share threshold 1/1000 of the group total
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (load_table(spark, sf_dir, "supplier")
+         .filter(F.col("s_nationkey") < _Q11_NATIONS).select("s_suppkey"))
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint")
+        .alias("retail_cents"))
+    # no broadcast hint on part (dimension-scale ≠ bounded at 100 TB —
+    # AQE decides); the supplier key set IS bounded and broadcasts
+    val = (load_table(spark, sf_dir, "lineitem")
+           .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+           .join(p, "l_partkey")
+           .groupBy("l_partkey")
+           .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")
+                      * F.col("retail_cents")).cast("bigint").alias("v")))
+    tot = val.agg(F.sum("v").cast("bigint").alias("t"))
+    return (val.crossJoin(F.broadcast(tot))
+            .filter(F.col("v") * _Q11_DEN > F.col("t"))
+            .select(F.col("l_partkey").alias("p_partkey"), "v")
+            .orderBy(F.col("v").desc(), "p_partkey"))
+
+
+_Q11_SQL = f"""
+WITH val AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)
+                  * CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT)
+           AS v
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN part ON p_partkey = l_partkey
+  WHERE s_nationkey < {_Q11_NATIONS}
+  GROUP BY 1
+), tot AS (SELECT CAST(sum(v) AS BIGINT) AS t FROM val)
+SELECT l_partkey AS p_partkey, v
+FROM val, tot
+WHERE v * {_Q11_DEN} > t
+ORDER BY v DESC, p_partkey
+"""
+
 STAGED: dict = {
+    "q2_min_cost_supplier": (q2_min_cost_supplier, _Q2_SQL),
+    "q11_important_stock": (q11_important_stock, _Q11_SQL),
     "q_supplier_churn": (q_supplier_churn, _CHURN_SQL),
     "window_inter_event_gap": (window_inter_event_gap, _GAP_SQL),
     "doc_vacuum_family": (doc_vacuum_family, _VFAM_SQL),

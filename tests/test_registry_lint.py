@@ -180,6 +180,10 @@ _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
         "nation dim (25 rows), both fact→dimension directions",
     ("operators/staged_r11.py", "q9_product_type_profit"):
         "suffix-filtered part keys + retail price (dimension-bounded) + nation dim (25 rows)",
+    ("operators/staged_r11.py", "q2_min_cost_supplier"):
+        "region-filtered nation/supplier dims + size-filtered part keys — all dimension-bounded",
+    ("operators/staged_r11.py", "q11_important_stock"):
+        "nation-filtered supplier keys (dimension-bounded) + 1-row group-total threshold",
     ("operators/tpch_staged.py", "q22_global_sales_opportunity"):
         "1-row global average-balance threshold",
     ("operators/joins.py", "join_broadcast_dim"): "region dim (5 rows)",

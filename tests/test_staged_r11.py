@@ -99,6 +99,10 @@ def test_staged_no_unintended_scale_flags(spark, sf_dir):
             # text_vocab_growth / assortativity allowlisted shapes; the
             # two-pass bucketed ranking swaps in at extreme vocabularies)
             "text_zipf_slope",
+            # TakeOrdered top-k (per-partition heaps, the Q2 output bound)
+            "q2_min_cost_supplier",
+            # 1-row group-total threshold broadcast (the q15/q22 shape)
+            "q11_important_stock",
         },
     }
     bad = []
