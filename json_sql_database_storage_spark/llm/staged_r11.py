@@ -305,7 +305,75 @@ SELECT n AS n_terms,
 FROM mom
 """
 
+# ---------------------------------------------------------------------------
+# dedup_cluster_size_histogram — the near-duplicate FAMILY-SIZE
+# distribution (the curation telemetry behind dedup policy: a corpus
+# whose duplicate mass sits in a few giant families needs different
+# survivorship rules than one with many pairs).  Components come from
+# the registered minhash→verify→CC machinery (dup-injected corpus, the
+# dedup_cc_survivors core); singleton docs (in no verified pair) enter
+# as size-1 families; the census buckets family sizes by power-of-two
+# (`length(bin(sz))`, the graph_degree_histogram integer recipe).
+#
+# 100-TB design: inherits the LSH family's sub-quadratic contract
+# (bucketed banding, capped hot buckets, checkpointed CC rounds); the
+# histogram itself is two map-side-combinable censuses plus one 1-row
+# singleton count.
+# ---------------------------------------------------------------------------
+
+
+def dedup_cluster_size_histogram(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from .dedup import _corpus_with_dups, _minhash_verified_pairs, cc_labels
+
+    corpus = _corpus_with_dups(spark, sf_dir).select("doc_id")
+    labels = cc_labels(
+        _minhash_verified_pairs(spark, sf_dir).select("id_a", "id_b"))
+    sizes = (labels.groupBy("label")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("sz")))
+    hist = (sizes.groupBy(F.length(F.bin("sz")).cast("int").alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+                 F.sum("sz").cast("bigint").alias("n_docs")))
+    singles = (corpus.join(labels.select(F.col("node").alias("doc_id")),
+                           "doc_id", "left_anti")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    s_row = singles.select(F.lit(1).cast("int").alias("bucket"),
+                           F.col("n").alias("n_clusters"),
+                           F.col("n").alias("n_docs"))
+    return (hist.unionByName(s_row)
+            .groupBy("bucket")
+            .agg(F.sum("n_clusters").cast("bigint").alias("n_clusters"),
+                 F.sum("n_docs").cast("bigint").alias("n_docs"))
+            .orderBy("bucket"))
+
+
+def _cluster_hist_sql() -> str:
+    from .dedup import _CC_ORACLE_CTES
+
+    return _CC_ORACLE_CTES + """
+, sizes AS (SELECT comp, CAST(count(*) AS BIGINT) AS sz
+            FROM comp GROUP BY comp),
+hist AS (
+  SELECT CAST(length(bin(sz)) AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS n_clusters,
+         CAST(sum(sz) AS BIGINT) AS n_docs
+  FROM sizes GROUP BY 1
+), singles AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM corpus
+  WHERE doc_id NOT IN (SELECT n FROM nodes)
+)
+SELECT bucket, CAST(sum(n_clusters) AS BIGINT) AS n_clusters,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs
+FROM (SELECT * FROM hist
+      UNION ALL SELECT 1, n, n FROM singles)
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 STAGED: dict = {
+    "dedup_cluster_size_histogram": (dedup_cluster_size_histogram,
+                                     _cluster_hist_sql()),
     "sample_reservoir_global": (sample_reservoir_global, _RSV_SQL),
     "sim_dimension_profile": (sim_dimension_profile, _DIMPROF_SQL),
     "text_doc_length_gini": (text_doc_length_gini, _GINI_SQL),

@@ -101,6 +101,9 @@ def test_staged_no_unintended_scale_flags(spark, sf_dir):
             "text_zipf_slope",
             # TakeOrdered top-k (per-partition heaps, the Q2 output bound)
             "q2_min_cost_supplier",
+            # 1-row singleton-count scalar (map-side partials — constant
+            # bytes at any corpus size) + the CC loop's bounded tables
+            "dedup_cluster_size_histogram",
             # 1-row group-total threshold broadcast (the q15/q22 shape)
             "q11_important_stock",
         },
