@@ -856,9 +856,10 @@ class DocumentStore:
         os.makedirs(root, exist_ok=True)
         for _ in range(_MAX_COMMIT_RETRIES):
             head = self.family_version(family)
+            pins = dict(tables)
             if head >= 0:
                 pinned = self.family_tables(family, head)
-                stale = {t: (v, pinned[t]) for t, v in tables.items()
+                stale = {t: (v, pinned[t]) for t, v in pins.items()
                          if t in pinned and v < pinned[t]}
                 if stale:
                     raise FamilyCommitConflict(
@@ -867,9 +868,18 @@ class DocumentStore:
                         f"sibling commit landed after our child upserts; "
                         f"re-run the upserts (save_docs retries this "
                         f"automatically)")
+                # CARRY FORWARD head pins for child tables this commit
+                # didn't touch (a doc batch without some array field
+                # produces no rows for that child table): under upsert
+                # semantics the child's rows are still live, so silently
+                # dropping its pin would break read_family at the new
+                # head AND erase its GC floor (_family_pinned_versions)
+                # once older manifests expire
+                for t, v in pinned.items():
+                    pins.setdefault(t, v)
             try:
                 self._commit_at(f"_family_{family.replace(os.sep, '_')}",
-                                head + 1, {self._FAMILY_SLOT: tables})
+                                head + 1, {self._FAMILY_SLOT: pins})
                 return head + 1
             except SnapshotConflict:
                 continue    # another family commit landed — claim the next

@@ -963,14 +963,21 @@ _IVFPQ_CDF_SCHEMA = "vec_id BIGINT, e ARRAY<DOUBLE>, op STRING"
 
 
 def ivfpq_stream_maintain(spark: SparkSession, paths: dict[str, str],
-                          staged_dir: str) -> dict[str, str]:
+                          staged_dir: str,
+                          checkpoint_dir: str | None = None
+                          ) -> dict[str, str]:
     """STREAMING index maintenance — the bm25_stream_maintain twin for
     the vector family: each micro-batch is one CDF slice (vec_id, e,
     op ∈ {'u','d'}); the foreachBatch body routes it through
     ivfpq_apply_changes with tag=batch_id, so at-least-once replay
     becomes exactly-once index state at the index's own CAS commit.
     100-TB: per-batch cost is the O(delta) frozen-codebook re-encode +
-    tombstone write; the base corpus is never re-read."""
+    tombstone write; the base corpus is never re-read.
+
+    TAG↔FILE STABILITY CONTRACT (see bm25_stream_maintain): pass
+    `checkpoint_dir` for production, or keep the staged dir APPEND-ONLY
+    with strictly increasing file mtimes — re-numbered batches would
+    no-op on the tag and silently drop data."""
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()   # read twice: the up/del split
         try:
@@ -981,9 +988,12 @@ def ivfpq_stream_maintain(spark: SparkSession, paths: dict[str, str],
         finally:
             batch_df.unpersist()
 
-    q = (spark.readStream.schema(_IVFPQ_CDF_SCHEMA)
+    w = (spark.readStream.schema(_IVFPQ_CDF_SCHEMA)
          .option("maxFilesPerTrigger", 1).parquet(staged_dir)
-         .writeStream.foreachBatch(apply).outputMode("append").start())
+         .writeStream.foreachBatch(apply).outputMode("append"))
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
     try:
         q.processAllAvailable()
     finally:
@@ -1063,7 +1073,11 @@ def ivfpq_vacuum(paths: dict[str, str], keep_last: int = 1) -> list[str]:
         keep = list(range(max(0, head - keep_last + 1), head + 1))
         live: dict[str, set[int]] = {"index": set(), "tomb": set()}
         for v in keep:
-            m = _ivfpq_manifest(paths, v)
+            try:
+                m = _ivfpq_manifest(paths, v)
+            except FileNotFoundError:
+                continue    # keep_last > surviving manifests: an already-
+            # expired version pins nothing (idempotence contract)
             live["index"] |= set(m[_V_CODES])
             live["tomb"] |= set(m[_V_TOMB])
         for v in range(head - keep_last, -1, -1):

@@ -298,23 +298,50 @@ class _index_write_lock:
         self.path = os.path.join(meta_dir, "write.lock")
 
     @staticmethod
-    def _holder_alive(path: str) -> bool:
-        """True unless the lock's recorded pid provably cannot be a live
-        holder.  A real existing pid counts as alive even when owned by
+    def _proc_start(pid: int) -> int | None:
+        """Kernel start-time ticks of `pid` (procfs stat field 22), or
+        None where unreadable (non-proc platform, dead pid).  Recording
+        this beside the pid disambiguates PID REUSE: a recycled pid's
+        current start time won't match the one the crashed holder wrote,
+        so its lock stays breakable instead of wedging the index until
+        manual intervention."""
+        try:
+            with open(f"/proc/{pid}/stat", "rb") as f:
+                data = f.read()
+            # fields after the parenthesized comm (which may hold spaces)
+            return int(data[data.rindex(b")") + 2:].split()[19])
+        except (OSError, ValueError, IndexError):
+            return None
+
+    @classmethod
+    def _holder_alive(cls, path: str) -> bool:
+        """True unless the lock's recorded holder provably cannot be
+        alive.  A real existing pid counts as alive even when owned by
         another user (a false 'dead' re-enables two concurrent writers —
-        the exact corruption the lock exists to prevent); an unreadable
-        or invalid pid can't have been written by this acquire path (it
-        always records os.getpid()), so it never pins the lock past the
-        stale age — else a corrupted lock file wedges the index forever."""
+        the exact corruption the lock exists to prevent) — UNLESS its
+        recorded start time disagrees with the current process at that
+        pid (pid recycled → holder dead).  An unreadable or invalid pid
+        can't have been written by this acquire path (it always records
+        os.getpid()), so it never pins the lock past the stale age —
+        else a corrupted lock file wedges the index forever."""
         import os
 
         try:
             with open(path) as f:
-                pid = int(f.read().strip())
-        except (OSError, ValueError):
+                txt = f.read().strip()
+        except OSError:
+            return False
+        pid_s, _, start_s = txt.partition(":")
+        try:
+            pid = int(pid_s)
+        except ValueError:
             return False
         if pid <= 0:
             return False
+        if start_s:
+            cur = cls._proc_start(pid)
+            if cur is not None and str(cur) != start_s:
+                return False     # pid recycled: the real holder is gone
         try:
             os.kill(pid, 0)
         except ProcessLookupError:
@@ -324,6 +351,7 @@ class _index_write_lock:
         return True
 
     def __enter__(self):
+        import contextlib
         import os
         import time
 
@@ -338,10 +366,20 @@ class _index_write_lock:
                 raise ConcurrentIndexWriter(
                     f"{self.path} held by a live writer — one writer per "
                     f"index (retry, or investigate the holder)") from None
-            import contextlib
-
+            # break the stale lock ATOMICALLY: rename claims it for
+            # exactly ONE breaker (a remove-then-recreate pair would let
+            # a second breaker remove the first breaker's FRESH lock —
+            # two writers inside the critical section, the corruption
+            # this lock exists to prevent)
+            victim = f"{self.path}.break-{os.getpid()}-{time.time_ns()}"
+            try:
+                os.rename(self.path, victim)
+            except OSError:
+                raise ConcurrentIndexWriter(
+                    f"{self.path} claimed by another writer while "
+                    f"breaking the stale lock") from None
             with contextlib.suppress(FileNotFoundError):
-                os.remove(self.path)     # stale AND holder dead: crashed
+                os.remove(victim)
             try:
                 fd = os.open(self.path,
                              os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -349,7 +387,9 @@ class _index_write_lock:
                 raise ConcurrentIndexWriter(
                     f"{self.path} re-acquired by another writer while "
                     f"breaking the stale lock") from None
-        os.write(fd, str(os.getpid()).encode())
+        start = self._proc_start(os.getpid())
+        os.write(fd, f"{os.getpid()}:{start if start is not None else ''}"
+                 .encode())
         os.close(fd)
         return self
 
@@ -676,7 +716,11 @@ def bm25_vacuum(paths: dict[str, str], keep_last: int = 1) -> list[str]:
         live: dict[str, set[int]] = {"index": set(), "dl": set(),
                                      "tomb": set()}
         for v in keep:
-            m = _bm25_manifest(paths, v)
+            try:
+                m = _bm25_manifest(paths, v)
+            except FileNotFoundError:
+                continue    # keep_last > surviving manifests: an already-
+            # expired version pins nothing (idempotence contract)
             live["index"] |= set(m[_M_POST])
             live["dl"] |= set(m[_M_DL])
             live["tomb"] |= set(m[_M_TOMB])
@@ -701,7 +745,9 @@ _BM25_CDF_SCHEMA = "doc_id BIGINT, text STRING, op STRING"
 
 
 def bm25_stream_maintain(spark: SparkSession, paths: dict[str, str],
-                         staged_dir: str) -> dict[str, str]:
+                         staged_dir: str,
+                         checkpoint_dir: str | None = None
+                         ) -> dict[str, str]:
     """STREAMING index maintenance (r9 verdict next-round #7): keep a
     built BM25 index fresh from a document change-feed stream.  Each
     micro-batch is one CDF slice (doc_id, text, op ∈ {'u','d'} — the
@@ -716,7 +762,18 @@ def bm25_stream_maintain(spark: SparkSession, paths: dict[str, str],
     100-TB: per-batch cost is apply_changes' O(delta + tombstone join)
     contract — the stream never re-reads or re-tokenizes the base corpus;
     compaction stays a cadence decision (bm25_maintain between batches or
-    out-of-band — its commit carries the stream tag forward)."""
+    out-of-band — its commit carries the stream tag forward).
+
+    TAG↔FILE STABILITY CONTRACT: the exactly-once guarantee keys on
+    batch_id, so the batch_id→file mapping must be stable across
+    invocations.  Pass `checkpoint_dir` (durable) for production — the
+    file source then remembers which files each batch consumed and new
+    files continue the batch sequence.  Without a checkpoint (replay
+    testing), the staged dir must be APPEND-ONLY with strictly
+    increasing file mtimes: deleting already-applied chunk files (or
+    adding files with older/tied mtimes) re-numbers batches, and a new
+    file replayed under an old batch_id would no-op on the tag —
+    silently dropped data, not idempotence."""
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()   # read twice: the up/del split
         try:
@@ -727,9 +784,12 @@ def bm25_stream_maintain(spark: SparkSession, paths: dict[str, str],
         finally:
             batch_df.unpersist()
 
-    q = (spark.readStream.schema(_BM25_CDF_SCHEMA)
+    w = (spark.readStream.schema(_BM25_CDF_SCHEMA)
          .option("maxFilesPerTrigger", 1).parquet(staged_dir)
-         .writeStream.foreachBatch(apply).outputMode("append").start())
+         .writeStream.foreachBatch(apply).outputMode("append"))
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
     try:
         q.processAllAvailable()
     finally:

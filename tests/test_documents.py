@@ -1645,3 +1645,26 @@ def test_store_family_random_ops_match_model(spark, tmp_path):
             got_c = {int(r[KEY]): int(r["amt"]) for r in
                      store.read_family("fam", "pay", v).collect()}
             assert got_c == children, (v, got_c, children)
+
+
+def test_store_family_commit_carries_forward_untouched_child_pins(
+        spark, tmp_path):
+    """r10 review fix: a save_docs batch whose docs lack an array field
+    produces no rows for that child table — the family commit must CARRY
+    FORWARD the head's pin for it (the child's rows are still live under
+    upsert semantics), not silently unpin it: read_family of the child at
+    the new head keeps working and its GC floor survives."""
+    store = DocumentStore(spark, str(tmp_path / "collections"))
+    store.save_docs(docs_df(spark, [
+        {"rowNum": 1, "name": "a",
+         "items": [{"type": "pay", "rowNum": 11, "amt": 5}]}]), "fam")
+    pay_pin = store.family_tables("fam")["pay"]
+    # second batch: no 'items' field at all → no pay-table delta
+    store.save_docs(docs_df(spark, [{"rowNum": 2, "name": "b"}]), "fam")
+    pins = store.family_tables("fam")
+    assert pins["pay"] == pay_pin        # carried forward, not dropped
+    assert [int(r["amt"]) for r in
+            store.read_family("fam", "pay").collect()] == [5]
+    # and the GC floor survives: vacuum keeps the pinned pay version
+    out = store.vacuum("pay", keep_last=1, min_age_seconds=0)
+    assert pay_pin in out["kept_versions"]

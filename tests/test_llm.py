@@ -1860,3 +1860,76 @@ def test_ivfpq_stream_maintain_replay_is_exactly_once(spark, sf_dir):
                        ivfpq_probe(spark, full, q, final).collect()]
     finally:
         shutil.rmtree(staged, ignore_errors=True)
+
+
+def test_index_lock_pid_reuse_and_atomic_break(spark, sf_dir, tmp_path):
+    """r10 review fixes: (a) a stale lock whose recorded pid was RECYCLED
+    (start-time mismatch) is breakable — same-host pid reuse can't wedge
+    the index forever; (b) a lock recording this live process WITH its
+    true start time is honored; (c) breaking leaves no stray .break-*
+    files behind (the atomic-rename claim cleans up)."""
+    import os
+    import time
+
+    from json_sql_database_storage_spark.llm.search import (
+        _index_write_lock,
+    )
+
+    meta = str(tmp_path / "meta")
+    lock = _index_write_lock(meta)
+    pid = os.getpid()
+    true_start = _index_write_lock._proc_start(pid)
+    assert true_start is not None       # Linux sandbox: procfs available
+
+    # (a) recycled pid: right pid, WRONG start time → provably not the
+    # holder → breakable once stale-aged
+    with open(lock.path, "w") as f:
+        f.write(f"{pid}:{true_start + 1}")
+    os.utime(lock.path, (time.time() - 10_000,) * 2)
+    with lock:                           # acquires by breaking
+        with open(lock.path) as f:
+            txt = f.read()
+        assert txt == f"{pid}:{true_start}"
+    # (c) no stray break-claim files left behind
+    assert [e for e in os.scandir(meta)
+            if e.name.startswith("write.lock.break-")] == []
+
+    # (b) the true (pid, start) pair reads as a live holder even when old
+    with open(lock.path, "w") as f:
+        f.write(f"{pid}:{true_start}")
+    os.utime(lock.path, (time.time() - 10_000,) * 2)
+    assert _index_write_lock._holder_alive(lock.path)
+    os.remove(lock.path)
+
+
+def test_index_vacuum_keep_window_skips_expired_manifests(spark, sf_dir):
+    """r10 review fix: vacuum with keep_last larger than the surviving
+    manifest count must SKIP the already-expired versions (they pin
+    nothing), not crash reading them — the idempotence contract under a
+    widened retention window."""
+    from pyspark.sql import functions as F
+
+    from json_sql_database_storage_spark.llm.search import (
+        _BM25_TERMS, _BM25_TOPK, bm25_append, bm25_build, bm25_probe,
+        bm25_vacuum)
+    from json_sql_database_storage_spark.llm.pq import (
+        ivfpq_append, ivfpq_build, ivfpq_vacuum)
+    from json_sql_database_storage_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    paths = bm25_build(spark, docs, "bm25_widekeep")
+    bm25_append(spark, paths,
+                spark.createDataFrame([(10 ** 9, "join vector widekeep")],
+                                      "doc_id bigint, text string"))
+    bm25_vacuum(paths, keep_last=1)      # expires manifest v0
+    # pre-fix: _bm25_manifest(paths, 0) raised FileNotFoundError here
+    assert bm25_vacuum(paths, keep_last=5) == []
+    assert bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK).count() > 0
+
+    v = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", F.col("embedding").alias("e")))
+    vp = ivfpq_build(spark, v, "ivfpq_widekeep")
+    ivfpq_append(spark, vp, v.limit(2).select(
+        (F.col("vec_id") + 10 ** 9).alias("vec_id"), "e"))
+    ivfpq_vacuum(vp, keep_last=1)
+    assert ivfpq_vacuum(vp, keep_last=5) == []
