@@ -246,6 +246,9 @@ class DocumentStore:
         versions that were written under it."""
         for _ in range(_MAX_COMMIT_RETRIES):
             base_v = self.version(table)
+            if base_v < 0:
+                raise ValueError(
+                    f"table {table!r} has no committed version")
             prev = self._manifest(table, base_v)
             cons = self._constraints_of(prev)
             cons.pop(name, None)
@@ -266,7 +269,12 @@ class DocumentStore:
                     version: int | None = None) -> dict[str, str]:
         """The CHECK constraints a version was committed under (latest
         when None) — versioned metadata, so restore() also restores the
-        rule set of the target version."""
+        rule set of the target version.  A table with no committed
+        version has no rules (so first-ingest paths like
+        upsert_with_quarantine can CREATE a table, as plain upsert
+        does)."""
+        if version is None and self.version(table) < 0:
+            return {}
         return self._constraints_of(self._manifest(table, version))
 
     def upsert_with_quarantine(self, df: DataFrame, table: str,
@@ -339,7 +347,15 @@ class DocumentStore:
         out: dict[int, str] = {}
         for entry in os.scandir(path):
             if entry.is_dir() and entry.name.startswith(f"{_BUCKET}="):
-                out[int(entry.name.split("=", 1)[1])] = entry.path
+                val = entry.name.split("=", 1)[1]
+                if not val.lstrip("-").isdigit():
+                    # a null KEY lands in __HIVE_DEFAULT_PARTITION__ —
+                    # fail with a key message, not an int() parse error
+                    # (the uncommitted dir is orphaned for VACUUM)
+                    raise ValueError(
+                        f"delta contains null {KEY} values — every keyed "
+                        f"store verb requires a non-null integer {KEY}")
+                out[int(val)] = entry.path
         return out
 
     def _commit_at(self, table: str, version: int, manifest: dict) -> None:
@@ -364,7 +380,10 @@ class DocumentStore:
         (commit order wins)."""
         best = None
         for v in range(self.version(table) + 1):
-            m = self._manifest(table, v)
+            try:
+                m = self._manifest(table, v)
+            except FileNotFoundError:
+                continue    # vacuum-expired version: not a candidate
             if float(m.get(_TS_KEY, float("inf"))) <= ts:
                 best = v
         if best is None:
@@ -374,14 +393,24 @@ class DocumentStore:
 
     def _touched_buckets(self, df: DataFrame, b: int) -> list[int]:
         """Distinct buckets the delta lands in — ≤ B rows of driver state
-        (the manifest-sized collect every table format's commit makes)."""
-        return sorted(
-            r[0] for r in
-            df.select(F.pmod(F.col(KEY), F.lit(b)).cast("int")).distinct()
-            .collect())
+        (the manifest-sized collect every table format's commit makes).
+        A null key has no bucket: fail with a key-validation message
+        instead of a TypeError from sorting None."""
+        buckets = [r[0] for r in
+                   df.select(F.pmod(F.col(KEY), F.lit(b)).cast("int"))
+                   .distinct().collect()]
+        if any(x is None for x in buckets):
+            raise ValueError(
+                f"delta contains null {KEY} values — every keyed store "
+                f"verb requires a non-null integer {KEY}")
+        return sorted(buckets)
 
     # A4 — append: per-bucket, new commit = previous dirs + the delta dir
     def append(self, df: DataFrame, table: str) -> None:
+        with _pinned(df):       # validate + write share ONE evaluation
+            self._append_pinned(df, table)
+
+    def _append_pinned(self, df: DataFrame, table: str) -> None:
         for _ in range(_MAX_COMMIT_RETRIES):
             base_v = self.version(table)
             if base_v >= 0:
@@ -667,7 +696,11 @@ class DocumentStore:
         elif n is None:
             ups, dels = empty.select(KEY), o.select(KEY)
         else:
-            ups = n.join(o, [KEY, "_fp"], "left_anti").select(KEY)
+            # distinct on BOTH sides: append never dedups by key, so a
+            # key duplicated inside a version would otherwise emit its
+            # upsert event once per physical row while deletes are deduped
+            ups = (n.join(o, [KEY, "_fp"], "left_anti")
+                   .select(KEY).distinct())
             dels = (o.select(KEY).distinct()
                     .join(n.select(KEY), [KEY], "left_anti"))
         return (ups.select(F.lit("upsert").alias("op"), KEY)
@@ -679,7 +712,11 @@ class DocumentStore:
     def history(self, table: str) -> DataFrame:
         rows = []
         for v in range(self.version(table) + 1):
-            m = self._manifest(table, v)
+            try:
+                m = self._manifest(table, v)
+            except FileNotFoundError:
+                continue    # vacuum-expired version: introspection
+            # tolerates GC'd history (Delta DESCRIBE HISTORY parity)
             buckets = [k for k in m if k not in _RESERVED]
             rows.append((v, self._buckets_of(m), len(buckets),
                          sum(len(m[b]) for b in buckets),
@@ -771,9 +808,14 @@ class DocumentStore:
     def clone(self, src: str, dst: str, deep: bool = False) -> None:
         if self.version(dst) >= 0:
             raise ValueError(f"clone target {dst!r} already exists")
-        m = self._manifest(src)               # raises if src uncommitted
+        v = self.version(src)
+        m = self._manifest(src, v)            # raises if src uncommitted
         if deep:
-            cur = self.read(src)
+            # read AT the same pinned version the manifest was resolved
+            # from: a concurrent commit between the two resolutions would
+            # otherwise pair version N's bucket count/constraints with
+            # version N+1's rows
+            cur = self.read_asof(src, v)
             b = self._buckets_of(m)
             new_dirs = self._write_data(cur, dst, b)
             manifest: dict = {_META_KEY: b,
@@ -812,9 +854,15 @@ class DocumentStore:
     # floor up), then vacuum every retained child.
     _FAMILY_SLOT = 0     # manifest slot holding the {table: version} map
 
+    def _family_table_name(self, family: str) -> str:
+        """ONE spelling of the family pseudo-table name, shared by the
+        read path (_family_root) and the commit path (_commit_family) —
+        divergent escaping would write manifests where reads never
+        look."""
+        return f"_family_{family.replace(os.sep, '_')}"
+
     def _family_root(self, family: str) -> str:
-        return os.path.join(self.base_dir,
-                            f"_family_{family.replace(os.sep, '_')}")
+        return os.path.join(self.base_dir, self._family_table_name(family))
 
     def family_version(self, family: str) -> int:
         root = self._family_root(family)
@@ -878,7 +926,7 @@ class DocumentStore:
                 for t, v in pinned.items():
                     pins.setdefault(t, v)
             try:
-                self._commit_at(f"_family_{family.replace(os.sep, '_')}",
+                self._commit_at(self._family_table_name(family),
                                 head + 1, {self._FAMILY_SLOT: pins})
                 return head + 1
             except SnapshotConflict:
@@ -893,8 +941,14 @@ class DocumentStore:
     # upserts rebase on the winner's versions, so the retried manifest
     # pins versions ≥ the new head's and both writers' rows survive.
     def save_docs(self, docs: DataFrame, root: str) -> ShredResult:
+        # shred ONCE, outside the retry loop: shred assigns engine
+        # rowNums (monotonically_increasing_id) to keyless documents, so
+        # re-shredding on a lost family race would re-upsert the same
+        # documents under FRESH keys next to the first attempt's
+        # committed rows — duplicates.  Retrying the SAME shred result
+        # re-upserts identical (key, row) pairs: idempotent.
+        result = shred(docs, root)
         for _ in range(_MAX_COMMIT_RETRIES):
-            result = shred(docs, root)
             versions = {name: self.upsert(tdf, name)
                         for name, tdf in result.tables.items()}
             try:

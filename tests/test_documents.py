@@ -1668,3 +1668,86 @@ def test_store_family_commit_carries_forward_untouched_child_pins(
     # and the GC floor survives: vacuum keeps the pinned pay version
     out = store.vacuum("pay", keep_last=1, min_age_seconds=0)
     assert pay_pin in out["kept_versions"]
+
+
+def test_store_review_fixes_r10(spark, tmp_path):
+    """r10 adversarial-review fixes over the store verbs, pinned in one
+    sweep: (a) upsert_with_quarantine can CREATE a table (first ingest,
+    no committed version → constraint-free, like plain upsert); (b)
+    history() and read_asof_timestamp() tolerate vacuum-expired versions
+    instead of crashing; (c) a null rowNum fails keyed verbs with a
+    key-validation message, not a TypeError/int-parse error; (d)
+    drop_constraint on a never-created table raises ValueError, matching
+    add_constraint; (e) deep clone reads at the SAME pinned version its
+    manifest resolution used (smoke: clone equals source)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    store = DocumentStore(spark, str(tmp_path / "collections"))
+    df = spark.createDataFrame([(1, 10), (2, 20)], f"{KEY} long, x long")
+
+    # (a) first ingest through the quarantine recipe creates the table
+    out = store.upsert_with_quarantine(df, "fresh_q", "fresh_q_dead")
+    assert out == {"committed": 2, "quarantined": 0}
+    assert store.read("fresh_q").count() == 2
+
+    # (b) vacuum-expired versions don't brick introspection
+    store.upsert(df.withColumn("x", F.col("x") + 1), "fresh_q")   # v1
+    store.upsert(df.withColumn("x", F.col("x") + 2), "fresh_q")   # v2
+    ts_after_all = _time.time()
+    store.vacuum("fresh_q", keep_last=1, min_age_seconds=0)
+    hist = store.history("fresh_q").collect()
+    assert [r["version"] for r in hist] == [2]
+    assert store.read_asof_timestamp("fresh_q",
+                                     ts_after_all).count() == 2
+
+    # (c) null keys fail loudly on both the keyed and the append path
+    null_df = spark.createDataFrame([(None, 1), (3, 3)],
+                                    f"{KEY} long, x long")
+    with pytest.raises(ValueError, match="non-null"):
+        store.upsert(null_df, "fresh_q")
+    with pytest.raises(ValueError, match="non-null"):
+        store.append(null_df, "null_append")
+
+    # (d) drop_constraint on a never-created table: clean ValueError
+    with pytest.raises(ValueError, match="no committed version"):
+        store.drop_constraint("never_created", "c")
+
+    # (e) deep clone equals its pinned source version
+    store.clone("fresh_q", "fresh_q_copy", deep=True)
+    assert sorted(tuple(r) for r in store.read("fresh_q_copy").collect()) \
+        == sorted(tuple(r) for r in store.read("fresh_q").collect())
+
+
+def test_store_save_docs_retry_does_not_duplicate_keyless_docs(
+        spark, tmp_path):
+    """r10 adversarial-review fix: save_docs shreds ONCE outside the
+    family-race retry loop — a loser that re-shredded would assign FRESH
+    engine rowNums to keyless documents and commit them as duplicates
+    beside its first attempt's rows."""
+    from json_sql_database_storage_spark.documents.store import (
+        FamilyCommitConflict,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "collections"))
+    docs = docs_df(spark, [{"name": "keyless_a"}, {"name": "keyless_b"}])
+
+    orig = DocumentStore._commit_family
+    calls = {"n": 0}
+
+    def lose_once(self, family, tables):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FamilyCommitConflict("injected lost family race")
+        return orig(self, family, tables)
+
+    DocumentStore._commit_family = lose_once
+    try:
+        store.save_docs(docs, "kfam")
+    finally:
+        DocumentStore._commit_family = orig
+    assert calls["n"] == 2
+    rows = store.read_family("kfam", "kfam").collect()
+    assert sorted(r["name"] for r in rows) == ["keyless_a", "keyless_b"]
+    assert len(rows) == 2          # pre-fix: 4 (each doc under two keys)
