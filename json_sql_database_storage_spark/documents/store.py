@@ -68,7 +68,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.snapshots import (SnapshotConflict, commit_manifest,
-                                   current_version, read_committed_manifest)
+                                   current_version,
+                                   read_committed_manifest,
+                                   set_version_floor)
 from .model import KEY, ShredResult, assemble, shred
 
 _MAX_COMMIT_RETRIES = 5
@@ -1013,6 +1015,8 @@ class DocumentStore:
         floor up."""
         import shutil
 
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1 (got {keep_last})")
         root = self._root(table)
         versions = sorted(
             int(e.name[len("manifest-v"):-len(".json")])
@@ -1036,7 +1040,13 @@ class DocumentStore:
                 if (sub.is_dir() and sub.name.startswith(f"{_BUCKET}=")
                         and os.path.realpath(sub.path) not in kept_dirs):
                     doomed.append(sub.path)
-        # metadata first: retire expired CAS entries …
+        # metadata first: raise the claim floor (a retired version number
+        # must never be re-claimable — snapshots.commit_manifest checks
+        # it; the floor is min(keep), so family-pinned mid-history
+        # versions stay claim-protected only below the lowest pin), then
+        # retire expired CAS entries …
+        if keep:
+            set_version_floor(root, min(keep))
         for v in versions:
             if v not in keep:
                 os.remove(os.path.join(root, f"manifest-v{v}.json"))
@@ -1086,6 +1096,8 @@ class DocumentStore:
         per-table-vacuum footgun the r9 hazard test pinned.  Metadata
         first: family manifests expire before any child data moves, so a
         crash mid-call only shrinks retention, never dangles a pin."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1 (got {keep_last})")
         root = self._family_root(family)
         if self.family_version(family) < 0:
             raise ValueError(f"family {family!r} has no committed version")
@@ -1094,6 +1106,8 @@ class DocumentStore:
             for e in os.scandir(root)
             if e.name.startswith("manifest-v") and e.name.endswith(".json"))
         keep = versions[-keep_last:]
+        if keep:
+            set_version_floor(root, min(keep))
         for v in versions:
             if v not in keep:
                 os.remove(os.path.join(root, f"manifest-v{v}.json"))

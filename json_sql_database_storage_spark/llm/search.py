@@ -708,11 +708,15 @@ def bm25_vacuum(paths: dict[str, str], keep_last: int = 1) -> list[str]:
     import os
     import shutil
 
-    from ..operators.snapshots import current_version
+    from ..operators.snapshots import current_version, set_version_floor
 
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1 (got {keep_last})")
     with _index_write_lock(paths["meta"]):
         head = current_version(paths["meta"])
         keep = list(range(max(0, head - keep_last + 1), head + 1))
+        if keep:
+            set_version_floor(paths["meta"], min(keep))
         live: dict[str, set[int]] = {"index": set(), "dl": set(),
                                      "tomb": set()}
         for v in keep:

@@ -56,8 +56,31 @@ def _commit_dirs(data_dir: str) -> dict[int, str]:
     out: dict[int, str] = {}
     for entry in os.scandir(data_dir):
         if entry.is_dir() and entry.name.startswith("o_year="):
-            out[int(entry.name.split("=", 1)[1])] = entry.path
+            val = entry.name.split("=", 1)[1]
+            if not val.lstrip("-").isdigit():
+                # a NULL o_year lands in __HIVE_DEFAULT_PARTITION__ —
+                # fail with a partition-key message, not an int() parse
+                # error (latent with TPC-H dates, real for other inputs)
+                raise ValueError(
+                    f"null partition key in {data_dir!r} "
+                    f"({entry.name}): snapshot commits require non-null "
+                    f"o_year")
+            out[int(val)] = entry.path
     return out
+
+
+def _write_log(root: str, manifests: dict) -> None:
+    """Atomically (re)write the compacted manifest.json log: tmp + fsync
+    + os.replace — a crash mid-write can no longer leave a TORN log that
+    bricks every later load_manifests (the same discipline
+    commit_manifest applies to the CAS entries)."""
+    path = os.path.join(root, "manifest.json")
+    tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump({str(v): m for v, m in manifests.items()}, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 def read_version(spark: SparkSession, manifest: dict[int, str]) -> DataFrame:
@@ -71,6 +94,13 @@ def read_version(spark: SparkSession, manifest: dict[int, str]) -> DataFrame:
     by_base: dict[str, list[str]] = {}
     for path in manifest.values():
         by_base.setdefault(os.path.dirname(path), []).append(path)
+    if not by_base:
+        # a DELETE that doomed every partition commits an EMPTY manifest;
+        # fail with the situation named instead of parts[0] IndexError
+        raise ValueError(
+            "manifest references no data directories (fully-deleted "
+            "version) — read it through a schema-carrying store "
+            "(DocumentStore.read_asof) or guard the call site")
     parts = [
         spark.read.option("basePath", base).option("mergeSchema", "true")
         .parquet(*sorted(paths))
@@ -145,11 +175,13 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def snapshot_commit(spark: SparkSession, sf_dir: str,
-                    name: str = "snapshot_tt") -> dict[int, dict[int, str]]:
-    """Write the v0 and v1 commits under the session sink; return
-    {version: {year: partition_dir}} manifests (also persisted as
-    manifest.json next to the data, like a table format's log)."""
-    root = _sink(name, spark)
+                    name: str = "snapshot_tt",
+                    root: str | None = None) -> dict[int, dict[int, str]]:
+    """Write the v0 and v1 commits under the session sink (or an explicit
+    `root`); return {version: {year: partition_dir}} manifests (also
+    persisted as manifest.json next to the data, like a table format's
+    log)."""
+    root = _sink(name, spark) if root is None else root
     cut_ins = F.lit(_CUT_INS).cast("timestamp")
     cut_end = F.lit(_CUT_END).cast("timestamp")
     o = load_table(spark, sf_dir, "orders").select(
@@ -186,21 +218,28 @@ def snapshot_commit(spark: SparkSession, sf_dir: str,
     m1.update({y: p for y, p in m1_new.items() if y not in m1})
 
     manifests = {0: m0, 1: m1}
-    with open(os.path.join(root, "manifest.json"), "w") as f:
-        json.dump({str(v): m for v, m in manifests.items()}, f, indent=1)
     # claim each version in the put-if-absent CAS log (r6.7).  The claim is
     # attempted UNCONDITIONALLY — an os.path.exists pre-check would turn the
     # CAS into a lost-update race (r6 ADVICE item 1): whoever created the
     # file between the check and the create would win silently.  A conflict
     # is tolerated only when the existing file's CONTENT equals the manifest
     # being claimed (an idempotent re-run of this same commit); any other
-    # content is a genuine concurrent writer and re-raises.
+    # content is a genuine concurrent writer and re-raises.  NOTE the
+    # content-equality tolerance is exactly as strong as this exhibit's
+    # setup: the root is SESSION-PRIVATE (_sink scopes by applicationId)
+    # and the data paths/content are deterministic functions of the input,
+    # so the only same-version claimant is a re-run of this very commit —
+    # a genuinely different writer would produce different content and
+    # re-raise.  (r10 review) The compacted log is written AFTER the
+    # claims succeed: writing it first would let a LOSING writer clobber
+    # the log with manifests the CAS never committed.
     for v, m in manifests.items():
         try:
             commit_manifest(root, v, m)
         except SnapshotConflict:
             if read_committed_manifest(root, v) != m:
                 raise
+    _write_log(root, manifests)
     return manifests
 
 
@@ -243,6 +282,10 @@ def expire_snapshots(root: str, manifests: dict[int, dict[int, str]],
     with an outside path raises instead of rmtree-ing it)."""
     import shutil
 
+    if keep_last < 1:
+        raise ValueError(
+            f"keep_last must be >= 1 (got {keep_last}): versions[-0:] "
+            f"would silently retain EVERYTHING, the opposite of the ask")
     versions = sorted(manifests)
     keep = versions[-keep_last:]
     kept_dirs = {p for v in keep for p in manifests[v].values()}
@@ -251,12 +294,17 @@ def expire_snapshots(root: str, manifests: dict[int, dict[int, str]],
     to_delete = sorted(expired_dirs - kept_dirs)
     real_root = os.path.realpath(root)
     for p in to_delete:
-        if os.path.commonpath([real_root, os.path.realpath(p)]) != real_root:
+        rp = os.path.realpath(p)
+        # STRICT descendant: commonpath == root also holds when the
+        # poisoned path IS the root — rmtree(root) would delete kept
+        # data, the log, and the surviving CAS entries
+        if os.path.commonpath([real_root, rp]) != real_root \
+                or rp == real_root:
             raise ValueError(f"refusing to delete {p!r}: outside {root!r}")
-    # metadata first: compact the log, retire expired CAS entries …
-    survivors = {v: manifests[v] for v in keep}
-    with open(os.path.join(root, "manifest.json"), "w") as f:
-        json.dump({str(v): m for v, m in survivors.items()}, f, indent=1)
+    # metadata first: compact the log, raise the claim floor, retire
+    # expired CAS entries …
+    _write_log(root, {v: manifests[v] for v in keep})
+    set_version_floor(root, min(keep))
     for v in versions:
         if v not in keep:
             vpath = os.path.join(root, f"manifest-v{v}.json")
@@ -323,8 +371,17 @@ def snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 MERGE rewrote (shared untouched dirs survive); the oracle derives
     the same counts relationally: dirs deleted = distinct update-touched
     years that existed in v0, dirs kept = distinct years in v1."""
-    root = _sink("snapshot_exp", spark)
-    manifests = snapshot_commit(spark, sf_dir, name="snapshot_exp")
+    # fresh root per invocation (r10): expiry raises the CAS claim floor,
+    # so a deterministic RE-RUN on the same root would try to re-claim
+    # the retired v0 and be refused — exactly the resurrect protection
+    # working as designed; the exhibit therefore commits into its own dir
+    # each time (output unchanged: the counts are input-deterministic)
+    import tempfile
+
+    base = _sink("snapshot_exp", spark)
+    os.makedirs(base, exist_ok=True)
+    root = tempfile.mkdtemp(dir=base)
+    manifests = snapshot_commit(spark, sf_dir, root=root)
     info = expire_snapshots(root, manifests, keep_last=1)
     survivor = load_manifests(root)[1]
     return (
@@ -373,6 +430,19 @@ def commit_manifest(root: str, version: int, manifest: dict[int, str]) -> str:
     a crash after the link has already published complete, durable
     content.  This is the same swap discipline as Delta's ``N.json``
     put-if-absent commit."""
+    # (r10 review) a claim below the EXPIRY FLOOR is rejected: vacuum /
+    # expire_snapshots delete retired versions' CAS files, which would
+    # otherwise REOPEN those version numbers — a lagging writer that
+    # pinned its target before the expiry could then publish a second,
+    # different "version N" into a log whose history already passed it.
+    # The floor preserves the exactly-one-writer-wins-version-N invariant
+    # across GC (real formats keep or checkpoint past retired log entries
+    # for the same reason).
+    floor = version_floor(root)
+    if version < floor:
+        raise SnapshotConflict(
+            f"version {version} is below the expiry floor {floor} under "
+            f"{root} — that version number was retired by vacuum/expiry")
     path = os.path.join(root, f"manifest-v{version}.json")
     tmp = os.path.join(root, f".manifest-v{version}.{os.getpid()}."
                              f"{uuid.uuid4().hex[:8]}.tmp")
@@ -387,7 +457,47 @@ def commit_manifest(root: str, version: int, manifest: dict[int, str]) -> str:
             f"version {version} already committed under {root}") from None
     finally:
         os.unlink(tmp)
+    # fsync the DIRECTORY so the new entry itself is durable: without it
+    # a power loss right after the link can lose the dirent — the writer
+    # observed a successful commit that a restart no longer sees
+    try:
+        dfd = os.open(root, os.O_DIRECTORY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+    except OSError:
+        pass    # platforms without O_DIRECTORY keep the old guarantee
     return path
+
+
+_FLOOR_FILE = "_version_floor"
+
+
+def version_floor(root: str) -> int:
+    """Lowest version number still claimable under `root` (0 when no
+    expiry has ever run)."""
+    try:
+        with open(os.path.join(root, _FLOOR_FILE)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return 0
+
+
+def set_version_floor(root: str, floor: int) -> None:
+    """Record (monotonically) the lowest retained version after an
+    expiry/vacuum — see commit_manifest's floor check.  Atomic replace;
+    never lowers an existing floor."""
+    cur = version_floor(root)
+    if floor <= cur:
+        return
+    path = os.path.join(root, _FLOOR_FILE)
+    tmp = f"{path}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        f.write(str(floor))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 def read_committed_manifest(root: str, version: int) -> dict[int, str]:

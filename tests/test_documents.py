@@ -1751,3 +1751,29 @@ def test_store_save_docs_retry_does_not_duplicate_keyless_docs(
     rows = store.read_family("kfam", "kfam").collect()
     assert sorted(r["name"] for r in rows) == ["keyless_a", "keyless_b"]
     assert len(rows) == 2          # pre-fix: 4 (each doc under two keys)
+
+
+def test_vacuum_raises_claim_floor_for_retired_versions(spark, tmp_path):
+    """r10 review fix (snapshots CAS): vacuum deletes retired versions'
+    put-if-absent files, which would REOPEN those version numbers — a
+    lagging writer pinned before the expiry could then publish a second,
+    different 'version N'.  The floor marker written at every GC site
+    makes such claims fail with SnapshotConflict, preserving
+    exactly-one-writer-wins-version-N across GC; keep_last < 1 is
+    rejected everywhere instead of silently retaining everything."""
+    from json_sql_database_storage_spark.operators.snapshots import (
+        SnapshotConflict, commit_manifest,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "collections"))
+    df = spark.createDataFrame([(1, 10)], f"{KEY} long, x long")
+    store.upsert(df, "t")                                   # v0
+    store.upsert(df, "t")                                   # v1
+    store.vacuum("t", keep_last=1, min_age_seconds=0)       # retires v0
+    with pytest.raises(SnapshotConflict, match="floor"):
+        commit_manifest(store._root("t"), 0, {0: "resurrected"})
+    # normal head+1 claims keep working
+    store.upsert(df, "t")                                   # v2
+    assert store.version("t") == 2
+    with pytest.raises(ValueError, match=">= 1"):
+        store.vacuum("t", keep_last=0, min_age_seconds=0)
