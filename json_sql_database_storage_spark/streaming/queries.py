@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..functions.exact import dec
+from ..functions.exact import dec, dsum
 from ..registry import register
 from ..sources import load_table
 from .runner import (cleanup, read_event_stream, run_stream_to_table,
@@ -34,7 +34,7 @@ def _tumbling_agg(ev: DataFrame) -> DataFrame:
     return (
         ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.round(F.sum(dec("value")), 2).cast("double").alias("total_value"))
+             dsum("value").alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type",
                 "n", "total_value")
     )
@@ -123,14 +123,19 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Append-mode oracle: in-order replay means sessions are exact; emitted =
 # sessions whose end (last event + 30 min gap, Spark's session_window end)
 # has passed the final watermark max(ts) - 2 hours.  The session set itself
-# is the same lag/gap-cumsum closure the batch twin below uses.
+# is the same lag/gap-cumsum closure the batch twin below uses.  Gap test
+# is EXACT integer microseconds (r10 review: DuckDB's
+# date_diff('second') counts boundary CROSSINGS, so a real gap in
+# (1800, 1801)s read as 1800 — a data-dependent flake zone; epoch_us
+# matches the Spark twins' unix_micros arithmetic bit-for-bit, leaving
+# only the measure-zero exactly-1800.000000s tie, where all three agree).
 @register(
     "stream_session_window",
     oracle="""
 WITH gaps AS (
   SELECT user_id, ts,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -175,7 +180,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH gaps AS (
   SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -276,10 +281,17 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = stage_event_chunks(spark, sf_dir)
     try:
         ev = read_event_stream(spark, staged).withWatermark("ts", "1 hour")
-        # duplicate the stream with itself: union → dropDuplicates must
-        # restore exactly-once per event_id
+        # duplicate the stream with itself: union → dedup must restore
+        # exactly-once per event_id.  dropDuplicatesWithinWatermark, NOT
+        # dropDuplicates([\"event_id\"]) (r10 review): with a key subset
+        # that omits the event-time column, plain dropDuplicates never
+        # lets the watermark evict dedup state — every event_id ever seen
+        # stays in the state store forever, the unbounded growth the
+        # watermark exists to prevent.  The within-watermark form evicts
+        # keys once the watermark passes them, and a duplicate arriving
+        # inside the delay (here: the same micro-batch) still dedups.
         deduped = (ev.unionByName(ev)
-                   .dropDuplicates(["event_id"])
+                   .dropDuplicatesWithinWatermark(["event_id"])
                    .groupBy("event_type")
                    .agg(F.count(F.lit(1)).alias("n")))
         return run_stream_to_table(deduped, output_mode="complete") \
@@ -366,9 +378,9 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         cleanup(staged)
 
 
-# b9.8 foreachBatch incremental materialized view: each micro-batch's
 # ---------------------------------------------------------------------------
-# r7 — IDEMPOTENT foreachBatch commit protocol.  Structured Streaming
+# r7 — IDEMPOTENT foreachBatch commit protocol (used by b9.8 below).
+# Structured Streaming
 # delivers micro-batches to foreachBatch AT-LEAST-ONCE: after a failure the
 # same batch_id can be re-delivered, and a sink that blindly appends (the
 # pre-r7 in-memory version counter) double-counts it.  The standard fix
@@ -392,6 +404,17 @@ def _read_version_marker(state_dir: str) -> int:
             return int(f.read())
     except FileNotFoundError:
         return -1
+    except ValueError:
+        # a torn/empty marker is ambiguous evidence (the fsync below makes
+        # it near-impossible, but pre-fix state dirs may carry one): fail
+        # with recovery instructions rather than silently treating it as
+        # "no state" — which would let make_version rebuild from one
+        # batch and drop every prior batch's contribution
+        raise RuntimeError(
+            f"corrupt _latest marker in {state_dir} — restore it to the "
+            f"highest fully-written v<N> directory's N (verify that "
+            f"version's parquet read succeeds first), or clear the state "
+            f"dir AND the stream checkpoint together") from None
 
 
 def versioned_batch_apply(spark: SparkSession, state_dir: str,
@@ -414,7 +437,11 @@ def versioned_batch_apply(spark: SparkSession, state_dir: str,
     latest = _read_version_marker(state_dir)
     if batch_id <= latest:
         return False
-    if latest >= 0 and batch_id != latest + 1:
+    if batch_id != latest + 1:
+        # r10 review: also fires when the marker is MISSING (latest == -1)
+        # and batch_id > 0 — a lost/tmp-swept state dir under a surviving
+        # stream checkpoint would otherwise silently rebuild state from
+        # one batch, dropping every prior batch's contribution
         raise ValueError(
             f"batch id gap in {state_dir}: have v{latest}, got batch "
             f"{batch_id} — refusing to silently skip "
@@ -426,6 +453,10 @@ def versioned_batch_apply(spark: SparkSession, state_dir: str,
     tmp = os.path.join(state_dir, "_latest.tmp")
     with open(tmp, "w") as f:
         f.write(str(batch_id))
+        f.flush()
+        os.fsync(f.fileno())    # the marker IS the commit point — a torn
+        # marker after a crash would wedge the state dir (see
+        # _read_version_marker)
     os.replace(tmp, os.path.join(state_dir, "_latest"))
     # prune: keep v{batch_id} (current) and v{latest} (the replay-window
     # predecessor a crashed-and-replayed batch_id recomputes from)
@@ -441,12 +472,14 @@ def versioned_batch_apply(spark: SparkSession, state_dir: str,
 
 
 
-# partial aggregate merges into a versioned parquet view (read v_i, union,
-# re-aggregate, write v_{i+1} — alternating versions, never reading the
-# file being overwritten).  This is the canonical foreachBatch upsert
-# pattern for sinks without native streaming support; integer cents keep
-# the merge exactly associative, so the final view equals the whole-table
-# aggregate regardless of batch boundaries.
+# b9.8 foreachBatch incremental materialized view: each micro-batch's
+# partial aggregate merges into the versioned parquet view (read
+# v{latest}, union, re-aggregate, write v{batch_id} through the
+# batch-id-keyed protocol above — the pre-r7 "alternating versions"
+# scheme is gone).  This is the canonical foreachBatch upsert pattern for
+# sinks without native streaming support; integer cents keep the merge
+# exactly associative, so the final view equals the whole-table aggregate
+# regardless of batch boundaries.
 @register(
     "stream_foreach_batch_matview",
     oracle="""
@@ -683,7 +716,7 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # b9.11 (r5 addendum) transformWithState custom stateful processor — the
-# Spark 4 successor to applyInPandasWithState (b9.3 uses the older API;
+# Spark 4 successor to applyInPandasWithState (b9.6 uses the older API;
 # both stay registered because both exist in the wild).  A per-user
 # StatefulProcessor keeps (n_events, value_cents_sum) in a ValueState and
 # emits the updated totals every micro-batch; the arbitrary-state surface
@@ -814,17 +847,20 @@ def _stage_with_sentinel(spark: SparkSession, sf_dir: str) -> str:
     # in which that watermark actually evicts + emits the remaining outer
     # rows — processAllAvailable does not reliably run a trailing no-data
     # micro-batch, so the final eviction must ride a real one.
+    # ONE max(ts) scan for both sentinels (r10 review: the loop re-ran
+    # the aggregate per sentinel for an identical base value)
+    max_day = (load_table(spark, sf_dir, "events")
+               .agg(F.max("ts").cast("date").alias("d")).collect()[0]["d"])
     for i, days in enumerate((30, 60)):
         # one view AND one purchase row per sentinel: the global watermark
         # is the MIN across both sides' event-time columns, so a
         # view-only sentinel would leave the purchase watermark pinned at
         # the last real chunk and the tail views would never evict
-        far = (load_table(spark, sf_dir, "events")
-               .agg(F.date_add(F.max("ts").cast("date"), days)
-                    .cast("timestamp").alias("ts"))
-               .crossJoin(spark.createDataFrame(
-                   [("view",), ("purchase",)], "event_type string"))
-               .select(F.lit(-1 - i).cast("bigint").alias("event_id"), "ts",
+        far = (spark.createDataFrame([("view",), ("purchase",)],
+                                     "event_type string")
+               .select(F.lit(-1 - i).cast("bigint").alias("event_id"),
+                       F.date_add(F.lit(max_day), days).cast("timestamp")
+                       .alias("ts"),
                        F.lit(_SENTINEL_USER).cast("bigint").alias("user_id"),
                        "event_type",
                        F.lit(0.0).alias("value"),

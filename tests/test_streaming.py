@@ -254,3 +254,26 @@ def test_document_store_as_cdc_sink_is_value_idempotent_under_replay(
     # …whose content the ts-guarded merge left IDENTICAL: the replayed
     # batch's rows lose to the newer state already in the store
     assert rows_after == expected
+
+
+def test_versioned_batch_apply_rejects_lost_state_dir(spark, tmp_path):
+    """r10 review fix: a MISSING _latest marker with batch_id > 0 (state
+    dir swept while the stream checkpoint survived) must fail loudly —
+    silently rebuilding from one batch would drop every prior batch's
+    contribution, the exact loss the gap check exists to prevent."""
+    import os
+
+    import pytest as _p
+
+    from json_sql_database_storage_spark.streaming.queries import (
+        versioned_batch_apply,
+    )
+
+    state = str(tmp_path / "state")
+    os.makedirs(state)
+    ident = lambda prev: spark.range(3).toDF("x")   # noqa: E731
+    assert versioned_batch_apply(spark, state, 0, ident)
+    assert versioned_batch_apply(spark, state, 1, ident)
+    os.remove(os.path.join(state, "_latest"))       # the tmp sweep
+    with _p.raises(ValueError, match="batch id gap"):
+        versioned_batch_apply(spark, state, 2, ident)
