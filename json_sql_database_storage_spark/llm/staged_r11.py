@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from .clustering import _assign_sql, assign_cells
-from .similarity import as_double
+from .similarity import _COSINE_SQL, as_double
 from .text_analysis import tokens
 
 # ---------------------------------------------------------------------------
@@ -371,6 +371,419 @@ ORDER BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# stream_index_maintenance — the STREAMING twin of the registered
+# text_index_maintenance exhibit (r9 verdict next-round #7, surfaced as a
+# driver row): build BM25 over the corpus, then feed TWO document-CDF
+# micro-batches (update+insert, then delete+update) through
+# bm25_stream_maintain — the foreachBatch sink whose exactly-once
+# guarantee is the index's OWN CAS manifest tag — and probe.  The oracle
+# scores the post-change corpus with the registered BM25 recipe (snapped
+# fixed-point idf, integer-cleared tf-norm, ordered per-term sum), so a
+# dropped batch, a double-applied batch, a stale posting, or an unfixed
+# df count all hash-mismatch.
+#
+# 100-TB design: per-batch cost is bm25_apply_changes' O(delta +
+# tombstone join) contract — the stream never re-reads or re-tokenizes
+# the base corpus; the replay/idempotence path (re-delivered batches
+# no-op on the manifest-recorded tag) is pinned at
+# tests/test_llm.py::test_bm25_stream_maintain_replay_is_exactly_once.
+# ---------------------------------------------------------------------------
+
+_SIM_UPD_A = 7          # updated in batch 0 (text now matches the terms)
+_SIM_UPD_B = 3          # updated in batch 1
+_SIM_DEL_ID = 11        # deleted in batch 1
+_SIM_TXT_A = "join vector stream fresh"
+_SIM_TXT_B = "vector benchmark stream update"
+_SIM_TXT_NEW = "join vector crawl stream"
+
+
+def stream_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from .search import (_BM25_TERMS, _BM25_TOPK, bm25_build, bm25_probe,
+                         bm25_stream_maintain)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    paths = bm25_build(spark, docs, "bm25_stream_exhibit")
+    new_id = int(docs.agg(F.max("doc_id")).collect()[0][0]) + 1
+
+    cdf = "doc_id bigint, text string, op string"
+    chunks = [
+        spark.createDataFrame([(_SIM_UPD_A, _SIM_TXT_A, "u"),
+                               (new_id, _SIM_TXT_NEW, "u")], cdf),
+        spark.createDataFrame([(_SIM_DEL_ID, None, "d"),
+                               (_SIM_UPD_B, _SIM_TXT_B, "u")], cdf),
+    ]
+    # stage each chunk as ONE parquet file with strictly increasing
+    # mtimes (the tag↔file stability contract in bm25_stream_maintain's
+    # docstring; maxFilesPerTrigger=1 → one micro-batch per file).  The
+    # dir is fresh per invocation, so re-running the exhibit replays the
+    # SAME batch ids against a freshly rebuilt manifest — deterministic.
+    staged = tempfile.mkdtemp(prefix="bm25_stream_exhibit_")
+    try:
+        for seq, df in enumerate(chunks):
+            tmp = os.path.join(staged, f"__stage_{seq}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            for f in os.listdir(tmp):
+                if f.endswith(".parquet"):
+                    dst = os.path.join(staged, f"chunk_{seq:03d}.parquet")
+                    shutil.move(os.path.join(tmp, f), dst)
+                    ts = time.time() + seq
+                    os.utime(dst, (ts, ts))
+            shutil.rmtree(tmp)
+        bm25_stream_maintain(spark, paths, staged)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+    return bm25_probe(spark, paths, _BM25_TERMS, _BM25_TOPK)
+
+
+def _stream_maint_oracle() -> str:
+    # the registered text_bm25_topk oracle scored over the post-stream
+    # corpus (both batches applied exactly once)
+    from .search import _BM25_TERMS, _BM25_TOPK
+
+    return rf"""
+WITH documents_m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = {_SIM_UPD_A} THEN '{_SIM_TXT_A}'
+              WHEN doc_id = {_SIM_UPD_B} THEN '{_SIM_TXT_B}'
+              ELSE text END AS text
+  FROM documents WHERE doc_id <> {_SIM_DEL_ID}
+  UNION ALL
+  SELECT (SELECT max(doc_id) + 1 FROM documents), '{_SIM_TXT_NEW}'
+), w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+  FROM documents_m
+), stats AS (
+  SELECT count(*) AS t_tokens, count(DISTINCT doc_id) AS n_docs FROM w
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id
+), post AS (
+  SELECT doc_id, term, count(*) AS tf FROM w
+  WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, count(*) AS df FROM post GROUP BY term
+), idf AS (
+  SELECT df.term,
+         CAST(floor(ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+                    * 1000000 + 0.5) AS BIGINT) AS idf_q6
+  FROM df CROSS JOIN stats
+), contrib AS (
+  SELECT p.doc_id, p.term,
+         (CAST(i.idf_q6 AS DOUBLE) / 1000000.0)
+         * (CAST(10 * s.t_tokens * p.tf AS DOUBLE)
+            / CAST(10 * s.t_tokens * p.tf + 3 * s.t_tokens
+                   + 9 * d.dl * s.n_docs AS DOUBLE)) AS c
+  FROM post p
+  JOIN idf i USING (term)
+  JOIN dl d USING (doc_id)
+  CROSS JOIN stats s
+), scored AS (
+  SELECT doc_id, count(*) AS n_terms_matched,
+         list_sum(list(c ORDER BY term)) AS score
+  FROM contrib GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id, n_terms_matched, score,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
+       score, rk
+FROM ranked WHERE rk <= {_BM25_TOPK}
+ORDER BY rk
+"""
+
+# ---------------------------------------------------------------------------
+# sample_weighted_no_replacement — exact-k weighted sampling WITHOUT
+# replacement (Efraimidis–Spirakis A-ES, the token-weighted corpus
+# sampler: long documents proportionally likelier, no doc twice).  Each
+# doc draws a deterministic uniform u ∈ (0,1] from its md5 prefix (the
+# arithmetic-hash discipline — no rand(), so task retries and both
+# engines agree exactly), and its exponential key -ln(u)/w (w = token
+# count) snaps to q6 fixed-point (the BM25 idf_q6 discipline, so the
+# cross-engine float comparison is on snapped BIGINTs); the k smallest
+# keys win.
+#
+# 100-TB design: key assignment is a pure projection; the top-k is
+# TakeOrderedAndProject (per-partition heaps forward ≤k rows each), so
+# shuffle bytes are O(k × partitions) at any corpus size — the
+# sample_reservoir_global shape with weights.
+# ---------------------------------------------------------------------------
+
+_WNR_K = 60
+
+
+def sample_weighted_no_replacement(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id", "source",
+                    F.size(tokens(F.col("text"))).cast("bigint")
+                    .alias("w"))
+            .filter(F.col("w") > 0))
+    h = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16, 10).cast("bigint"))
+    u = (h + 1).cast("double") / F.lit(4294967296.0)
+    key_q6 = F.floor((-F.log(u) / F.col("w").cast("double")) * 1000000
+                     + 0.5).cast("bigint")
+    return (docs.select("doc_id", "source", "w", key_q6.alias("key_q6"))
+            .orderBy("key_q6", "doc_id").limit(_WNR_K)
+            .select("doc_id", "source", "w")
+            .orderBy("doc_id"))
+
+
+_WNR_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT)
+           AS w
+  FROM documents
+), keyed AS (
+  SELECT doc_id, source, w,
+         CAST(floor((-ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                1, 8)) AS UBIGINT) + 1)
+                          / 4294967296.0)
+                     / CAST(w AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           AS key_q6
+  FROM docs WHERE w > 0
+)
+SELECT doc_id, source, w FROM (
+  SELECT doc_id, source, w FROM keyed
+  ORDER BY key_q6, doc_id
+  LIMIT {_WNR_K}
+)
+ORDER BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# sim_ann_recall_curve — the IVF QUALITY curve: recall@5 of the
+# registered IVF probe at nprobe ∈ {1,2,3} against the exact
+# brute-force top-5 (the evaluation every ANN deployment runs before
+# picking its probe budget; sim_ivf_topk fixes nprobe=3 — this measures
+# what each probe step buys).  Cells/assignment/probe ranking are the
+# sim_ivf_topk machinery verbatim; the exact side is the sim_cosine_topk
+# shape; hits are one equi-join on (query, neighbor); recall divides two
+# exact BIGINTs.
+#
+# 100-TB design: centroids broadcast (k rows); candidate scoring touches
+# only probed cells; the exact side is the EVALUATION harness — it runs
+# over the bounded query sample (10 queries × corpus, a broadcast-side
+# linear scan), which is how recall is measured at any scale.  The curve
+# table itself is 3 rows.
+# ---------------------------------------------------------------------------
+
+_RECALL_TOPK = 5
+_RECALL_NQ = 10
+
+
+def sim_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import (cell_similarities, cosine, label_centroids)
+
+    v = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", "label", as_double(F.col("embedding"))
+                 .alias("e")))
+    sims = cell_similarities(v, label_centroids(v))
+    assigned = (sims.groupBy("vec_id")
+                .agg(F.max_by("c_label", F.col("cs")).alias("cell"),
+                     F.first("e").alias("e")))
+    wq = W.partitionBy("vec_id").orderBy(F.col("cs").desc(), "c_label")
+    probes = (sims.filter(F.col("vec_id") < _RECALL_NQ)
+              .withColumn("prk", F.row_number().over(wq))
+              .filter(F.col("prk") <= 3)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("c_label").alias("qcell"),
+                      F.col("prk").alias("prk"), F.col("e").alias("qe")))
+    # candidates once (nprobe=3 superset), scored once; the per-nprobe
+    # rank filters on the carried prk
+    cand = (assigned.join(F.broadcast(probes),
+                          (F.col("cell") == F.col("qcell"))
+                          & (F.col("vec_id") != F.col("query_id")))
+            .select("query_id", "prk",
+                    F.col("vec_id").alias("neighbor_id"),
+                    cosine(F.col("qe"), F.col("e")).alias("cos_sim")))
+    np_df = spark.range(1, 4).select(F.col("id").cast("int")
+                                     .alias("nprobe"))
+    per = cand.join(F.broadcast(np_df), F.col("prk") <= F.col("nprobe"))
+    wr = (W.partitionBy("nprobe", "query_id")
+          .orderBy(F.col("cos_sim").desc(), "neighbor_id"))
+    ivf_top = (per.withColumn("rk", F.row_number().over(wr))
+               .filter(F.col("rk") <= _RECALL_TOPK)
+               .select("nprobe", "query_id", "neighbor_id"))
+    # exact top-5 per query: bounded query sample × corpus
+    q = (v.filter(F.col("vec_id") < _RECALL_NQ)
+         .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe")))
+    ex = (v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+          .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                  cosine(F.col("qe"), F.col("e")).alias("cos_sim")))
+    we = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                           "neighbor_id")
+    exact_top = (ex.withColumn("rk", F.row_number().over(we))
+                 .filter(F.col("rk") <= _RECALL_TOPK)
+                 .select("query_id", "neighbor_id"))
+    hits = (ivf_top.join(exact_top, ["query_id", "neighbor_id"])
+            .groupBy("nprobe")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits")))
+    return (hits.select(
+        "nprobe",
+        F.lit(_RECALL_NQ * _RECALL_TOPK).cast("bigint").alias("n_truth"),
+        "n_hits",
+        (F.col("n_hits").cast("double")
+         / F.lit(float(_RECALL_NQ * _RECALL_TOPK))).alias("recall_at_5"))
+        .orderBy("nprobe"))
+
+
+_RECALL_SQL = f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+     flat AS (
+  SELECT label, unnest(range(len(e))) AS pos, unnest(e) AS val FROM v
+), cent AS (
+  SELECT label AS c_label, list(avg_val ORDER BY pos) AS ce
+  FROM (SELECT label, pos, sum(val) / count(*) AS avg_val
+        FROM flat GROUP BY label, pos)
+  GROUP BY label
+), sims AS (
+  SELECT v.vec_id, v.e, c.c_label,
+         {_COSINE_SQL.format(a="v.e", b="c.ce")} AS cs
+  FROM v CROSS JOIN cent c
+), assigned AS (
+  SELECT vec_id, arg_max(c_label, cs) AS cell, any_value(e) AS e
+  FROM sims GROUP BY vec_id
+), probes AS (
+  SELECT vec_id AS query_id, c_label AS qcell, prk, e AS qe
+  FROM (SELECT vec_id, c_label, e,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cs DESC, c_label) AS prk
+        FROM sims WHERE vec_id < {_RECALL_NQ})
+  WHERE prk <= 3
+), cand AS (
+  SELECT p.query_id, p.prk, a.vec_id AS neighbor_id,
+         {_COSINE_SQL.format(a="p.qe", b="a.e")} AS cos_sim
+  FROM assigned a JOIN probes p
+    ON a.cell = p.qcell AND a.vec_id != p.query_id
+), np AS (SELECT unnest([1, 2, 3]) AS nprobe),
+ivf_top AS (
+  SELECT nprobe, query_id, neighbor_id FROM (
+    SELECT np.nprobe, c.query_id, c.neighbor_id,
+           row_number() OVER (PARTITION BY np.nprobe, c.query_id
+                              ORDER BY c.cos_sim DESC, c.neighbor_id)
+             AS rk
+    FROM cand c JOIN np ON c.prk <= np.nprobe
+  ) WHERE rk <= {_RECALL_TOPK}
+), q AS (
+  SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {_RECALL_NQ}
+), ex AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         {_COSINE_SQL.format(a="q.qe", b="v.e")} AS cos_sim
+  FROM q JOIN v ON v.vec_id != q.query_id
+), exact_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_sim DESC, neighbor_id) AS rk
+    FROM ex
+  ) WHERE rk <= {_RECALL_TOPK}
+)
+SELECT CAST(i.nprobe AS INT) AS nprobe,
+       CAST({_RECALL_NQ * _RECALL_TOPK} AS BIGINT) AS n_truth,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(count(*) AS DOUBLE)
+         / {float(_RECALL_NQ * _RECALL_TOPK)} AS recall_at_5
+FROM ivf_top i
+JOIN exact_top e USING (query_id, neighbor_id)
+GROUP BY 1
+ORDER BY nprobe
+"""
+
+
+# ---------------------------------------------------------------------------
+# text_source_overlap — pairwise 5-gram Jaccard between SOURCES (the
+# cross-source contamination matrix: text_decontamination asks "is the
+# benchmark in the corpus"; this asks which corpus sources copy from
+# each other — mirror crawls and syndicated content show up as
+# off-diagonal mass long before doc-level dedup finds the pairs).
+# Grams ride as DISTINCT (source, gram) rows (the text_ngram_novelty
+# recipe, source-keyed); the pair census is a gram-keyed self-join whose
+# per-gram fan-out is ≤ C(|sources|, 2) — catalog-bounded, never
+# corpus-bounded; Jaccard divides exact BIGINTs.
+#
+# 100-TB design: the distinct collapse happens BEFORE the self-join, so
+# join input is hashed-gram-sized; per-source totals are one map-side-
+# combinable census; output is |sources|² rows.  The hot-gram fan-out
+# cap is structural (a gram contributes at most 190 pairs at 20
+# sources), unlike a doc-level self-join.
+# ---------------------------------------------------------------------------
+
+_OVL_N = 5
+
+
+def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (docs.select("source", tokens(F.col("text")).alias("t"))
+            .filter(F.size("t") >= _OVL_N))
+    grams = (toks.select(
+        "source",
+        F.explode(F.transform(
+            F.sequence(F.lit(0), F.size("t") - F.lit(_OVL_N)),
+            lambda i: F.concat_ws(" ", *[F.get(F.col("t"), i + k)
+                                         for k in range(_OVL_N)])))
+        .alias("g"))
+        .distinct())
+    totals = (grams.groupBy("source")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    pairs = (grams.alias("a")
+             .join(grams.select(F.col("source").alias("source_b"),
+                                F.col("g")).alias("b"), ["g"])
+             .filter(F.col("a.source") < F.col("source_b"))
+             .groupBy(F.col("a.source").alias("source_a"), "source_b")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_common")))
+    ta = totals.select(F.col("source").alias("source_a"),
+                       F.col("n").alias("n_a"))
+    tb = totals.select(F.col("source").alias("source_b"),
+                       F.col("n").alias("n_b"))
+    return (pairs.join(F.broadcast(ta), "source_a")
+            .join(F.broadcast(tb), "source_b")
+            .select("source_a", "source_b", "n_common",
+                    (F.col("n_common").cast("double")
+                     / (F.col("n_a") + F.col("n_b")
+                        - F.col("n_common")).cast("double"))
+                    .alias("jaccard"))
+            .orderBy("source_a", "source_b"))
+
+
+_OVERLAP_SQL = rf"""
+WITH toks AS (
+  SELECT source, regexp_split_to_array(lower(text), '\s+') AS t
+  FROM documents
+), grams AS (
+  SELECT DISTINCT source,
+         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]
+              || ' ' || t[i + 4] AS g
+  FROM (SELECT source, t,
+               unnest(generate_series(1, len(t) - {_OVL_N - 1})) AS i
+        FROM toks WHERE len(t) >= {_OVL_N})
+), totals AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY source
+), pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM grams a JOIN grams b USING (g)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_common,
+       CAST(n_common AS DOUBLE)
+         / CAST(ta.n + tb.n - n_common AS DOUBLE) AS jaccard
+FROM pairs
+JOIN totals ta ON ta.source = source_a
+JOIN totals tb ON tb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+
 STAGED: dict = {
     "dedup_cluster_size_histogram": (dedup_cluster_size_histogram,
                                      _cluster_hist_sql()),
@@ -379,4 +792,10 @@ STAGED: dict = {
     "text_doc_length_gini": (text_doc_length_gini, _GINI_SQL),
     "sim_label_purity": (sim_label_purity, _PURITY_SQL),
     "text_zipf_slope": (text_zipf_slope, _ZIPF_SQL),
+    "stream_index_maintenance": (stream_index_maintenance,
+                                 _stream_maint_oracle()),
+    "sample_weighted_no_replacement": (sample_weighted_no_replacement,
+                                       _WNR_SQL),
+    "sim_ann_recall_curve": (sim_ann_recall_curve, _RECALL_SQL),
+    "text_source_overlap": (text_source_overlap, _OVERLAP_SQL),
 }

@@ -575,6 +575,194 @@ WHERE v * {_Q11_DEN} > t
 ORDER BY v DESC, p_partkey
 """
 
+# ---------------------------------------------------------------------------
+# q_order_size_histogram — the lineitems-per-order distribution (the
+# basket-size census behind co-purchase cost models: q_copurchase_pairs'
+# pair blow-up is Σ C(items,2), and THIS is the table that bounds it).
+# Two map-side-combinable censuses — per-order item count, then the
+# count-of-counts — plus one exact share division.
+#
+# 100-TB design: the first census collapses the fact table to one row
+# per order before the second touches anything; the histogram itself is
+# a ≤max-basket-size table.  No joins, no global step, no windows.
+# ---------------------------------------------------------------------------
+
+
+def q_order_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_order = (load_table(spark, sf_dir, "lineitem")
+                 .groupBy("l_orderkey")
+                 .agg(F.count(F.lit(1)).cast("bigint").alias("n_items")))
+    hist = (per_order.groupBy("n_items")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders")))
+    tot = hist.agg(F.sum("n_orders").cast("bigint").alias("t"))
+    return (hist.crossJoin(F.broadcast(tot))
+            .select("n_items", "n_orders",
+                    (F.col("n_orders").cast("double")
+                     / F.col("t").cast("double")).alias("share"))
+            .orderBy("n_items"))
+
+
+_OSIZE_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
+  FROM lineitem GROUP BY 1
+), hist AS (
+  SELECT n_items, CAST(count(*) AS BIGINT) AS n_orders
+  FROM per_order GROUP BY 1
+), tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS t FROM hist)
+SELECT n_items, n_orders,
+       CAST(n_orders AS DOUBLE) / CAST(t AS DOUBLE) AS share
+FROM hist, tot
+ORDER BY n_items
+"""
+
+# ---------------------------------------------------------------------------
+# q_discount_quantity_corr — per-brand Pearson correlation between
+# discount and quantity (the price-elasticity proxy: does discounting
+# move volume, and for which brands).  Both variables live in exact
+# integer domains (discount → whole percent via the cents-snap, quantity
+# integral by construction), so all five moments are exact BIGINTs;
+# r = (n·Σxy − Σx·Σy) / (√(n·Σxx−Σx²)·√(n·Σyy−Σy²)) evaluates in doubles
+# with IEEE-exact sqrt — bit-identical cross-engine (the assortativity
+# moment recipe, per-group).
+#
+# 100-TB design: one broadcast join to the part dim for the brand key;
+# the moments are map-side-combinable per brand (a catalog-sized
+# domain).  Per-row squares are ≤ 2500, so the BIGINT moment sums hold
+# exactly to ~10^15 rows per brand; the cross-moment PRODUCTS (n·Σxx
+# etc.) evaluate in the double domain (the assortativity recipe) — no
+# int64 overflow at any scale, and both engines run the identical IEEE
+# ops.  No windows, no global step.
+# ---------------------------------------------------------------------------
+
+
+def q_discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_partkey",
+                  F.floor(F.col("l_discount") * 100 + F.lit(0.5))
+                  .cast("bigint").alias("x"),
+                  F.col("l_quantity").cast("bigint").alias("y")))
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = (li.join(F.broadcast(part),
+                 li.l_partkey == part.p_partkey)
+         .groupBy("p_brand")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+              F.sum("x").cast("bigint").alias("sx"),
+              F.sum("y").cast("bigint").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy")))
+    d = lambda c: F.col(c).cast("double")    # noqa: E731
+    corr = ((d("n") * d("sxy") - d("sx") * d("sy"))
+            / (F.sqrt(d("n") * d("sxx") - d("sx") * d("sx"))
+               * F.sqrt(d("n") * d("syy") - d("sy") * d("sy"))))
+    return (m.select("p_brand", "n", corr.alias("disc_qty_corr"))
+            .orderBy("p_brand"))
+
+
+_DQCORR_SQL = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x,
+         CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem
+), m AS (
+  SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM li JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         AS disc_qty_corr
+FROM m
+ORDER BY p_brand
+"""
+
+# ---------------------------------------------------------------------------
+# q_ship_latency_p95 — exact p95 order→ship latency per supplier nation
+# (the SLA tail metric; mean latency hides exactly the tail that
+# matters).  The testdata carries no commit/receipt dates, so latency =
+# datediff(l_shipdate, o_orderdate) — the q12/q21 delay adaptation,
+# documented there.  Exact percentile WITHOUT a per-nation sort over the
+# fact table: latencies live in a bounded integer day domain, so a
+# (nation, delay) census + a cumulative window over that TINY table
+# yields the exact rank statistic — p95 = min delay with cum ≥
+# ceil(0.95·n), the ceil computed in pure integers ((19n+19) DIV 20).
+#
+# 100-TB design: the census is map-side-combinable; the window runs over
+# ≤ nations × day-domain rows (thousands, not billions) — this is the
+# two-pass histogram-percentile pattern that replaces the per-group sort
+# a naive percentile_disc would shuffle.  Contrast agg_median_percentile,
+# which prices the generic any-domain path.
+# ---------------------------------------------------------------------------
+
+
+def q_ship_latency_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (load_table(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate"))
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey",
+                                                     "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    delays = (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+              .select("n_name",
+                      F.datediff("l_shipdate", "o_orderdate")
+                      .cast("bigint").alias("delay")))
+    census = (delays.groupBy("n_name", "delay")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    wc = (W.partitionBy("n_name").orderBy("delay")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = (census
+           .withColumn("cum", F.sum("c").over(wc).cast("bigint"))
+           .withColumn("n", F.sum("c").over(W.partitionBy("n_name"))
+                       .cast("bigint")))
+    rank95 = F.expr("(19 * n + 19) DIV 20")
+    return (cum.filter(F.col("cum") >= rank95)
+            .groupBy("n_name")
+            .agg(F.min("delay").cast("bigint").alias("p95_ship_days"),
+                 F.min("n").cast("bigint").alias("n_lines"))
+            .select("n_name", "n_lines", "p95_ship_days")
+            .orderBy("n_name"))
+
+
+_SHIPP95_SQL = """
+WITH delays AS (
+  SELECT n_name,
+         CAST(datediff('day', o_orderdate, l_shipdate) AS BIGINT) AS delay
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+), census AS (
+  SELECT n_name, delay, CAST(count(*) AS BIGINT) AS c
+  FROM delays GROUP BY 1, 2
+), cum AS (
+  SELECT n_name, delay, c,
+         CAST(sum(c) OVER (PARTITION BY n_name ORDER BY delay
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         CAST(sum(c) OVER (PARTITION BY n_name) AS BIGINT) AS n
+  FROM census
+)
+SELECT n_name, CAST(min(n) AS BIGINT) AS n_lines,
+       CAST(min(delay) AS BIGINT) AS p95_ship_days
+FROM cum
+WHERE cum >= (19 * n + 19) // 20
+GROUP BY n_name
+ORDER BY n_name
+"""
+
 STAGED: dict = {
     "q2_min_cost_supplier": (q2_min_cost_supplier, _Q2_SQL),
     "q11_important_stock": (q11_important_stock, _Q11_SQL),
@@ -585,4 +773,7 @@ STAGED: dict = {
     "q_brand_monthly_movers": (q_brand_monthly_movers, _MOVERS_SQL),
     "q9_product_type_profit": (q9_product_type_profit, _Q9_SQL),
     "events_weekday_profile": (events_weekday_profile, _WEEKDAY_SQL),
+    "q_order_size_histogram": (q_order_size_histogram, _OSIZE_SQL),
+    "q_discount_quantity_corr": (q_discount_quantity_corr, _DQCORR_SQL),
+    "q_ship_latency_p95": (q_ship_latency_p95, _SHIPP95_SQL),
 }

@@ -184,6 +184,16 @@ _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
         "region-filtered nation/supplier dims + size-filtered part keys — all dimension-bounded",
     ("operators/staged_r11.py", "q11_important_stock"):
         "nation-filtered supplier keys (dimension-bounded) + 1-row group-total threshold",
+    ("operators/staged_r11.py", "q_order_size_histogram"):
+        "1-row histogram total (map-side partials)",
+    ("operators/staged_r11.py", "q_discount_quantity_corr"):
+        "part dim (brand key only, dimension-bounded)",
+    ("operators/staged_r11.py", "q_ship_latency_p95"):
+        "supplier + nation dims (dimension-bounded)",
+    ("llm/staged_r11.py", "sim_ann_recall_curve"):
+        "10-query probe set (≤30 rows), 3-row nprobe grid, 10-row exact-side query sample — all evaluation-bounded",
+    ("llm/staged_r11.py", "text_source_overlap"):
+        "per-source distinct-gram totals (catalog-sized, one row per source)",
     ("operators/tpch_staged.py", "q22_global_sales_opportunity"):
         "1-row global average-balance threshold",
     ("operators/joins.py", "join_broadcast_dim"): "region dim (5 rows)",

@@ -106,6 +106,11 @@ def test_staged_no_unintended_scale_flags(spark, sf_dir):
             "dedup_cluster_size_histogram",
             # 1-row group-total threshold broadcast (the q15/q22 shape)
             "q11_important_stock",
+            # k-row heap for the A-ES weighted reservoir (the
+            # sample_reservoir_global shape with weights)
+            "sample_weighted_no_replacement",
+            # 1-row histogram-total share broadcast (map-side partials)
+            "q_order_size_histogram",
         },
     }
     bad = []
@@ -132,6 +137,23 @@ def test_staged_movers_uses_take_ordered(spark, sf_dir):
 
     plan = explain_formatted(q_brand_monthly_movers(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_staged_stream_index_maintenance_invocation_stable(spark, sf_dir):
+    """The streaming exhibit rebuilds its index and replays the SAME two
+    CDF batches from a fresh staged dir on every call — so a second
+    invocation (bench reruns, the driver after pytest) must return the
+    identical frame, not a doubly-applied one."""
+    from json_sql_database_storage_spark.llm.staged_r11 import (
+        stream_index_maintenance,
+    )
+
+    first = [tuple(r) for r in
+             stream_index_maintenance(spark, sf_dir).collect()]
+    assert first
+    second = [tuple(r) for r in
+              stream_index_maintenance(spark, sf_dir).collect()]
+    assert second == first
 
 
 def test_staged_vacuum_family_expired_the_floor(spark, sf_dir, tmp_path):
