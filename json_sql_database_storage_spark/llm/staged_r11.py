@@ -399,11 +399,10 @@ _SIM_TXT_NEW = "join vector crawl stream"
 
 
 def stream_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import shutil
     import tempfile
-    import time
 
+    from ..streaming.runner import stage_chunk_file
     from .search import (_BM25_TERMS, _BM25_TOPK, bm25_build, bm25_probe,
                          bm25_stream_maintain)
 
@@ -426,15 +425,7 @@ def stream_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = tempfile.mkdtemp(prefix="bm25_stream_exhibit_")
     try:
         for seq, df in enumerate(chunks):
-            tmp = os.path.join(staged, f"__stage_{seq}")
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            for f in os.listdir(tmp):
-                if f.endswith(".parquet"):
-                    dst = os.path.join(staged, f"chunk_{seq:03d}.parquet")
-                    shutil.move(os.path.join(tmp, f), dst)
-                    ts = time.time() + seq
-                    os.utime(dst, (ts, ts))
-            shutil.rmtree(tmp)
+            stage_chunk_file(df, staged, seq)
         bm25_stream_maintain(spark, paths, staged)
     finally:
         shutil.rmtree(staged, ignore_errors=True)
@@ -583,10 +574,15 @@ _RECALL_NQ = 10
 def sim_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .similarity import (cell_similarities, cosine, label_centroids)
 
+    from ..registry import scoped_persist
+
     v = (load_table(spark, sf_dir, "embeddings")
          .select("vec_id", "label", as_double(F.col("embedding"))
                  .alias("e")))
-    sims = cell_similarities(v, label_centroids(v))
+    # sims feeds BOTH the assignment groupBy and the probe window —
+    # persist it once (the sim_ivf_topk discipline) instead of cosine-
+    # scoring every vector against every centroid twice
+    sims = scoped_persist(cell_similarities(v, label_centroids(v)))
     assigned = (sims.groupBy("vec_id")
                 .agg(F.max_by("c_label", F.col("cs")).alias("cell"),
                      F.first("e").alias("e")))
@@ -627,11 +623,16 @@ def sim_ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = (ivf_top.join(exact_top, ["query_id", "neighbor_id"])
             .groupBy("nprobe")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits")))
-    return (hits.select(
+    # LEFT join from the 3-row nprobe grid: a probe budget that scores
+    # ZERO hits must still appear as recall 0.0 — dropping the worst
+    # point is exactly what a recall curve must never do
+    return (np_df.join(hits, "nprobe", "left")
+            .select(
         "nprobe",
         F.lit(_RECALL_NQ * _RECALL_TOPK).cast("bigint").alias("n_truth"),
-        "n_hits",
-        (F.col("n_hits").cast("double")
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint")
+        .alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
          / F.lit(float(_RECALL_NQ * _RECALL_TOPK))).alias("recall_at_5"))
         .orderBy("nprobe"))
 
@@ -686,15 +687,18 @@ ivf_top AS (
                               ORDER BY cos_sim DESC, neighbor_id) AS rk
     FROM ex
   ) WHERE rk <= {_RECALL_TOPK}
+), hits AS (
+  SELECT i.nprobe, CAST(count(*) AS BIGINT) AS n_hits
+  FROM ivf_top i
+  JOIN exact_top e USING (query_id, neighbor_id)
+  GROUP BY 1
 )
-SELECT CAST(i.nprobe AS INT) AS nprobe,
+SELECT CAST(np.nprobe AS INT) AS nprobe,
        CAST({_RECALL_NQ * _RECALL_TOPK} AS BIGINT) AS n_truth,
-       CAST(count(*) AS BIGINT) AS n_hits,
-       CAST(count(*) AS DOUBLE)
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE)
          / {float(_RECALL_NQ * _RECALL_TOPK)} AS recall_at_5
-FROM ivf_top i
-JOIN exact_top e USING (query_id, neighbor_id)
-GROUP BY 1
+FROM np LEFT JOIN hits h ON h.nprobe = np.nprobe
 ORDER BY nprobe
 """
 
@@ -721,10 +725,15 @@ _OVL_N = 5
 
 
 def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..registry import scoped_persist
+
     docs = load_table(spark, sf_dir, "documents")
     toks = (docs.select("source", tokens(F.col("text")).alias("t"))
             .filter(F.size("t") >= _OVL_N))
-    grams = (toks.select(
+    # the distinct gram relation (the dominant cost: tokenize + explode +
+    # dedup the corpus) feeds the totals census AND both self-join sides
+    # — persist it once, never re-derive it
+    grams = scoped_persist(toks.select(
         "source",
         F.explode(F.transform(
             F.sequence(F.lit(0), F.size("t") - F.lit(_OVL_N)),

@@ -626,8 +626,11 @@ ORDER BY n_items
 # with IEEE-exact sqrt — bit-identical cross-engine (the assortativity
 # moment recipe, per-group).
 #
-# 100-TB design: one broadcast join to the part dim for the brand key;
-# the moments are map-side-combinable per brand (a catalog-sized
+# 100-TB design: the brand-key join is a plain equi-join — part GROWS
+# with SF (200k rows/SF in TPC-H), so it is NOT broadcast (the audited
+# part broadcasts elsewhere are all row-filtered first); AQE broadcasts
+# it at runtime when the actual scan is small, shuffles when it isn't.
+# The moments are map-side-combinable per brand (a catalog-sized
 # domain).  Per-row squares are ≤ 2500, so the BIGINT moment sums hold
 # exactly to ~10^15 rows per brand; the cross-moment PRODUCTS (n·Σxx
 # etc.) evaluate in the double domain (the assortativity recipe) — no
@@ -643,8 +646,7 @@ def q_discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("bigint").alias("x"),
                   F.col("l_quantity").cast("bigint").alias("y")))
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    m = (li.join(F.broadcast(part),
-                 li.l_partkey == part.p_partkey)
+    m = (li.join(part, li.l_partkey == part.p_partkey)
          .groupBy("p_brand")
          .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
               F.sum("x").cast("bigint").alias("sx"),
@@ -714,8 +716,10 @@ def q_ship_latency_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey",
                                                      "s_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    # supplier GROWS with SF (10k rows/SF) — plain equi-join, AQE decides;
+    # nation is a true 25-row dim, broadcast explicitly
     delays = (li.join(o, li.l_orderkey == o.o_orderkey)
-              .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .join(s, li.l_suppkey == s.s_suppkey)
               .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
               .select("n_name",
                       F.datediff("l_shipdate", "o_orderdate")

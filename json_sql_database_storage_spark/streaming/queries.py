@@ -27,7 +27,7 @@ from ..functions.exact import dec, dsum
 from ..registry import register
 from ..sources import load_table
 from .runner import (cleanup, read_event_stream, run_stream_to_table,
-                     stage_event_chunks)
+                     stage_chunk_file, stage_event_chunks)
 
 
 def _tumbling_agg(ev: DataFrame) -> DataFrame:
@@ -836,7 +836,6 @@ def _stage_with_sentinel(spark: SparkSession, sf_dir: str) -> str:
     import os
     import shutil
     import tempfile
-    import time as _time
 
     base = stage_event_chunks(spark, sf_dir)
     staged = tempfile.mkdtemp(prefix="events_stream_sentinel_")
@@ -865,15 +864,8 @@ def _stage_with_sentinel(spark: SparkSession, sf_dir: str) -> str:
                        "event_type",
                        F.lit(0.0).alias("value"),
                        F.lit("{}").alias("props")))
-        tmp = os.path.join(staged, "__sentinel_stage")
-        far.coalesce(1).write.mode("overwrite").parquet(tmp)
-        for f in os.listdir(tmp):
-            if f.endswith(".parquet"):
-                dst = os.path.join(staged, f"chunk_99{i}.parquet")
-                shutil.move(os.path.join(tmp, f), dst)
-                ts = _time.time() + 1000 + i
-                os.utime(dst, (ts, ts))
-        shutil.rmtree(tmp)
+        stage_chunk_file(far, staged, i, name=f"chunk_99{i}.parquet",
+                         mtime_offset=1000 + i)
     return staged
 
 

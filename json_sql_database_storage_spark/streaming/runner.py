@@ -29,6 +29,33 @@ _EVENTS_SCHEMA = ("event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
 _STAGE_CACHE: dict[tuple, str] = {}
 
 
+def stage_chunk_file(df: DataFrame, base: str, seq: int, *,
+                     name: str | None = None,
+                     mtime_offset: float | None = None) -> str:
+    """Write ``df`` as ONE parquet file under ``base`` with a controlled
+    mtime — THE staging primitive for file-source streams.  The file
+    source orders micro-batches by mtime, so strictly increasing offsets
+    ARE the batch order; every exactly-once replay contract in the repo
+    (versioned_batch_apply, bm25/ivfpq stream maintenance) keys its
+    batch ids on that order.  One definition so an mtime-granularity fix
+    lands everywhere at once.
+
+    ``name`` defaults to chunk_{seq:03d}.parquet; ``mtime_offset``
+    (seconds added to now) defaults to ``seq``."""
+    fname = name or f"chunk_{seq:03d}.parquet"
+    off = float(seq if mtime_offset is None else mtime_offset)
+    tmp = os.path.join(base, f"__stage_{seq}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    dst = os.path.join(base, fname)
+    for f in os.listdir(tmp):
+        if f.endswith(".parquet"):
+            shutil.move(os.path.join(tmp, f), dst)
+            ts = time.time() + off
+            os.utime(dst, (ts, ts))
+    shutil.rmtree(tmp)
+    return dst
+
+
 def stage_event_chunks(spark: SparkSession, sf_dir: str, *,
                        n_chunks: int = 4, late_chunk: bool = False) -> str:
     """Write events into n_chunks files ordered by ts (each chunk = one
@@ -54,18 +81,8 @@ def stage_event_chunks(spark: SparkSession, sf_dir: str, *,
     if late_chunk:
         order = order[1:] + order[:1]       # oldest chunk arrives last
     for seq, chunk_id in enumerate(order):
-        part = (chunked.filter(F.col("__chunk") == chunk_id).drop("__chunk")
-                .coalesce(1))
-        tmp = os.path.join(base, f"__stage_{seq}")
-        part.write.mode("overwrite").parquet(tmp)
-        for f in os.listdir(tmp):
-            if f.endswith(".parquet"):
-                dst = os.path.join(base, f"chunk_{seq:03d}.parquet")
-                shutil.move(os.path.join(tmp, f), dst)
-                # mtime order == arrival order for the file source
-                ts = time.time() + seq
-                os.utime(dst, (ts, ts))
-        shutil.rmtree(tmp)
+        part = chunked.filter(F.col("__chunk") == chunk_id).drop("__chunk")
+        stage_chunk_file(part, base, seq)
     _STAGE_CACHE[key] = base
     return base
 

@@ -186,10 +186,8 @@ _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
         "nation-filtered supplier keys (dimension-bounded) + 1-row group-total threshold",
     ("operators/staged_r11.py", "q_order_size_histogram"):
         "1-row histogram total (map-side partials)",
-    ("operators/staged_r11.py", "q_discount_quantity_corr"):
-        "part dim (brand key only, dimension-bounded)",
     ("operators/staged_r11.py", "q_ship_latency_p95"):
-        "supplier + nation dims (dimension-bounded)",
+        "nation dim (25 rows); supplier joins un-broadcast (grows with SF)",
     ("llm/staged_r11.py", "sim_ann_recall_curve"):
         "10-query probe set (≤30 rows), 3-row nprobe grid, 10-row exact-side query sample — all evaluation-bounded",
     ("llm/staged_r11.py", "text_source_overlap"):

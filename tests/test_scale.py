@@ -381,13 +381,17 @@ def _scale_corpus(spark, sf_dir, tmp_root, mult):
             out = out.unionByName(r)
         return out
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    # source rides along unchanged (r10: text_source_overlap censuses it;
+    # replicas repeat the same catalog of sources — more docs per source,
+    # not more sources, the shape a growing crawl has)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text",
+                                                      "lang", "source")
     docs = _rep_union([d] + [
         d.select((F.col("doc_id") + rep * 10000).alias("doc_id"),
                  F.concat_ws(" ", F.transform(
                      F.split(F.col("text"), " "),
                      lambda t: F.concat(t, F.lit(f"r{rep}")))).alias("text"),
-                 "lang")
+                 "lang", "source")
         for rep in range(1, mult)
     ])
     docs.write.mode("overwrite").parquet(os.path.join(path,
@@ -465,6 +469,9 @@ def test_scale_curve_heavy_ops_near_linear(spark, tmp_path_factory):
     from json_sql_database_storage_spark.llm.staged_r9 import (
         STAGED as _LLM_STAGED,
     )
+    from json_sql_database_storage_spark.llm.staged_r11 import (
+        STAGED as _LLM_STAGED_R11,
+    )
     from json_sql_database_storage_spark.operators.staged_r9 import (
         STAGED as _OPS_STAGED,
     )
@@ -489,7 +496,13 @@ def test_scale_curve_heavy_ops_near_linear(spark, tmp_path_factory):
            "graph_connected_components",
            # r8 fifth batch: the streaming MG sketch (state O(k) at any
            # scale — the curve should show pure replay-volume growth)
-           "stream_heavy_hitters"]
+           "stream_heavy_hitters",
+           # r10: the corpus-sized round-11 staged heavies, measured
+           # BEFORE promotion (the staging protocol's curve discipline);
+           # the other r11 staged ops ride already-measured families or
+           # are dimension/evaluation-bounded
+           "dedup_cluster_size_histogram", "text_source_overlap",
+           "sim_ann_recall_curve"]
     # graph_triangle_count is deliberately NOT in the recurring list: the
     # sf0.1 co-purchase graph is dense (avg degree ~60), so its base cost
     # (~11 s after the r9 persist fix) would still dominate this test.
@@ -497,7 +510,7 @@ def test_scale_curve_heavy_ops_near_linear(spark, tmp_path_factory):
     # 10× data, inside the contract; was 39/66/256 s before the edge list
     # and oriented projection were pinned) is recorded in SCALE.md.
     fns = {name: (fn, _) for name, (fn, _) in
-           {**_LLM_STAGED, **_OPS_STAGED}.items()}
+           {**_LLM_STAGED, **_OPS_STAGED, **_LLM_STAGED_R11}.items()}
     _fn = lambda op: (fns[op][0] if op in fns else _SPECS[op].fn)  # noqa: E731
 
     def _run(op, df):
