@@ -1700,24 +1700,18 @@ def test_index_vacuum_is_idempotent_and_locked(spark, sf_dir):
 
 def _stage_cdf_chunks(chunks) -> str:
     """Write each (doc_id, text, op) DataFrame as ONE parquet chunk file
-    with increasing mtimes — the streaming/runner.py staging recipe, for
-    document change feeds (maxFilesPerTrigger=1 → one micro-batch each)."""
-    import os
-    import shutil
+    with increasing mtimes — the shared streaming/runner.py staging
+    primitive, for document change feeds (maxFilesPerTrigger=1 → one
+    micro-batch each)."""
     import tempfile
-    import time
+
+    from json_sql_database_storage_spark.streaming.runner import (
+        stage_chunk_file,
+    )
 
     base = tempfile.mkdtemp(prefix="bm25_cdf_stream_")
     for seq, df in enumerate(chunks):
-        tmp = os.path.join(base, f"__stage_{seq}")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        for f in os.listdir(tmp):
-            if f.endswith(".parquet"):
-                dst = os.path.join(base, f"chunk_{seq:03d}.parquet")
-                shutil.move(os.path.join(tmp, f), dst)
-                ts = time.time() + seq
-                os.utime(dst, (ts, ts))
-        shutil.rmtree(tmp)
+        stage_chunk_file(df, base, seq)
     return base
 
 
