@@ -109,8 +109,11 @@ ORDER BY dim
 # lengths (the inequality monitor: a source whose token mass concentrates
 # in a few giant docs needs different packing/sharding than a uniform
 # one).  Lengths are exact integers; docs rank ascending by (len, doc_id)
-# inside each source; Gini = (2·Σ(i·x_i) − (n+1)·Σx) / (n·Σx) — every
-# moment an exact BIGINT, ONE double division at the end.
+# inside each source; Gini = (2·Σ(i·x_i) − (n+1)·Σx) / (n·Σx) — n and
+# Σx are exact BIGINTs (Σx wraps only past ~10^18 tokens per source);
+# the rank-weighted moment Σ(i·x_i) grows with n² so it runs in the
+# 38-digit decimal domain (Spark) / HUGEINT (DuckDB) — int64 would wrap
+# silently around 10^9 docs per source.  ONE double division at the end.
 #
 # 100-TB design: one source-key exchange for the rank window (sources are
 # a catalog-sized domain, each partition holds one source's docs); the
@@ -129,7 +132,8 @@ def text_doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = (ranked.groupBy("source")
            .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
                 F.sum("len").cast("bigint").alias("sx"),
-                F.sum(F.col("i") * F.col("len")).cast("bigint")
+                F.sum(F.col("i").cast("decimal(19,0)")
+                      * F.col("len").cast("decimal(19,0)"))
                 .alias("six")))
     d = lambda c: F.col(c).cast("double")    # noqa: E731
     return (per.select("source", "n", "sx",
@@ -152,7 +156,7 @@ WITH docs AS (
 ), per AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n,
          CAST(sum(len) AS BIGINT) AS sx,
-         CAST(sum(i * len) AS BIGINT) AS six
+         sum(CAST(i AS HUGEINT) * len) AS six
   FROM ranked GROUP BY source
 )
 SELECT source, n, sx,
@@ -254,12 +258,17 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = freq.select(
         q6(F.row_number().over(wv).cast("bigint")).alias("x"),
         q6(F.col("f")).alias("y"))
+    # per-row products x·y / x·x fit int64 (each factor ≤ ~3.5e7 at any
+    # corpus size — it's ln(count)·1e6), but their SUMS grow with vocab
+    # size and wrap int64 at only ~1e5 terms — the quadratic moments run
+    # in the 38-digit decimal domain (DuckDB twin: HUGEINT).  sx/sy stay
+    # BIGINT-exact to ~2.6e11 vocabulary terms (beyond Heaps'-law reach).
     mom = pts.agg(F.count(F.lit(1)).cast("bigint").alias("n"),
                   F.sum("x").cast("bigint").alias("sx"),
                   F.sum("y").cast("bigint").alias("sy"),
-                  F.sum(F.col("x") * F.col("y")).cast("bigint")
+                  F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)"))
                   .alias("sxy"),
-                  F.sum(F.col("x") * F.col("x")).cast("bigint")
+                  F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
                   .alias("sxx"))
     d = lambda c: F.col(c).cast("double")    # noqa: E731
     slope = ((d("n") * d("sxy") - d("sx") * d("sy"))
@@ -286,8 +295,8 @@ WITH freq AS (
 ), mom AS (
   SELECT CAST(count(*) AS BIGINT) AS n,
          CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-         CAST(sum(x * y) AS BIGINT) AS sxy,
-         CAST(sum(x * x) AS BIGINT) AS sxx
+         sum(x * y) AS sxy,
+         sum(x * x) AS sxx
   FROM pts
 )
 SELECT n AS n_terms,
@@ -769,8 +778,7 @@ WITH toks AS (
   FROM documents
 ), grams AS (
   SELECT DISTINCT source,
-         t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]
-              || ' ' || t[i + 4] AS g
+         {" || ' ' || ".join(f"t[i + {k}]" for k in range(_OVL_N))} AS g
   FROM (SELECT source, t,
                unnest(generate_series(1, len(t) - {_OVL_N - 1})) AS i
         FROM toks WHERE len(t) >= {_OVL_N})

@@ -293,10 +293,14 @@ ORDER BY c.event_type
 def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "events").select(
         "event_type", F.round(F.col("value") * 100).cast("bigint").alias("x"))
+    # the census sums run in the 38-digit decimal domain: Σx² in int64
+    # wraps silently around 1e9 rows of ~1e5-cent values (DuckDB's
+    # sum(BIGINT) is HUGEINT — already exact; its oracle widens to
+    # DECIMAL(38,0) in the comparison)
     stats = c.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("s"),
-        F.sum(F.col("x") * F.col("x")).alias("q"))
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("q"))
     d38 = lambda col: col.cast("decimal(38,0)")
     # operands widen to DECIMAL(38,0) BEFORE multiplying: n·x, S·S, n·Q in
     # int64 would wrap silently (Spark) / raise (DuckDB) once Σx ≈ 3e9 cents

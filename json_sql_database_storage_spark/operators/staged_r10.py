@@ -66,13 +66,18 @@ def graph_degree_assortativity(spark: SparkSession,
           .join(deg.select(F.col("src"), F.col("deg").alias("dx")), "src")
           .join(deg.select(F.col("src").alias("dst"),
                            F.col("deg").alias("dy")), "dst"))
+    # per-row degree products fit int64 (deg ≤ ~3e9 before dx·dy wraps),
+    # but their SUMS grow with edge count × deg² and wrap int64 well
+    # inside the design scale — the moment sums run in the 38-digit
+    # decimal domain (DuckDB twin: HUGEINT, its native sum(BIGINT) type)
+    d38 = "decimal(38,0)"
     mom = ed.agg(
         F.count(F.lit(1)).cast("bigint").alias("m"),
-        F.sum("dx").cast("bigint").alias("sx"),
-        F.sum("dy").cast("bigint").alias("sy"),
-        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
-        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
-        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"))
+        F.sum(F.col("dx").cast(d38)).alias("sx"),
+        F.sum(F.col("dy").cast(d38)).alias("sy"),
+        F.sum((F.col("dx") * F.col("dy")).cast(d38)).alias("sxy"),
+        F.sum((F.col("dx") * F.col("dx")).cast(d38)).alias("sxx"),
+        F.sum((F.col("dy") * F.col("dy")).cast(d38)).alias("syy"))
     d = lambda c: F.col(c).cast("double")    # noqa: E731
     return mom.select(
         "m",
@@ -106,10 +111,10 @@ deg AS (
   JOIN deg dy ON dy.src = e.dst
 ), mom AS (
   SELECT CAST(count(*) AS BIGINT) AS m,
-         CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
-         CAST(sum(dx * dy) AS BIGINT) AS sxy,
-         CAST(sum(dx * dx) AS BIGINT) AS sxx,
-         CAST(sum(dy * dy) AS BIGINT) AS syy
+         sum(dx) AS sx, sum(dy) AS sy,
+         sum(dx * dy) AS sxy,
+         sum(dx * dx) AS sxx,
+         sum(dy * dy) AS syy
   FROM ed)
 SELECT m,
        (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
@@ -436,9 +441,28 @@ _FAMX_V1 = [
 ]
 
 
+def family_version_rollup(store, family: str, child: str,
+                          fv: int) -> DataFrame:
+    """ONE family version's parent⋈child read-back rollup (parent name +
+    summed child amt, tagged with the version) — the shared exhibit
+    primitive behind doc_family_read and doc_vacuum_family
+    (operators/staged_r11.py), so the family read-back recipe has one
+    definition."""
+    from ..documents.model import KEY
+
+    parent = store.read_family(family, family, fv).select(
+        F.col(KEY).alias("doc"), "name")
+    child_df = (store.read_family(family, child, fv)
+                .groupBy(F.col(family).alias("doc"))
+                .agg(F.sum("amt").cast("bigint").alias("total_amt")))
+    return (parent.join(child_df, "doc")
+            .select(F.lit(fv).alias("fam_version"),
+                    F.col("doc").cast("bigint").alias("doc"),
+                    "name", "total_amt"))
+
+
 def doc_family_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..documents.fixtures import docs_df
-    from ..documents.model import KEY
     from ..documents.store import DocumentStore
     from .scans import _sink
 
@@ -447,15 +471,7 @@ def doc_family_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     store.save_docs(docs_df(spark, _FAMX_V1), "famx")     # family v1
     out = None
     for fv in (0, 1):
-        parent = store.read_family("famx", "famx", fv).select(
-            F.col(KEY).alias("doc"), "name")
-        child = (store.read_family("famx", "pay", fv)
-                 .groupBy(F.col("famx").alias("doc"))
-                 .agg(F.sum("amt").cast("bigint").alias("total_amt")))
-        one = (parent.join(child, "doc")
-               .select(F.lit(fv).alias("fam_version"),
-                       F.col("doc").cast("bigint").alias("doc"),
-                       "name", "total_amt"))
+        one = family_version_rollup(store, "famx", "pay", fv)
         out = one if out is None else out.unionByName(one)
     return out.orderBy("fam_version", "doc")
 

@@ -38,10 +38,15 @@ from ..sources import load_table
 
 
 def q_supplier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    act = (load_table(spark, sf_dir, "lineitem")
-           .select(F.year("l_shipdate").cast("int").alias("y"),
-                   "l_suppkey")
-           .distinct())
+    from ..registry import scoped_persist
+
+    # act feeds FOUR subtrees (both anti-join sides, the per-year census,
+    # the last-year scalar) — persist the distinct census once instead of
+    # re-scanning lineitem and re-shuffling the DISTINCT per consumer
+    act = scoped_persist(
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.year("l_shipdate").cast("int").alias("y"), "l_suppkey")
+        .distinct())
     last_y = act.agg(F.max("y").alias("m"))
     churned = (act.alias("a")
                .join(act.select((F.col("y") - 1).alias("y"),
@@ -156,9 +161,9 @@ def doc_vacuum_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..documents.fixtures import docs_df
-    from ..documents.model import KEY
     from ..documents.store import DocumentStore
     from .scans import _sink
+    from .staged_r10 import family_version_rollup
 
     # fresh store per invocation (under the session-lifetime sink, so the
     # returned lazy reads stay valid): family VERSION NUMBERS are part of
@@ -175,16 +180,10 @@ def doc_vacuum_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_kept = len(res["kept_family_versions"])
     out = None
     for fv in res["kept_family_versions"]:
-        parent = store.read_family("vfam", "vfam", fv).select(
-            F.col(KEY).alias("doc"), "name")
-        child = (store.read_family("vfam", "pay", fv)
-                 .groupBy(F.col("vfam").alias("doc"))
-                 .agg(F.sum("amt").cast("bigint").alias("total_amt")))
-        one = (parent.join(child, "doc")
-               .select(F.lit(fv).alias("fam_version"),
+        one = (family_version_rollup(store, "vfam", "pay", fv)
+               .select("fam_version",
                        F.lit(n_kept).alias("n_kept_versions"),
-                       F.col("doc").cast("bigint").alias("doc"),
-                       "name", "total_amt"))
+                       "doc", "name", "total_amt"))
         out = one if out is None else out.unionByName(one)
     return out.orderBy("fam_version", "doc")
 
@@ -370,7 +369,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
               - dec("p_retailprice")
               * dec_factor(F.lit(float(_Q9_COST_SHARE)))
               * dec("l_quantity"))
-    return (li.join(F.broadcast(p), "l_partkey")
+    # no broadcast hint on the suffix-filtered part set: a fixed fraction
+    # of an SF-growing table is NOT bounded — AQE decides at runtime
+    return (li.join(p, "l_partkey")
             .join(s, li["l_suppkey"] == s["s_suppkey"])
             .join(n, "s_nationkey")
             .groupBy("nation",
@@ -467,9 +468,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (load_table(spark, sf_dir, "part")
          .filter(F.col("p_size") == _Q2_SIZE)
          .select(F.col("p_partkey").alias("l_partkey")))
+    # size-filtered part and region-filtered supplier sets are fixed
+    # FRACTIONS of SF-growing tables — no broadcast hints (AQE decides);
+    # only region (1 row) and nation (25 rows) broadcast above
     cost = (load_table(spark, sf_dir, "lineitem")
-            .join(F.broadcast(p), "l_partkey")
-            .join(F.broadcast(su.select("s_suppkey")),
+            .join(p, "l_partkey")
+            .join(su.select("s_suppkey"),
                   F.col("l_suppkey") == F.col("s_suppkey"))
             .groupBy("l_partkey", "l_suppkey")
             .agg(F.min(F.round(F.col("l_extendedprice") * 100)
@@ -481,8 +485,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                       & (F.col("cents") == F.col("min_cents")))
             .select(F.col("l_partkey").alias("p_partkey"),
                     "l_suppkey", "cents")
-            .join(F.broadcast(su),
-                  F.col("l_suppkey") == su["s_suppkey"])
+            .join(su, F.col("l_suppkey") == su["s_suppkey"])
             .select("s_name", "s_acctbal", "n_name", "p_partkey", "cents")
             .orderBy(F.col("s_acctbal").desc(), "p_partkey", "s_name")
             .limit(_Q2_K))
@@ -527,8 +530,10 @@ LIMIT {_Q2_K}
 #
 # 100-TB design: the supplier filter prunes at the scan; the value
 # aggregate is map-side combinable on partkey; the threshold is ONE
-# 1-row broadcast scalar; the share test is the integer cross product
-# v·1000 > t — engine-exact.
+# 1-row broadcast scalar; the share test is the exact integer cross
+# product v·1000 > t, with the corpus-wide total t held in the 38-digit
+# decimal domain (Spark) / HUGEINT (DuckDB) — int64 would wrap silently
+# past ~9e9 lineitems under Spark's non-ANSI sum.
 # ---------------------------------------------------------------------------
 
 _Q11_NATIONS = 5
@@ -542,17 +547,23 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("l_partkey"),
         F.round(F.col("p_retailprice") * 100).cast("bigint")
         .alias("retail_cents"))
-    # no broadcast hint on part (dimension-scale ≠ bounded at 100 TB —
-    # AQE decides); the supplier key set IS bounded and broadcasts
+    # no broadcast hints on part OR the nation-filtered supplier set —
+    # both are fixed fractions of SF-growing tables (AQE decides); per-
+    # part v is an exact BIGINT (overflows only past ~9e15 cents² on ONE
+    # part ≈ 9M max-priced lines of a single part), while the GLOBAL
+    # total t runs in the 38-digit decimal domain — a corpus-wide cents²
+    # sum exceeds int64 around ~9e9 lineitems (sf ~1500), far below the
+    # design point; DuckDB's sum(BIGINT) is HUGEINT-exact to match
     val = (load_table(spark, sf_dir, "lineitem")
-           .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+           .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
            .join(p, "l_partkey")
            .groupBy("l_partkey")
            .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")
                       * F.col("retail_cents")).cast("bigint").alias("v")))
-    tot = val.agg(F.sum("v").cast("bigint").alias("t"))
+    tot = val.agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("t"))
     return (val.crossJoin(F.broadcast(tot))
-            .filter(F.col("v") * _Q11_DEN > F.col("t"))
+            .filter(F.col("v").cast("decimal(38,0)") * _Q11_DEN
+                    > F.col("t"))
             .select(F.col("l_partkey").alias("p_partkey"), "v")
             .orderBy(F.col("v").desc(), "p_partkey"))
 
@@ -568,10 +579,10 @@ WITH val AS (
   JOIN part ON p_partkey = l_partkey
   WHERE s_nationkey < {_Q11_NATIONS}
   GROUP BY 1
-), tot AS (SELECT CAST(sum(v) AS BIGINT) AS t FROM val)
+), tot AS (SELECT sum(CAST(v AS HUGEINT)) AS t FROM val)
 SELECT l_partkey AS p_partkey, v
 FROM val, tot
-WHERE v * {_Q11_DEN} > t
+WHERE CAST(v AS HUGEINT) * {_Q11_DEN} > t
 ORDER BY v DESC, p_partkey
 """
 

@@ -466,3 +466,42 @@ def test_q21_witnesses_plan_as_semi_and_anti_joins(spark, sf_dir):
     assert "LeftSemi" in plan, plan[:2000]
     assert "LeftAnti" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_quadratic_moment_sums_run_in_decimal_domain(spark, sf_dir):
+    """r10 review hardening: per-row products of corpus-scale moment
+    recipes fit int64, but their SUMS (Σx², Σxy, Σ i·len, global cents²
+    totals) wrap silently under Spark's non-ANSI BIGINT sum well inside
+    the 100-TB design point — every quadratic/global moment must
+    aggregate as DecimalType(38,0), never long.  Guards against a
+    'simplifying' regression back to .cast('bigint') sums."""
+    from pyspark.sql.types import DecimalType, LongType
+
+    from json_sql_database_storage_spark.llm.staged_r11 import (
+        text_doc_length_gini, text_zipf_slope,
+    )
+
+    def field_types(df):
+        return {f.name: f.dataType for f in df.schema.fields}
+
+    # registered: degree-moment sums (schema inspected on the lazy frame)
+    assort = _SPECS["graph_degree_assortativity"].fn(spark, sf_dir)
+    plan = explain_formatted(assort)
+    assert "decimal(38,0)" in plan, plan[:3000]
+
+    # registered: per-type census sums feeding the outlier inequality
+    zs = _SPECS["events_zscore_outliers"].fn(spark, sf_dir)
+    zplan = explain_formatted(zs)
+    assert "decimal(38,0)" in zplan, zplan[:3000]
+
+    # staged: rank-weighted gini moment and zipf quadratic moments
+    zipf = text_zipf_slope(spark, sf_dir)
+    assert "decimal(38,0)" in explain_formatted(zipf), "zipf moments"
+    # gini widens the factors to decimal(19,0) BEFORE the product (the
+    # plan prints the input casts; the sum's decimal(38,0) output type is
+    # schema-level, not rendered) — losing these casts is the regression
+    gini = text_doc_length_gini(spark, sf_dir)
+    assert "decimal(19,0)" in explain_formatted(gini), "gini moment"
+    # the linear moments legitimately stay BIGINT
+    assert isinstance(field_types(zipf)["n_terms"], LongType)
+    assert not isinstance(field_types(gini)["sx"], DecimalType)
