@@ -152,12 +152,22 @@ _BM25_TERMS = ("join", "vector", "dup")  # common, mid, rare (df 394/382/25)
 _BM25_TOPK = 10
 
 
-@register(
-    "text_bm25_topk",
-    oracle=rf"""
-WITH w AS (
+def bm25_score_sql(corpus_sql: str = "documents",
+                   prologue: str = "") -> str:
+    """THE DuckDB rendering of the exact BM25 scoring discipline (snapped
+    q6 idf, integer-cleared tf-norm, ordered per-term sum) — the single
+    definition behind the registered text_bm25_topk oracle AND the index
+    maintenance exhibits' post-change oracles (text_index_maintenance,
+    stream_index_maintenance), so a change to the exactness constants can
+    never leave a maintenance oracle scoring with stale math.
+
+    ``corpus_sql`` is the relation scored; callers that score a modified
+    corpus pass its CTE via ``prologue`` (rendered inside the WITH, must
+    end with a comma)."""
+    return rf"""
+WITH {prologue}w AS (
   SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
-  FROM documents
+  FROM {corpus_sql}
 ), stats AS (
   SELECT count(*) AS t_tokens, count(DISTINCT doc_id) AS n_docs FROM w
 ), dl AS (
@@ -196,7 +206,12 @@ SELECT doc_id, CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
        score, rk
 FROM ranked WHERE rk <= {_BM25_TOPK}
 ORDER BY rk
-""",
+"""
+
+
+@register(
+    "text_bm25_topk",
+    oracle=bm25_score_sql(),
     tags=("r6.1", "b11.27"),
 )
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

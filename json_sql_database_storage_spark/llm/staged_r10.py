@@ -62,61 +62,21 @@ def text_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _maint_oracle() -> str:
-    # the registered text_bm25_topk oracle, scored over the POST-CHANGE
-    # corpus (search.py's exactness discipline: snapped fixed-point idf,
-    # integer-cleared tf-norm, ordered per-term sum)
-    from .search import _BM25_TERMS, _BM25_TOPK
+    # the registered BM25 scoring SQL (search.py::bm25_score_sql — ONE
+    # definition of the exactness discipline), scored over the
+    # POST-CHANGE corpus
+    from .search import bm25_score_sql
 
-    return rf"""
-WITH documents_m AS (
+    return bm25_score_sql(
+        corpus_sql="documents_m",
+        prologue=f"""documents_m AS (
   SELECT doc_id,
          CASE WHEN doc_id = {_MAINT_UPD_ID} THEN '{_MAINT_UPD_TEXT}'
               ELSE text END AS text
   FROM documents WHERE doc_id <> {_MAINT_DEL_ID}
   UNION ALL
   SELECT (SELECT max(doc_id) + 1 FROM documents), '{_MAINT_NEW_TEXT}'
-), w AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
-  FROM documents_m
-), stats AS (
-  SELECT count(*) AS t_tokens, count(DISTINCT doc_id) AS n_docs FROM w
-), dl AS (
-  SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id
-), post AS (
-  SELECT doc_id, term, count(*) AS tf FROM w
-  WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
-  GROUP BY doc_id, term
-), df AS (
-  SELECT term, count(*) AS df FROM post GROUP BY term
-), idf AS (
-  SELECT df.term,
-         CAST(floor(ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
-                    * 1000000 + 0.5) AS BIGINT) AS idf_q6
-  FROM df CROSS JOIN stats
-), contrib AS (
-  SELECT p.doc_id, p.term,
-         (CAST(i.idf_q6 AS DOUBLE) / 1000000.0)
-         * (CAST(10 * s.t_tokens * p.tf AS DOUBLE)
-            / CAST(10 * s.t_tokens * p.tf + 3 * s.t_tokens
-                   + 9 * d.dl * s.n_docs AS DOUBLE)) AS c
-  FROM post p
-  JOIN idf i USING (term)
-  JOIN dl d USING (doc_id)
-  CROSS JOIN stats s
-), scored AS (
-  SELECT doc_id, count(*) AS n_terms_matched,
-         list_sum(list(c ORDER BY term)) AS score
-  FROM contrib GROUP BY doc_id
-), ranked AS (
-  SELECT doc_id, n_terms_matched, score,
-         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
-  FROM scored
-)
-SELECT doc_id, CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
-       score, rk
-FROM ranked WHERE rk <= {_BM25_TOPK}
-ORDER BY rk
-"""
+), """)
 
 
 # ---------------------------------------------------------------------------

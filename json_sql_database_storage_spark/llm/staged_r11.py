@@ -136,9 +136,12 @@ def text_doc_length_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * F.col("len").cast("decimal(19,0)"))
                 .alias("six")))
     d = lambda c: F.col(c).cast("double")    # noqa: E731
-    return (per.select("source", "n", "sx",
-                       ((2 * d("six") - (d("n") + 1) * d("sx"))
-                        / (d("n") * d("sx"))).alias("gini"))
+    # all-empty-source guard (Σlen = 0): Spark's 0.0/0.0 is NaN, DuckDB's
+    # division by zero is NULL — when(sx>0) emits NULL on both
+    gini = F.when(F.col("sx") > 0,
+                  (2 * d("six") - (d("n") + 1) * d("sx"))
+                  / (d("n") * d("sx")))
+    return (per.select("source", "n", "sx", gini.alias("gini"))
             .orderBy("source"))
 
 
@@ -271,8 +274,12 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)"))
                   .alias("sxx"))
     d = lambda c: F.col(c).cast("double")    # noqa: E731
-    slope = ((d("n") * d("sxy") - d("sx") * d("sy"))
-             / (d("n") * d("sxx") - d("sx") * d("sx")))
+    den = d("n") * d("sxx") - d("sx") * d("sx")
+    # single-term-vocabulary guard (n=1 → zero rank variance): Spark's
+    # 0.0/0.0 is NaN, DuckDB's division by zero is NULL — when(den>0)
+    # emits NULL on both (a one-point fit has no slope)
+    slope = F.when(den > 0,
+                   (d("n") * d("sxy") - d("sx") * d("sy")) / den)
     return mom.select(
         F.col("n").alias("n_terms"), slope.alias("slope"),
         ((d("sy") - slope * d("sx")) / (d("n") * 1000000.0))
@@ -442,12 +449,14 @@ def stream_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_maint_oracle() -> str:
-    # the registered text_bm25_topk oracle scored over the post-stream
-    # corpus (both batches applied exactly once)
-    from .search import _BM25_TERMS, _BM25_TOPK
+    # the registered BM25 scoring SQL (search.py::bm25_score_sql — ONE
+    # definition of the exactness discipline), scored over the
+    # post-stream corpus (both batches applied exactly once)
+    from .search import bm25_score_sql
 
-    return rf"""
-WITH documents_m AS (
+    return bm25_score_sql(
+        corpus_sql="documents_m",
+        prologue=f"""documents_m AS (
   SELECT doc_id,
          CASE WHEN doc_id = {_SIM_UPD_A} THEN '{_SIM_TXT_A}'
               WHEN doc_id = {_SIM_UPD_B} THEN '{_SIM_TXT_B}'
@@ -455,48 +464,7 @@ WITH documents_m AS (
   FROM documents WHERE doc_id <> {_SIM_DEL_ID}
   UNION ALL
   SELECT (SELECT max(doc_id) + 1 FROM documents), '{_SIM_TXT_NEW}'
-), w AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
-  FROM documents_m
-), stats AS (
-  SELECT count(*) AS t_tokens, count(DISTINCT doc_id) AS n_docs FROM w
-), dl AS (
-  SELECT doc_id, count(*) AS dl FROM w GROUP BY doc_id
-), post AS (
-  SELECT doc_id, term, count(*) AS tf FROM w
-  WHERE term IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})
-  GROUP BY doc_id, term
-), df AS (
-  SELECT term, count(*) AS df FROM post GROUP BY term
-), idf AS (
-  SELECT df.term,
-         CAST(floor(ln(1 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
-                    * 1000000 + 0.5) AS BIGINT) AS idf_q6
-  FROM df CROSS JOIN stats
-), contrib AS (
-  SELECT p.doc_id, p.term,
-         (CAST(i.idf_q6 AS DOUBLE) / 1000000.0)
-         * (CAST(10 * s.t_tokens * p.tf AS DOUBLE)
-            / CAST(10 * s.t_tokens * p.tf + 3 * s.t_tokens
-                   + 9 * d.dl * s.n_docs AS DOUBLE)) AS c
-  FROM post p
-  JOIN idf i USING (term)
-  JOIN dl d USING (doc_id)
-  CROSS JOIN stats s
-), scored AS (
-  SELECT doc_id, count(*) AS n_terms_matched,
-         list_sum(list(c ORDER BY term)) AS score
-  FROM contrib GROUP BY doc_id
-), ranked AS (
-  SELECT doc_id, n_terms_matched, score,
-         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
-  FROM scored
-)
-SELECT doc_id, CAST(n_terms_matched AS BIGINT) AS n_terms_matched,
-       score, rk
-FROM ranked WHERE rk <= {_BM25_TOPK}
-ORDER BY rk
-"""
+), """)
 
 # ---------------------------------------------------------------------------
 # sample_weighted_no_replacement — exact-k weighted sampling WITHOUT

@@ -144,6 +144,45 @@ def write_bucketed(df: DataFrame, table: str, key: str, n_buckets: int = 8,
 _N_RANGE_BUCKETS = 32
 
 
+def value_range_buckets(df, value_col: str, n_buckets: int):
+    """THE two-pass global-rank bucketing (shared by scale_percent_rank,
+    scale_running_total's sibling and q_customer_pareto,
+    operators/staged_r10.py): tag every row with a value-range bucket
+    `__b` (a function of the VALUE alone, so ties never straddle a
+    boundary), collect the bounded per-bucket counts, and return
+    (tagged_df, per-bucket count dict, n_total).  Two bounded collects
+    (2 × n_buckets rows — index-metadata class), no global sort."""
+    lo_hi = df.agg(F.min(value_col).alias("lo"),
+                   F.max(value_col).alias("hi")).collect()[0]
+    lo, hi = lo_hi["lo"], lo_hi["hi"]
+    if lo is None or lo == hi:
+        base = df.withColumn("__b", F.lit(0))
+    else:
+        width = (hi - lo) / n_buckets
+        base = df.withColumn(
+            "__b",
+            F.least(F.lit(n_buckets - 1),
+                    F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+                    .cast("int")))
+    partials = (base.groupBy("__b").agg(F.count(F.lit(1)).alias("pn"))
+                .collect())
+    pcnt = {int(r["__b"]): int(r["pn"]) for r in partials}
+    return base, pcnt, sum(pcnt.values())
+
+
+def prefix_count_offsets(pcnt: dict, n_buckets: int, *,
+                         descending: bool = False) -> dict:
+    """Exclusive prefix count per bucket — the rank offset each bucket's
+    window adds.  descending=True ranks high-value buckets first."""
+    order = (range(n_buckets - 1, -1, -1) if descending
+             else range(n_buckets))
+    off, acc = {}, 0
+    for b in order:
+        off[b] = acc
+        acc += pcnt.get(b, 0)
+    return off
+
+
 def _bucket_offsets(rows: list, n_buckets: int) -> tuple[dict, dict]:
     """Exclusive prefix (sum, count) per bucket from per-bucket partials."""
     psum = {int(r["__b"]): r["psum"] for r in rows}
@@ -237,29 +276,9 @@ def scale_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    lo_hi = c.agg(F.min("c_acctbal").alias("lo"),
-                  F.max("c_acctbal").alias("hi")).collect()[0]
-    lo, hi = lo_hi["lo"], lo_hi["hi"]
-    if lo is None or lo == hi:
-        base = c.withColumn("__b", F.lit(0))
-    else:
-        width = (hi - lo) / _N_RANGE_BUCKETS
-        # bucket is a function of the VALUE alone, so ties can never
-        # straddle a bucket boundary (rank/cume_dist stay exact)
-        base = c.withColumn(
-            "__b",
-            F.least(F.lit(_N_RANGE_BUCKETS - 1),
-                    F.floor((F.col("c_acctbal") - F.lit(lo)) / F.lit(width))
-                     .cast("int")))
-
-    partials = (base.groupBy("__b").agg(F.count(F.lit(1)).alias("pn"))
-                .collect())
-    pcnt = {int(r["__b"]): int(r["pn"]) for r in partials}
-    n_total = sum(pcnt.values())
-    off, acc = {}, 0
-    for b in range(_N_RANGE_BUCKETS):
-        off[b] = acc
-        acc += pcnt.get(b, 0)
+    base, pcnt, n_total = value_range_buckets(c, "c_acctbal",
+                                              _N_RANGE_BUCKETS)
+    off = prefix_count_offsets(pcnt, _N_RANGE_BUCKETS)
     cnt_map = F.create_map(*[x for b in range(_N_RANGE_BUCKETS)
                              for x in (F.lit(b), F.lit(off[b]))])
 

@@ -200,11 +200,11 @@ def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIT_CUT = "1998-01-01 00:00:00"
 
-
-@register(
-    "join_scd2_point_in_time",
-    oracle=f"""
-WITH cust AS (
+# The versioned-dimension CTE pair — THE one place the <500 customer cut
+# and the %7 'MOVED' rule live on the oracle side (shared with
+# stream_scd2_enrichment's oracle, operators/staged_r10.py; the Spark
+# side's single definition is scd2_dimension_versioning above).
+SCD2_DIM_V_SQL = """cust AS (
   SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 500
 ), dim_v AS (
   SELECT 0 AS as_of, c_custkey, c_mktsegment FROM cust
@@ -212,7 +212,23 @@ WITH cust AS (
   SELECT 1 AS as_of, c_custkey,
          CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END
   FROM cust
-), f AS (
+)"""
+
+
+def scd2_as_of_predicate(dim, fact, key: str, asof: str):
+    """The SCD2 validity-interval join predicate (equi-key + interval
+    residual) — shared by join_scd2_point_in_time and
+    stream_scd2_enrichment so the interval semantics have one
+    definition."""
+    return ((dim["c_custkey"] == fact[key])
+            & (dim["valid_from"] <= fact[asof])
+            & (dim["valid_to"].isNull() | (dim["valid_to"] > fact[asof])))
+
+
+@register(
+    "join_scd2_point_in_time",
+    oracle=f"""
+WITH {SCD2_DIM_V_SQL}, f AS (
   SELECT o_custkey,
          CASE WHEN o_orderdate < TIMESTAMP '{_PIT_CUT}' THEN 0 ELSE 1 END
            AS as_of,
@@ -240,11 +256,7 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .otherwise(1).alias("as_of"),
                  F.round(F.col("o_totalprice") * 100).cast("bigint")
                   .alias("cents")))
-    pit = f.join(
-        dim,
-        (dim["c_custkey"] == f["o_custkey"])
-        & (dim["valid_from"] <= f["as_of"])
-        & (dim["valid_to"].isNull() | (dim["valid_to"] > f["as_of"])))
+    pit = f.join(dim, scd2_as_of_predicate(dim, f, "o_custkey", "as_of"))
     return (
         pit.groupBy("as_of", "c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_orders"),

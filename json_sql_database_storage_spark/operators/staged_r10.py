@@ -79,11 +79,16 @@ def graph_degree_assortativity(spark: SparkSession,
         F.sum((F.col("dx") * F.col("dx")).cast(d38)).alias("sxx"),
         F.sum((F.col("dy") * F.col("dy")).cast(d38)).alias("syy"))
     d = lambda c: F.col(c).cast("double")    # noqa: E731
+    den = F.sqrt((d("m") * d("sxx") - d("sx") * d("sx"))
+                 * (d("m") * d("syy") - d("sy") * d("sy")))
+    # degenerate (regular) graph guard: zero degree variance makes the
+    # denominator 0 — Spark's 0.0/0.0 is NaN while DuckDB's division by
+    # zero is NULL; when(den>0) emits NULL on both engines (assortativity
+    # is undefined for a regular graph)
     return mom.select(
         "m",
-        ((d("m") * d("sxy") - d("sx") * d("sy"))
-         / F.sqrt((d("m") * d("sxx") - d("sx") * d("sx"))
-                  * (d("m") * d("syy") - d("sy") * d("sy"))))
+        F.when(den > 0,
+               (d("m") * d("sxy") - d("sx") * d("sy")) / den)
         .alias("assortativity"))
 
 
@@ -260,7 +265,12 @@ def window_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.col("cents").cast("double")
     mu = sx / n
     var = sxx / n - mu * mu
-    z = (x - mu) / F.sqrt(var)
+    # zero-variance guard (a frame of 7 equal values): unguarded, Spark's
+    # 0.0/0.0 is NaN — and NaN compares GREATER than everything, so the
+    # row would pass the filter — while DuckDB's division by zero is NULL
+    # and drops it.  when(var>0) makes Spark emit NULL too: both engines
+    # drop the undefined row (the events_anomaly_mad mad>0 discipline).
+    z = F.when(var > 0, (x - mu) / F.sqrt(var))
     # ONE projection carries every window expression → ONE Window operator
     # (separate withColumn calls stack a second Window node)
     return (ev.select("user_id", "event_id",
@@ -286,15 +296,14 @@ WITH ev AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN {_ZW - 1} PRECEDING AND CURRENT ROW)
 )
-SELECT user_id, event_id,
-       (CAST(cents AS DOUBLE) - sx / n)
-       / sqrt(sxx / n - (sx / n) * (sx / n)) AS z
-FROM fr
-WHERE nn = {_ZW}
-  AND ((CAST(cents AS DOUBLE) - sx / n)
-       / sqrt(sxx / n - (sx / n) * (sx / n)))
-      * ((CAST(cents AS DOUBLE) - sx / n)
-         / sqrt(sxx / n - (sx / n) * (sx / n))) > 4
+SELECT user_id, event_id, z
+FROM (
+  SELECT user_id, event_id, nn,
+         (CAST(cents AS DOUBLE) - sx / n)
+         / sqrt(sxx / n - (sx / n) * (sx / n)) AS z
+  FROM fr
+)
+WHERE nn = {_ZW} AND z * z > 4
 ORDER BY user_id, event_id
 """
 
@@ -376,11 +385,10 @@ def stream_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .otherwise(1).alias("as_of"),
                       F.round(F.col("value") * 100).cast("bigint")
                       .alias("cents")))
-        joined = ev.join(
-            F.broadcast(dim),
-            (dim["c_custkey"] == ev["user_id"])
-            & (dim["valid_from"] <= ev["as_of"])
-            & (dim["valid_to"].isNull() | (dim["valid_to"] > ev["as_of"])))
+        from .scd import scd2_as_of_predicate
+
+        joined = ev.join(F.broadcast(dim),
+                         scd2_as_of_predicate(dim, ev, "user_id", "as_of"))
         agg = (joined.groupBy("as_of", "c_mktsegment")
                .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
                     F.sum("cents").cast("bigint").alias("total_cents")))
@@ -390,16 +398,13 @@ def stream_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         cleanup(staged)
 
 
-_SCD2_STREAM_SQL = f"""
-WITH cust AS (
-  SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey < 500
-), dim_v AS (
-  SELECT 0 AS as_of, c_custkey, c_mktsegment FROM cust
-  UNION ALL
-  SELECT 1 AS as_of, c_custkey,
-         CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END
-  FROM cust
-), ev AS (
+def _scd2_stream_sql() -> str:
+    # the shared versioned-dimension CTE (scd.py::SCD2_DIM_V_SQL — the
+    # %7/'MOVED' rule has ONE oracle-side definition)
+    from .scd import SCD2_DIM_V_SQL
+
+    return f"""
+WITH {SCD2_DIM_V_SQL}, ev AS (
   SELECT user_id,
          CASE WHEN ts < TIMESTAMP '{_SCD2_CUT}' THEN 0 ELSE 1 END AS as_of,
          CAST(round(value * 100) AS BIGINT) AS cents
@@ -505,11 +510,19 @@ _Q_BUMP = 200_000_000
 
 
 def doc_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     from ..documents.model import KEY
     from ..documents.store import DocumentStore
     from .scans import _sink
 
-    store = DocumentStore(spark, _sink("doc_quarantine_store", spark))
+    # the store name carries the SF token: the exists() first-ingest
+    # guard below would otherwise freeze the base at whichever sf_dir
+    # the session saw FIRST (bench warms at sf0.001 then times sf0.1 in
+    # one session — the upserts would land on a 100×-smaller stale base)
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    store = DocumentStore(spark,
+                          _sink(f"doc_quarantine_store_{tag}", spark))
     t = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias(KEY),
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
@@ -567,29 +580,22 @@ _PARETO_BUCKETS = 32
 
 
 def q_customer_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rev = (load_table(spark, sf_dir, "orders")
-           .groupBy("o_custkey")
-           .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
-                .cast("bigint").alias("cents")))
-    lo_hi = rev.agg(F.min("cents").alias("lo"),
-                    F.max("cents").alias("hi")).collect()[0]
-    lo, hi = int(lo_hi["lo"]), int(lo_hi["hi"])
-    if lo == hi:
-        base = rev.withColumn("__b", F.lit(0))
-    else:
-        width = (hi - lo) / _PARETO_BUCKETS
-        base = rev.withColumn(
-            "__b",
-            F.least(F.lit(_PARETO_BUCKETS - 1),
-                    F.floor((F.col("cents") - F.lit(lo)) / F.lit(width))
-                    .cast("int")))
-    partials = (base.groupBy("__b").agg(F.count(F.lit(1)).alias("pn"))
-                .collect())
-    pcnt = {int(r["__b"]): int(r["pn"]) for r in partials}
-    n_total = sum(pcnt.values())
-    # rank DESC by cents: offset(b) = customers in HIGHER-value buckets
-    off = {b: sum(pcnt.get(x, 0) for x in range(b + 1, _PARETO_BUCKETS))
-           for b in range(_PARETO_BUCKETS)}
+    from ..registry import scoped_persist
+    from .scale import prefix_count_offsets, value_range_buckets
+
+    # rev is a full orders-fact aggregation consumed by THREE evaluations
+    # (the lo/hi collect, the bucket-count collect, the final job) —
+    # persist it once instead of re-scanning orders per pass
+    rev = scoped_persist(
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+             .cast("bigint").alias("cents")))
+    # the shared two-pass bucketed global-rank recipe (scale.py) — rank
+    # DESC by cents: offset(b) = customers in HIGHER-value buckets
+    base, pcnt, n_total = value_range_buckets(rev, "cents",
+                                              _PARETO_BUCKETS)
+    off = prefix_count_offsets(pcnt, _PARETO_BUCKETS, descending=True)
     off_map = F.create_map(*[x for b in range(_PARETO_BUCKETS)
                              for x in (F.lit(b), F.lit(off[b]))])
     wrk = W.partitionBy("__b").orderBy(F.col("cents").desc(), "o_custkey")
@@ -703,7 +709,7 @@ for _name, (_fn, _sql) in {
     "events_anomaly_mad": (events_anomaly_mad, _MAD_SQL),
     "window_rolling_zscore": (window_rolling_zscore, _ZSCORE_SQL),
     "sql_lateral_unnest": (sql_lateral_unnest, _LATERAL_SQL),
-    "stream_scd2_enrichment": (stream_scd2_enrichment, _SCD2_STREAM_SQL),
+    "stream_scd2_enrichment": (stream_scd2_enrichment, _scd2_stream_sql()),
     "doc_family_read": (doc_family_read, _FAMILY_SQL),
     "doc_quarantine": (doc_quarantine, _QUARANTINE_SQL),
     "q_customer_pareto": (q_customer_pareto, _PARETO_SQL),

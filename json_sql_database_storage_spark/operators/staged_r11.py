@@ -666,9 +666,13 @@ def q_discount_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
               F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy")))
     d = lambda c: F.col(c).cast("double")    # noqa: E731
-    corr = ((d("n") * d("sxy") - d("sx") * d("sy"))
-            / (F.sqrt(d("n") * d("sxx") - d("sx") * d("sx"))
-               * F.sqrt(d("n") * d("syy") - d("sy") * d("sy"))))
+    den = (F.sqrt(d("n") * d("sxx") - d("sx") * d("sx"))
+           * F.sqrt(d("n") * d("syy") - d("sy") * d("sy")))
+    # zero-variance guard (a brand with constant discount or quantity):
+    # Spark's 0.0/0.0 is NaN, DuckDB's division by zero is NULL —
+    # when(den>0) emits NULL on both (correlation undefined)
+    corr = F.when(den > 0,
+                  (d("n") * d("sxy") - d("sx") * d("sy")) / den)
     return (m.select("p_brand", "n", corr.alias("disc_qty_corr"))
             .orderBy("p_brand"))
 
