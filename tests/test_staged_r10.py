@@ -15,6 +15,7 @@ crash-consistency contracts that SQL equivalence alone can't express.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from json_sql_database_storage_spark.llm.staged_r10 import (
     STAGED as LLM_STAGED,
@@ -106,3 +107,79 @@ def test_family_read_consistent_after_partial_failure(
 
     after = [tuple(r) for r in doc_family_read(spark, sf_dir).collect()]
     assert after == before
+
+
+def test_zero_variance_frame_matches_oracle(spark, tmp_path):
+    """r10 review: the divide-by-zero divergence class AT ITS TRIGGER —
+    a user with 7+ equal-cent events makes the rolling frame's variance
+    0; unguarded, Spark's 0.0/0.0 = NaN PASSES the z*z > 4 filter (NaN
+    compares greater than everything) while DuckDB's NULL division drops
+    the row.  Both engines must drop it."""
+    import duckdb
+
+    from json_sql_database_storage_spark.operators.staged_r10 import (
+        _ZSCORE_SQL, window_rolling_zscore,
+    )
+
+    rows = (
+        # user 1: 10 constant-value events → zero-variance frames only
+        [(i, f"2024-01-01 00:{i:02d}:00", 1, "view", 5.0, "{}")
+         for i in range(10)]
+        # user 2: a genuine outlier so the result is non-empty
+        + [(100 + i, f"2024-01-01 01:{i:02d}:00", 2, "view",
+            1.0 if i < 9 else 500.0, "{}") for i in range(10)]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, "
+              "event_type string, value double, props string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    path = str(tmp_path / "events.parquet")
+    df.write.mode("overwrite").parquet(path)
+
+    spark_pdf = window_rolling_zscore(spark, str(tmp_path)).toPandas()
+    assert (spark_pdf["user_id"] == 1).sum() == 0, (
+        "zero-variance frames must not emit rows")
+    assert len(spark_pdf) > 0, "the genuine outlier must survive"
+
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW events AS SELECT * "
+                    f"FROM read_parquet('{path}/*.parquet')")
+        oracle_pdf = con.execute(_ZSCORE_SQL).df()
+    finally:
+        con.close()
+    from .compare import assert_frames_match
+    assert_frames_match(spark_pdf, oracle_pdf,
+                        name="window_rolling_zscore/zero-variance")
+
+
+def test_regular_graph_assortativity_matches_oracle(spark, tmp_path):
+    """r10 review: the degenerate twin — a REGULAR co-purchase graph
+    (every order the same two parts → all degrees equal) zeroes the
+    correlation denominator; Spark must emit NULL like DuckDB, not NaN."""
+    import duckdb
+
+    from json_sql_database_storage_spark.operators.staged_r10 import (
+        _ASSORT_SQL, graph_degree_assortativity,
+    )
+
+    rows = [(o, p) for o in range(1, 6) for p in (10, 20)]
+    df = spark.createDataFrame(rows, "l_orderkey bigint, l_partkey bigint")
+    path = str(tmp_path / "lineitem.parquet")
+    df.write.mode("overwrite").parquet(path)
+
+    spark_pdf = graph_degree_assortativity(spark, str(tmp_path)).toPandas()
+    assert len(spark_pdf) == 1
+    assert spark_pdf["assortativity"].isna().all(), (
+        "regular graph: assortativity undefined → NULL, never NaN-row")
+
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW lineitem AS SELECT * "
+                    f"FROM read_parquet('{path}/*.parquet')")
+        oracle_pdf = con.execute(_ASSORT_SQL).df()
+    finally:
+        con.close()
+    from .compare import assert_frames_match
+    assert_frames_match(spark_pdf, oracle_pdf,
+                        name="graph_degree_assortativity/regular-graph")
