@@ -125,6 +125,23 @@ EXTRA = [
     "text_keyword_topk",
     "sim_embedding_drift",
     "text_vocab_growth",
+    # round-10 families (the 14 promoted staged queries + the Q20 analog;
+    # stream_scd2_enrichment is excluded per the standing replay-latency
+    # note below)
+    "graph_degree_assortativity",
+    "graph_degree_histogram",
+    "events_anomaly_mad",
+    "window_rolling_zscore",
+    "sql_lateral_unnest",
+    "doc_family_read",
+    "doc_quarantine",
+    "q_customer_pareto",
+    "window_streak_detection",
+    "text_index_maintenance",
+    "text_ngram_novelty",
+    "text_code_detection",
+    "sample_token_budget_epochs",
+    "q20_excess_supply_share",
     # the stream-stream replays are excluded here: their wall time is
     # micro-batch scheduling of a 4-chunk replay (a latency regime the
     # batch bench's throughput number does not represent); their
