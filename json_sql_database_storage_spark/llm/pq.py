@@ -260,22 +260,37 @@ def train_codebooks(subs: DataFrame, k: int, iters: int = 1) -> DataFrame:
     return cb
 
 
-@register(
-    "sim_ivfpq_topk",
-    oracle=f"""
+def ivfpq_score_sql(serve_prologue: str = "", serve: str = "v") -> str:
+    """THE DuckDB rendering of the IVFPQ serve path (seed coarse cells,
+    one-step trained codebook, ADC shortlist, exact re-rank) — the
+    single definition behind the registered sim_ivfpq_topk oracle AND
+    the streaming maintenance exhibit's post-change oracle
+    (stream_vector_index_maintenance, llm/staged_r11.py).
+
+    TRAINING (cent0/cb0/cb1) always derives from the ORIGINAL corpus
+    CTE ``v`` — the frozen-codebook maintenance contract
+    (ivfpq_apply_changes re-encodes deltas against build-time
+    artifacts); SERVING (assignment, encoding, queries, re-rank) reads
+    ``serve`` (default: v itself).  Callers scoring a modified corpus
+    pass its CTE via ``serve_prologue`` (must end with a comma)."""
+    return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-cent0 AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id < {_IPQ_KC}),
+{serve_prologue}cent0 AS (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id < {_IPQ_KC}),
 assigned AS (
   SELECT vec_id, cell FROM (
-    SELECT v.vec_id, c.c_id AS cell,
-           row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY {_L2SQ_SQL.format(a="v.e", b="c.ce")},
+    SELECT sv.vec_id, c.c_id AS cell,
+           row_number() OVER (PARTITION BY sv.vec_id
+                              ORDER BY {_L2SQ_SQL.format(a="sv.e", b="c.ce")},
                                        c.c_id) AS rk
-    FROM v CROSS JOIN cent0 c) WHERE rk = 1
+    FROM {serve} sv CROSS JOIN cent0 c) WHERE rk = 1
 ),
 subs AS (
   SELECT vec_id, m, list_slice(e, m * {_PQ_SUB} + 1, m * {_PQ_SUB} + {_PQ_SUB}) AS sub
   FROM v CROSS JOIN (SELECT unnest(range({_PQ_M})) AS m)
+),
+subs_s AS (
+  SELECT vec_id, m, list_slice(e, m * {_PQ_SUB} + 1, m * {_PQ_SUB} + {_PQ_SUB}) AS sub
+  FROM {serve} CROSS JOIN (SELECT unnest(range({_PQ_M})) AS m)
 ),
 cb0 AS (SELECT vec_id AS c_id, m, sub AS csub FROM subs WHERE vec_id < {_PQ_K}),
 a1 AS (
@@ -300,20 +315,20 @@ enc AS (
            row_number() OVER (PARTITION BY s.vec_id, s.m
                               ORDER BY {_L2SQ_SQL.format(a="s.sub", b="c.csub")},
                                        c.c_id) AS rk
-    FROM subs s JOIN cb1 c USING (m)) WHERE rk = 1
+    FROM subs_s s JOIN cb1 c USING (m)) WHERE rk = 1
 ),
 probes AS (
   SELECT query_id, qcell FROM (
-    SELECT v.vec_id AS query_id, c.c_id AS qcell,
-           row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY {_L2SQ_SQL.format(a="v.e", b="c.ce")},
+    SELECT sv.vec_id AS query_id, c.c_id AS qcell,
+           row_number() OVER (PARTITION BY sv.vec_id
+                              ORDER BY {_L2SQ_SQL.format(a="sv.e", b="c.ce")},
                                        c.c_id) AS prk
-    FROM v CROSS JOIN cent0 c WHERE v.vec_id < {_IPQ_NQ}) WHERE prk <= {_IPQ_NPROBE}
+    FROM {serve} sv CROSS JOIN cent0 c WHERE sv.vec_id < {_IPQ_NQ}) WHERE prk <= {_IPQ_NPROBE}
 ),
 dtab AS (
   SELECT s.vec_id AS query_id, s.m, c.c_id,
          {_L2SQ_SQL.format(a="s.sub", b="c.csub")} AS d
-  FROM subs s JOIN cb1 c USING (m) WHERE s.vec_id < {_IPQ_NQ}
+  FROM subs_s s JOIN cb1 c USING (m) WHERE s.vec_id < {_IPQ_NQ}
 ),
 cand AS (
   SELECT p.query_id, a.vec_id AS neighbor_id
@@ -339,8 +354,8 @@ refined AS (
   SELECT s.query_id, s.neighbor_id,
          {_L2SQ_SQL.format(a="q.e", b="n.e")} AS l2_dist
   FROM short s
-  JOIN v q ON q.vec_id = s.query_id
-  JOIN v n ON n.vec_id = s.neighbor_id
+  JOIN {serve} q ON q.vec_id = s.query_id
+  JOIN {serve} n ON n.vec_id = s.neighbor_id
 )
 SELECT query_id, neighbor_id, l2_dist, rk FROM (
   SELECT query_id, neighbor_id, l2_dist,
@@ -348,7 +363,12 @@ SELECT query_id, neighbor_id, l2_dist, rk FROM (
                             ORDER BY l2_dist, neighbor_id) AS rk
   FROM refined) WHERE rk <= {_IPQ_TOPK}
 ORDER BY query_id, rk
-""",
+"""
+
+
+@register(
+    "sim_ivfpq_topk",
+    oracle=ivfpq_score_sql(),
     tags=("r6.2", "b11.28"),
 )
 def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

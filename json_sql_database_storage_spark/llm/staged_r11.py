@@ -769,6 +769,93 @@ ORDER BY source_a, source_b
 """
 
 
+# ---------------------------------------------------------------------------
+# stream_vector_index_maintenance — the VECTOR twin of
+# stream_index_maintenance: build IVFPQ over the embeddings, feed two
+# vector-CDF micro-batches (update-moves-vector + insert, then delete)
+# through ivfpq_stream_maintain (exactly-once at the index's own CAS
+# manifest tag), probe with the post-change query set.  The oracle is
+# the registered IVFPQ serve recipe with TRAINING pinned to the
+# ORIGINAL corpus and SERVING on the post-change one — exactly the
+# frozen-codebook maintenance contract (ivfpq_apply_changes re-encodes
+# deltas against build-time centroids/codebook; probe ≡ frozen-codebook
+# rebuild is pinned at tests/test_llm.py).
+#
+# 100-TB design: per-batch cost is the O(delta) re-encode + tombstone
+# write — the base corpus is never re-read; the probe's tombstone
+# filter is one O(changed vectors) equi-join.  Vector shifts are exact
+# binary fractions (+0.25 / +0.125), so both engines run identical IEEE
+# adds.
+# ---------------------------------------------------------------------------
+
+_VIM_UPD = 7      # updated in batch 0 (vector shifts — may change cell)
+_VIM_SRC = 13     # source vector for the inserted new id
+_VIM_DEL = 11     # deleted in batch 1
+
+
+def stream_vector_index_maintenance(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from ..streaming.runner import stage_chunk_file
+    from .pq import _IPQ_NQ, ivfpq_build, ivfpq_probe, ivfpq_stream_maintain
+
+    v = (load_table(spark, sf_dir, "embeddings")
+         .select("vec_id", as_double(F.col("embedding")).alias("e")))
+    paths = ivfpq_build(spark, v, "ivfpq_stream_exhibit")
+    new_id = int(v.agg(F.max("vec_id")).collect()[0][0]) + 1
+
+    def bump(delta: float):
+        return F.transform(F.col("e"), lambda x: x + F.lit(delta))
+
+    upd = (v.filter(F.col("vec_id") == _VIM_UPD)
+           .select("vec_id", bump(0.25).alias("e"),
+                   F.lit("u").alias("op")))
+    ins = (v.filter(F.col("vec_id") == _VIM_SRC)
+           .select(F.lit(new_id).cast("bigint").alias("vec_id"),
+                   bump(0.125).alias("e"), F.lit("u").alias("op")))
+    delr = spark.createDataFrame(
+        [(_VIM_DEL, None, "d")], "vec_id bigint, e array<double>, op string")
+
+    staged = tempfile.mkdtemp(prefix="ivfpq_stream_exhibit_")
+    try:
+        stage_chunk_file(upd.unionByName(ins), staged, 0)
+        stage_chunk_file(delr, staged, 1)
+        ivfpq_stream_maintain(spark, paths, staged)
+    finally:
+        shutil.rmtree(staged, ignore_errors=True)
+
+    final = (v.filter(~F.col("vec_id").isin(_VIM_UPD, _VIM_DEL))
+             .unionByName(v.filter(F.col("vec_id") == _VIM_UPD)
+                          .select("vec_id", bump(0.25).alias("e")))
+             .unionByName(v.filter(F.col("vec_id") == _VIM_SRC)
+                          .select(F.lit(new_id).cast("bigint")
+                                  .alias("vec_id"),
+                                  bump(0.125).alias("e"))))
+    queries = (final.filter(F.col("vec_id") < _IPQ_NQ)
+               .select(F.col("vec_id").alias("query_id"), "e"))
+    return ivfpq_probe(spark, paths, queries, final)
+
+
+def _stream_vim_oracle() -> str:
+    from .pq import ivfpq_score_sql
+
+    return ivfpq_score_sql(
+        serve="vm",
+        serve_prologue=f"""vm AS (
+  SELECT vec_id,
+         CASE WHEN vec_id = {_VIM_UPD}
+              THEN list_transform(e, x -> x + 0.25)
+              ELSE e END AS e
+  FROM v WHERE vec_id <> {_VIM_DEL}
+  UNION ALL
+  SELECT (SELECT max(vec_id) + 1 FROM v),
+         list_transform(e, x -> x + 0.125)
+  FROM v WHERE vec_id = {_VIM_SRC}
+), """)
+
+
 STAGED: dict = {
     "dedup_cluster_size_histogram": (dedup_cluster_size_histogram,
                                      _cluster_hist_sql()),
@@ -783,4 +870,6 @@ STAGED: dict = {
                                        _WNR_SQL),
     "sim_ann_recall_curve": (sim_ann_recall_curve, _RECALL_SQL),
     "text_source_overlap": (text_source_overlap, _OVERLAP_SQL),
+    "stream_vector_index_maintenance": (stream_vector_index_maintenance,
+                                        _stream_vim_oracle()),
 }

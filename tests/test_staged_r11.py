@@ -156,6 +156,22 @@ def test_staged_stream_index_maintenance_invocation_stable(spark, sf_dir):
     assert second == first
 
 
+def test_staged_stream_vector_index_maintenance_invocation_stable(
+        spark, sf_dir):
+    """The vector twin's stability pin: rebuild + same-batch replay from
+    a fresh staged dir must return the identical frame."""
+    from json_sql_database_storage_spark.llm.staged_r11 import (
+        stream_vector_index_maintenance,
+    )
+
+    first = [tuple(r) for r in
+             stream_vector_index_maintenance(spark, sf_dir).collect()]
+    assert first
+    second = [tuple(r) for r in
+              stream_vector_index_maintenance(spark, sf_dir).collect()]
+    assert second == first
+
+
 def test_staged_vacuum_family_expired_the_floor(spark, sf_dir, tmp_path):
     """The exhibit's GC claim, asserted at the store level: after the
     exhibit's save/save/save/vacuum_family sequence, family v0 is expired
