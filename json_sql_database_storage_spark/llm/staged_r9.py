@@ -67,7 +67,7 @@ from pyspark.sql import functions as F
 
 from ..registry import scoped_persist
 from ..sources import load_table
-from .clustering import _assign_sql, _l2sq, assign_cells
+from .clustering import _L2SQ_SQL, _assign_sql, _l2sq, assign_cells
 from .similarity import as_double
 
 # ---------------------------------------------------------------------------
@@ -205,8 +205,8 @@ SELECT source, n_docs, n_tokens, s / denom AS weight FROM w, d
 # ---------------------------------------------------------------------------
 
 _KCENTER_K = 8
-_L2SQ_SQL = ("list_sum(list_transform(list_zip({a}, {b}), "
-             "p -> (p[1] - p[2]) * (p[1] - p[2])))")
+# _L2SQ_SQL / _l2sq both import from clustering.py — ONE definition of
+# the squared-L2 fold on each side of the bit-identity contract
 
 
 def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,30 +229,38 @@ def sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                    _l2sq(F.col("e"), lit_vec(seed["e"])).alias("m"))
     cur.persist()
     prev = None
-    for rank in range(2, _KCENTER_K + 1):
-        # 1-row bounded collect per round (the deep-BPE argmax precedent):
-        # max(struct(m, -vec_id, e)) = farthest point, ties to lowest id;
-        # e rides along un-compared because (m, -vec_id) is already unique
-        sel = cur.agg(F.max(F.struct(
-            F.col("m"), (-F.col("vec_id")).alias("nid"),
-            F.col("e"))).alias("s")).head()["s"]
-        if prev is not None:    # cur is materialized now; prev can go
-            prev.unpersist()
-            prev = None
-        picks.append((rank, int(-sel["nid"]), float(sel["m"])))
-        if rank < _KCENTER_K:
-            nxt = cur.select(
-                "vec_id", "e",
-                F.least(F.col("m"),
-                        _l2sq(F.col("e"), lit_vec(sel["e"]))).alias("m"))
-            nxt.persist()
-            prev, cur = cur, nxt
-    for df in (prev, cur):
-        if df is not None:
-            try:
-                df.unpersist()
-            except Exception:
-                pass
+    # try/finally (r10 review): an exception mid-round (executor OOM, task
+    # failure past retries) must not strand up to two corpus-sized
+    # persisted round states — these use raw persist() (rolled eagerly,
+    # released within the loop), so the registry's release_caches() could
+    # never free them
+    try:
+        for rank in range(2, _KCENTER_K + 1):
+            # 1-row bounded collect per round (the deep-BPE argmax
+            # precedent): max(struct(m, -vec_id, e)) = farthest point,
+            # ties to lowest id; e rides along un-compared because
+            # (m, -vec_id) is already unique
+            sel = cur.agg(F.max(F.struct(
+                F.col("m"), (-F.col("vec_id")).alias("nid"),
+                F.col("e"))).alias("s")).head()["s"]
+            if prev is not None:    # cur is materialized now; prev can go
+                prev.unpersist()
+                prev = None
+            picks.append((rank, int(-sel["nid"]), float(sel["m"])))
+            if rank < _KCENTER_K:
+                nxt = cur.select(
+                    "vec_id", "e",
+                    F.least(F.col("m"),
+                            _l2sq(F.col("e"), lit_vec(sel["e"]))).alias("m"))
+                nxt.persist()
+                prev, cur = cur, nxt
+    finally:
+        for df in (prev, cur):
+            if df is not None:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
     return spark.createDataFrame(
         [(r, i, d) for r, i, d in picks],
         "pick_rank INT, vec_id BIGINT, d2 DOUBLE")
@@ -375,7 +383,13 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") <= _MMR_CAND)
             .select("query_id", "cand_id", "e", "rel",
                     F.lit(0.0).alias("maxsim")))
-    cur = scoped_persist(cand)
+    # each round's candidate state is eagerly checkpointed (r10 review:
+    # leaving cur lazy made round r's plan — and every later pick's —
+    # re-derive all prior rounds' cosine/greatest chains from cand, the
+    # O(k²) least()-chain antipattern the kcenter r10 note fixed there).
+    # State is ANN-output-sized (O(Q·CAND) rows at any corpus size), so
+    # k eager materializations are broadcast-class jobs.
+    cur = cand.localCheckpoint(eager=True)
     lam, mu = F.lit(_MMR_LAM), F.lit(1 - _MMR_LAM)
     picks = []
     for r in range(1, _MMR_K + 1):
@@ -400,7 +414,8 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.greatest(
                                F.col("maxsim"),
                                cosine(F.col("e"), F.col("sel_e")))
-                           .alias("maxsim")))
+                           .alias("maxsim"))
+                   .localCheckpoint(eager=True))
     out = picks[0]
     for p in picks[1:]:
         out = out.unionByName(p)

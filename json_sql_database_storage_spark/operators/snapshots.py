@@ -649,35 +649,14 @@ _DEL_YEAR = 1996
 _DEL_MOD = 7
 
 
-@register(
-    "snapshot_delete",
-    oracle=f"""
-WITH base AS (
-  SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
-         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders WHERE o_orderdate < TIMESTAMP '{_CUT_INS}'
-), doomed AS (
-  SELECT o_orderkey FROM base
-  WHERE o_year = {_DEL_YEAR} AND o_orderkey % {_DEL_MOD} = 0
-), v1 AS (
-  SELECT b.* FROM base b
-  WHERE NOT EXISTS (SELECT 1 FROM doomed d
-                    WHERE d.o_orderkey = b.o_orderkey)
-)
-SELECT 0 AS version, count(*) AS n_rows,
-       CAST(sum(cents) AS BIGINT) AS total_cents FROM base
-UNION ALL
-SELECT 1 AS version, count(*) AS n_rows,
-       CAST(sum(cents) AS BIGINT) AS total_cents FROM v1
-ORDER BY version
-""",
-    tags=("r7.11", "b1.19"),
-)
-def snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Commit v0, DELETE-commit v1 (every {_DEL_MOD}th key of one year)
-    rewriting only that year's partition, then AS-OF read both versions —
-    the deleted rows are gone at v1 and still present at v0."""
-    root = _sink("snapshot_del", spark)
+def build_delete_versions(spark: SparkSession, sf_dir: str,
+                          root: str) -> tuple[dict, dict]:
+    """The base-write / DELETE-rewrite recipe shared by snapshot_delete
+    and snapshot_rollback (operators/staged_r9.py): write base as v0,
+    rewrite ONLY the doomed years' partitions as v1 (untouched dirs
+    reused; a fully-dead partition vanishes from the manifest), return
+    (m0, m1) UNCOMMITTED — callers commit via commit_version_manifests
+    so the two exhibits can never diverge on the rewrite edge cases."""
     cut_ins = F.lit(_CUT_INS).cast("timestamp")
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate",
@@ -705,19 +684,74 @@ def snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     # or vanish entirely when every row of the partition died
     m1 = {y: p for y, p in m0.items() if y not in touched}
     m1.update(m1_new)
-    for v, m in ((0, m0), (1, m1)):
+    return m0, m1
+
+
+def commit_version_manifests(root: str, pairs) -> None:
+    """Idempotent-re-run commit loop: a conflict on an identical manifest
+    is a no-op (the session-private-root determinism contract); a
+    conflict on DIFFERENT content raises."""
+    for v, m in pairs:
         try:
             commit_manifest(root, v, m)
         except SnapshotConflict:
             if read_committed_manifest(root, v) != m:
                 raise
 
+
+def version_aggregates(spark: SparkSession, pairs) -> DataFrame:
+    """(version, n_rows, total_cents) per committed manifest — the
+    read-back every snapshot exhibit reports."""
     outs = []
-    for version, manifest in ((0, m0), (1, m1)):
+    for version, manifest in pairs:
         outs.append(
             read_version(spark, manifest)
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.sum("cents").cast("bigint").alias("total_cents"))
             .select(F.lit(version).alias("version"), "n_rows",
                     "total_cents"))
-    return outs[0].unionByName(outs[1]).orderBy("version")
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out.orderBy("version")
+
+
+def delete_versions_sql(extra_versions: str = "") -> str:
+    """Oracle twin of build_delete_versions: v0/v1 content as CTEs plus
+    one row per version; callers append extra UNION branches (the
+    rollback's v2 ≡ base)."""
+    return f"""
+WITH base AS (
+  SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate < TIMESTAMP '{_CUT_INS}'
+), doomed AS (
+  SELECT o_orderkey FROM base
+  WHERE o_year = {_DEL_YEAR} AND o_orderkey % {_DEL_MOD} = 0
+), v1 AS (
+  SELECT b.* FROM base b
+  WHERE NOT EXISTS (SELECT 1 FROM doomed d
+                    WHERE d.o_orderkey = b.o_orderkey)
+)
+SELECT 0 AS version, count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents FROM base
+UNION ALL
+SELECT 1 AS version, count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS total_cents FROM v1
+{extra_versions}ORDER BY version
+"""
+
+
+@register(
+    "snapshot_delete",
+    oracle=delete_versions_sql(),
+    tags=("r7.11", "b1.19"),
+)
+def snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commit v0, DELETE-commit v1 (every {_DEL_MOD}th key of one year)
+    rewriting only that year's partition, then AS-OF read both versions —
+    the deleted rows are gone at v1 and still present at v0."""
+    root = _sink("snapshot_del", spark)
+    m0, m1 = build_delete_versions(spark, sf_dir, root)
+    commit_version_manifests(root, ((0, m0), (1, m1)))
+    return version_aggregates(spark, ((0, m0), (1, m1)))

@@ -168,85 +168,27 @@ SELECT (SELECT count(*) FROM nodes) AS n_nodes,
 
 
 def snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from .scans import _sink
-    from .snapshots import (_CUT_INS, _DEL_MOD, _DEL_YEAR, SnapshotConflict,
-                            _commit_dirs, commit_manifest,
-                            read_committed_manifest, read_version)
+    from .snapshots import (build_delete_versions, commit_version_manifests,
+                            version_aggregates)
 
     root = _sink("snapshot_rb", spark)
-    cut_ins = F.lit(_CUT_INS).cast("timestamp")
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderdate",
-        F.year("o_orderdate").cast("int").alias("o_year"),
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
-    base = o.filter(F.col("o_orderdate") < cut_ins).drop("o_orderdate")
-    v0_data = os.path.join(root, "v0data")
-    base.write.mode("overwrite").partitionBy("o_year").parquet(v0_data)
-    m0 = _commit_dirs(v0_data)
-
-    v0 = read_version(spark, m0)
-    doomed = (v0.filter((F.col("o_year") == _DEL_YEAR)
-                        & (F.col("o_orderkey") % _DEL_MOD == 0))
-              .select("o_orderkey", "o_year"))
-    touched = sorted(r["o_year"] for r in
-                     doomed.select("o_year").distinct().collect())
-    survivors = (v0.filter(F.col("o_year").isin(touched))
-                 .join(doomed.select("o_orderkey"), "o_orderkey",
-                       "left_anti"))
-    v1_data = os.path.join(root, "v1data")
-    survivors.write.mode("overwrite").partitionBy("o_year").parquet(v1_data)
-    m1 = {y: p for y, p in m0.items() if y not in touched}
-    m1.update(_commit_dirs(v1_data))
-    m2 = dict(m0)        # the rollback: v0's manifest, recommitted verbatim
-    for v, m in ((0, m0), (1, m1), (2, m2)):
-        try:
-            commit_manifest(root, v, m)
-        except SnapshotConflict:
-            if read_committed_manifest(root, v) != m:
-                raise
-
-    outs = []
-    for version, manifest in ((0, m0), (1, m1), (2, m2)):
-        outs.append(
-            read_version(spark, manifest)
-            .agg(F.count(F.lit(1)).alias("n_rows"),
-                 F.sum("cents").cast("bigint").alias("total_cents"))
-            .select(F.lit(version).alias("version"), "n_rows",
-                    "total_cents"))
-    out = outs[0]
-    for x in outs[1:]:
-        out = out.unionByName(x)
-    return out.orderBy("version")
+    # shared recipe (snapshots.py — r10 review: this was a 35-line copy of
+    # snapshot_delete); the rollback itself is v0's manifest recommitted
+    # VERBATIM as v2 — metadata-only, O(1), no data copied
+    m0, m1 = build_delete_versions(spark, sf_dir, root)
+    m2 = dict(m0)
+    commit_version_manifests(root, ((0, m0), (1, m1), (2, m2)))
+    return version_aggregates(spark, ((0, m0), (1, m1), (2, m2)))
 
 
 def _rollback_sql() -> str:
-    from .snapshots import _CUT_INS, _DEL_MOD, _DEL_YEAR
+    from .snapshots import delete_versions_sql
 
-    return f"""
-WITH base AS (
-  SELECT o_orderkey, CAST(year(o_orderdate) AS INT) AS o_year,
-         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
-  FROM orders WHERE o_orderdate < TIMESTAMP '{_CUT_INS}'
-), doomed AS (
-  SELECT o_orderkey FROM base
-  WHERE o_year = {_DEL_YEAR} AND o_orderkey % {_DEL_MOD} = 0
-), v1 AS (
-  SELECT b.* FROM base b
-  WHERE NOT EXISTS (SELECT 1 FROM doomed d
-                    WHERE d.o_orderkey = b.o_orderkey)
-)
-SELECT 0 AS version, count(*) AS n_rows,
-       CAST(sum(cents) AS BIGINT) AS total_cents FROM base
-UNION ALL
-SELECT 1 AS version, count(*) AS n_rows,
-       CAST(sum(cents) AS BIGINT) AS total_cents FROM v1
-UNION ALL
+    return delete_versions_sql("""UNION ALL
 SELECT 2 AS version, count(*) AS n_rows,
        CAST(sum(cents) AS BIGINT) AS total_cents FROM base
-ORDER BY version
-"""
+""")
 
 
 # ---------------------------------------------------------------------------
@@ -365,6 +307,13 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         deaths = d_r if deaths is None else deaths.unionByName(d_r)
         if not removed.take(1):
             break                       # fixed point: nothing else peels
+        if r == _KCORE_ROUNDS - 1:
+            # final round (r10 review): only alive's MEMBERSHIP feeds the
+            # post-loop survivor census — the degree decrement would be
+            # dead values, so skip the two edge joins entirely
+            alive = (alive.join(removed, "node", "left_anti")
+                     .localCheckpoint(eager=True))
+            continue
         dec = (e_pa.join(removed.withColumnRenamed("node", "pa"), "pa")
                .select(F.col("pb").alias("node"))
                .unionAll(
@@ -515,7 +464,7 @@ _LPA_STEPS = 4
 
 
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _PR_OFFSET = 1000000
+    from .graph import _PR_OFFSET   # ONE supplier-node-id offset
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
                                                       "l_suppkey")
@@ -545,12 +494,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lpa_sql() -> str:
-    parts = ["""e AS MATERIALIZED (
+    from .graph import _PR_OFFSET
+
+    parts = [f"""e AS MATERIALIZED (
   SELECT src, dst FROM (
-    SELECT o_custkey AS src, l_suppkey + 1000000 AS dst
+    SELECT o_custkey AS src, l_suppkey + {_PR_OFFSET} AS dst
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     UNION ALL
-    SELECT l_suppkey + 1000000 AS src, o_custkey AS dst
+    SELECT l_suppkey + {_PR_OFFSET} AS src, o_custkey AS dst
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey))""",
              "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, "
              "src AS label FROM e)"]
@@ -714,8 +665,7 @@ _CC_ORACLE_ROUNDS = 12
 def graph_connected_components(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     from ..llm.dedup import cc_labels
-
-    _PR_OFFSET = 1000000
+    from .graph import _PR_OFFSET   # ONE supplier-node-id offset
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
                                                       "l_suppkey")
@@ -734,8 +684,10 @@ def graph_connected_components(spark: SparkSession,
 
 
 def _cc_sql() -> str:
+    from .graph import _PR_OFFSET
+
     parts = [f"""strong AS MATERIALIZED (
-  SELECT o_custkey AS c, l_suppkey + 1000000 AS s
+  SELECT o_custkey AS c, l_suppkey + {_PR_OFFSET} AS s
   FROM orders JOIN lineitem ON l_orderkey = o_orderkey
   GROUP BY 1, 2
   HAVING count(*) >= {_STRONG_EDGE_MIN})""",
@@ -1150,12 +1102,17 @@ def doc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias(KEY), "o_custkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
     store.upsert(t, "orders_m")                                     # v0
+    # insert offset = max(key)+1, NOT a fixed literal (r10 review:
+    # orderkeys are dense 0..1.5M·SF−1, so a fixed +1e6 collides with
+    # live keys at SF ≥ ~0.7 — the "insert" would silently MERGE-update
+    # an unrelated order while the oracle emits both rows)
+    off = int(t.agg(F.max(KEY)).collect()[0][0]) + 1
     upd = (t.filter(F.col(KEY) % 100 == 1)
            .withColumn("cents", F.col("cents") + 500))
     dels = (t.filter(F.col(KEY) % 100 == 2)
             .withColumn("cents", F.lit(-1).cast("bigint")))
     ins = (t.filter(F.col(KEY) % 100 == 3)
-           .withColumn(KEY, F.col(KEY) + 1000000))
+           .withColumn(KEY, F.col(KEY) + F.lit(off)))
     store.merge(upd.unionByName(dels).unionByName(ins), "orders_m",
                 delete_when="cents < 0")                            # v1
     return (store.read("orders_m")
@@ -1171,7 +1128,7 @@ WITH t AS (
   SELECT "rowNum", o_custkey, cents + 500 AS cents
   FROM t WHERE "rowNum" % 100 = 1
   UNION ALL
-  SELECT "rowNum" + 1000000, o_custkey, cents
+  SELECT "rowNum" + (SELECT max("rowNum") + 1 FROM t), o_custkey, cents
   FROM t WHERE "rowNum" % 100 = 3
   UNION ALL
   SELECT * FROM t WHERE "rowNum" % 100 NOT IN (1, 2)
