@@ -96,21 +96,49 @@ def _corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.unionByName(exact).unionByName(near)
 
 
-# ---------------------------------------------------------------------------
-# b11.1 exact dedup: content-hash groupBy, deterministic survivor (min id).
-# ---------------------------------------------------------------------------
+# ORACLE twins of _corpus_with_dups and the shingle stage — ONE SQL
+# definition of the dup-injected corpus and the 3-token shingle sets
+# (r10 review: five verbatim restatements had to agree with
+# _corpus_with_dups and each other by hand).  dedup_exact uses the
+# lang-carrying variant; every other dedup oracle composes these.
+_CORPUS_CTE = """corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 30
+  UNION ALL
+  SELECT doc_id + 200000, text || ' zzzz' FROM documents
+  WHERE doc_id >= 30 AND doc_id < 60
+)"""
 
-@register(
-    "dedup_exact",
-    oracle="""
-WITH corpus AS (
+_CORPUS_CTE_LANG = """corpus AS (
   SELECT doc_id, text, lang FROM documents
   UNION ALL
   SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id < 30
   UNION ALL
   SELECT doc_id + 200000, text || ' zzzz', lang FROM documents
   WHERE doc_id >= 30 AND doc_id < 60
-)
+)"""
+
+_SHINGLE_CTES = """raw AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS r FROM corpus
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(r) >= 3
+              THEN list_distinct(list_transform(range(1, len(r)-1),
+                     i -> r[i] || ' ' || r[i+1] || ' ' || r[i+2]))
+              ELSE [array_to_string(r, ' ')] END AS s
+  FROM raw
+)"""
+
+
+# ---------------------------------------------------------------------------
+# b11.1 exact dedup: content-hash groupBy, deterministic survivor (min id).
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+WITH {_CORPUS_CTE_LANG}
 SELECT min(doc_id) AS doc_id, sha256(text) AS content_hash,
        count(*) AS n_copies
 FROM corpus
@@ -195,6 +223,22 @@ def minhash_signature_udf(hashes: pd.Series) -> pd.Series:
     per-row loop's numpy dispatch overhead dominated at ~5k docs/batch).
     Safe because every doc has ≥1 shingle (empty text still yields the
     whole-doc fallback shingle), so no reduceat segment is empty."""
+    # NULL shingle arrays (a NULL text row upstream) propagate as null
+    # signatures — the expression twin's and the oracles' behavior — not
+    # a len(None) TypeError that aborts the whole query (r10 review)
+    null_mask = np.fromiter((h is None for h in hashes), dtype=bool,
+                            count=len(hashes))
+    if null_mask.any():
+        out = pd.Series([None] * len(hashes), dtype=object)
+        live = ~null_mask
+        if live.any():
+            out[live] = _minhash_core(
+                hashes[live].reset_index(drop=True)).values
+        return out
+    return _minhash_core(hashes)
+
+
+def _minhash_core(hashes: pd.Series) -> pd.Series:
     lens = np.fromiter((len(h) for h in hashes), dtype=np.int64,
                        count=len(hashes))
     if len(lens) == 0:
@@ -211,6 +255,9 @@ def minhash_signature_udf(hashes: pd.Series) -> pd.Series:
     return pd.Series(list(sigs))
 
 
+_SIGN_BIT = -(2 ** 63)
+
+
 def minhash_signature(hashes: F.Column,
                       num_hashes: int = _NUM_HASHES) -> F.Column:
     """num_hashes min-hashes over pre-hashed shingles, using cheap
@@ -218,7 +265,14 @@ def minhash_signature(hashes: F.Column,
     multiplications (Spark 4 ANSI mode throws on long overflow, so a*h+b
     universal hashing is off the table).  One projection, no shuffle,
     deterministic.  Pure-JVM expression form; see minhash_signature_udf
-    for the production path and the codegen-size rationale."""
+    for the production path and the codegen-size rationale.
+
+    Minimum is taken in UNSIGNED 64-bit order to match the UDF's uint64
+    reduceat (r10 review: a plain array_min over signed longs disagreed
+    with the UDF on essentially every document — the two documented twins
+    were NOT bit-identical).  unsigned-min(S) = flip(signed-min(flip(x)))
+    with flip = XOR of the sign bit; pinned bit-equal to the UDF in
+    tests/test_llm.py::test_minhash_expression_twin_matches_udf."""
     def perm_min(i: int) -> F.Column:
         rot, mask = _MH_ROT[i], F.lit(_MH_MASK[i])
 
@@ -227,17 +281,26 @@ def minhash_signature(hashes: F.Column,
                 F.shiftrightunsigned(h, 64 - rot))
             return rotated.bitwiseXOR(mask)
 
-        return F.array_min(F.transform(hashes, perm))
+        return F.array_min(
+            F.transform(hashes,
+                        lambda h: perm(h).bitwiseXOR(F.lit(_SIGN_BIT)))
+        ).bitwiseXOR(F.lit(_SIGN_BIT))
 
     return F.array(*[perm_min(i) for i in range(num_hashes)])
 
 
 # Buckets above this size switch from full intra-bucket pair explosion
 # (quadratic in bucket size) to star pairs against the bucket minimum
-# (linear).  Star pairs preserve the connected components that downstream
-# dedup consumes, so survivor selection is unaffected; only the explicit
-# pair listing of a >cap bucket is thinned.  At the tested scales no bucket
-# comes near the cap (asserted in tests), so the oracle stays exact.
+# (linear) — the standard hot-bucket cap every production LSH applies.
+# HONEST CONTRACT (r10 review): star pairs preserve connected components
+# of the CANDIDATE graph, but the downstream jaccard≥τ VERIFICATION can
+# prune star edges (x,y both near-dups of each other yet neither
+# τ-similar to the bucket-min doc), so past the cap components MAY split
+# vs the all-pairs ground truth — bounded-recall, not exact.  At every
+# tested scale no bucket comes near the cap (asserted in tests), so the
+# registered oracles stay exact; at template-heavy production scale the
+# cap trades a recall tail for the quadratic blow-up, the same trade
+# spark.ml's MinHashLSH and every banding dedup at scale makes.
 _BUCKET_CAP = 1024
 
 
@@ -250,13 +313,7 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
     corpora put thousands of docs in one bucket, where a self-join's output
     is quadratic *within the key* — AQE splits partitions, not join output)
     is bounded by _BUCKET_CAP via the star-pair fallback."""
-    bands = docs.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[
-            F.xxhash64(*[F.col(sig_col)[b * _ROWS_PER_BAND + r]
-                         for r in range(_ROWS_PER_BAND)])
-            for b in range(_BANDS)
-        ])).alias("band_idx", "band_hash"))
+    bands = band_rows(docs, id_col, sig_col)
     buckets = (
         bands.groupBy("band_idx", "band_hash")
         .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
@@ -284,24 +341,8 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 @register(
     "dedup_minhash_lsh",
-    oracle="""
-WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 30
-  UNION ALL
-  SELECT doc_id + 200000, text || ' zzzz' FROM documents
-  WHERE doc_id >= 30 AND doc_id < 60
-), raw AS (
-  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS r FROM corpus
-), sh AS (
-  SELECT doc_id,
-         CASE WHEN len(r) >= 3
-              THEN list_distinct(list_transform(range(1, len(r)-1),
-                     i -> r[i] || ' ' || r[i+1] || ' ' || r[i+2]))
-              ELSE [array_to_string(r, ' ')] END AS s
-  FROM raw
-)
+    oracle=f"""
+WITH {_CORPUS_CTE}, {_SHINGLE_CTES}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          / len(list_distinct(flatten([a.s, b.s]))) AS jaccard
@@ -535,24 +576,8 @@ def cc_labels(pairs: DataFrame) -> DataFrame:
 # CTE chain shared by the dedup_cc_survivors oracle and the staged
 # quality-weighted-survivor oracle (llm/staged.py): dup-injected corpus →
 # shingles → verified pairs → recursive transitive closure → components.
-_CC_ORACLE_CTES = """
-WITH RECURSIVE corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 30
-  UNION ALL
-  SELECT doc_id + 200000, text || ' zzzz' FROM documents
-  WHERE doc_id >= 30 AND doc_id < 60
-), raw AS (
-  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS r FROM corpus
-), sh AS (
-  SELECT doc_id,
-         CASE WHEN len(r) >= 3
-              THEN list_distinct(list_transform(range(1, len(r)-1),
-                     i -> r[i] || ' ' || r[i+1] || ' ' || r[i+2]))
-              ELSE [array_to_string(r, ' ')] END AS s
-  FROM raw
-), pairs AS (
+_CC_ORACLE_CTES = f"""
+WITH RECURSIVE {_CORPUS_CTE}, {_SHINGLE_CTES}, pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
            / len(list_distinct(flatten([a.s, b.s]))) AS jacc
@@ -753,14 +778,7 @@ _SUBSTR_K = 10
 @register(
     "dedup_exact_substring",
     oracle=f"""
-WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 30
-  UNION ALL
-  SELECT doc_id + 200000, text || ' zzzz' FROM documents
-  WHERE doc_id >= 30 AND doc_id < 60
-), toks AS (
+WITH {_CORPUS_CTE}, toks AS (
   SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t FROM corpus
 ), grams AS (
   SELECT doc_id, g, count(*) AS n_in_doc
@@ -916,6 +934,9 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _INC_DELTA_MIN = 100000  # planted-copy ids: the "new crawl" slice
+# session-scoped memo of built base-index sink paths (per sf tag — the
+# sink itself is applicationId-scoped, so a fresh session rebuilds)
+_INC_INDEX_BUILT: set = set()
 
 
 def band_rows(docs: DataFrame, id_col: str = "doc_id",
@@ -940,24 +961,8 @@ def _staged_sig(df: DataFrame) -> DataFrame:
 
 @register(
     "dedup_minhash_incremental",
-    oracle="""
-WITH corpus AS (
-  SELECT doc_id, text FROM documents
-  UNION ALL
-  SELECT doc_id + 100000, text FROM documents WHERE doc_id < 30
-  UNION ALL
-  SELECT doc_id + 200000, text || ' zzzz' FROM documents
-  WHERE doc_id >= 30 AND doc_id < 60
-), raw AS (
-  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS r FROM corpus
-), sh AS (
-  SELECT doc_id,
-         CASE WHEN len(r) >= 3
-              THEN list_distinct(list_transform(range(1, len(r)-1),
-                     i -> r[i] || ' ' || r[i+1] || ' ' || r[i+2]))
-              ELSE [array_to_string(r, ' ')] END AS s
-  FROM raw
-)
+    oracle=f"""
+WITH {_CORPUS_CTE}, {_SHINGLE_CTES}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
          / len(list_distinct(flatten([a.s, b.s]))) AS jaccard
@@ -979,13 +984,21 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = corpus.filter(F.col("doc_id") < _INC_DELTA_MIN)
     delta = corpus.filter(F.col("doc_id") >= _INC_DELTA_MIN)
 
-    # ---- one-time index build (per session): signatures + band table
-    idx_path = _sink("mh_index", spark)
-    bands_path = _sink("mh_bands", spark)
-    base_sig = _staged_sig(base)
-    base_sig.write.mode("overwrite").parquet(idx_path)
-    band_rows(spark.read.parquet(idx_path)) \
-        .write.mode("overwrite").parquet(bands_path)
+    # ---- one-time index build, ACTUALLY once per (session, sf): the
+    # base corpus is a pure function of sf_dir, so rebuilding it per
+    # invocation (bench reruns, repeated driver calls) would bill the
+    # O(corpus) signature pipeline to every "per-batch" run — the exact
+    # cost model this query exists to demonstrate (r10 review).  Keyed by
+    # applicationId + sf_dir; the sink dirs are session-scoped.
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    idx_path = _sink(f"mh_index_{tag}", spark)
+    bands_path = _sink(f"mh_bands_{tag}", spark)
+    if idx_path not in _INC_INDEX_BUILT:
+        base_sig = _staged_sig(base)
+        base_sig.write.mode("overwrite").parquet(idx_path)
+        band_rows(spark.read.parquet(idx_path)) \
+            .write.mode("overwrite").parquet(bands_path)
+        _INC_INDEX_BUILT.add(idx_path)
     base_idx = spark.read.parquet(idx_path)
     base_bands = spark.read.parquet(bands_path)
 

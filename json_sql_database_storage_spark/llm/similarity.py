@@ -346,9 +346,13 @@ _IVF_NPROBE = 3
 # the output cos_sim is computed from raw embedding values with the identical
 # left-to-right fold in both engines → bit-identical (sim_cosine_topk
 # precedent).
-@register(
-    "sim_ivf_topk",
-    oracle=f"""
+# THE IVF serve oracle + probe/score/rank plan — shared verbatim by
+# sim_ivf_topk (in-memory assignment) and sim_ivf_partitioned (the same
+# assignment written as a cell-partitioned index and probed via DPP):
+# the "same cells, same probes, same math" contract holds because both
+# registrations render the SAME string and call the SAME helpers
+# (r10 review: they were two byte-identical 37-line copies).
+_IVF_ORACLE = f"""
 WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
      flat AS (
   SELECT label, unnest(range(len(e))) AS pos, unnest(e) AS val FROM v
@@ -385,7 +389,45 @@ WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
 SELECT query_id, neighbor_id, cos_sim, rk
 FROM ranked WHERE rk <= 5
 ORDER BY query_id, rk
-""",
+"""
+
+
+def _ivf_probes(sims):
+    """nprobe nearest cells per query vector (vec_id < 10)."""
+    wq = W.partitionBy("vec_id").orderBy(F.col("cs").desc(), "c_label")
+    return (
+        sims.filter(F.col("vec_id") < 10)
+        .withColumn("prk", F.row_number().over(wq))
+        .filter(F.col("prk") <= _IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("c_label").alias("qcell"), F.col("e").alias("qe")))
+
+
+def _ivf_score_rank(index_df, probes):
+    """Probe-cell join + cosine + per-query top-5 — identical for the
+    in-memory and the partitioned-index serve paths."""
+    scored = (
+        index_df.join(F.broadcast(probes),
+                      (index_df["cell"] == probes["qcell"])
+                      & (index_df["vec_id"] != probes["query_id"]))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                cosine(F.col("qe"), F.col("e")).alias("cos_sim")))
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(),
+                                          "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        # raw double, not rounded: both engines fold the identical raw
+        # vectors left-to-right, so cos_sim is bit-identical (and round()
+        # itself disagrees between engines on half boundaries)
+        .select("query_id", "neighbor_id", "cos_sim", "rk")
+        .orderBy("query_id", "rk")
+    )
+
+
+@register(
+    "sim_ivf_topk",
+    oracle=_IVF_ORACLE,
     tags=("b11.3",),
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -403,29 +445,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query vectors (vec_id < 10) probe their NPROBE nearest cells —
     # multi-probe is the standard recall lever when a cell boundary cuts
     # through a query's true-neighbor set.
-    wq = W.partitionBy("vec_id").orderBy(F.col("cs").desc(), "c_label")
-    probes = (
-        sims.filter(F.col("vec_id") < 10)
-        .withColumn("prk", F.row_number().over(wq))
-        .filter(F.col("prk") <= _IVF_NPROBE)
-        .select(F.col("vec_id").alias("query_id"),
-                F.col("c_label").alias("qcell"), F.col("e").alias("qe")))
-    scored = (
-        assigned.join(F.broadcast(probes),
-                      (F.col("cell") == F.col("qcell"))
-                      & (F.col("vec_id") != F.col("query_id")))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                cosine(F.col("qe"), F.col("e")).alias("cos_sim")))
-    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        # raw double, not rounded: both engines fold the identical raw
-        # vectors left-to-right, so cos_sim is bit-identical (and round()
-        # itself disagrees between engines on half boundaries)
-        .select("query_id", "neighbor_id", "cos_sim", "rk")
-        .orderBy("query_id", "rk")
-    )
+    return _ivf_score_rank(assigned, _ivf_probes(sims))
 
 
 # ---------------------------------------------------------------------------
@@ -492,44 +512,7 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_ivf_partitioned",
-    oracle=f"""
-WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
-     flat AS (
-  SELECT label, unnest(range(len(e))) AS pos, unnest(e) AS val FROM v
-), cent AS (
-  SELECT label AS c_label, list(avg_val ORDER BY pos) AS ce
-  FROM (SELECT label, pos, sum(val) / count(*) AS avg_val
-        FROM flat GROUP BY label, pos)
-  GROUP BY label
-), sims AS (
-  SELECT v.vec_id, v.e, c.c_label,
-         {_COSINE_SQL.format(a="v.e", b="c.ce")} AS cs
-  FROM v CROSS JOIN cent c
-), assigned AS (
-  SELECT vec_id, arg_max(c_label, cs) AS cell, any_value(e) AS e
-  FROM sims GROUP BY vec_id
-), probes AS (
-  SELECT vec_id AS query_id, c_label AS qcell, e AS qe
-  FROM (SELECT vec_id, c_label, e,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY cs DESC, c_label) AS prk
-        FROM sims WHERE vec_id < 10)
-  WHERE prk <= 3
-), scored AS (
-  SELECT p.query_id, a.vec_id AS neighbor_id,
-         {_COSINE_SQL.format(a="p.qe", b="a.e")} AS cos_sim
-  FROM assigned a JOIN probes p
-    ON a.cell = p.qcell AND a.vec_id != p.query_id
-), ranked AS (
-  SELECT query_id, neighbor_id, cos_sim,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY cos_sim DESC, neighbor_id) AS rk
-  FROM scored
-)
-SELECT query_id, neighbor_id, cos_sim, rk
-FROM ranked WHERE rk <= 5
-ORDER BY query_id, rk
-""",
+    oracle=_IVF_ORACLE,
     tags=("b11.3", "b11.19"),
 )
 def sim_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -551,24 +534,5 @@ def sim_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     (assigned.write.mode("overwrite").partitionBy("cell").parquet(index_path))
     # 2) PROBE: the selective vec_id<10 filter on the probe side is what
     #    lets DPP inject the probed-cell subquery into the index scan
-    wq = W.partitionBy("vec_id").orderBy(F.col("cs").desc(), "c_label")
-    probes = (
-        sims.filter(F.col("vec_id") < 10)
-        .withColumn("prk", F.row_number().over(wq))
-        .filter(F.col("prk") <= _IVF_NPROBE)
-        .select(F.col("vec_id").alias("query_id"),
-                F.col("c_label").alias("qcell"), F.col("e").alias("qe")))
     index = spark.read.parquet(index_path)
-    scored = (
-        index.join(F.broadcast(probes),
-                   (index.cell == probes.qcell)
-                   & (index.vec_id != probes.query_id))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"),
-                cosine(F.col("qe"), F.col("e")).alias("cos_sim")))
-    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "neighbor_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= 5)
-        .select("query_id", "neighbor_id", "cos_sim", "rk")
-        .orderBy("query_id", "rk")
-    )
+    return _ivf_score_rank(index, _ivf_probes(sims))

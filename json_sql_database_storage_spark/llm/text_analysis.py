@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register, scoped_persist
 from ..sources import load_table
+from .dedup import _CORPUS_CTE_LANG
 
 
 def tokens(col: F.Column) -> F.Column:
@@ -793,14 +794,7 @@ _PIPE_BIN_TOKENS = 2048
 @register(
     "pipeline_curation_summary",
     oracle=rf"""
-WITH corpus AS (
-  SELECT doc_id, text, lang FROM documents
-  UNION ALL
-  SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id < 30
-  UNION ALL
-  SELECT doc_id + 200000, text || ' zzzz', lang FROM documents
-  WHERE doc_id >= 30 AND doc_id < 60
-), deduped AS (
+WITH {_CORPUS_CTE_LANG}, deduped AS (
   SELECT min(doc_id) AS doc_id, any_value(lang) AS lang,
          any_value(text) AS text
   FROM corpus GROUP BY sha256(text)

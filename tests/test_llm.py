@@ -188,13 +188,7 @@ def test_lsh_bucket_cap_bounds_hot_buckets(spark, sf_dir):
     sigs = staged.select(
         "doc_id",
         D.minhash_signature_udf(F.col("sh")).alias("sig"))
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(F.array(*[
-            F.xxhash64(*[F.col("sig")[b * D._ROWS_PER_BAND + r]
-                         for r in range(D._ROWS_PER_BAND)])
-            for b in range(D._BANDS)
-        ])).alias("band_idx", "band_hash"))
+    bands = D.band_rows(sigs)
     biggest = (bands.groupBy("band_idx", "band_hash").count()
                .agg(F.max("count")).collect()[0][0])
     assert biggest <= D._BUCKET_CAP // 4
@@ -1927,3 +1921,44 @@ def test_index_vacuum_keep_window_skips_expired_manifests(spark, sf_dir):
         (F.col("vec_id") + 10 ** 9).alias("vec_id"), "e"))
     ivfpq_vacuum(vp, keep_last=1)
     assert ivfpq_vacuum(vp, keep_last=5) == []
+
+
+def test_minhash_expression_twin_matches_udf(spark, sf_dir):
+    """r10 review: the expression form took its per-permutation minimum
+    in SIGNED 64-bit order while the production UDF reduces uint64 —
+    every lane disagreed on random hashes despite the docstring's
+    bit-identity claim.  The expression now flips the sign bit around
+    array_min (unsigned order via signed min); pin the two forms
+    bit-equal on the real corpus."""
+    from pyspark.sql import functions as F
+
+    from json_sql_database_storage_spark.llm import dedup as D
+    from json_sql_database_storage_spark.sources import load_table
+
+    docs = (load_table(spark, sf_dir, "documents")
+            .select("doc_id",
+                    D._hashed_shingles_of(
+                        F.split(F.lower("text"), r"\s+")).alias("sh")))
+    both = docs.select(
+        "doc_id",
+        D.minhash_signature_udf(F.col("sh")).alias("u"),
+        D.minhash_signature(F.col("sh")).alias("x"))
+    n_diff = both.filter(F.col("u") != F.col("x")).count()
+    assert n_diff == 0
+    assert both.count() > 0
+
+
+def test_minhash_udf_propagates_null_shingles(spark):
+    """r10 review: a NULL shingle array (NULL text upstream) must yield a
+    NULL signature — the expression twin's and the oracles' behavior —
+    not a len(None) TypeError that aborts the executor."""
+    from json_sql_database_storage_spark.llm import dedup as D  # noqa: F401
+
+    df = spark.createDataFrame(
+        [(1, [11, 22, 33]), (2, None), (3, [5])],
+        "doc_id bigint, sh array<bigint>")
+    rows = (df.select("doc_id", D.minhash_signature_udf("sh").alias("sig"))
+            .orderBy("doc_id").collect())
+    assert rows[0]["sig"] is not None and len(rows[0]["sig"]) == D._NUM_HASHES
+    assert rows[1]["sig"] is None
+    assert rows[2]["sig"] is not None
