@@ -60,8 +60,11 @@ def dsum_expr(expr: Column, scale: int = 2) -> Column:
 
 def davg(col: Column | str) -> Column:
     """Exact-sum average: identical double division in both engines.
+    try_divide so an EMPTY input's global aggregate yields NULL like the
+    oracle's x/0 instead of an ANSI DIVIDE_BY_ZERO abort (r10 review —
+    the tests/test_empty_inputs.py degenerate-input bar).
     DuckDB twin: CAST(sum(CAST(col AS DECIMAL(12,4))) AS DOUBLE) / count(*)"""
-    return F.sum(dec(col)).cast("double") / F.count(F.lit(1))
+    return F.try_divide(F.sum(dec(col)).cast("double"), F.count(F.lit(1)))
 
 
 def cents(col: Column | str, scale: int = 4) -> Column:

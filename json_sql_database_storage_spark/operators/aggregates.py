@@ -326,11 +326,15 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
     dx, dxx = F.col("dx"), F.col("dxx")
+    # try_divide on the (n-1) sample denominators: a single-row group
+    # (first incremental batch, filtered partition) must yield NULL like
+    # the oracle's x/0, not an ANSI DIVIDE_BY_ZERO abort (r10 review)
     return (
         base.select(
             "l_returnflag",
-            F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("qty_stddev"),
-            ((sxx - sx * sx / n) / (n - 1)).alias("qty_var"),
+            F.sqrt(F.try_divide(sxx - sx * sx / n, n - 1))
+            .alias("qty_stddev"),
+            F.try_divide(sxx - sx * sx / n, n - 1).alias("qty_var"),
             F.sqrt((dxx - dx * dx / n) / n).alias("disc_stddev_pop"),
             ((dxx - dx * dx / n) / n).alias("disc_var_pop"),
         )
@@ -811,7 +815,10 @@ def agg_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cw", F.sum("w").over(
             W.partitionBy("r_key").orderBy("pv", "w")
             .rowsBetween(W.unboundedPreceding, W.currentRow)))
-    totals = keyed.groupBy("r_key").agg(F.count(F.lit(1)).alias("n_rows"))
+    # region totals from per_nation's carried shard counts — a few-dozen
+    # row rollup, NOT a third scan+join of the fact table (r10 review)
+    totals = per_nation.groupBy("r_key").agg(
+        F.sum("n_p").alias("n_rows"))
     est = (cum.join(F.broadcast(totals), "r_key")
            .filter(F.col("cw") >= F.col("n_rows") / 2.0)
            .groupBy("r_key").agg(F.min("pv").alias("est")))

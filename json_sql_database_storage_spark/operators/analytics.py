@@ -294,9 +294,9 @@ def events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "events").select(
         "event_type", F.round(F.col("value") * 100).cast("bigint").alias("x"))
     # the census sums run in the 38-digit decimal domain: Σx² in int64
-    # wraps silently around 1e9 rows of ~1e5-cent values (DuckDB's
-    # sum(BIGINT) is HUGEINT — already exact; its oracle widens to
-    # DECIMAL(38,0) in the comparison)
+    # fails around 1e9 rows of ~1e5-cent values (ANSI throws, non-ANSI
+    # wraps — broken either way; DuckDB's sum(BIGINT) is HUGEINT —
+    # already exact, and its oracle widens to DECIMAL(38,0))
     stats = c.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("x").cast("decimal(38,0)")).alias("s"),

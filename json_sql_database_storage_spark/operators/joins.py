@@ -350,6 +350,35 @@ def join_self_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same-date order ties via the (ts, is_event, o_orderkey) sort.
 # ---------------------------------------------------------------------------
 
+def _asof_tagged(spark: SparkSession, sf_dir: str):
+    """The shared as-of union+window scaffold (events ∪ orders tagged by
+    is_event, last-order carry-forward per user) behind join_asof and
+    join_asof_tolerance — r10 review: the two inline copies had already
+    drifted on the o_orderdate timestamp cast.  Returns the tagged frame
+    WITH asof_ts (the tolerance twin's extra carry; join_asof ignores
+    it)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(1).alias("is_event"))
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "o_orderkey",
+        F.lit(0).alias("is_event"))
+    w = (W.partitionBy("user_id")
+         .orderBy("ts", "is_event", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        ev.unionByName(o)
+        .withColumn("asof_orderkey",
+                    F.last("o_orderkey", ignorenulls=True).over(w))
+        .withColumn("asof_ts",
+                    F.last(F.when(F.col("is_event") == 0, F.col("ts")),
+                           ignorenulls=True).over(w)))
+
+
 @register(
     "join_asof",
     oracle="""
@@ -375,22 +404,8 @@ ORDER BY event_id
     tags=("b3.10",),
 )
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id",
-        F.lit(None).cast("bigint").alias("o_orderkey"),
-        F.lit(1).alias("is_event"))
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"),
-        F.col("o_orderdate").alias("ts"),
-        F.lit(None).cast("bigint").alias("event_id"),
-        "o_orderkey",
-        F.lit(0).alias("is_event"))
-    w = (W.partitionBy("user_id")
-         .orderBy("ts", "is_event", "o_orderkey")
-         .rowsBetween(W.unboundedPreceding, W.currentRow))
     return (
-        ev.unionByName(o)
-        .withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        _asof_tagged(spark, sf_dir)
         .filter(F.col("is_event") == 1)
         .select("event_id", "user_id", "ts", "asof_orderkey")
         .orderBy("event_id")
@@ -413,9 +428,9 @@ FROM orders o LEFT JOIN (
   SELECT l_orderkey,
          list(struct_pack(
                 ln := l_linenumber, pk := l_partkey,
-                qty_c := CAST(CAST(l_quantity AS DECIMAL(12,4)) * 100 AS BIGINT),
-                price_c := CAST(CAST(l_extendedprice AS DECIMAL(12,4)) * 100 AS BIGINT),
-                disc_c := CAST(CAST(l_discount AS DECIMAL(12,4)) * 100 AS BIGINT))
+                qty_c := CAST(round(l_quantity * 100) AS BIGINT),
+                price_c := CAST(round(l_extendedprice * 100) AS BIGINT),
+                disc_c := CAST(round(l_discount * 100) AS BIGINT))
               ORDER BY l_linenumber, l_partkey, l_quantity,
                        l_extendedprice, l_discount) AS lines
   FROM lineitem GROUP BY l_orderkey
@@ -436,7 +451,10 @@ def join_renest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
 
     def _cents(col: str):
-        return (F.col(col).cast("decimal(12,4)") * 100).cast("bigint")
+        # repo-wide cents idiom (round, not a truncating decimal cast —
+        # r10 review: Spark's decimal->bigint cast truncates while
+        # DuckDB's rounds, diverging on any 3rd/4th-decimal value)
+        return F.round(F.col(col) * 100).cast("bigint")
 
     line_struct = F.struct(
         F.col("l_linenumber").alias("ln"),
@@ -530,26 +548,7 @@ ORDER BY event_id
     tags=("b3.13", "b3.10"),
 )
 def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id",
-        F.lit(None).cast("bigint").alias("o_orderkey"),
-        F.lit(1).alias("is_event"))
-    o = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"),
-        F.col("o_orderdate").cast("timestamp").alias("ts"),
-        F.lit(None).cast("bigint").alias("event_id"),
-        "o_orderkey",
-        F.lit(0).alias("is_event"))
-    w = (W.partitionBy("user_id")
-         .orderBy("ts", "is_event", "o_orderkey")
-         .rowsBetween(W.unboundedPreceding, W.currentRow))
-    tagged = (
-        ev.unionByName(o)
-        .withColumn("asof_orderkey",
-                    F.last("o_orderkey", ignorenulls=True).over(w))
-        .withColumn("asof_ts",
-                    F.last(F.when(F.col("is_event") == 0, F.col("ts")),
-                           ignorenulls=True).over(w)))
+    tagged = _asof_tagged(spark, sf_dir)
     return (
         tagged.filter(F.col("is_event") == 1)
         .select("event_id", "user_id", "ts",

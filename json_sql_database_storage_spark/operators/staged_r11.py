@@ -532,8 +532,9 @@ LIMIT {_Q2_K}
 # aggregate is map-side combinable on partkey; the threshold is ONE
 # 1-row broadcast scalar; the share test is the exact integer cross
 # product v·1000 > t, with the corpus-wide total t held in the 38-digit
-# decimal domain (Spark) / HUGEINT (DuckDB) — int64 would wrap silently
-# past ~9e9 lineitems under Spark's non-ANSI sum.
+# decimal domain (Spark) / HUGEINT (DuckDB) — an int64 sum fails past
+# ~9e9 lineitems (ANSI throws; non-ANSI wraps silently — broken either
+# way, the decimal domain stays exact).
 # ---------------------------------------------------------------------------
 
 _Q11_NATIONS = 5

@@ -382,12 +382,18 @@ FROM t1 LEFT JOIN t2 ON t1.user_id = t2.user_id
 def window_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
     per_user = funnel_times(ev, ["view", "click", "purchase"])
+    # try_divide: a step with zero completions (no clicks in the slice)
+    # must yield a NULL rate like the oracle's x/0, not an ANSI
+    # DIVIDE_BY_ZERO abort (Spark 4 ANSI throws even for double/long —
+    # r10 review, reproduced)
     return per_user.agg(
         F.count("t1").alias("n_view"),
         F.count("t2").alias("n_view_click"),
         F.count("t3").alias("n_full_funnel"),
-        (F.count("t2").cast("double") / F.count("t1")).alias("click_rate"),
-        (F.count("t3").cast("double") / F.count("t2")).alias("purchase_rate"),
+        F.try_divide(F.count("t2").cast("double"),
+                     F.count("t1")).alias("click_rate"),
+        F.try_divide(F.count("t3").cast("double"),
+                     F.count("t2")).alias("purchase_rate"),
     )
 
 

@@ -471,7 +471,7 @@ def test_q21_witnesses_plan_as_semi_and_anti_joins(spark, sf_dir):
 def test_quadratic_moment_sums_run_in_decimal_domain(spark, sf_dir):
     """r10 review hardening: per-row products of corpus-scale moment
     recipes fit int64, but their SUMS (Σx², Σxy, Σ i·len, global cents²
-    totals) wrap silently under Spark's non-ANSI BIGINT sum well inside
+    totals) overflow int64 (ANSI throws, non-ANSI wraps) well inside
     the 100-TB design point — every quadratic/global moment must
     aggregate as DecimalType(38,0), never long.  Guards against a
     'simplifying' regression back to .cast('bigint') sums."""
