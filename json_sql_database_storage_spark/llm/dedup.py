@@ -37,6 +37,14 @@ _NUM_HASHES = 32
 _BANDS = 8
 _ROWS_PER_BAND = _NUM_HASHES // _BANDS
 
+# THE whitespace-split pattern for Spark-side tokenization (r10 review):
+# Java's \s includes vertical tab (\x0B) while RE2's — the DuckDB
+# oracles' \s+ — does not, so a raw \s+ here silently diverges from
+# every text oracle on any document containing \x0B (scraped web/PDF
+# text has them).  This explicit class is exactly RE2's \s, so both
+# engines split identically on any input; oracles keep their \s+.
+WS_RE = "[ \t\n\f\r]+"
+
 
 def _spread(spark: SparkSession, df: DataFrame,
             input_bytes: int) -> DataFrame:
@@ -164,7 +172,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _tokens(col: F.Column) -> F.Column:
-    return F.array_distinct(F.split(F.lower(col), r"\s+"))
+    return F.array_distinct(F.split(F.lower(col), WS_RE))
 
 
 def _hashed_shingles_of(toks: F.Column, k: int = 3) -> F.Column:
@@ -390,7 +398,7 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both the signature input and the exact-jaccard verification run on
     # longs; shingle strings are never materialized.
     tokenized = corpus.select(
-        "doc_id", F.split(F.lower("text"), r"\s+").alias("raw"))
+        "doc_id", F.split(F.lower("text"), WS_RE).alias("raw"))
     staged = tokenized.select(
         "doc_id", _hashed_shingles_of(F.col("raw")).alias("sh"))
     docs = staged.select(
@@ -806,7 +814,7 @@ ORDER BY doc_id
 )
 def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus_with_dups(spark, sf_dir)
-    t = F.split(F.lower("text"), r"\s+")
+    t = F.split(F.lower("text"), WS_RE)
     k = _SUBSTR_K
     gram = F.transform(
         F.sequence(F.lit(0), F.size("t") - k),
@@ -953,7 +961,7 @@ def band_rows(docs: DataFrame, id_col: str = "doc_id",
 
 def _staged_sig(df: DataFrame) -> DataFrame:
     """(doc_id, sh, sig) from (doc_id, text) — the shared signature stage."""
-    return (df.select("doc_id", F.split(F.lower("text"), r"\s+").alias("raw"))
+    return (df.select("doc_id", F.split(F.lower("text"), WS_RE).alias("raw"))
             .select("doc_id", _hashed_shingles_of(F.col("raw")).alias("sh"))
             .select("doc_id", "sh",
                     minhash_signature_udf(F.col("sh")).alias("sig")))
@@ -1093,7 +1101,7 @@ def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle lambda's ~7 array references (size + k accesses + fallback —
     # measured 13 s -> ~1 s for the shingle pass at sf0.1 without it)
     sh = scoped_persist(
-        d.select("doc_id", F.split(F.lower("text"), r"\s+").alias("raw"))
+        d.select("doc_id", F.split(F.lower("text"), WS_RE).alias("raw"))
         .select("doc_id",
                 _hashed_shingles_of(F.col("raw"), k=_DECON_K).alias("s")))
     bench = (sh.filter(F.col("doc_id") % _DECON_MOD == 0)

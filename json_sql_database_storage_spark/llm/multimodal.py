@@ -113,13 +113,21 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, _FEATURE_SCHEMA)
 
 
+# DuckDB UBIGINT→signed-int64 two's-complement view — ONE definition for
+# every checksum oracle in this module (r10 review: mm_feature_extract
+# hand-inlined a third copy).
+_HEX2I64 = """CASE WHEN {u} >= 9223372036854775808
+     THEN CAST({u}::HUGEINT - 18446744073709551616::HUGEINT AS BIGINT)
+     ELSE CAST({u} AS BIGINT) END"""
+
+
 # b11.8 — binary payload + typed metadata + Arrow-batched feature extraction.
 # The fake decoder is sha256-derived, so DuckDB can recompute every feature:
 # checksum = first 8 payload bytes = first 16 hex chars of sha256(text),
 # reinterpreted as signed big-endian int64.
 @register(
     "mm_feature_extract",
-    oracle="""
+    oracle=f"""
 WITH h AS (
   SELECT doc_id, ('0x' || substr(sha256(text), 1, 16))::UBIGINT AS u
   FROM documents
@@ -129,9 +137,7 @@ SELECT doc_id,
        64 AS n_bytes,
        CAST((doc_id % 4) * 64 + 64 AS INT) AS width,
        CAST((doc_id % 3) * 64 + 64 AS INT) AS height,
-       CASE WHEN u >= 9223372036854775808
-            THEN CAST(u::HUGEINT - 18446744073709551616::HUGEINT AS BIGINT)
-            ELSE CAST(u AS BIGINT) END AS checksum
+       {_HEX2I64.format(u='u')} AS checksum
 FROM h
 ORDER BY doc_id
 """,
@@ -151,9 +157,6 @@ _RESIZE_SCHEMA = ("doc_id BIGINT, orig_width INT, orig_height INT, "
                   "new_width INT, new_height INT, resized_checksum BIGINT")
 _MAX_DIM = 128
 
-_HEX2I64 = """CASE WHEN {u} >= 9223372036854775808
-     THEN CAST({u}::HUGEINT - 18446744073709551616::HUGEINT AS BIGINT)
-     ELSE CAST({u} AS BIGINT) END"""
 
 
 def resize_batch(pdf: pd.DataFrame, *, real: bool = False) -> pd.DataFrame:
@@ -177,7 +180,12 @@ def resize_batch(pdf: pd.DataFrame, *, real: bool = False) -> pd.DataFrame:
             maxd = max(w, h)
             nw, nh = ((w, h) if maxd <= _MAX_DIM
                       else (w * _MAX_DIM // maxd, h * _MAX_DIM // maxd))
-            resized = img.resize((max(nw, 1), max(nh, 1)))
+            # clamp BEFORE reporting (r10 review): a 300×1 image scales
+            # to height 0 by integer division but is resized at the
+            # 1-pixel clamp — the emitted dims must describe the actual
+            # resized image, not the unclamped arithmetic
+            nw, nh = max(nw, 1), max(nh, 1)
+            resized = img.resize((nw, nh))
             ck = int.from_bytes(
                 hashlib.sha256(resized.tobytes()).digest()[:8],
                 "big", signed=True)

@@ -173,13 +173,23 @@ def text_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the d×w counter table from the corpus, then answer a point
     query per distinct corpus term alongside its exact count — the oracle
     doubles as the one-sided-error check (cms_est ≥ exact_c row by row)."""
+    from ..registry import scoped_persist
+
     d = load_table(spark, sf_dir, "documents")
+    # h feeds BOTH counters and the probe (and toks a third consumer) —
+    # persist the hashed-token frame once so the corpus explode + d md5
+    # hashes per occurrence are computed once, not per consumer (r10
+    # review)
     toks = d.select(F.explode(tokens(F.col("text"))).alias("term"))
-    h = toks.select("term", F.explode(_cms_hashes(F.col("term"))).alias("e")) \
-            .select("term", F.col("e.i").alias("i"), F.col("e.bkt").alias("bkt"))
+    h = scoped_persist(
+        toks.select("term", F.explode(_cms_hashes(F.col("term"))).alias("e"))
+        .select("term", F.col("e.i").alias("i"), F.col("e.bkt").alias("bkt")))
     counters = h.groupBy("i", "bkt").agg(F.count(F.lit(1)).alias("c"))
-    exact = toks.groupBy("term").agg(F.count(F.lit(1)).cast("bigint")
-                                     .alias("exact_c"))
+    # exact counts ride the SAME persisted frame (row i==0 appears once
+    # per token occurrence) — no third corpus scan
+    exact = (h.filter(F.col("i") == 0)
+             .groupBy("term").agg(F.count(F.lit(1)).cast("bigint")
+                                  .alias("exact_c")))
     probe = h.select("term", "i", "bkt").distinct()
     return (
         probe.join(counters, ["i", "bkt"])

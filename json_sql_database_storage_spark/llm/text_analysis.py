@@ -13,11 +13,13 @@ from pyspark.sql import functions as F
 
 from ..registry import register, scoped_persist
 from ..sources import load_table
-from .dedup import _CORPUS_CTE_LANG
+from .dedup import _CORPUS_CTE_LANG, WS_RE
 
 
 def tokens(col: F.Column) -> F.Column:
-    return F.split(F.lower(col), r"\s+")
+    # WS_RE, not a raw \s+: Java's \s includes \x0B, RE2's (the
+    # oracles') does not — one explicit class both engines agree on
+    return F.split(F.lower(col), WS_RE)
 
 
 # ---------------------------------------------------------------------------
@@ -490,6 +492,21 @@ _SAMPLE_QUOTA = {"en": 500, "de": 300, "fr": 300}     # per-mille keep rates
 _SAMPLE_DEFAULT = 100
 
 
+def permille_keep(quota: dict = _SAMPLE_QUOTA,
+                  default: int = _SAMPLE_DEFAULT):
+    """(hash_expr, quota_expr): the arithmetic Knuth-hash per-mille
+    sampler — ONE definition shared by text_stratified_sample and
+    pipeline_curation_summary (r10 review: the two spelled the hash
+    differently and duplicated the quota constants).  doc_id ≥ 0, so the
+    single pmod is already non-negative."""
+    h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000))
+    q = F.coalesce(
+        F.create_map(*[F.lit(x) for kv in quota.items() for x in kv])
+        [F.col("lang")],
+        F.lit(default))
+    return h, q
+
+
 @register(
     "text_stratified_sample",
     oracle=f"""
@@ -507,11 +524,7 @@ ORDER BY doc_id
 )
 def text_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000))
-    quota = F.coalesce(
-        F.create_map(*[F.lit(x) for kv in _SAMPLE_QUOTA.items() for x in kv])
-         [F.col("lang")],
-        F.lit(_SAMPLE_DEFAULT))
+    h, quota = permille_keep()
     return (d.filter(h < quota).select("doc_id", "lang").orderBy("doc_id"))
 
 
@@ -786,8 +799,10 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Composability is the point: stages chain as DataFrame transforms with no
 # materialization barriers between them, and the per-stage aggregates are
 # map-side-combinable counts joined on the tiny lang key.
-_PIPE_QUOTA = {"en": 500, "de": 300, "fr": 300}   # per-mille keep rates
-_PIPE_DEFAULT = 100
+# the pipeline composes the SAME sampler stage as the standalone
+# exhibit — constants are aliases, never separate copies
+_PIPE_QUOTA = _SAMPLE_QUOTA
+_PIPE_DEFAULT = _SAMPLE_DEFAULT
 _PIPE_BIN_TOKENS = 2048
 
 
@@ -848,10 +863,7 @@ def pipeline_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") >= 64) & (F.col("n_chars") <= 100000)
         & (F.col("n_tokens") >= 10)
         & (2 * F.col("n_distinct") >= F.col("n_tokens")))
-    h = F.pmod(F.pmod(F.col("doc_id") * F.lit(2654435761), 1000) + 1000, 1000)
-    quota = F.lit(_PIPE_DEFAULT)
-    for k, v in _PIPE_QUOTA.items():
-        quota = F.when(F.col("lang") == k, F.lit(v)).otherwise(quota)
+    h, quota = permille_keep(_PIPE_QUOTA, _PIPE_DEFAULT)
     sampled = quality.filter(h < quota)
 
     def per_lang(df: DataFrame, out: str) -> DataFrame:
@@ -914,10 +926,27 @@ def pipeline_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_VOCAB = 24  # top-K LM vocabulary cap (corpus vocab is 31 → 7 OOV terms)
 
 
-@register(
-    "text_unigram_logprob",
-    oracle=rf"""
-WITH w AS (
+def lm_token_scores(d: DataFrame) -> DataFrame:
+    """(doc_id, qv): per-token q6 neg-log-prob under the capped unigram
+    LM — THE one Spark-side definition of the scoring pipeline shared by
+    text_unigram_logprob and sample_lm_quality_buckets (r10 review: the
+    two exhibits restated it verbatim on both sides)."""
+    w = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    lm = (w.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+          .orderBy(F.col("c").desc(), "term").limit(_LM_VOCAB))
+    n = w.agg(F.count(F.lit(1)).cast("double").alias("n_words"))
+    return (
+        w.join(F.broadcast(lm), "term", "left")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id",
+                F.floor(F.log(F.col("n_words")
+                              / F.coalesce(F.col("c"), F.lit(1))) * 1000000
+                        + F.lit(0.5)).cast("bigint").alias("qv"))
+    )
+
+
+# the oracle twin: w/lm/n/q CTE chain ending with q(doc_id, qv)
+_LM_Q_CTES = rf"""w AS (
   SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
   FROM documents
 ), lm AS (
@@ -929,7 +958,13 @@ q AS (
          CAST(floor(ln(CAST(n.n_words AS DOUBLE) / coalesce(lm.c, 1))
                     * 1000000 + 0.5) AS BIGINT) AS qv
   FROM w LEFT JOIN lm USING (term) CROSS JOIN n
-)
+)"""
+
+
+@register(
+    "text_unigram_logprob",
+    oracle=rf"""
+WITH {_LM_Q_CTES}
 SELECT doc_id, count(*) AS n_tokens,
        CAST(sum(qv) AS DOUBLE) / count(*) / 1000000.0 AS avg_neglogp
 FROM q
@@ -940,18 +975,7 @@ ORDER BY doc_id
 )
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    w = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    lm = (w.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-          .orderBy(F.col("c").desc(), "term").limit(_LM_VOCAB))
-    n = w.agg(F.count(F.lit(1)).cast("double").alias("n_words"))
-    q = (
-        w.join(F.broadcast(lm), "term", "left")
-        .crossJoin(F.broadcast(n))
-        .select("doc_id",
-                F.floor(F.log(F.col("n_words")
-                              / F.coalesce(F.col("c"), F.lit(1))) * 1000000
-                        + F.lit(0.5)).cast("bigint").alias("qv"))
-    )
+    q = lm_token_scores(d)
     return (
         q.groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_tokens"),
@@ -1172,19 +1196,7 @@ _LMQ_MID = 4_900_000    # < 4.9 nats → middle; >= → tail
 @register(
     "sample_lm_quality_buckets",
     oracle=rf"""
-WITH w AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
-  FROM documents
-), lm AS (
-  SELECT term, count(*) AS c FROM w GROUP BY term
-  ORDER BY c DESC, term LIMIT {_LM_VOCAB}
-), n AS (SELECT count(*) AS n_words FROM w),
-q AS (
-  SELECT w.doc_id,
-         CAST(floor(ln(CAST(n.n_words AS DOUBLE) / coalesce(lm.c, 1))
-                    * 1000000 + 0.5) AS BIGINT) AS qv
-  FROM w LEFT JOIN lm USING (term) CROSS JOIN n
-), s AS (
+WITH {_LM_Q_CTES}, s AS (
   SELECT doc_id, CAST(sum(qv) // count(*) AS BIGINT) AS avg_q6 FROM q
   GROUP BY doc_id
 ), b AS (
@@ -1204,18 +1216,7 @@ ORDER BY lang, bucket
 )
 def sample_lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    w = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    lm = (w.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-          .orderBy(F.col("c").desc(), "term").limit(_LM_VOCAB))
-    n = w.agg(F.count(F.lit(1)).cast("double").alias("n_words"))
-    q = (
-        w.join(F.broadcast(lm), "term", "left")
-        .crossJoin(F.broadcast(n))
-        .select("doc_id",
-                F.floor(F.log(F.col("n_words")
-                              / F.coalesce(F.col("c"), F.lit(1))) * 1000000
-                        + F.lit(0.5)).cast("bigint").alias("qv"))
-    )
+    q = lm_token_scores(d)
     s = (q.groupBy("doc_id")
          .agg(F.expr("sum(qv) div count(*)").cast("bigint").alias("avg_q6")))
     b = (s.join(d.select("doc_id", "lang"), "doc_id")

@@ -1962,3 +1962,32 @@ def test_minhash_udf_propagates_null_shingles(spark):
     assert rows[0]["sig"] is not None and len(rows[0]["sig"]) == D._NUM_HASHES
     assert rows[1]["sig"] is None
     assert rows[2]["sig"] is not None
+
+
+def test_whitespace_split_cross_engine_on_vertical_tab(spark, tmp_path):
+    """r10 review: Java's \\s includes \\x0B while RE2's (DuckDB's) does
+    not, so the old raw \\s+ tokenizer silently diverged from every text
+    oracle on documents containing a vertical tab.  WS_RE is RE2's exact
+    class — pin both engines tokenizing a \\x0B document identically."""
+    import duckdb
+
+    from json_sql_database_storage_spark.llm.text_analysis import tokens
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "alpha\x0bbeta gamma", "en", "s", 16)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint")
+    path = str(tmp_path / "documents.parquet")
+    df.write.mode("overwrite").parquet(path)
+    spark_toks = (df.select(F.size(tokens(F.col("text"))).alias("n"))
+                  .collect()[0]["n"])
+    con = duckdb.connect()
+    try:
+        duck_toks = con.execute(
+            "SELECT len(regexp_split_to_array(lower(text), '\\s+')) "
+            f"FROM read_parquet('{path}/*.parquet')").fetchone()[0]
+    finally:
+        con.close()
+    # one token containing the \x0B on both engines (neither splits it)
+    assert spark_toks == duck_toks == 2
