@@ -248,17 +248,16 @@ _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
     ("llm/dedup.py", "sample_split_no_leakage"):
         "1-row global leaked-cluster count",
     ("llm/similarity.py", "sim_cosine_topk"): "query vectors (fixed count)",
-    ("llm/similarity.py", "sim_ivf_topk"): "probe rows — Q × nprobe",
-    ("llm/similarity.py", "sim_ivf_partitioned"): "probe rows — Q × nprobe",
+    ("llm/similarity.py", "_ivf_score_rank"):
+        "probe rows — Q × nprobe (shared by sim_ivf_topk / sim_ivf_partitioned)",
     ("llm/similarity.py", "sim_nearest_centroid"): "label centroids (≤10)",
     ("llm/sketches.py", "text_heavy_hitters"):
         "1-row count + ≤(k−1)·partitions Misra-Gries candidates",
     ("llm/text_analysis.py", "text_term_cooccurrence"):
         "top-K term lists — O(K)",
-    ("llm/text_analysis.py", "text_unigram_logprob"):
-        "top-_LM_VOCAB capped LM + 1-row count (r5 fix: was unbounded vocab)",
-    ("llm/text_analysis.py", "sample_lm_quality_buckets"):
-        "top-_LM_VOCAB capped LM + 1-row count (same bound as the scorer)",
+    ("llm/text_analysis.py", "lm_token_scores"):
+        "top-_LM_VOCAB capped LM + 1-row count (r5 fix: was unbounded "
+        "vocab; shared by text_unigram_logprob / sample_lm_quality_buckets)",
     ("llm/text_analysis.py", "sample_domain_balance"):
         "1-row target + per-language rates",
     ("llm/text_analysis.py", "text_tfidf"): "1-row corpus count",
