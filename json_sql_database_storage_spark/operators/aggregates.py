@@ -291,9 +291,9 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT
   l_returnflag,
-  sqrt((sxx - sx * sx / n) / (n - 1)) AS qty_stddev,
+  sqrt(greatest((sxx - sx * sx / n) / (n - 1), 0)) AS qty_stddev,
   (sxx - sx * sx / n) / (n - 1)       AS qty_var,
-  sqrt((dxx - dx * dx / n) / n)       AS disc_stddev_pop,
+  sqrt(greatest((dxx - dx * dx / n) / n, 0))       AS disc_stddev_pop,
   (dxx - dx * dx / n) / n             AS disc_var_pop
 FROM (
   SELECT
@@ -332,10 +332,14 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         base.select(
             "l_returnflag",
-            F.sqrt(F.try_divide(sxx - sx * sx / n, n - 1))
-            .alias("qty_stddev"),
+            # greatest(…, 0) under the sqrt: floating rounding can
+            # push a true-zero variance a hair negative — Spark's
+            # sqrt(-eps) is NaN but DuckDB's ERRORS, so both sides clamp
+            F.sqrt(F.greatest(F.try_divide(sxx - sx * sx / n, n - 1),
+                              F.lit(0.0))).alias("qty_stddev"),
             F.try_divide(sxx - sx * sx / n, n - 1).alias("qty_var"),
-            F.sqrt((dxx - dx * dx / n) / n).alias("disc_stddev_pop"),
+            F.sqrt(F.greatest((dxx - dx * dx / n) / n, F.lit(0.0)))
+            .alias("disc_stddev_pop"),
             ((dxx - dx * dx / n) / n).alias("disc_var_pop"),
         )
         .orderBy("l_returnflag")

@@ -300,7 +300,7 @@ SELECT user_id, event_id, z
 FROM (
   SELECT user_id, event_id, nn,
          (CAST(cents AS DOUBLE) - sx / n)
-         / sqrt(sxx / n - (sx / n) * (sx / n)) AS z
+         / sqrt(greatest(sxx / n - (sx / n) * (sx / n), 0)) AS z
   FROM fr
 )
 WHERE nn = {_ZW} AND z * z > 4
