@@ -142,6 +142,30 @@ EXTRA = [
     "text_code_detection",
     "sample_token_budget_epochs",
     "q20_excess_supply_share",
+    # round-11 families (the 23 promoted staged queries; the two
+    # stream_*_index_maintenance exhibits are excluded per the standing
+    # replay-latency note below)
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q_supplier_churn",
+    "window_inter_event_gap",
+    "doc_vacuum_family",
+    "q_nation_trade_balance",
+    "q_brand_monthly_movers",
+    "q9_product_type_profit",
+    "events_weekday_profile",
+    "q_order_size_histogram",
+    "q_discount_quantity_corr",
+    "q_ship_latency_p95",
+    "dedup_cluster_size_histogram",
+    "sample_reservoir_global",
+    "sim_dimension_profile",
+    "text_doc_length_gini",
+    "sim_label_purity",
+    "text_zipf_slope",
+    "sample_weighted_no_replacement",
+    "sim_ann_recall_curve",
+    "text_source_overlap",
     # the stream-stream replays are excluded here: their wall time is
     # micro-batch scheduling of a 4-chunk replay (a latency regime the
     # batch bench's throughput number does not represent); their
@@ -251,6 +275,46 @@ def main() -> None:
         specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         extra[name] = round(time.perf_counter() - t0, 3)
 
+    # Build/probe split for the graph family (r10 verdict next-round #3):
+    # build the shared co-purchase edge artifact ONCE, then time the four
+    # graph consumers against it — the cost profile a build-once/probe-many
+    # deployment actually sees (the one-shot forms above re-pay the edge
+    # build per query; the delta is the amortization win).
+    graph_probe: dict[str, float] = {}
+    try:
+        from json_sql_database_storage_spark.operators import (
+            graph_edges as _ge,
+        )
+
+        probes = (
+            ("graph_triangle_count_probe", _ge.triangle_count_probe),
+            ("graph_kcore_probe", _ge.kcore_probe),
+            ("graph_degree_assortativity_probe",
+             _ge.degree_assortativity_probe),
+            ("graph_degree_histogram_probe", _ge.degree_histogram_probe))
+        # plan-warm the probe shapes at sf0.001 (same discipline as the
+        # headline pass — the r11 first run showed cold codegen swamping
+        # the probe numbers: triangle probe read 18 s cold vs 7 s warmed)
+        if os.path.isdir(warm_dir) \
+                and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
+            wpaths = _ge.edges_build(spark, warm_dir,
+                                     "copurchase_edges_benchwarm")
+            for _, gfn in probes:
+                gfn(spark, wpaths).write.format("noop") \
+                    .mode("overwrite").save()
+                registry.release_caches()
+        t0 = time.perf_counter()
+        gpaths = _ge.edges_build(spark, sf_dir)
+        graph_probe["graph_edges_build"] = round(time.perf_counter() - t0, 3)
+        for gname, gfn in probes:
+            registry.release_caches()
+            t0 = time.perf_counter()
+            gfn(spark, gpaths).write.format("noop").mode("overwrite").save()
+            graph_probe[gname] = round(time.perf_counter() - t0, 3)
+        registry.release_caches()
+    except Exception:
+        pass  # probe timing is evidence, never a bench failure
+
     # DuckDB single-node reference on the same queries' oracle SQL — the
     # honest comparison point for absolute overhead at this scale.
     duck_total = None
@@ -276,6 +340,29 @@ def main() -> None:
     except Exception:
         pass
 
+    # Machine-load tag (r10 verdict §wrong #2: the r10 driver tail was
+    # recorded under a concurrent 262-query simulation and read as a
+    # regression) — 1-minute loadavg at finish, so a loaded recording is
+    # self-labelling instead of needing a post-hoc footnote in BASELINE.md.
+    try:
+        load_1m = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_1m = None
+
+    # The per-query extras (106+ entries) overflowed the driver's stdout
+    # capture window in r10 (BENCH_r10.json "parsed": null) — they live in
+    # a sidecar now so the ONE stdout line stays compact and parseable.
+    extra_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "BENCH_EXTRA.json")
+    try:
+        with open(extra_path, "w") as f:
+            json.dump({"sf": sf, "loadavg_1m": load_1m,
+                       "queries_extra": extra,
+                       "graph_build_probe": graph_probe},
+                      f, indent=1, sort_keys=True)
+    except OSError:
+        extra_path = None
+
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": round(total, 3),
@@ -284,13 +371,15 @@ def main() -> None:
         "sf": sf,
         "queries_warm": warm,
         "value_warm": round(warm_total, 3),
-        "queries_extra": extra,
         "duckdb_oracle_total_sec": duck_total,
+        "loadavg_1m": load_1m,
+        "extras_sidecar": extra_path,
+        "extras_count": len(extra),
         "first_pass_label": "plan-warmed",
         "note": ("first pass runs after an sf0.001 plan prewarm (codegen "
                  "compiled, data-proportional work timed); not comparable "
                  "to the genuinely-cold r1-r3 first-pass figures"),
-    }))
+    }, separators=(",", ":")))
     spark.stop()
 
 

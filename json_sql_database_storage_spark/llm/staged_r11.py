@@ -856,7 +856,11 @@ def _stream_vim_oracle() -> str:
 ), """)
 
 
-STAGED: dict = {
+# Promoted round 11 (r10 verdict next-round #1); empty STAGED kept so the
+# staged-protocol tests can pin that nothing is both staged and registered.
+from ..registry import register  # noqa: E402  (promotion epilogue)
+
+for _name, (_fn, _sql) in {
     "dedup_cluster_size_histogram": (dedup_cluster_size_histogram,
                                      _cluster_hist_sql()),
     "sample_reservoir_global": (sample_reservoir_global, _RSV_SQL),
@@ -872,4 +876,7 @@ STAGED: dict = {
     "text_source_overlap": (text_source_overlap, _OVERLAP_SQL),
     "stream_vector_index_maintenance": (stream_vector_index_maintenance,
                                         _stream_vim_oracle()),
-}
+}.items():
+    register(_name, _sql)(_fn)
+
+STAGED: dict = {}

@@ -1,0 +1,197 @@
+"""Shared co-purchase edge artifact — the build/probe split for the graph
+family (r10 verdict next-round #3).
+
+graph_triangle_count, graph_kcore, graph_degree_assortativity and
+graph_degree_histogram each rebuilt the same lineitem self-join edge list,
+and that build dominated all four (quiet-machine r10: 12.5 + 6.8 + 3.3 +
+2.9 s).  The BM25 precedent (llm/search.py bm25_build / bm25_probe)
+applies: build ONCE into a versioned parquet artifact, probe many.  The
+registered one-shot query forms stay the driver/oracle surface; each probe
+is pinned row-identical to its one-shot twin in tests/test_graph_edges.py.
+
+Artifact layout (the index-segment discipline, llm/search.py:237-519):
+canonical undirected edges (pa < pb, DISTINCT) land as invisible ``seg=N``
+parquet partition dirs, pre-partitioned on pa so probe-side degree
+censuses and the kcore endpoint joins start from write-time locality; a
+``commit_manifest`` CAS claim (operators/snapshots.py:417 — write-fsync-
+link, put-if-absent) then publishes {segs, n_edges, n_nodes, source}.  A
+crash between the data write and the claim leaves the previous version
+fully consistent; the orphaned seg dir is cleared by the next writer.
+Rebuilds write seg=N+1 and claim the next version — old versions stay
+AS-OF readable until vacuumed, and a probe pins the version it opened.
+Single-writer per artifact via the shared write.lock (llm/search.py
+_index_write_lock: O_EXCL + pid-reuse-safe stale break).
+
+100-TB design: the build pays the one O(Σ items-per-order²) pair
+explosion + distinct (bounded per order — never quadratic in the table);
+every probe then starts from an O(E) columnar scan of two int64 columns
+instead of re-running the self-join.  At 1000-executor scale the artifact
+is exactly what a feature-store materialization is: the shuffle-heavy
+normalization runs once per ingest, the iterative/analytic consumers run
+many times per day against the frozen, pre-partitioned layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources import load_table
+
+# manifest slots (commit_manifest int-keys the top level)
+_M_SEGS, _M_STATS, _M_NEXT = 0, 1, 2
+
+_EDGE_SCHEMA = "pa bigint, pb bigint, seg int"
+
+
+def copurchase_edges_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical one-shot logical plan: distinct co-purchased part
+    pairs (pa < pb) — nodes are parts, an undirected edge means "appeared
+    in the same order".  Shared by all four registered graph queries and
+    by edges_build; the pair explosion is partition-local per order
+    (bounded by items-per-order choose 2), the distinct is the one
+    edge-keyed shuffle."""
+    items = (load_table(spark, sf_dir, "lineitem")
+             .select("l_orderkey", "l_partkey").distinct())
+    return (items.alias("a")
+            .join(items.select("l_orderkey",
+                               F.col("l_partkey").alias("pb"))
+                  .alias("b"), ["l_orderkey"])
+            .filter(F.col("a.l_partkey") < F.col("pb"))
+            .select(F.col("a.l_partkey").alias("pa"), "pb")
+            .distinct())
+
+
+def _edge_paths(spark: SparkSession, name: str) -> dict[str, str]:
+    from .scans import _sink
+
+    return {"data": _sink(name, spark), "meta": _sink(f"{name}_meta", spark)}
+
+
+def _manifest(paths: dict[str, str], version: int | None = None) -> dict:
+    from .snapshots import current_version, read_committed_manifest
+
+    v = current_version(paths["meta"]) if version is None else version
+    return read_committed_manifest(paths["meta"], v)
+
+
+def _commit(paths: dict[str, str], manifest: dict) -> None:
+    from .snapshots import SnapshotConflict, commit_manifest, current_version
+
+    os.makedirs(paths["meta"], exist_ok=True)
+    for _ in range(5):
+        try:
+            commit_manifest(paths["meta"],
+                            current_version(paths["meta"]) + 1, manifest)
+            return
+        except SnapshotConflict:
+            continue
+    raise SnapshotConflict(f"edge-artifact commit under {paths['meta']} "
+                           f"lost the race 5 times")
+
+
+def edges_build(spark: SparkSession, sf_dir: str,
+                name: str = "copurchase_edges") -> dict[str, str]:
+    """Materialize the canonical edge list as a committed artifact and
+    return its paths.  Idempotent per (session, name): a rebuild writes
+    the next segment and claims the next manifest version (full-refresh
+    semantics — the co-purchase graph derives from the whole fact table,
+    so a delta-append would need retraction logic the consumers don't
+    want; at 100 TB the refresh cadence is the ingest cadence)."""
+    from ..llm.search import _index_write_lock
+    from .snapshots import current_version
+
+    paths = _edge_paths(spark, name)
+    with _index_write_lock(paths["meta"]):
+        v = current_version(paths["meta"])
+        seg = int(_manifest(paths, v)[_M_NEXT]) if v >= 0 else 0
+        _clear_seg(paths["data"], seg)
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        edges = copurchase_edges_plan(spark, sf_dir)
+        (edges.withColumn("seg", F.lit(seg).cast("int"))
+         .repartition(n_part, "pa")
+         .write.mode("append").partitionBy("seg")
+         .parquet(paths["data"]))
+        # stats from the WRITTEN rows (1-row scalar over one columnar
+        # scan — the manifest must describe what was committed, not what
+        # the source would produce if re-run)
+        written = (spark.read.schema(_EDGE_SCHEMA).parquet(paths["data"])
+                   .filter(F.col("seg") == seg))
+        stats = (written.select(F.col("pa").alias("n"))
+                 .unionAll(written.select(F.col("pb").alias("n")))
+                 .agg((F.count(F.lit(1)) / 2).cast("bigint").alias("m"),
+                      F.count_distinct("n").alias("nn")).collect()[0])
+        _commit(paths, {_M_SEGS: [seg],
+                        _M_STATS: {"n_edges": int(stats["m"]),
+                                   "n_nodes": int(stats["nn"])},
+                        _M_NEXT: seg + 1,
+                        3: {"source": os.path.abspath(sf_dir)}})
+    return paths
+
+
+def _clear_seg(root: str, seg: int) -> None:
+    """Remove a possibly-orphaned seg dir before (re)writing it — any
+    on-disk seg ≥ the committed next_seg is provably uncommitted (the
+    llm/search.py _clear_seg rationale)."""
+    import shutil
+
+    p = os.path.join(root, f"seg={seg}")
+    if os.path.isdir(p):
+        shutil.rmtree(p)
+
+
+def edges_stats(paths: dict[str, str], version: int | None = None) -> dict:
+    """The committed {n_edges, n_nodes} without touching the data files —
+    what a planner consults before choosing a probe strategy."""
+    return dict(_manifest(paths, version)[_M_STATS])
+
+
+def edges_load(spark: SparkSession, paths: dict[str, str],
+               version: int | None = None) -> DataFrame:
+    """The committed canonical (pa, pb) edge list — the probe input.
+    Reads only the manifest's segments, so an in-flight rebuild (data
+    written, version unclaimed) is invisible; pass `version` for AS-OF
+    reads of a prior build."""
+    m = _manifest(paths, version)
+    segs = [int(s) for s in m[_M_SEGS]]
+    return (spark.read.schema(_EDGE_SCHEMA).parquet(paths["data"])
+            .filter(F.col("seg").isin(segs))
+            .select("pa", "pb"))
+
+
+# ---------------------------------------------------------------------------
+# Probe forms — the four graph consumers against the frozen artifact.
+# Row-identical to their registered one-shot twins (pinned in
+# tests/test_graph_edges.py); what changes is only where the edge list
+# comes from.
+# ---------------------------------------------------------------------------
+
+
+def triangle_count_probe(spark: SparkSession,
+                         paths: dict[str, str]) -> DataFrame:
+    from .staged_r9 import triangle_census
+
+    return triangle_census(spark, edges_load(spark, paths))
+
+
+def kcore_probe(spark: SparkSession, paths: dict[str, str]) -> DataFrame:
+    from .staged_r9 import kcore_trajectory
+
+    return kcore_trajectory(spark, edges_load(spark, paths))
+
+
+def degree_assortativity_probe(spark: SparkSession,
+                               paths: dict[str, str]) -> DataFrame:
+    from .staged_r10 import _symmetrize, degree_assortativity_from_edges
+
+    return degree_assortativity_from_edges(
+        _symmetrize(edges_load(spark, paths)))
+
+
+def degree_histogram_probe(spark: SparkSession,
+                           paths: dict[str, str]) -> DataFrame:
+    from .staged_r10 import _symmetrize, degree_histogram_from_edges
+
+    return degree_histogram_from_edges(_symmetrize(edges_load(spark, paths)))

@@ -42,24 +42,28 @@ from ..sources import load_table
 # ---------------------------------------------------------------------------
 
 
-def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = (load_table(spark, sf_dir, "lineitem")
-             .select("l_orderkey", "l_partkey").distinct())
-    pairs = (items.alias("a")
-             .join(items.select(F.col("l_orderkey"),
-                                F.col("l_partkey").alias("b_partkey"))
-                   .alias("b"), ["l_orderkey"])
-             .filter(F.col("a.l_partkey") < F.col("b_partkey"))
-             .select(F.col("a.l_partkey").alias("src"),
-                     F.col("b_partkey").alias("dst"))
-             .distinct())
+def _symmetrize(pairs: DataFrame) -> DataFrame:
+    """Canonical (pa < pb) pairs → the symmetric (src, dst) edge list."""
+    pairs = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
     return pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
 
 
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph_edges import copurchase_edges_plan
+
+    return _symmetrize(copurchase_edges_plan(spark, sf_dir))
+
+
 def graph_degree_assortativity(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
-    edges = _copurchase_edges(spark, sf_dir)
+    return degree_assortativity_from_edges(_copurchase_edges(spark, sf_dir))
+
+
+def degree_assortativity_from_edges(edges: DataFrame) -> DataFrame:
+    """Probe half of the build/probe split: `edges` is the SYMMETRIC
+    (src, dst) edge list — _symmetrize(one-shot plan) or
+    _symmetrize(edges_load(...)) from the persisted artifact."""
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint")
                                    .alias("deg"))
     ed = (edges
@@ -146,7 +150,13 @@ FROM mom
 
 
 def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    deg = (_copurchase_edges(spark, sf_dir)
+    return degree_histogram_from_edges(_copurchase_edges(spark, sf_dir))
+
+
+def degree_histogram_from_edges(edges: DataFrame) -> DataFrame:
+    """Probe half of the build/probe split (symmetric (src, dst) input,
+    as degree_assortativity_from_edges)."""
+    deg = (edges
            .groupBy("src").agg(F.count(F.lit(1)).cast("bigint")
                                .alias("deg")))
     return (deg.groupBy(F.length(F.bin("deg")).cast("int").alias("bucket"))

@@ -783,7 +783,11 @@ GROUP BY n_name
 ORDER BY n_name
 """
 
-STAGED: dict = {
+# Promoted round 11 (r10 verdict next-round #1); empty STAGED kept so the
+# staged-protocol tests can pin that nothing is both staged and registered.
+from ..registry import register  # noqa: E402  (promotion epilogue)
+
+for _name, (_fn, _sql) in {
     "q2_min_cost_supplier": (q2_min_cost_supplier, _Q2_SQL),
     "q11_important_stock": (q11_important_stock, _Q11_SQL),
     "q_supplier_churn": (q_supplier_churn, _CHURN_SQL),
@@ -796,4 +800,7 @@ STAGED: dict = {
     "q_order_size_histogram": (q_order_size_histogram, _OSIZE_SQL),
     "q_discount_quantity_corr": (q_discount_quantity_corr, _DQCORR_SQL),
     "q_ship_latency_p95": (q_ship_latency_p95, _SHIPP95_SQL),
-}
+}.items():
+    register(_name, _sql)(_fn)
+
+STAGED: dict = {}

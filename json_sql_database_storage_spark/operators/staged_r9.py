@@ -88,22 +88,25 @@ LIMIT {_TOPN}
 
 
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graph_edges import copurchase_edges_plan
+
+    return triangle_census(spark, copurchase_edges_plan(spark, sf_dir))
+
+
+def triangle_census(spark: SparkSession, edge_list: DataFrame) -> DataFrame:
+    """Probe half of the build/probe split (r10 verdict next-round #3):
+    `edge_list` is the canonical (pa < pb, distinct) co-purchase edge
+    list — either the one-shot plan (the registered form above) or the
+    persisted artifact (operators/graph_edges.py edges_load)."""
     from ..registry import scoped_persist
 
-    items = (load_table(spark, sf_dir, "lineitem")
-             .select("l_orderkey", "l_partkey").distinct())
-    edges = (items.alias("a")
-             .join(items.select("l_orderkey",
-                                F.col("l_partkey").alias("pb"))
-                   .alias("b"), ["l_orderkey"])
-             .filter(F.col("a.l_partkey") < F.col("pb"))
-             .select(F.col("a.l_partkey").alias("pa"), "pb")
-             .distinct()
+    edges = (edge_list
              # the edge list feeds FOUR consumers (degree census, the
              # oriented projection, and the node/edge count scalars);
-             # without the pin each re-runs the items self-join +
-             # distinct — measured 17.4 s → the pinned plan evaluates it
-             # once (r9; the graph_kcore materialization-cost precedent)
+             # without the pin each re-runs the upstream plan (self-join
+             # + distinct, or the artifact scan) — measured 17.4 s → the
+             # pinned plan evaluates it once (r9; the graph_kcore
+             # materialization-cost precedent)
              .transform(scoped_persist))
     deg = (edges.select(F.col("pa").alias("node"))
            .unionAll(edges.select(F.col("pb").alias("node")))
@@ -276,15 +279,15 @@ _KCORE_ROUNDS = 6
 
 
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    items = (load_table(spark, sf_dir, "lineitem")
-             .select("l_orderkey", "l_partkey").distinct())
-    edges = (items.alias("a")
-             .join(items.select("l_orderkey",
-                                F.col("l_partkey").alias("pb")).alias("b"),
-                   ["l_orderkey"])
-             .filter(F.col("a.l_partkey") < F.col("pb"))
-             .select(F.col("a.l_partkey").alias("pa"), "pb")
-             .distinct())
+    from .graph_edges import copurchase_edges_plan
+
+    return kcore_trajectory(spark, copurchase_edges_plan(spark, sf_dir))
+
+
+def kcore_trajectory(spark: SparkSession, edges: DataFrame) -> DataFrame:
+    """Probe half of the build/probe split: `edges` is the canonical
+    (pa < pb, distinct) co-purchase edge list — the one-shot plan or the
+    persisted artifact (operators/graph_edges.py)."""
     # the pair explosion is computed ONCE: e_pa materializes it
     # (partitioned by pa), e_pb re-keys the materialized rows by pb —
     # localCheckpoint preserves outputPartitioning, so every per-round

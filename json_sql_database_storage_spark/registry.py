@@ -66,6 +66,8 @@ _OPERATOR_MODULES = (
     "json_sql_database_storage_spark.llm.staged_r9",
     "json_sql_database_storage_spark.operators.staged_r10",
     "json_sql_database_storage_spark.llm.staged_r10",
+    "json_sql_database_storage_spark.operators.staged_r11",
+    "json_sql_database_storage_spark.llm.staged_r11",
 )
 
 # The driver's per-round correctness check covers the first ~50 registry
@@ -77,12 +79,23 @@ _OPERATOR_MODULES = (
 # Python-worker UDFs, bucketed-table writes, multimodal Arrow fan-out —
 # the families most likely to behave differently in the driver's session);
 # (3) the remaining never-checked queries; (4) the already-green rest.
-# Round 4: empty — the r3 NTZ reverify names all came back green in
-# CORRECTNESS_r03 and the outcome-aware _driver_outcomes() below now
-# re-fronts any query whose latest CORRECTNESS row failed automatically,
-# so a hand-maintained list would only burn window slots (r3 verdict §wrong
-# item 1).  Keep the hook for a future targeted re-check.
-_REVERIFY_FIRST: tuple[str, ...] = ()
+# Round 11 (r10 verdict next-round #2b): round 10's review-fix sweeps edited
+# streaming/queries.py + runner.py (d282ca8 — exact session oracles,
+# watermark-evictable dedup, hardened batch marker), scale.py (6cf321d),
+# joins.py, scd.py, snapshots.py and windows.py AFTER these rows' latest
+# driver check (r6), so their hard signal predates the code they now run.
+# The 23 r11 promotions + 12 r5-stale rows fill 35 window slots; these 15
+# fill the rest — highest-behavior-risk first (the streaming rows' own
+# semantics changed, not just shared helpers).
+_REVERIFY_FIRST: tuple[str, ...] = (
+    "stream_session_window", "stream_dedup", "stream_watermark_late_drop",
+    "stream_stateful_running_count", "stream_foreach_batch_matview",
+    "stream_stream_full_outer_join",
+    "scale_salted_agg", "scale_salted_join", "scale_running_total",
+    "scale_percent_rank", "scale_bucketed_join",
+    "window_range_interval_frame", "join_null_safe",
+    "join_scd2_point_in_time", "snapshot_expire",
+)
 _HIGH_RISK_PREFIXES = ("stream_", "udf_", "scale_", "mm_", "scan_jdbc",
                        "sql_")
 _CHECKED_R01 = frozenset({

@@ -1573,14 +1573,23 @@ def test_store_cdf_drives_tombstone_aware_ivfpq_maintenance(
 
 
 def test_store_family_random_ops_match_model(spark, tmp_path):
-    """r10 model-based pin for the FAMILY verb set (the DocumentStore /
-    index random-op tests' family twin): a seeded random sequence of
-    save_docs (varying parent names and child amounts, fixed rowNums) and
-    vacuum_family(keep_last ∈ {1,2,3}), after EACH step checking every
-    RETAINED family version's read_family view against an in-memory
-    model — parent names, per-doc child sums, and that every EXPIRED
-    family version raises.  The whole verb set composes, in any order,
-    without torn reads or dangling pins."""
+    """r10 model-based pin for the FAMILY verb set, widened in r11 with
+    the direct-table verbs that commit through the SAME CAS (r10 verdict
+    next-round #6): a seeded random sequence of save_docs (varying parent
+    names and child amounts, fixed rowNums), vacuum_family(keep_last ∈
+    {1,2,3}), MERGE on the child table (updates + WHEN MATCHED AND
+    amt < 0 THEN DELETE), upsert_with_quarantine on the child table
+    (amt ≤ 60 constraint; violators dead-letter to pay_dlq), and direct
+    vacuum of the child table — after EACH step checking every RETAINED
+    family version's read_family view against an in-memory model, the
+    child table's HEAD against the live-row model, the dead-letter
+    table's contents, and that every EXPIRED family version raises.
+
+    The interactions this exists to catch: a direct child-table commit
+    must never alter what an OLDER family version reads (pins are
+    by-version, not by-head); a direct vacuum must never expire a
+    family-pinned child version; and the dead-letter path must not
+    disturb either."""
     import random
 
     from json_sql_database_storage_spark.documents.model import KEY
@@ -1589,7 +1598,7 @@ def test_store_family_random_ops_match_model(spark, tmp_path):
     store = DocumentStore(spark, str(tmp_path / "collections"))
 
     def batch(step):
-        docs, expect = [], {}
+        docs = []
         for doc in (1, 2):
             if doc == 2 and step % 3 == 0:
                 continue                    # sometimes touch only doc 1
@@ -1599,40 +1608,96 @@ def test_store_family_random_ops_match_model(spark, tmp_path):
                 "rowNum": doc, "name": name,
                 "items": [{"type": "pay", "rowNum": doc * 10 + i,
                            "amt": a} for i, a in enumerate(amts)]})
-            expect[doc] = (name, doc * 10, len(amts), sum(amts))
-        return docs, expect
+        return docs
 
-    # model: family version -> {doc: (name, child_base, n_children, sum)}
+    # model: family version -> (parents, child rows at that pin).
     # NOTE child rows persist across versions (upsert semantics): a doc's
     # visible children at version v are the rows last written at or
     # before v — rowNums are doc*10+i, so writing FEWER children leaves
     # older high-i rows in place.  Track the full child row state.
-    child_state: dict[int, int] = {}        # child rowNum -> amt
+    child_state: dict[int, int] = {}        # child rowNum -> amt (live)
     parent_state: dict[int, str] = {}
+    dlq_state: dict[int, int] = {}          # dead-lettered rowNum -> amt
     model: dict[int, dict] = {}
     retained: set[int] = set()
+    constrained = False
 
-    def snapshot():
-        return (dict(parent_state), dict(child_state))
+    def child_source(rows: dict[int, int]) -> DataFrame:
+        # schema-compatible child delta: clone a live head row per key
+        # (carries the FK/typing columns a hand-built frame would miss)
+        template = store.read("pay").limit(1).collect()[0].asDict()
+        out = []
+        for k, amt in rows.items():
+            r = dict(template)
+            r[KEY] = k
+            r["amt"] = amt
+            out.append(r)
+        return spark.createDataFrame(out, store.read("pay").schema)
 
-    for step in range(12):
-        if retained and rng.random() < 0.3:
+    for step in range(18):
+        roll = rng.random()
+        if retained and roll < 0.2:
             keep_last = rng.randint(1, 3)
             store.vacuum_family("fam", keep_last=keep_last,
                                 min_age_seconds=0)
             kept = sorted(retained)[-keep_last:]
             retained.intersection_update(kept)
+        elif child_state and roll < 0.4:
+            # MERGE: update 1-2 live children, delete ≤1 via amt<0 marker
+            keys = rng.sample(sorted(child_state),
+                              min(len(child_state), rng.randint(1, 2)))
+            rows = {k: rng.randint(1, 60) for k in keys}
+            doomed = None
+            if len(child_state) > 1 and rng.random() < 0.5:
+                doomed = rng.choice(sorted(child_state))
+                rows[doomed] = -1
+            store.merge(child_source(rows), "pay", delete_when="amt < 0")
+            for k, amt in rows.items():
+                if k == doomed:
+                    child_state.pop(k, None)
+                else:
+                    child_state[k] = amt
+        elif child_state and roll < 0.55:
+            # QUARANTINE ingest: clean (≤60) rows commit, violators
+            # dead-letter — the constraint is added lazily once
+            if not constrained:
+                store.add_constraint("pay", "amt_cap", "amt <= 60")
+                constrained = True
+            clean_key = 500 + step
+            bad_key = 600 + step
+            rows = {clean_key: rng.randint(51, 60),
+                    bad_key: rng.randint(61, 90)}
+            out = store.upsert_with_quarantine(child_source(rows), "pay",
+                                               "pay_dlq")
+            assert out == {"committed": 1, "quarantined": 1}
+            child_state[clean_key] = rows[clean_key]
+            dlq_state[bad_key] = rows[bad_key]
+        elif child_state and roll < 0.7:
+            # direct child-table vacuum: family pins are GC floors
+            store.vacuum("pay", keep_last=rng.randint(1, 3),
+                         min_age_seconds=0)
         else:
-            docs, _ = batch(step)
+            docs = batch(step)
             store.save_docs(docs_df(spark, docs), "fam")
             for d in docs:
                 parent_state[d["rowNum"]] = d["name"]
                 for it in d["items"]:
                     child_state[it["rowNum"]] = it["amt"]
             v = store.family_version("fam")
-            model[v] = snapshot()
+            model[v] = (dict(parent_state), dict(child_state))
             retained.add(v)
 
+        # head of the child table always matches the live-row model …
+        if store.exists("pay"):
+            got_head = {int(r[KEY]): int(r["amt"])
+                        for r in store.read("pay").collect()}
+            assert got_head == child_state, (step, got_head, child_state)
+        # … the dead-letter table holds exactly the violators …
+        if dlq_state:
+            got_dlq = {int(r[KEY]): int(r["amt"])
+                       for r in store.read("pay_dlq").collect()}
+            assert got_dlq == dlq_state, (step, got_dlq, dlq_state)
+        # … and every retained family version reads its own pinned past
         for v in sorted(model):
             if v not in retained:
                 with pytest.raises(ValueError):

@@ -1,0 +1,138 @@
+"""Build/probe split for the shared co-purchase edge artifact
+(operators/graph_edges.py — r10 verdict next-round #3).
+
+The four registered graph queries remain the driver/oracle surface; these
+tests pin that (a) the artifact holds exactly the canonical edge list,
+(b) every probe form is ROW-IDENTICAL to its registered one-shot twin,
+(c) commits are CAS-versioned with AS-OF reads, and (d) an uncommitted
+(crashed) build is invisible to probes — the same contracts the BM25 and
+IVFPQ artifacts carry.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from json_sql_database_storage_spark.operators.graph_edges import (
+    copurchase_edges_plan,
+    degree_assortativity_probe,
+    degree_histogram_probe,
+    edges_build,
+    edges_load,
+    edges_stats,
+    kcore_probe,
+    triangle_count_probe,
+)
+
+
+@pytest.fixture(scope="module")
+def built(spark, sf_dir):
+    return edges_build(spark, sf_dir, "copurchase_edges_test")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_artifact_holds_the_canonical_edges(spark, sf_dir, built):
+    assert (_rows(edges_load(spark, built))
+            == _rows(copurchase_edges_plan(spark, sf_dir)))
+
+
+def test_manifest_stats_match_data(spark, sf_dir, built):
+    stats = edges_stats(built)
+    edges = edges_load(spark, built)
+    assert stats["n_edges"] == edges.count()
+    nodes = edges.select("pa").union(edges.select("pb")).distinct().count()
+    assert stats["n_nodes"] == nodes
+
+
+def test_triangle_probe_matches_one_shot(spark, sf_dir, built):
+    from json_sql_database_storage_spark.operators.staged_r9 import (
+        graph_triangle_count,
+    )
+
+    assert (_rows(triangle_count_probe(spark, built))
+            == _rows(graph_triangle_count(spark, sf_dir)))
+
+
+def test_kcore_probe_matches_one_shot(spark, sf_dir, built):
+    from json_sql_database_storage_spark.operators.staged_r9 import (
+        graph_kcore,
+    )
+
+    assert (_rows(kcore_probe(spark, built))
+            == _rows(graph_kcore(spark, sf_dir)))
+
+
+def test_assortativity_probe_matches_one_shot(spark, sf_dir, built):
+    from json_sql_database_storage_spark.operators.staged_r10 import (
+        graph_degree_assortativity,
+    )
+
+    assert (_rows(degree_assortativity_probe(spark, built))
+            == _rows(graph_degree_assortativity(spark, sf_dir)))
+
+
+def test_histogram_probe_matches_one_shot(spark, sf_dir, built):
+    from json_sql_database_storage_spark.operators.staged_r10 import (
+        graph_degree_histogram,
+    )
+
+    assert (_rows(degree_histogram_probe(spark, built))
+            == _rows(graph_degree_histogram(spark, sf_dir)))
+
+
+def test_rebuild_bumps_version_and_as_of_reads(spark, sf_dir):
+    from json_sql_database_storage_spark.operators.snapshots import (
+        current_version,
+    )
+
+    paths = edges_build(spark, sf_dir, "copurchase_edges_rebuild")
+    v0 = current_version(paths["meta"])
+    before = _rows(edges_load(spark, paths))
+    paths2 = edges_build(spark, sf_dir, "copurchase_edges_rebuild")
+    assert paths2 == paths
+    v1 = current_version(paths["meta"])
+    assert v1 == v0 + 1
+    # current read serves the new build; AS-OF pins the old one
+    assert _rows(edges_load(spark, paths)) == before
+    assert _rows(edges_load(spark, paths, version=v0)) == before
+    assert edges_stats(paths, v0) == edges_stats(paths, v1)
+
+
+def test_uncommitted_segment_is_invisible(spark, sf_dir):
+    """Crash-window contract: data written under seg=N+1 WITHOUT a
+    manifest claim must not leak into reads (the index-segment
+    discipline)."""
+    from pyspark.sql import functions as F
+
+    paths = edges_build(spark, sf_dir, "copurchase_edges_crash")
+    before = _rows(edges_load(spark, paths))
+    # simulate a writer that crashed after the data write, before the CAS
+    (edges_load(spark, paths).limit(5)
+     .select(F.col("pa") + 1000000, F.col("pb") + 1000000)
+     .toDF("pa", "pb")
+     .withColumn("seg", F.lit(1).cast("int"))
+     .write.mode("append").partitionBy("seg").parquet(paths["data"]))
+    assert os.path.isdir(os.path.join(paths["data"], "seg=1"))
+    assert _rows(edges_load(spark, paths)) == before
+    # the next build CLEARS the orphan before rewriting seg=1
+    edges_build(spark, sf_dir, "copurchase_edges_crash")
+    assert _rows(edges_load(spark, paths)) == before
+
+
+def test_concurrent_builder_is_rejected(spark, sf_dir):
+    from json_sql_database_storage_spark.llm.search import (
+        ConcurrentIndexWriter, _index_write_lock,
+    )
+    from json_sql_database_storage_spark.operators.graph_edges import (
+        _edge_paths,
+    )
+
+    paths = _edge_paths(spark, "copurchase_edges_locked")
+    with _index_write_lock(paths["meta"]):
+        with pytest.raises(ConcurrentIndexWriter):
+            edges_build(spark, sf_dir, "copurchase_edges_locked")

@@ -313,6 +313,31 @@ def test_no_unintended_scale_flags(spark, sf_dir):
             # the probe's ≤k-row final rank window + 1-row stats broadcast
             # (the registered text_bm25_topk's allowlisted shape)
             "text_index_maintenance",
+            # r11 promotions (allowlist carried over verbatim from the
+            # staged-era sweep, tests/test_staged_r11.py pre-promotion):
+            # 1-row last-data-year scalar broadcast (map-side max partial)
+            "q_supplier_churn",
+            # global top-k movers: TakeOrderedAndProject (per-partition
+            # heaps), never a global sort — the sort_global_top_k shape
+            "q_brand_monthly_movers",
+            # fixture-literal family docs (the doc_family_read precedent)
+            "doc_vacuum_family",
+            # k-row heap for the deterministic hash-rank reservoir
+            "sample_reservoir_global",
+            # vocab-sized rank window + 1-row least-squares moments (the
+            # text_vocab_growth / assortativity allowlisted shapes)
+            "text_zipf_slope",
+            # TakeOrdered top-k (per-partition heaps, the Q2 output bound)
+            "q2_min_cost_supplier",
+            # 1-row singleton-count scalar (map-side partials) + the CC
+            # loop's bounded tables
+            "dedup_cluster_size_histogram",
+            # 1-row group-total threshold broadcast (the q15/q22 shape)
+            "q11_important_stock",
+            # k-row heap for the A-ES weighted reservoir
+            "sample_weighted_no_replacement",
+            # 1-row histogram-total share broadcast (map-side partials)
+            "q_order_size_histogram",
         },
     }
     bad = []

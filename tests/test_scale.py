@@ -502,7 +502,15 @@ def test_scale_curve_heavy_ops_near_linear(spark, tmp_path_factory):
            # the other r11 staged ops ride already-measured families or
            # are dimension/evaluation-bounded
            "dedup_cluster_size_histogram", "text_source_overlap",
-           "sim_ann_recall_curve"]
+           "sim_ann_recall_curve",
+           # r11 (r10 verdict next-round #5): the r10 promotion heavies.
+           # text_index_maintenance prices a full BM25 build+apply+probe
+           # (documents-sized); the graph pair is lineitem-sized;
+           # doc_family_read is FIXTURE-literal (two save_docs commits) —
+           # its row documents flatness of the commit path itself, not a
+           # corpus curve
+           "text_index_maintenance", "graph_degree_assortativity",
+           "graph_degree_histogram", "doc_family_read"]
     # graph_triangle_count is deliberately NOT in the recurring list: the
     # sf0.1 co-purchase graph is dense (avg degree ~60), so its base cost
     # (~11 s after the r9 persist fix) would still dominate this test.
@@ -545,6 +553,69 @@ def test_scale_curve_heavy_ops_near_linear(spark, tmp_path_factory):
     for op in ops:
         print(f"  {op}: 1x={t[(op,1)]:.2f} 3x={t[(op,3)]:.2f} "
               f"10x={t[(op,10)]:.2f}")
+
+
+@pytest.mark.slow
+def test_graph_edges_build_probe_amortization(spark, tmp_path_factory):
+    """r11 (r10 verdict next-round #3): the shared edge artifact must
+    actually amortize — at sf0.1, one edges_build plus the FOUR probes
+    must cost less than the four one-shot forms (each of which re-pays
+    the lineitem self-join), and each individual probe must undercut its
+    own one-shot twin.  Timings recorded in SCALE.md."""
+    import time
+
+    from json_sql_database_storage_spark.operators import graph_edges as ge
+    from json_sql_database_storage_spark.operators.staged_r9 import (
+        graph_kcore, graph_triangle_count,
+    )
+    from json_sql_database_storage_spark.operators.staged_r10 import (
+        graph_degree_assortativity, graph_degree_histogram,
+    )
+
+    sf01 = "/root/testdata/sf0.1"
+    one_shot = {"triangle": graph_triangle_count, "kcore": graph_kcore,
+                "assortativity": graph_degree_assortativity,
+                "histogram": graph_degree_histogram}
+    probes = {"triangle": ge.triangle_count_probe,
+              "kcore": ge.kcore_probe,
+              "assortativity": ge.degree_assortativity_probe,
+              "histogram": ge.degree_histogram_probe}
+
+    # plan-warm both forms at sf0.001 (codegen out of the timings)
+    warm_paths = ge.edges_build(spark, "/root/testdata/sf0.001",
+                                "copurchase_edges_amort_warm")
+    for k in one_shot:
+        one_shot[k](spark, "/root/testdata/sf0.001").count()
+        registry.release_caches()
+        probes[k](spark, warm_paths).count()
+        registry.release_caches()
+
+    t_shot, t_probe = {}, {}
+    for k in one_shot:
+        t0 = time.monotonic()
+        one_shot[k](spark, sf01).count()
+        t_shot[k] = time.monotonic() - t0
+        registry.release_caches()
+    t0 = time.monotonic()
+    paths = ge.edges_build(spark, sf01, "copurchase_edges_amort")
+    t_build = time.monotonic() - t0
+    for k in probes:
+        t0 = time.monotonic()
+        probes[k](spark, paths).count()
+        t_probe[k] = time.monotonic() - t0
+        registry.release_caches()
+
+    print("\ngraph build/probe (sec): build=%.2f" % t_build)
+    for k in one_shot:
+        print(f"  {k}: one_shot={t_shot[k]:.2f} probe={t_probe[k]:.2f}")
+    # every probe undercuts its one-shot twin (the artifact replaces the
+    # self-join with a columnar scan) …
+    for k in one_shot:
+        assert t_probe[k] < t_shot[k], (k, t_probe[k], t_shot[k])
+    # … and the whole family amortizes: one build + four probes beats
+    # four independent one-shots
+    assert t_build + sum(t_probe.values()) < sum(t_shot.values()), (
+        t_build, t_probe, t_shot)
 
 
 @pytest.mark.slow

@@ -1,16 +1,18 @@
-"""Differential tests for the round-11-staged operators
-(llm/staged_r11.py + operators/staged_r11.py): every STAGED entry runs its
-Spark plan against its DuckDB oracle through the SAME compare machinery
-the driver uses — at sf0.001 on every suite run via the session fixtures,
-and at sf0.01 in the slow marker — so registering them next round is a
-dict-entry move, not new verification."""
+"""Staged-protocol pins for the round-11 promotions
+(llm/staged_r11.py + operators/staged_r11.py).
+
+Round 10 built these 23 shapes as STAGED (callable, oracle) payloads with
+driver-identical differential tests here; round 11 promoted every entry
+into the live registry (r10 verdict next-round #1).  The differential
+coverage now runs through tests/test_oracle.py like every other
+registered query (and the whole-registry plan sweep in tests/test_plans.py
+absorbed the staged allowlist), so what remains here is the protocol
+invariant — nothing may be both staged and registered, and the promotion
+must actually have landed — plus the invocation-stability and store-level
+contracts that SQL equivalence alone can't express.
+"""
 
 from __future__ import annotations
-
-import os
-
-import duckdb
-import pytest
 
 from json_sql_database_storage_spark.llm.staged_r11 import (
     STAGED as LLM_STAGED,
@@ -19,109 +21,37 @@ from json_sql_database_storage_spark.operators.staged_r11 import (
     STAGED as OPS_STAGED,
 )
 
-from .compare import assert_frames_match
+_PROMOTED = (
+    # operators/staged_r11.py
+    "q2_min_cost_supplier", "q11_important_stock", "q_supplier_churn",
+    "window_inter_event_gap", "doc_vacuum_family", "q_nation_trade_balance",
+    "q_brand_monthly_movers", "q9_product_type_profit",
+    "events_weekday_profile", "q_order_size_histogram",
+    "q_discount_quantity_corr", "q_ship_latency_p95",
+    # llm/staged_r11.py
+    "dedup_cluster_size_histogram", "sample_reservoir_global",
+    "sim_dimension_profile", "text_doc_length_gini", "sim_label_purity",
+    "text_zipf_slope", "stream_index_maintenance",
+    "sample_weighted_no_replacement", "sim_ann_recall_curve",
+    "text_source_overlap", "stream_vector_index_maintenance",
+)
 
-ALL_STAGED = {**LLM_STAGED, **OPS_STAGED}
 
-
-def test_no_name_collisions():
-    assert not set(LLM_STAGED) & set(OPS_STAGED)
-
-
-def test_staged_names_do_not_collide_with_registry():
+def test_round11_promotion_landed():
     from json_sql_database_storage_spark import registry
 
     registry.load_all()
-    overlap = set(ALL_STAGED) & set(registry.specs())
-    assert not overlap, (
-        f"staged queries already registered: {sorted(overlap)} — drop the "
-        f"STAGED entry after promoting one")
+    specs = registry.specs()
+    missing = [n for n in _PROMOTED if n not in specs]
+    assert not missing, f"promotion incomplete: {missing}"
+    # every promoted query kept its oracle (full hash-check, not rows-only)
+    no_oracle = [n for n in _PROMOTED if specs[n].oracle is None]
+    assert not no_oracle, no_oracle
 
 
-@pytest.mark.parametrize("name", sorted(ALL_STAGED))
-def test_staged_matches_oracle(spark, duck, sf_dir, name):
-    fn, oracle = ALL_STAGED[name]
-    spark_pdf = fn(spark, sf_dir).toPandas()
-    oracle_pdf = duck.execute(oracle).df()
-    assert len(spark_pdf) > 0, f"{name}: empty result proves nothing"
-    assert_frames_match(spark_pdf, oracle_pdf, name=name)
-
-
-@pytest.mark.slow
-@pytest.mark.parametrize("name", sorted(ALL_STAGED))
-def test_staged_matches_oracle_sf0_01(spark, name):
-    """The driver checks at sf0.01 — run the identical compare there too
-    (the staging protocol's 'verified at sf0.001 AND sf0.01' claim, made
-    literal)."""
-    sf = "/root/testdata/sf0.01"
-    con = duckdb.connect()
-    try:
-        from json_sql_database_storage_spark.sources import TABLES
-
-        for t in TABLES:
-            path = os.path.join(sf, f"{t}.parquet")
-            if os.path.exists(path):
-                con.execute(f"CREATE VIEW {t} AS SELECT * "
-                            f"FROM read_parquet('{path}')")
-        fn, oracle = ALL_STAGED[name]
-        spark_pdf = fn(spark, sf).toPandas()
-        oracle_pdf = con.execute(oracle).df()
-        assert len(spark_pdf) > 0
-        assert_frames_match(spark_pdf, oracle_pdf, name=name)
-    finally:
-        con.close()
-
-
-def test_staged_no_unintended_scale_flags(spark, sf_dir):
-    """The registry plan sweep only sees registered queries — run the same
-    sweep over the STAGED payloads NOW so promotion is a dict move, not a
-    plan-shape surprise.  Allowlist mirrors the registered conventions:
-    1-row scalar-aggregate exchanges (map-side partials), vocab-sized
-    ordered windows, and bounded fixture inputs."""
-    from json_sql_database_storage_spark.plans.inspect import (
-        explain_formatted,
-    )
-
-    allow = {
-        "CartesianProduct": set(),
-        "BatchEvalPython": set(),
-        "SinglePartition": {
-            # 1-row last-data-year scalar broadcast (map-side max partial)
-            "q_supplier_churn",
-            # global top-k movers: TakeOrderedAndProject (per-partition
-            # heaps), never a global sort — the sort_global_top_k shape
-            "q_brand_monthly_movers",
-            # fixture-literal family docs (the doc_family_read precedent)
-            "doc_vacuum_family",
-            # k-row heap for the deterministic hash-rank reservoir
-            "sample_reservoir_global",
-            # vocab-sized rank window + 1-row least-squares moments (the
-            # text_vocab_growth / assortativity allowlisted shapes; the
-            # two-pass bucketed ranking swaps in at extreme vocabularies)
-            "text_zipf_slope",
-            # TakeOrdered top-k (per-partition heaps, the Q2 output bound)
-            "q2_min_cost_supplier",
-            # 1-row singleton-count scalar (map-side partials — constant
-            # bytes at any corpus size) + the CC loop's bounded tables
-            "dedup_cluster_size_histogram",
-            # 1-row group-total threshold broadcast (the q15/q22 shape)
-            "q11_important_stock",
-            # k-row heap for the A-ES weighted reservoir (the
-            # sample_reservoir_global shape with weights)
-            "sample_weighted_no_replacement",
-            # 1-row histogram-total share broadcast (map-side partials)
-            "q_order_size_histogram",
-        },
-    }
-    bad = []
-    for name, (fn, _) in sorted(ALL_STAGED.items()):
-        if name.startswith("stream_"):
-            continue    # streaming replays execute eagerly; skip explain
-        plan = explain_formatted(fn(spark, sf_dir))
-        for label in allow:
-            if label in plan and name not in allow[label]:
-                bad.append((name, label))
-    assert not bad, bad
+def test_nothing_both_staged_and_registered():
+    assert LLM_STAGED == {} and OPS_STAGED == {}, (
+        "drop the STAGED entry after promoting it")
 
 
 def test_staged_movers_uses_take_ordered(spark, sf_dir):
@@ -139,7 +69,7 @@ def test_staged_movers_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
-def test_staged_stream_index_maintenance_invocation_stable(spark, sf_dir):
+def test_stream_index_maintenance_invocation_stable(spark, sf_dir):
     """The streaming exhibit rebuilds its index and replays the SAME two
     CDF batches from a fresh staged dir on every call — so a second
     invocation (bench reruns, the driver after pytest) must return the
@@ -156,7 +86,7 @@ def test_staged_stream_index_maintenance_invocation_stable(spark, sf_dir):
     assert second == first
 
 
-def test_staged_stream_vector_index_maintenance_invocation_stable(
+def test_stream_vector_index_maintenance_invocation_stable(
         spark, sf_dir):
     """The vector twin's stability pin: rebuild + same-batch replay from
     a fresh staged dir must return the identical frame."""
@@ -172,7 +102,7 @@ def test_staged_stream_vector_index_maintenance_invocation_stable(
     assert second == first
 
 
-def test_staged_vacuum_family_expired_the_floor(spark, sf_dir, tmp_path):
+def test_vacuum_family_expired_the_floor(spark, sf_dir, tmp_path):
     """The exhibit's GC claim, asserted at the store level: after the
     exhibit's save/save/save/vacuum_family sequence, family v0 is expired
     (ValueError) while the retained versions read end-to-end — the vacuum
