@@ -483,7 +483,7 @@ WITH census AS (
                unnest(list_transform(range(1, length(lower(text)) - 1),
                                      i -> substring(lower(text), i, 3)))
                  AS g
-        FROM documents WHERE length(text) >= 3)
+        FROM documents WHERE length(lower(text)) >= 3)
   GROUP BY lang, g
 ), ranked AS (
   SELECT lang, g, c,

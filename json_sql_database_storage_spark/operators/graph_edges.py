@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from ..sources import load_table
 
 # manifest slots (commit_manifest int-keys the top level)
-_M_SEGS, _M_STATS, _M_NEXT = 0, 1, 2
+_M_SEGS, _M_STATS, _M_NEXT, _M_SOURCE = 0, 1, 2, 3
 
 _EDGE_SCHEMA = "pa bigint, pb bigint, seg int"
 
@@ -127,7 +127,7 @@ def edges_build(spark: SparkSession, sf_dir: str,
                         _M_STATS: {"n_edges": int(stats["m"]),
                                    "n_nodes": int(stats["nn"])},
                         _M_NEXT: seg + 1,
-                        3: {"source": os.path.abspath(sf_dir)}})
+                        _M_SOURCE: {"source": os.path.abspath(sf_dir)}})
     return paths
 
 

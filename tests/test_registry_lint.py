@@ -147,6 +147,18 @@ def test_driver_check_bookkeeping_is_outcome_aware():
 # ---------------------------------------------------------------------------
 
 _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
+    ("operators/staged_r12.py", "q_orders_open_aging"):
+        "1-row max-orderdate anchor scalar (map-side max partial)",
+    ("operators/staged_r12.py", "q_supplier_lineload"):
+        "1-row book-total scalar feeding the ppm share",
+    ("operators/staged_r12.py", "q_price_band_share"):
+        "1-row revenue-total scalar feeding the ppm share",
+    ("llm/staged_r12.py", "sim_cell_balance"):
+        "1-row corpus-total scalar onto the k-row cell census",
+    ("llm/staged_r12.py", "text_bigram_entropy_rate"):
+        "1-row bigram-entropy fold joined onto the 1-row unigram fold",
+    ("llm/staged_r12.py", "text_length_deciles"):
+        "1-row corpus doc-count scalar onto the bounded length census",
     ("streaming/queries.py", "stream_static_join"):
         "customer dimension table — |dim| ≪ facts; shuffle-join fallback if it outgrows executors",
     ("operators/staged_r10.py", "stream_scd2_enrichment"):
@@ -329,7 +341,16 @@ def test_export_order_rotation_contract():
                                                           _LATEST_ROUND,
                                                           _REVERIFY_FIRST)
 
-    names = [n for n in registry.specs() if n not in set(_REVERIFY_FIRST)]
+    # the pinned prefix must actually exist and actually front the order —
+    # a typo'd entry would otherwise be dropped silently by _export_order's
+    # `if n in names` and burn its driver-window slot undetected
+    all_names = list(registry.specs())
+    missing = [n for n in _REVERIFY_FIRST if n not in all_names]
+    assert not missing, f"_REVERIFY_FIRST names not in registry: {missing}"
+    assert all_names[:len(_REVERIFY_FIRST)] == list(_REVERIFY_FIRST), (
+        "_REVERIFY_FIRST entries must lead the export order")
+
+    names = [n for n in all_names if n not in set(_REVERIFY_FIRST)]
     flags = [n in _CHECKED for n in names]
     first_checked = flags.index(True) if True in flags else len(names)
     assert all(flags[first_checked:]), (
