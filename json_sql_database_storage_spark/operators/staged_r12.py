@@ -467,8 +467,141 @@ FROM band, tot
 ORDER BY price_band
 """
 
+# ---------------------------------------------------------------------------
+# doc_clone — the clone verb surfaced as a driver row (A5; Delta SHALLOW
+# CLONE / Iceberg snapshot ref): commit orders, shallow-clone it (a
+# metadata-only commit re-referencing the SAME bucket dirs — zero data
+# copied), then upsert a delta INTO THE CLONE — copy-on-write isolation
+# means the original's head must not move and must read the original
+# content.  The output aggregates (original head, clone v0, clone head),
+# so the oracle hash-checks both the zero-copy equality and the
+# post-divergence isolation.
+#
+# 100-TB design: shallow clone is O(1) regardless of table size — the
+# dev/test-branch primitive every lakehouse ships; the clone's own
+# upserts COW only the buckets they touch.
+# ---------------------------------------------------------------------------
+
+
+def doc_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..documents.model import KEY
+
+    store = _fresh_store(spark, "doc_clone_store")
+    t = _orders_kv(spark, sf_dir)
+    store.upsert(t, "orders_src")                                   # src v0
+    store.clone("orders_src", "orders_cln")                         # cln v0
+    store.upsert(t.filter(F.col(KEY) % 100 == 7)
+                 .withColumn("cents", F.col("cents") + 900),
+                 "orders_cln")                                      # cln v1
+    rows = [("src_head", store.version("orders_src"), "orders_src"),
+            ("clone_v0", 0, "orders_cln"),
+            ("clone_head", store.version("orders_cln"), "orders_cln")]
+    out = None
+    for label, v, table in rows:
+        one = (store.read_asof(table, v)
+               .agg(F.lit(label).alias("which"),
+                    F.lit(v).cast("int").alias("version"),
+                    F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                    F.sum("cents").cast("bigint").alias("sum_cents")))
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("which")
+
+
+_CLONE_SQL = """
+WITH t AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+  FROM t
+), diverged AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents + CASE WHEN k % 100 = 7 THEN 900 ELSE 0 END)
+              AS BIGINT) AS s
+  FROM t
+)
+SELECT 'clone_head' AS which, 1 AS version, n AS n_rows, s AS sum_cents
+FROM diverged
+UNION ALL SELECT 'clone_v0', 0, n, s FROM base
+UNION ALL SELECT 'src_head', 0, n, s FROM base
+ORDER BY which
+"""
+
+# ---------------------------------------------------------------------------
+# events_session_length_histogram — batch sessionization census: split
+# each user's event timeline at >30-minute silences (the
+# stream_session_window gap, derived relationally via gaps-and-islands),
+# then census sessions by power-of-two event count.  Gap arithmetic is
+# exact epoch-microsecond integers (the streaming-oracle convention —
+# second-granularity date_diff had a documented flake zone); the island
+# id is a cumulative sum of 0/1 new-session flags.
+#
+# 100-TB design: one user_id exchange + sort serves BOTH windows (lag
+# and the running island sum — same partitioning and ordering, one
+# Window exec); the per-session census and the bucket census are
+# map-side-combinable.  No global step.
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 1_800_000_000        # 30 min
+
+
+def events_session_length_histogram(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, sf_dir, "events")
+          .select("user_id", "event_id", F.unix_micros("ts").alias("us")))
+    wu = W.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.select(
+        "user_id", "us", "event_id",
+        F.when(F.col("us") - F.lag("us").over(wu) > _SESSION_GAP_US, 1)
+        .when(F.lag("us").over(wu).isNull(), 1)
+        .otherwise(0).alias("new_s"))
+    sess = (flagged
+            .select("user_id",
+                    F.sum("new_s").over(
+                        wu.rowsBetween(W.unboundedPreceding, 0))
+                    .alias("sid"))
+            .groupBy("user_id", "sid")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events")))
+    return (sess.groupBy(F.length(F.bin("n_events")).cast("int")
+                         .alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+                 F.min("n_events").alias("min_events"),
+                 F.max("n_events").alias("max_events"))
+            .orderBy("bucket"))
+
+
+_SESSHIST_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+              WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > {_SESSION_GAP_US} THEN 1
+              ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+), sess AS (
+  SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events
+  FROM (SELECT user_id,
+               sum(new_s) OVER (PARTITION BY user_id
+                                ORDER BY us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+  GROUP BY user_id, sid
+)
+SELECT CAST(length(bin(n_events)) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       min(n_events) AS min_events, max(n_events) AS max_events
+FROM sess
+GROUP BY 1
+ORDER BY bucket
+"""
+
 STAGED: dict = {
     "doc_restore": (doc_restore, _RESTORE_SQL),
+    "doc_clone": (doc_clone, _CLONE_SQL),
+    "events_session_length_histogram": (events_session_length_histogram,
+                                        _SESSHIST_SQL),
     "doc_compact": (doc_compact, _COMPACT_SQL),
     "doc_rebucket": (doc_rebucket, _REBUCKET_SQL),
     "q_orders_open_aging": (q_orders_open_aging, _AGING_SQL),
