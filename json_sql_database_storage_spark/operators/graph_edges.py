@@ -142,6 +142,47 @@ def _clear_seg(root: str, seg: int) -> None:
         shutil.rmtree(p)
 
 
+def edges_vacuum(paths: dict[str, str], keep_last: int = 1) -> list[str]:
+    """Reclaim rolled-over / orphaned edge segments: expire manifests
+    below the keep window (metadata first — the floor moves up so the
+    numbers can't be reclaimed by a lagging writer), then delete every
+    seg dir no retained manifest references.  Returns deleted dirs.
+    Same contract as bm25_vacuum/ivfpq_vacuum: runs under write.lock
+    (never sweep an in-flight writer's uncommitted segment), idempotent
+    across repeated runs and intervening rebuilds."""
+    import contextlib
+    import shutil
+
+    from ..llm.search import _index_write_lock
+    from .snapshots import current_version, set_version_floor
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1 (got {keep_last})")
+    with _index_write_lock(paths["meta"]):
+        head = current_version(paths["meta"])
+        keep = list(range(max(0, head - keep_last + 1), head + 1))
+        if keep:
+            set_version_floor(paths["meta"], min(keep))
+        live: set[int] = set()
+        for v in keep:
+            try:
+                live |= {int(s) for s in _manifest(paths, v)[_M_SEGS]}
+            except FileNotFoundError:
+                continue    # already expired by a prior vacuum: pins nothing
+        for v in range(head - keep_last, -1, -1):
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(paths["meta"],
+                                       f"manifest-v{v}.json"))
+        deleted = []
+        if os.path.isdir(paths["data"]):
+            for entry in os.scandir(paths["data"]):
+                if (entry.is_dir() and entry.name.startswith("seg=")
+                        and int(entry.name.split("=", 1)[1]) not in live):
+                    shutil.rmtree(entry.path)
+                    deleted.append(entry.path)
+    return deleted
+
+
 def edges_stats(paths: dict[str, str], version: int | None = None) -> dict:
     """The committed {n_edges, n_nodes} without touching the data files —
     what a planner consults before choosing a probe strategy."""

@@ -124,6 +124,33 @@ def test_uncommitted_segment_is_invisible(spark, sf_dir):
     assert _rows(edges_load(spark, paths)) == before
 
 
+def test_vacuum_reclaims_only_unreferenced_segments(spark, sf_dir):
+    """edges_vacuum expires old manifests, moves the version floor, and
+    deletes exactly the seg dirs no retained manifest references — the
+    retained head keeps reading; the expired version raises; a second
+    vacuum is a no-op (idempotence)."""
+    from json_sql_database_storage_spark.operators.graph_edges import (
+        edges_vacuum,
+    )
+    from json_sql_database_storage_spark.operators.snapshots import (
+        version_floor,
+    )
+
+    paths = edges_build(spark, sf_dir, "copurchase_edges_vac")
+    head_rows = _rows(edges_load(spark, paths))
+    edges_build(spark, sf_dir, "copurchase_edges_vac")      # v1, seg=1
+    deleted = edges_vacuum(paths, keep_last=1)
+    assert any("seg=0" in d for d in deleted)
+    assert version_floor(paths["meta"]) == 1
+    assert _rows(edges_load(spark, paths)) == head_rows     # head survives
+    with pytest.raises(FileNotFoundError):
+        edges_load(spark, paths, version=0)                 # expired
+    assert edges_vacuum(paths, keep_last=1) == []           # idempotent
+    # and the next build still commits cleanly above the floor
+    edges_build(spark, sf_dir, "copurchase_edges_vac")
+    assert _rows(edges_load(spark, paths)) == head_rows
+
+
 def test_concurrent_builder_is_rejected(spark, sf_dir):
     from json_sql_database_storage_spark.llm.search import (
         ConcurrentIndexWriter, _index_write_lock,
