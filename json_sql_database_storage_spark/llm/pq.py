@@ -1080,45 +1080,19 @@ def ivfpq_vacuum(paths: dict[str, str], keep_last: int = 1) -> list[str]:
     segment space — racing a writer it could sweep an uncommitted seg dir
     the writer's CAS is about to publish) and is idempotent over
     already-expired manifests (repeated vacuums are no-ops for the
-    reclaimed range)."""
-    import contextlib
-    import os
-    import shutil
-
-    from ..operators.snapshots import current_version, set_version_floor
+    reclaimed range).  Protocol core shared with bm25_vacuum /
+    edges_vacuum (operators/snapshots.py::vacuum_artifact_segments)."""
+    from ..operators.snapshots import vacuum_artifact_segments
     from .search import _index_write_lock
 
-    if keep_last < 1:
-        raise ValueError(f"keep_last must be >= 1 (got {keep_last})")
+    def live_of(v: int) -> dict[str, set[int]]:
+        m = _ivfpq_manifest(paths, v)
+        return {"index": set(m[_V_CODES]), "tomb": set(m[_V_TOMB])}
+
     with _index_write_lock(paths["meta"]):
-        head = current_version(paths["meta"])
-        keep = list(range(max(0, head - keep_last + 1), head + 1))
-        if keep:
-            set_version_floor(paths["meta"], min(keep))
-        live: dict[str, set[int]] = {"index": set(), "tomb": set()}
-        for v in keep:
-            try:
-                m = _ivfpq_manifest(paths, v)
-            except FileNotFoundError:
-                continue    # keep_last > surviving manifests: an already-
-            # expired version pins nothing (idempotence contract)
-            live["index"] |= set(m[_V_CODES])
-            live["tomb"] |= set(m[_V_TOMB])
-        for v in range(head - keep_last, -1, -1):
-            with contextlib.suppress(FileNotFoundError):
-                os.remove(os.path.join(paths["meta"],
-                                       f"manifest-v{v}.json"))
-        deleted = []
-        for key, segs in live.items():
-            root = paths[key]
-            if not os.path.isdir(root):
-                continue
-            for entry in os.scandir(root):
-                if (entry.is_dir() and entry.name.startswith("seg=")
-                        and int(entry.name.split("=", 1)[1]) not in segs):
-                    shutil.rmtree(entry.path)
-                    deleted.append(entry.path)
-    return deleted
+        return vacuum_artifact_segments(
+            paths["meta"], {k: paths[k] for k in ("index", "tomb")},
+            keep_last, live_of)
 
 
 def ivfpq_probe(spark: SparkSession, paths: dict[str, str],

@@ -712,52 +712,22 @@ def bm25_vacuum(paths: dict[str, str], keep_last: int = 1) -> list[str]:
     retained manifest references, delete the rest (the store's vacuum
     discipline — metadata first, then data).  Returns deleted dirs.
 
-    Takes write.lock: vacuum mutates the shared segment space, so racing
-    an in-flight writer it could sweep the writer's freshly written but
-    not-yet-committed seg dir (referenced by no retained manifest) right
-    before that writer's CAS publishes a manifest pointing at it — silent
-    row loss.  Idempotent: manifests a prior vacuum already expired are
-    skipped, so repeated vacuums (with or without intervening commits)
-    are no-ops for the already-reclaimed range."""
-    import contextlib
-    import os
-    import shutil
+    Lock/floor/expiry/sweep protocol lives in ONE place —
+    operators/snapshots.py::vacuum_artifact_segments (r11 review: three
+    near-verbatim copies); this wrapper supplies the lock and the
+    manifest→live-segments mapping."""
+    from ..operators.snapshots import vacuum_artifact_segments
 
-    from ..operators.snapshots import current_version, set_version_floor
+    def live_of(v: int) -> dict[str, set[int]]:
+        m = _bm25_manifest(paths, v)
+        return {"index": set(m[_M_POST]), "dl": set(m[_M_DL]),
+                "tomb": set(m[_M_TOMB])}
 
-    if keep_last < 1:
-        raise ValueError(f"keep_last must be >= 1 (got {keep_last})")
     with _index_write_lock(paths["meta"]):
-        head = current_version(paths["meta"])
-        keep = list(range(max(0, head - keep_last + 1), head + 1))
-        if keep:
-            set_version_floor(paths["meta"], min(keep))
-        live: dict[str, set[int]] = {"index": set(), "dl": set(),
-                                     "tomb": set()}
-        for v in keep:
-            try:
-                m = _bm25_manifest(paths, v)
-            except FileNotFoundError:
-                continue    # keep_last > surviving manifests: an already-
-            # expired version pins nothing (idempotence contract)
-            live["index"] |= set(m[_M_POST])
-            live["dl"] |= set(m[_M_DL])
-            live["tomb"] |= set(m[_M_TOMB])
-        for v in range(head - keep_last, -1, -1):
-            with contextlib.suppress(FileNotFoundError):
-                os.remove(os.path.join(paths["meta"],
-                                       f"manifest-v{v}.json"))
-        deleted = []
-        for key, segs in live.items():
-            root = paths[key]
-            if not os.path.isdir(root):
-                continue
-            for entry in os.scandir(root):
-                if (entry.is_dir() and entry.name.startswith("seg=")
-                        and int(entry.name.split("=", 1)[1]) not in segs):
-                    shutil.rmtree(entry.path)
-                    deleted.append(entry.path)
-    return deleted
+        return vacuum_artifact_segments(
+            paths["meta"],
+            {k: paths[k] for k in ("index", "dl", "tomb")},
+            keep_last, live_of)
 
 
 _BM25_CDF_SCHEMA = "doc_id BIGINT, text STRING, op STRING"

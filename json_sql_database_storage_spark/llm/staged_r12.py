@@ -477,13 +477,14 @@ def text_char_trigram_profile(spark: SparkSession,
 
 
 _TRIGRAM_SQL = f"""
-WITH census AS (
+WITH lt AS (
+  SELECT lang, lower(text) AS lt FROM documents
+), census AS (
   SELECT lang, g, CAST(count(*) AS BIGINT) AS c
   FROM (SELECT lang,
-               unnest(list_transform(range(1, length(lower(text)) - 1),
-                                     i -> substring(lower(text), i, 3)))
-                 AS g
-        FROM documents WHERE length(lower(text)) >= 3)
+               unnest(list_transform(range(1, length(lt) - 1),
+                                     i -> substring(lt, i, 3))) AS g
+        FROM lt WHERE length(lt) >= 3)
   GROUP BY lang, g
 ), ranked AS (
   SELECT lang, g, c,

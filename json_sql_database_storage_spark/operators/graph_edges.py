@@ -149,38 +149,17 @@ def edges_vacuum(paths: dict[str, str], keep_last: int = 1) -> list[str]:
     seg dir no retained manifest references.  Returns deleted dirs.
     Same contract as bm25_vacuum/ivfpq_vacuum: runs under write.lock
     (never sweep an in-flight writer's uncommitted segment), idempotent
-    across repeated runs and intervening rebuilds."""
-    import contextlib
-    import shutil
-
+    across repeated runs and intervening rebuilds.  Protocol core shared
+    with both index vacuums (snapshots.py::vacuum_artifact_segments)."""
     from ..llm.search import _index_write_lock
-    from .snapshots import current_version, set_version_floor
+    from .snapshots import vacuum_artifact_segments
 
-    if keep_last < 1:
-        raise ValueError(f"keep_last must be >= 1 (got {keep_last})")
+    def live_of(v: int) -> dict[str, set[int]]:
+        return {"data": {int(s) for s in _manifest(paths, v)[_M_SEGS]}}
+
     with _index_write_lock(paths["meta"]):
-        head = current_version(paths["meta"])
-        keep = list(range(max(0, head - keep_last + 1), head + 1))
-        if keep:
-            set_version_floor(paths["meta"], min(keep))
-        live: set[int] = set()
-        for v in keep:
-            try:
-                live |= {int(s) for s in _manifest(paths, v)[_M_SEGS]}
-            except FileNotFoundError:
-                continue    # already expired by a prior vacuum: pins nothing
-        for v in range(head - keep_last, -1, -1):
-            with contextlib.suppress(FileNotFoundError):
-                os.remove(os.path.join(paths["meta"],
-                                       f"manifest-v{v}.json"))
-        deleted = []
-        if os.path.isdir(paths["data"]):
-            for entry in os.scandir(paths["data"]):
-                if (entry.is_dir() and entry.name.startswith("seg=")
-                        and int(entry.name.split("=", 1)[1]) not in live):
-                    shutil.rmtree(entry.path)
-                    deleted.append(entry.path)
-    return deleted
+        return vacuum_artifact_segments(
+            paths["meta"], {"data": paths["data"]}, keep_last, live_of)
 
 
 def edges_stats(paths: dict[str, str], version: int | None = None) -> dict:

@@ -500,6 +500,58 @@ def set_version_floor(root: str, floor: int) -> None:
     os.replace(tmp, path)
 
 
+def vacuum_artifact_segments(meta_dir: str, data_roots: dict[str, str],
+                             keep_last: int, live_segs_of) -> list[str]:
+    """Shared GC core for SEGMENTED artifacts (the BM25/IVFPQ indexes and
+    the graph edge artifact — r11 review: three near-verbatim copies of
+    this protocol drifted apart once already): expire manifests below the
+    keep window METADATA-FIRST (set the version floor before any delete,
+    so expired version numbers can never be re-claimed by a lagging
+    writer), then sweep every ``seg=N`` dir under ``data_roots`` that no
+    retained manifest references.  Returns deleted dirs.
+
+    ``live_segs_of(version)`` returns {data_roots key: set of live seg
+    ids} for one retained manifest, raising FileNotFoundError if that
+    version was already expired (an expired version pins nothing — the
+    idempotence contract: repeated vacuums are no-ops for the reclaimed
+    range).
+
+    CALLER HOLDS THE ARTIFACT'S write.lock: vacuum mutates shared
+    segment space, so racing an in-flight writer it could sweep the
+    writer's freshly written but not-yet-committed seg dir right before
+    the CAS publishes a manifest pointing at it — silent row loss."""
+    import contextlib
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1 (got {keep_last})")
+    head = current_version(meta_dir)
+    keep = list(range(max(0, head - keep_last + 1), head + 1))
+    if keep:
+        set_version_floor(meta_dir, min(keep))
+    live: dict[str, set[int]] = {k: set() for k in data_roots}
+    for v in keep:
+        try:
+            for key, segs in live_segs_of(v).items():
+                live[key] |= {int(s) for s in segs}
+        except FileNotFoundError:
+            continue
+    for v in range(head - keep_last, -1, -1):
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(os.path.join(meta_dir, f"manifest-v{v}.json"))
+    deleted = []
+    for key, segs in live.items():
+        root = data_roots[key]
+        if not os.path.isdir(root):
+            continue
+        for entry in os.scandir(root):
+            if (entry.is_dir() and entry.name.startswith("seg=")
+                    and int(entry.name.split("=", 1)[1]) not in segs):
+                shutil.rmtree(entry.path)
+                deleted.append(entry.path)
+    return deleted
+
+
 def read_committed_manifest(root: str, version: int) -> dict[int, str]:
     """The partition listing a prior commit_manifest claimed for `version`
     — what a conflicted writer compares its own manifest against to decide

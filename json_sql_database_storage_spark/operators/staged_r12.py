@@ -62,15 +62,18 @@ def _fresh_store(spark: SparkSession, name: str, **kw):
     return DocumentStore(spark, tempfile.mkdtemp(dir=base), **kw)
 
 
-def _version_rollup(store, table: str, versions: list[int]) -> DataFrame:
+def _version_rollup(store, entries) -> DataFrame:
+    """One (n_rows, sum_cents) aggregate row per (leading literal columns,
+    table, version) entry — the shared tail of every store exhibit here
+    (r11 review: four inline copies varied only in the leading labels)."""
     out = None
-    for v in versions:
+    for lead, table, v in entries:
         one = (store.read_asof(table, v)
-               .agg(F.lit(v).cast("int").alias("version"),
+               .agg(*lead,
                     F.count(F.lit(1)).cast("bigint").alias("n_rows"),
                     F.sum("cents").cast("bigint").alias("sum_cents")))
         out = one if out is None else out.unionByName(one)
-    return out.orderBy("version")
+    return out
 
 
 def doc_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,7 +86,10 @@ def doc_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .withColumn("cents", F.col("cents") + 500),
                  "orders_rst")                                      # v1
     store.restore("orders_rst", 0)                                  # v2 ≡ v0
-    return _version_rollup(store, "orders_rst", [0, 1, 2])
+    return _version_rollup(
+        store,
+        [([F.lit(v).cast("int").alias("version")], "orders_rst", v)
+         for v in (0, 1, 2)]).orderBy("version")
 
 
 _RESTORE_SQL = """
@@ -140,16 +146,12 @@ def doc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre_v = store.version("orders_cpt")
     store.compact("orders_cpt")                                     # v5
     post_v = store.version("orders_cpt")
-    phases = [("pre", pre_v), ("post", post_v)]
-    out = None
-    for phase, v in phases:
-        one = (store.read_asof("orders_cpt", v)
-               .agg(F.lit(phase).alias("phase"),
-                    F.lit(v).cast("int").alias("version"),
-                    F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                    F.sum("cents").cast("bigint").alias("sum_cents")))
-        out = one if out is None else out.unionByName(one)
-    return out.orderBy("version")
+    return _version_rollup(
+        store,
+        [([F.lit(phase).alias("phase"),
+           F.lit(v).cast("int").alias("version")], "orders_cpt", v)
+         for phase, v in (("pre", pre_v), ("post", post_v))]
+    ).orderBy("version")
 
 
 _COMPACT_SQL = """
@@ -190,15 +192,11 @@ def doc_rebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _orders_kv(spark, sf_dir)
     store.upsert(t, "orders_rbk")                                   # v0 @ 8
     store.rebucket("orders_rbk", 32)                                # v1 @ 32
-    out = None
-    for v, b in ((0, 8), (1, 32)):
-        one = (store.read_asof("orders_rbk", v)
-               .agg(F.lit(v).cast("int").alias("version"),
-                    F.lit(b).cast("int").alias("n_buckets"),
-                    F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                    F.sum("cents").cast("bigint").alias("sum_cents")))
-        out = one if out is None else out.unionByName(one)
-    return out.orderBy("version")
+    return _version_rollup(
+        store,
+        [([F.lit(v).cast("int").alias("version"),
+           F.lit(b).cast("int").alias("n_buckets")], "orders_rbk", v)
+         for v, b in ((0, 8), (1, 32))]).orderBy("version")
 
 
 _REBUCKET_SQL = """
@@ -493,18 +491,15 @@ def doc_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     store.upsert(t.filter(F.col(KEY) % 100 == 7)
                  .withColumn("cents", F.col("cents") + 900),
                  "orders_cln")                                      # cln v1
-    rows = [("src_head", store.version("orders_src"), "orders_src"),
-            ("clone_v0", 0, "orders_cln"),
-            ("clone_head", store.version("orders_cln"), "orders_cln")]
-    out = None
-    for label, v, table in rows:
-        one = (store.read_asof(table, v)
-               .agg(F.lit(label).alias("which"),
-                    F.lit(v).cast("int").alias("version"),
-                    F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                    F.sum("cents").cast("bigint").alias("sum_cents")))
-        out = one if out is None else out.unionByName(one)
-    return out.orderBy("which")
+    return _version_rollup(
+        store,
+        [([F.lit(label).alias("which"),
+           F.lit(v).cast("int").alias("version")], table, v)
+         for label, v, table in
+         (("src_head", store.version("orders_src"), "orders_src"),
+          ("clone_v0", 0, "orders_cln"),
+          ("clone_head", store.version("orders_cln"), "orders_cln"))]
+    ).orderBy("which")
 
 
 _CLONE_SQL = """
