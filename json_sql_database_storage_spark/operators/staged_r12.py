@@ -592,9 +592,111 @@ GROUP BY 1
 ORDER BY bucket
 """
 
+# ---------------------------------------------------------------------------
+# doc_history — the version-log introspection verb surfaced as a driver
+# row (A5; Delta DESCRIBE HISTORY / Iceberg snapshots table): commit
+# orders (v0), APPEND a key-offset slice (v1 — dir lists grow by one per
+# touched bucket), compact (v2 — fragmented buckets merge back to one
+# dir).  history() is pure manifest metadata; its n_data_dirs column is
+# exactly predictable because bucket id = pmod(key, B) is ARITHMETIC
+# (documents/store.py layout note), so the oracle recomputes the
+# fragmentation arc relationally: |B₀| → |B₀| + |T₁| → |B₀|.
+# commit_ts is wall-clock and excluded from the output.
+#
+# 100-TB design: history() reads O(versions) tiny manifests, never a
+# data dir — the introspection every table format serves from metadata.
+# ---------------------------------------------------------------------------
+
+_HIST_BUCKETS = 16
+
+
+def doc_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..documents.model import KEY
+
+    store = _fresh_store(spark, "doc_history_store",
+                         n_buckets=_HIST_BUCKETS)
+    t = _orders_kv(spark, sf_dir)
+    store.upsert(t, "orders_h")                                     # v0
+    off = int(t.agg(F.max(KEY)).collect()[0][0]) + 1
+    store.append(t.filter(F.col(KEY) % 100 == 5)
+                 .select((F.col(KEY) + F.lit(off)).alias(KEY), "cents"),
+                 "orders_h")                                        # v1
+    store.compact("orders_h")                                       # v2
+    return (store.history("orders_h")
+            .select("version", "n_buckets", "n_live_buckets",
+                    "n_data_dirs")
+            .orderBy("version"))
+
+
+_HISTORY_SQL = f"""
+WITH t AS (SELECT o_orderkey AS k FROM orders),
+b0 AS (SELECT CAST(count(DISTINCT k % {_HIST_BUCKETS}) AS INT) AS n FROM t),
+t1 AS (
+  SELECT CAST(count(DISTINCT (k + (SELECT max(k) + 1 FROM t))
+                    % {_HIST_BUCKETS}) AS INT) AS n
+  FROM t WHERE k % 100 = 5
+)
+SELECT 0 AS version, {_HIST_BUCKETS} AS n_buckets,
+       b0.n AS n_live_buckets, b0.n AS n_data_dirs
+FROM b0
+UNION ALL
+SELECT 1, {_HIST_BUCKETS}, b0.n, b0.n + t1.n FROM b0, t1
+UNION ALL
+SELECT 2, {_HIST_BUCKETS}, b0.n, b0.n FROM b0
+ORDER BY version
+"""
+
+# ---------------------------------------------------------------------------
+# doc_diff_cdf — the change-data-feed introspection verb surfaced as a
+# driver row (A5/b1.17's store-layer sibling; Delta table_changes): v0
+# commits orders, v1 MERGEs a delta that updates keys ≡ 1 (mod 100) and
+# deletes keys ≡ 2, then diff(0, 1) emits exactly the per-key change
+# events.  The output censuses the feed by op with the exact key sums,
+# so a spurious event for an untouched key (same-bucket neighbors are
+# rewritten by the COW but must fingerprint as unchanged) breaks the
+# hash.
+#
+# 100-TB design: diff is BUCKET-PRUNED — only buckets whose dir lists
+# differ between the versions are read (manifest comparison, no full
+# scan), and the fingerprint anti-joins are per-bucket equi-joins.
+# ---------------------------------------------------------------------------
+
+
+def doc_diff_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..documents.model import KEY
+
+    store = _fresh_store(spark, "doc_diff_store")
+    t = _orders_kv(spark, sf_dir)
+    store.upsert(t, "orders_d")                                     # v0
+    upd = (t.filter(F.col(KEY) % 100 == 1)
+           .withColumn("cents", F.col("cents") + 500))
+    dels = (t.filter(F.col(KEY) % 100 == 2)
+            .withColumn("cents", F.lit(-1).cast("bigint")))
+    store.merge(upd.unionByName(dels), "orders_d",
+                delete_when="cents < 0")                            # v1
+    return (store.diff("orders_d", 0, 1)
+            .groupBy("op")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                 F.sum(KEY).cast("bigint").alias("sum_keys"))
+            .orderBy("op"))
+
+
+_DIFF_SQL = """
+WITH t AS (SELECT o_orderkey AS k FROM orders)
+SELECT 'delete' AS op, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(k) AS BIGINT) AS sum_keys
+FROM t WHERE k % 100 = 2
+UNION ALL
+SELECT 'upsert', CAST(count(*) AS BIGINT), CAST(sum(k) AS BIGINT)
+FROM t WHERE k % 100 = 1
+ORDER BY op
+"""
+
 STAGED: dict = {
     "doc_restore": (doc_restore, _RESTORE_SQL),
     "doc_clone": (doc_clone, _CLONE_SQL),
+    "doc_history": (doc_history, _HISTORY_SQL),
+    "doc_diff_cdf": (doc_diff_cdf, _DIFF_SQL),
     "events_session_length_histogram": (events_session_length_histogram,
                                         _SESSHIST_SQL),
     "doc_compact": (doc_compact, _COMPACT_SQL),

@@ -89,6 +89,8 @@ def test_staged_no_unintended_scale_flags(spark, sf_dir):
             # per-version 1-row scalar summaries over AS-OF reads
             # (the snapshot_* / doc_family_read allowlisted shape)
             "doc_restore", "doc_compact", "doc_rebucket", "doc_clone",
+            # manifest-metadata version log: a ≤3-row local relation
+            "doc_history",
             # 1-row max-orderdate anchor broadcast (map-side max partial)
             "q_orders_open_aging",
             # 1-row book-total broadcast + TakeOrdered top-k
@@ -144,7 +146,8 @@ def test_staged_trigram_profile_uses_window_group_limit(spark, sf_dir):
 
 
 @pytest.mark.parametrize("name", ["doc_restore", "doc_compact",
-                                  "doc_rebucket", "doc_clone"])
+                                  "doc_rebucket", "doc_clone",
+                                  "doc_history", "doc_diff_cdf"])
 def test_staged_store_exhibits_invocation_stable(spark, sf_dir, name):
     """Each store exhibit re-runs its whole commit sequence from the same
     session sink on every call — a second invocation (bench reruns, the
