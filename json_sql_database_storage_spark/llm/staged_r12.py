@@ -496,8 +496,91 @@ FROM ranked WHERE rk <= {_TRIGRAM_K}
 ORDER BY lang, rk
 """
 
+# ---------------------------------------------------------------------------
+# text_pmi_collocations — the top-20 adjacent-token collocations by
+# pointwise mutual information (the phrase-mining / tokenizer-merge
+# signal: high-PMI pairs are the multiword units a BPE merge or a
+# phrase index should treat as one).  PMI assembles ENTIRELY in the q6
+# fixed point: score = q6(ln c_xy) + q6(ln N_big) − q6(ln c_x) −
+# q6(ln c_y) — four exact BIGINT micro-nat terms, so ranking by
+# (score desc, gram) is a total order both engines agree on (the
+# unigram/bigram-LM discipline applied to association).  Pairs below a
+# min-count floor are excluded (PMI of rare pairs is noise).
+#
+# 100-TB design: bigrams never leave their doc's partition until the
+# census; the two unigram-count joins are equi-joins on the term; the
+# global top-20 is TakeOrdered (per-partition heaps).  The 1-row bigram
+# total broadcasts (map-side partials).
+# ---------------------------------------------------------------------------
+
+_PMI_K = 20
+_PMI_MIN_COUNT = 5
+
+
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (load_table(spark, sf_dir, "documents")
+            .select(tokens(F.col("text")).alias("t")))
+    uni = (docs.select(F.explode("t").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    big = (docs.filter(F.size("t") >= 2)
+           .select(F.explode(F.expr(
+               "transform(sequence(1, size(t) - 1), "
+               "i -> struct(element_at(t, i) AS x, "
+               "element_at(t, i + 1) AS y))")).alias("p"))
+           .select("p.x", "p.y")
+           .groupBy("x", "y")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("cxy"))
+           .filter(F.col("cxy") >= _PMI_MIN_COUNT))
+    n_big = big.agg(F.sum("cxy").cast("bigint").alias("nb"))
+    scored = (big
+              .join(uni.select(F.col("w").alias("x"),
+                               F.col("c").alias("cx")), "x")
+              .join(uni.select(F.col("w").alias("y"),
+                               F.col("c").alias("cy")), "y")
+              .crossJoin(F.broadcast(n_big))
+              .select("x", "y", "cxy",
+                      (_q6_ln(F.col("cxy")) + _q6_ln(F.col("nb"))
+                       - _q6_ln(F.col("cx")) - _q6_ln(F.col("cy")))
+                      .alias("pmi_micro_nats")))
+    return scored.orderBy(F.desc("pmi_micro_nats"), "x", "y").limit(_PMI_K)
+
+
+_PMI_SQL = rf"""
+WITH toks AS (
+  SELECT regexp_split_to_array(lower(text), '\s+') AS t FROM documents
+), uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+), big AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS cxy
+  FROM (SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> {{'x': t[i], 'y': t[i + 1]}}),
+               recursive := true)
+        FROM toks WHERE len(t) >= 2)
+  GROUP BY x, y
+  HAVING count(*) >= {_PMI_MIN_COUNT}
+), nb AS (SELECT CAST(sum(cxy) AS BIGINT) AS nb FROM big),
+q6 AS (
+  SELECT x, y, cxy,
+         CAST(floor(ln(CAST(cxy AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         + CAST(floor(ln(CAST(nb AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         - CAST(floor(ln(CAST(ux.c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+         - CAST(floor(ln(CAST(uy.c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+           AS pmi_micro_nats
+  FROM big
+  JOIN uni ux ON ux.w = big.x
+  JOIN uni uy ON uy.w = big.y
+  CROSS JOIN nb
+)
+SELECT x, y, cxy, pmi_micro_nats
+FROM q6
+ORDER BY pmi_micro_nats DESC, x, y
+LIMIT {_PMI_K}
+"""
+
 STAGED: dict = {
     "text_hapax_ratio": (text_hapax_ratio, _HAPAX_SQL),
+    "text_pmi_collocations": (text_pmi_collocations, _PMI_SQL),
     "sim_cell_balance": (sim_cell_balance, _CELLBAL_SQL),
     "text_bigram_entropy_rate": (text_bigram_entropy_rate, _ENTRATE_SQL),
     "sim_norm_histogram": (sim_norm_histogram, _NORMHIST_SQL),

@@ -106,6 +106,8 @@ def test_staged_no_unintended_scale_flags(spark, sf_dir):
             "text_length_deciles",
             # 1-row singleton-count scalar + the CC loop's bounded tables
             "sample_soft_dedup_weights",
+            # 1-row bigram-total scalar + TakeOrdered top-k
+            "text_pmi_collocations",
         },
     }
     bad = []
