@@ -522,16 +522,21 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(tokens(F.col("text")).alias("t")))
     uni = (docs.select(F.explode("t").alias("w"))
            .groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c")))
-    big = (docs.filter(F.size("t") >= 2)
-           .select(F.explode(F.expr(
-               "transform(sequence(1, size(t) - 1), "
-               "i -> struct(element_at(t, i) AS x, "
-               "element_at(t, i + 1) AS y))")).alias("p"))
-           .select("p.x", "p.y")
-           .groupBy("x", "y")
-           .agg(F.count(F.lit(1)).cast("bigint").alias("cxy"))
-           .filter(F.col("cxy") >= _PMI_MIN_COUNT))
-    n_big = big.agg(F.sum("cxy").cast("bigint").alias("nb"))
+    big_all = (docs.filter(F.size("t") >= 2)
+               .select(F.explode(F.expr(
+                   "transform(sequence(1, size(t) - 1), "
+                   "i -> struct(element_at(t, i) AS x, "
+                   "element_at(t, i + 1) AS y))")).alias("p"))
+               .select("p.x", "p.y")
+               .groupBy("x", "y")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("cxy")))
+    # the PMI normalizer is the TOTAL bigram count — summed BEFORE the
+    # min-count filter (r11 review: a filtered total understates every
+    # score by a filter-survival-dependent offset; the ranking survives
+    # but absolute PMI semantics — thresholds, cross-corpus comparison —
+    # do not)
+    n_big = big_all.agg(F.sum("cxy").cast("bigint").alias("nb"))
+    big = big_all.filter(F.col("cxy") >= _PMI_MIN_COUNT)
     scored = (big
               .join(uni.select(F.col("w").alias("x"),
                                F.col("c").alias("cx")), "x")
@@ -551,15 +556,15 @@ WITH toks AS (
 ), uni AS (
   SELECT w, CAST(count(*) AS BIGINT) AS c
   FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
-), big AS (
+), big_all AS (
   SELECT x, y, CAST(count(*) AS BIGINT) AS cxy
   FROM (SELECT unnest(list_transform(range(1, len(t)),
                                      i -> {{'x': t[i], 'y': t[i + 1]}}),
                recursive := true)
         FROM toks WHERE len(t) >= 2)
   GROUP BY x, y
-  HAVING count(*) >= {_PMI_MIN_COUNT}
-), nb AS (SELECT CAST(sum(cxy) AS BIGINT) AS nb FROM big),
+), nb AS (SELECT CAST(sum(cxy) AS BIGINT) AS nb FROM big_all),
+big AS (SELECT * FROM big_all WHERE cxy >= {_PMI_MIN_COUNT}),
 q6 AS (
   SELECT x, y, cxy,
          CAST(floor(ln(CAST(cxy AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)

@@ -635,14 +635,24 @@ t1 AS (
   SELECT CAST(count(DISTINCT (k + (SELECT max(k) + 1 FROM t))
                     % {_HIST_BUCKETS}) AS INT) AS n
   FROM t WHERE k % 100 = 5
+),
+-- |B0 ∪ T1| computed as a real union (r11 review: emitting b0.n for the
+-- v1/v2 live-bucket and v2 dir counts silently assumed T1 ⊆ B0, true
+-- only for dense 0..N-1 keys — sparse keys would hash-mismatch)
+u AS (
+  SELECT CAST(count(DISTINCT b) AS INT) AS n
+  FROM (SELECT k % {_HIST_BUCKETS} AS b FROM t
+        UNION
+        SELECT (k + (SELECT max(k) + 1 FROM t)) % {_HIST_BUCKETS}
+        FROM t WHERE k % 100 = 5)
 )
 SELECT 0 AS version, {_HIST_BUCKETS} AS n_buckets,
        b0.n AS n_live_buckets, b0.n AS n_data_dirs
 FROM b0
 UNION ALL
-SELECT 1, {_HIST_BUCKETS}, b0.n, b0.n + t1.n FROM b0, t1
+SELECT 1, {_HIST_BUCKETS}, u.n, b0.n + t1.n FROM b0, t1, u
 UNION ALL
-SELECT 2, {_HIST_BUCKETS}, b0.n, b0.n FROM b0
+SELECT 2, {_HIST_BUCKETS}, u.n, u.n FROM u
 ORDER BY version
 """
 
