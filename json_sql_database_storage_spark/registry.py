@@ -87,6 +87,13 @@ _OPERATOR_MODULES = (
 # The 23 r11 promotions + 12 r5-stale rows fill 35 window slots; these 15
 # fill the rest — highest-behavior-risk first (the streaming rows' own
 # semantics changed, not just shared helpers).
+#
+# SELF-EXPIRING: a pinned name whose latest driver row is from
+# _REVERIFY_PINNED_AT_ROUND or later has been re-checked since the pin was
+# made and drops out of the prefix automatically (r3's structural lesson:
+# a hand-maintained reverify list that nobody clears burns a window slot
+# every round thereafter).
+_REVERIFY_PINNED_AT_ROUND = 11
 _REVERIFY_FIRST: tuple[str, ...] = (
     "stream_session_window", "stream_dedup", "stream_watermark_late_drop",
     "stream_stateful_running_count", "stream_foreach_batch_matview",
@@ -199,7 +206,8 @@ _CHECKED = (_CHECKED_R01 | _CHECKED_R02 | _PASSED_LATEST) - _FAILED_LATEST
 
 
 def _export_order(names: list[str]) -> list[str]:
-    fixed = [n for n in _REVERIFY_FIRST if n in names]
+    fixed = [n for n in _REVERIFY_FIRST if n in names
+             and _LATEST_ROUND.get(n, -1) < _REVERIFY_PINNED_AT_ROUND]
     rest = [n for n in names if n not in fixed]
     unchecked = [n for n in rest if n not in _CHECKED]
     checked = [n for n in rest if n in _CHECKED]

@@ -343,14 +343,22 @@ def test_export_order_rotation_contract():
 
     # the pinned prefix must actually exist and actually front the order —
     # a typo'd entry would otherwise be dropped silently by _export_order's
-    # `if n in names` and burn its driver-window slot undetected
+    # `if n in names` and burn its driver-window slot undetected.  The pin
+    # is SELF-EXPIRING: names re-checked at/after _REVERIFY_PINNED_AT_ROUND
+    # drop out, so the expected prefix applies the same rule.
+    from json_sql_database_storage_spark.registry import (
+        _REVERIFY_PINNED_AT_ROUND,
+    )
+
     all_names = list(registry.specs())
     missing = [n for n in _REVERIFY_FIRST if n not in all_names]
     assert not missing, f"_REVERIFY_FIRST names not in registry: {missing}"
-    assert all_names[:len(_REVERIFY_FIRST)] == list(_REVERIFY_FIRST), (
-        "_REVERIFY_FIRST entries must lead the export order")
+    active = [n for n in _REVERIFY_FIRST
+              if _LATEST_ROUND.get(n, -1) < _REVERIFY_PINNED_AT_ROUND]
+    assert all_names[:len(active)] == active, (
+        "active _REVERIFY_FIRST entries must lead the export order")
 
-    names = [n for n in all_names if n not in set(_REVERIFY_FIRST)]
+    names = [n for n in all_names if n not in set(active)]
     flags = [n in _CHECKED for n in names]
     first_checked = flags.index(True) if True in flags else len(names)
     assert all(flags[first_checked:]), (
