@@ -131,6 +131,31 @@ def edges_build(spark: SparkSession, sf_dir: str,
     return paths
 
 
+def edges_for(spark: SparkSession, sf_dir: str,
+              name: str = "copurchase_edges") -> dict[str, str]:
+    """Build-once-per-source: return the artifact paths, REUSING the
+    committed head when its recorded source is this sf_dir and rebuilding
+    otherwise.  This is what lets all four registered graph queries share
+    ONE edge materialization per bench/driver pass (the text_bm25_topk
+    build+probe precedent applied family-wide): the first consumer pays
+    the self-join, the other three probe the frozen layout.  Correctness
+    is invariant to reuse — the artifact's content is a pure function of
+    the source (pinned by the probe ≡ plan-form tests)."""
+    from .snapshots import current_version
+
+    paths = _edge_paths(spark, name)
+    v = current_version(paths["meta"]) if os.path.isdir(paths["meta"]) \
+        else -1
+    if v >= 0:
+        try:
+            src = _manifest(paths, v)[_M_SOURCE].get("source")
+            if src == os.path.abspath(sf_dir):
+                return paths
+        except (FileNotFoundError, KeyError, AttributeError):
+            pass    # unreadable/legacy manifest: rebuild below
+    return edges_build(spark, sf_dir, name)
+
+
 def _clear_seg(root: str, seg: int) -> None:
     """Remove a possibly-orphaned seg dir before (re)writing it — any
     on-disk seg ≥ the committed next_seg is provably uncommitted (the

@@ -50,9 +50,11 @@ def _symmetrize(pairs: DataFrame) -> DataFrame:
 
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .graph_edges import copurchase_edges_plan
+    """Symmetric edge list served from the shared artifact (build-once/
+    probe-many — see graph_triangle_count's note in staged_r9.py)."""
+    from .graph_edges import edges_for, edges_load
 
-    return _symmetrize(copurchase_edges_plan(spark, sf_dir))
+    return _symmetrize(edges_load(spark, edges_for(spark, sf_dir)))
 
 
 def graph_degree_assortativity(spark: SparkSession,

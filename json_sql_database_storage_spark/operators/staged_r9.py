@@ -88,9 +88,15 @@ LIMIT {_TOPN}
 
 
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .graph_edges import copurchase_edges_plan
+    # build-once/probe-many (r11 — the text_bm25_topk precedent applied
+    # family-wide): the first registered graph query in a session pays
+    # the edge materialization, the rest probe the frozen artifact
+    # (operators/graph_edges.py::edges_for reuses the committed head when
+    # its recorded source matches).  Probe ≡ plan-form pinned in
+    # tests/test_graph_edges.py.
+    from .graph_edges import edges_for, triangle_count_probe
 
-    return triangle_census(spark, copurchase_edges_plan(spark, sf_dir))
+    return triangle_count_probe(spark, edges_for(spark, sf_dir))
 
 
 def triangle_census(spark: SparkSession, edge_list: DataFrame) -> DataFrame:
@@ -279,9 +285,11 @@ _KCORE_ROUNDS = 6
 
 
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .graph_edges import copurchase_edges_plan
+    # build-once/probe-many via the shared edge artifact (see
+    # graph_triangle_count's note)
+    from .graph_edges import edges_for, kcore_probe
 
-    return kcore_trajectory(spark, copurchase_edges_plan(spark, sf_dir))
+    return kcore_probe(spark, edges_for(spark, sf_dir))
 
 
 def kcore_trajectory(spark: SparkSession, edges: DataFrame) -> DataFrame:

@@ -1,12 +1,14 @@
 """Build/probe split for the shared co-purchase edge artifact
 (operators/graph_edges.py — r10 verdict next-round #3).
 
-The four registered graph queries remain the driver/oracle surface; these
-tests pin that (a) the artifact holds exactly the canonical edge list,
-(b) every probe form is ROW-IDENTICAL to its registered one-shot twin,
-(c) commits are CAS-versioned with AS-OF reads, and (d) an uncommitted
-(crashed) build is invisible to probes — the same contracts the BM25 and
-IVFPQ artifacts carry.
+The four registered graph queries remain the driver/oracle surface and
+(since r11) SERVE FROM the artifact — build-once per (session, source),
+probe-many; these tests pin that (a) the artifact holds exactly the
+canonical edge list, (b) every probe form is ROW-IDENTICAL to the
+one-shot LOGICAL-PLAN twin fed through the same census, (c) commits are
+CAS-versioned with AS-OF reads, (d) an uncommitted (crashed) build is
+invisible to probes, and (e) consecutive registered calls reuse one
+build — the same contracts the BM25 and IVFPQ artifacts carry.
 """
 
 from __future__ import annotations
@@ -49,40 +51,75 @@ def test_manifest_stats_match_data(spark, sf_dir, built):
     assert stats["n_nodes"] == nodes
 
 
-def test_triangle_probe_matches_one_shot(spark, sf_dir, built):
+def test_triangle_probe_matches_plan_form(spark, sf_dir, built):
+    """The registered query now serves from the artifact (build-once/
+    probe-many) — the verification twin is the ONE-SHOT LOGICAL PLAN fed
+    through the same census, so artifact content and plan content are
+    pinned equal end-to-end."""
     from json_sql_database_storage_spark.operators.staged_r9 import (
-        graph_triangle_count,
+        triangle_census,
     )
 
     assert (_rows(triangle_count_probe(spark, built))
-            == _rows(graph_triangle_count(spark, sf_dir)))
+            == _rows(triangle_census(
+                spark, copurchase_edges_plan(spark, sf_dir))))
 
 
-def test_kcore_probe_matches_one_shot(spark, sf_dir, built):
+def test_kcore_probe_matches_plan_form(spark, sf_dir, built):
     from json_sql_database_storage_spark.operators.staged_r9 import (
-        graph_kcore,
+        kcore_trajectory,
     )
 
     assert (_rows(kcore_probe(spark, built))
-            == _rows(graph_kcore(spark, sf_dir)))
+            == _rows(kcore_trajectory(
+                spark, copurchase_edges_plan(spark, sf_dir))))
 
 
-def test_assortativity_probe_matches_one_shot(spark, sf_dir, built):
+def test_assortativity_probe_matches_plan_form(spark, sf_dir, built):
     from json_sql_database_storage_spark.operators.staged_r10 import (
-        graph_degree_assortativity,
+        _symmetrize, degree_assortativity_from_edges,
     )
 
     assert (_rows(degree_assortativity_probe(spark, built))
-            == _rows(graph_degree_assortativity(spark, sf_dir)))
+            == _rows(degree_assortativity_from_edges(
+                _symmetrize(copurchase_edges_plan(spark, sf_dir)))))
 
 
-def test_histogram_probe_matches_one_shot(spark, sf_dir, built):
+def test_histogram_probe_matches_plan_form(spark, sf_dir, built):
     from json_sql_database_storage_spark.operators.staged_r10 import (
-        graph_degree_histogram,
+        _symmetrize, degree_histogram_from_edges,
     )
 
     assert (_rows(degree_histogram_probe(spark, built))
-            == _rows(graph_degree_histogram(spark, sf_dir)))
+            == _rows(degree_histogram_from_edges(
+                _symmetrize(copurchase_edges_plan(spark, sf_dir)))))
+
+
+def test_registered_queries_reuse_one_build_per_source(spark, sf_dir):
+    """All four registered graph queries share ONE artifact build per
+    (session, source): consecutive calls must not bump the committed
+    version, and a different source must trigger a rebuild."""
+    from json_sql_database_storage_spark.operators.graph_edges import (
+        _edge_paths, edges_for,
+    )
+    from json_sql_database_storage_spark.operators.snapshots import (
+        current_version,
+    )
+    from json_sql_database_storage_spark.operators.staged_r10 import (
+        graph_degree_assortativity, graph_degree_histogram,
+    )
+
+    paths = _edge_paths(spark, "copurchase_edges")
+    graph_degree_histogram(spark, sf_dir).collect()
+    v0 = current_version(paths["meta"])
+    graph_degree_assortativity(spark, sf_dir).collect()
+    assert current_version(paths["meta"]) == v0     # reused, not rebuilt
+    assert edges_for(spark, sf_dir) == paths
+    assert current_version(paths["meta"]) == v0
+    other = "/root/testdata/sf0.01"
+    if other != sf_dir:
+        edges_for(spark, other)
+        assert current_version(paths["meta"]) == v0 + 1   # source changed
 
 
 def test_rebuild_bumps_version_and_as_of_reads(spark, sf_dir):
