@@ -9,6 +9,7 @@ mirroring how a cluster job ends in a distributed sink).
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import re
@@ -246,6 +247,10 @@ def main() -> None:
 
     total = 0.0
     for name in names:
+        gc.collect()   # drop py refs so ContextCleaner can free the
+        # previous query's localCheckpoint/persist blocks BEFORE timing —
+        # without this, storage fills over the 127-extra run and
+        # late-position queries measure cache eviction, not plan cost
         t0 = time.perf_counter()
         specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
@@ -261,6 +266,7 @@ def main() -> None:
     warm: dict[str, float] = {}
     warm_total = 0.0
     for name in names:
+        gc.collect()
         t0 = time.perf_counter()
         specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
@@ -271,6 +277,7 @@ def main() -> None:
     for name in EXTRA:
         if name not in specs:
             continue
+        gc.collect()
         t0 = time.perf_counter()
         specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         extra[name] = round(time.perf_counter() - t0, 3)
@@ -308,6 +315,7 @@ def main() -> None:
         graph_probe["graph_edges_build"] = round(time.perf_counter() - t0, 3)
         for gname, gfn in probes:
             registry.release_caches()
+            gc.collect()
             t0 = time.perf_counter()
             gfn(spark, gpaths).write.format("noop").mode("overwrite").save()
             graph_probe[gname] = round(time.perf_counter() - t0, 3)
