@@ -167,6 +167,29 @@ EXTRA = [
     "sample_weighted_no_replacement",
     "sim_ann_recall_curve",
     "text_source_overlap",
+    # round-12 families (the 22 promoted staged queries)
+    "doc_restore",
+    "doc_compact",
+    "doc_rebucket",
+    "doc_clone",
+    "doc_history",
+    "doc_diff_cdf",
+    "q_orders_open_aging",
+    "q_supplier_lineload",
+    "window_reorder_interval",
+    "window_user_value_trend",
+    "q_price_band_share",
+    "events_session_length_histogram",
+    "q_returned_share_by_brand",
+    "text_hapax_ratio",
+    "text_pmi_collocations",
+    "sim_cell_balance",
+    "text_bigram_entropy_rate",
+    "sim_norm_histogram",
+    "text_length_deciles",
+    "text_quality_heuristic_buckets",
+    "sample_soft_dedup_weights",
+    "text_char_trigram_profile",
     # the stream-stream replays are excluded here: their wall time is
     # micro-batch scheduling of a 4-chunk replay (a latency regime the
     # batch bench's throughput number does not represent); their
@@ -273,6 +296,29 @@ def main() -> None:
         warm[name] = round(dt, 3)
         warm_total += dt
 
+    # Shared co-purchase edge artifact: built ONCE here, on its own timed
+    # line, BEFORE the extras loop (r11 verdict §wrong #2: the first
+    # registered graph consumer in the extras loop was paying the whole
+    # edges_for build inside its own timing — reading as a per-query
+    # regression — and the probe block then force-rebuilt a SECOND
+    # artifact).  The four registered graph rows below reuse this artifact
+    # via edges_for (same session, same source → manifest hit), and the
+    # probe block further down reuses the same paths, so every per-query
+    # graph time is probe-shaped and cross-round comparable.
+    graph_probe: dict[str, float] = {}
+    gpaths = None
+    try:
+        from json_sql_database_storage_spark.operators import (
+            graph_edges as _ge,
+        )
+
+        gc.collect()
+        t0 = time.perf_counter()
+        gpaths = _ge.edges_for(spark, sf_dir)
+        graph_probe["graph_edges_build"] = round(time.perf_counter() - t0, 3)
+    except Exception as e:  # build failure is evidence, never a bench abort
+        graph_probe["error"] = repr(e)
+
     extra: dict[str, float] = {}
     for name in EXTRA:
         if name not in specs:
@@ -283,11 +329,8 @@ def main() -> None:
         extra[name] = round(time.perf_counter() - t0, 3)
 
     # Build/probe split for the graph family (r10 verdict next-round #3):
-    # build the shared co-purchase edge artifact ONCE, then time the four
-    # graph consumers against it — the cost profile a build-once/probe-many
-    # deployment actually sees (the one-shot forms above re-pay the edge
-    # build per query; the delta is the amortization win).
-    graph_probe: dict[str, float] = {}
+    # time the four probe forms against the artifact built above — the
+    # cost profile a build-once/probe-many deployment actually sees.
     try:
         from json_sql_database_storage_spark.operators import (
             graph_edges as _ge,
@@ -310,9 +353,8 @@ def main() -> None:
                 gfn(spark, wpaths).write.format("noop") \
                     .mode("overwrite").save()
                 registry.release_caches()
-        t0 = time.perf_counter()
-        gpaths = _ge.edges_build(spark, sf_dir)
-        graph_probe["graph_edges_build"] = round(time.perf_counter() - t0, 3)
+        if gpaths is None:    # the pre-extras build failed: one retry here
+            gpaths = _ge.edges_for(spark, sf_dir)
         for gname, gfn in probes:
             registry.release_caches()
             gc.collect()
@@ -320,8 +362,9 @@ def main() -> None:
             gfn(spark, gpaths).write.format("noop").mode("overwrite").save()
             graph_probe[gname] = round(time.perf_counter() - t0, 3)
         registry.release_caches()
-    except Exception:
-        pass  # probe timing is evidence, never a bench failure
+    except Exception as e:  # record, don't drop: a silent miss would read
+        # as "probe evidence intentionally absent" (r11 advice)
+        graph_probe["probe_error"] = repr(e)
 
     # DuckDB single-node reference on the same queries' oracle SQL — the
     # honest comparison point for absolute overhead at this scale.

@@ -583,7 +583,11 @@ ORDER BY pmi_micro_nats DESC, x, y
 LIMIT {_PMI_K}
 """
 
-STAGED: dict = {
+# Promoted round 12 (r11 verdict next-round #2); empty STAGED kept so the
+# staged-protocol tests can pin that nothing is both staged and registered.
+from ..registry import register  # noqa: E402  (promotion epilogue)
+
+for _name, (_fn, _sql) in {
     "text_hapax_ratio": (text_hapax_ratio, _HAPAX_SQL),
     "text_pmi_collocations": (text_pmi_collocations, _PMI_SQL),
     "sim_cell_balance": (sim_cell_balance, _CELLBAL_SQL),
@@ -595,4 +599,7 @@ STAGED: dict = {
     "sample_soft_dedup_weights": (sample_soft_dedup_weights,
                                   _soft_dedup_sql()),
     "text_char_trigram_profile": (text_char_trigram_profile, _TRIGRAM_SQL),
-}
+}.items():
+    register(_name, _sql)(_fn)
+
+STAGED: dict = {}

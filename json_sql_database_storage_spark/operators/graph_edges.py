@@ -70,6 +70,51 @@ def _edge_paths(spark: SparkSession, name: str) -> dict[str, str]:
     return {"data": _sink(name, spark), "meta": _sink(f"{name}_meta", spark)}
 
 
+def _source_fingerprint(sf_dir: str) -> dict:
+    """Cheap content fingerprint of the artifact's upstream — lineitem
+    parquet file count + max mtime + total bytes (metadata stats only,
+    no data read).  Recorded in the manifest's source slot so edges_for
+    can detect in-session regeneration of the source dir and rebuild
+    instead of silently serving stale edges (the registered graph rows
+    were pure functions of the live source before the artifact landed —
+    reuse must preserve that contract, not just key on the path)."""
+    import glob
+
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    files = ([path] if os.path.isfile(path) else
+             [f for f in glob.glob(os.path.join(path, "**", "*"),
+                                   recursive=True) if os.path.isfile(f)])
+    n_files, max_mtime_ns, total_bytes = 0, 0, 0
+    for f in files:
+        try:
+            st = os.stat(f)
+        except OSError:
+            continue    # file swept mid-scan: the counts still differ
+        n_files += 1
+        max_mtime_ns = max(max_mtime_ns, st.st_mtime_ns)
+        total_bytes += st.st_size
+    return {"n_files": n_files, "max_mtime_ns": max_mtime_ns,
+            "total_bytes": total_bytes}
+
+
+def _head_matches(paths: dict[str, str], sf_dir: str) -> bool:
+    """True when the committed head was built from this sf_dir AND the
+    source's fingerprint still matches the one recorded at build time."""
+    from .snapshots import current_version
+
+    if not os.path.isdir(paths["meta"]):
+        return False
+    v = current_version(paths["meta"])
+    if v < 0:
+        return False
+    try:
+        slot = _manifest(paths, v)[_M_SOURCE]
+        return (slot.get("source") == os.path.abspath(sf_dir)
+                and slot.get("fingerprint") == _source_fingerprint(sf_dir))
+    except (FileNotFoundError, KeyError, AttributeError):
+        return False    # unreadable/legacy manifest: not a match
+
+
 def _manifest(paths: dict[str, str], version: int | None = None) -> dict:
     from .snapshots import current_version, read_committed_manifest
 
@@ -105,6 +150,10 @@ def edges_build(spark: SparkSession, sf_dir: str,
 
     paths = _edge_paths(spark, name)
     with _index_write_lock(paths["meta"]):
+        # fingerprint BEFORE the scan: if the source mutates mid-build the
+        # recorded fingerprint disagrees with the post-mutation stat and
+        # the next edges_for rebuilds rather than trusting a torn read
+        fp = _source_fingerprint(sf_dir)
         v = current_version(paths["meta"])
         seg = int(_manifest(paths, v)[_M_NEXT]) if v >= 0 else 0
         _clear_seg(paths["data"], seg)
@@ -127,33 +176,54 @@ def edges_build(spark: SparkSession, sf_dir: str,
                         _M_STATS: {"n_edges": int(stats["m"]),
                                    "n_nodes": int(stats["nn"])},
                         _M_NEXT: seg + 1,
-                        _M_SOURCE: {"source": os.path.abspath(sf_dir)}})
+                        _M_SOURCE: {"source": os.path.abspath(sf_dir),
+                                    "fingerprint": fp}})
     return paths
 
 
 def edges_for(spark: SparkSession, sf_dir: str,
-              name: str = "copurchase_edges") -> dict[str, str]:
+              name: str = "copurchase_edges",
+              wait_seconds: float = 600.0) -> dict[str, str]:
     """Build-once-per-source: return the artifact paths, REUSING the
-    committed head when its recorded source is this sf_dir and rebuilding
-    otherwise.  This is what lets all four registered graph queries share
-    ONE edge materialization per bench/driver pass (the text_bm25_topk
-    build+probe precedent applied family-wide): the first consumer pays
-    the self-join, the other three probe the frozen layout.  Correctness
-    is invariant to reuse — the artifact's content is a pure function of
-    the source (pinned by the probe ≡ plan-form tests)."""
-    from .snapshots import current_version
+    committed head when its recorded source is this sf_dir AND the
+    source's content fingerprint still matches (path alone would serve
+    stale edges after an in-session regeneration of the data under
+    sf_dir), rebuilding otherwise.  This is what lets all four registered
+    graph queries share ONE edge materialization per bench/driver pass
+    (the text_bm25_topk build+probe precedent applied family-wide): the
+    first consumer pays the self-join, the other three probe the frozen
+    layout.  Correctness is invariant to reuse — the artifact's content
+    is a pure function of the source (pinned by the probe ≡ plan-form
+    tests).
+
+    Two registered consumers racing into a cold artifact must NOT turn
+    into a ConcurrentIndexWriter failure (the registered forms were
+    side-effect-free pure queries before the artifact landed — inheriting
+    the builder's single-writer failure mode would be a regression), so
+    the loser waits for the in-flight build to commit and reuses it."""
+    from ..llm.search import ConcurrentIndexWriter
 
     paths = _edge_paths(spark, name)
-    v = current_version(paths["meta"]) if os.path.isdir(paths["meta"]) \
-        else -1
-    if v >= 0:
+    if _head_matches(paths, sf_dir):
+        return paths
+    import time
+
+    deadline = time.monotonic() + wait_seconds
+    while True:
         try:
-            src = _manifest(paths, v)[_M_SOURCE].get("source")
-            if src == os.path.abspath(sf_dir):
-                return paths
-        except (FileNotFoundError, KeyError, AttributeError):
-            pass    # unreadable/legacy manifest: rebuild below
-    return edges_build(spark, sf_dir, name)
+            return edges_build(spark, sf_dir, name)
+        except ConcurrentIndexWriter:
+            # an in-flight builder holds write.lock: poll for its commit
+            while time.monotonic() < deadline:
+                if _head_matches(paths, sf_dir):
+                    return paths    # the racer built exactly what we need
+                if not os.path.exists(
+                        os.path.join(paths["meta"], "write.lock")):
+                    break    # holder finished (other source) or crashed:
+                             # retry the build ourselves
+                time.sleep(0.1)
+            if time.monotonic() >= deadline:
+                raise
 
 
 def _clear_seg(root: str, seg: int) -> None:

@@ -765,7 +765,11 @@ FROM per
 ORDER BY p_brand
 """
 
-STAGED: dict = {
+# Promoted round 12 (r11 verdict next-round #2); empty STAGED kept so the
+# staged-protocol tests can pin that nothing is both staged and registered.
+from ..registry import register  # noqa: E402  (promotion epilogue)
+
+for _name, (_fn, _sql) in {
     "doc_restore": (doc_restore, _RESTORE_SQL),
     "q_returned_share_by_brand": (q_returned_share_by_brand,
                                   _RETSHARE_SQL),
@@ -781,4 +785,7 @@ STAGED: dict = {
     "window_reorder_interval": (window_reorder_interval, _REORDER_SQL),
     "window_user_value_trend": (window_user_value_trend, _TREND_SQL),
     "q_price_band_share": (q_price_band_share, _PBAND_SQL),
-}
+}.items():
+    register(_name, _sql)(_fn)
+
+STAGED: dict = {}

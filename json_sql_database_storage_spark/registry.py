@@ -68,6 +68,8 @@ _OPERATOR_MODULES = (
     "json_sql_database_storage_spark.llm.staged_r10",
     "json_sql_database_storage_spark.operators.staged_r11",
     "json_sql_database_storage_spark.llm.staged_r11",
+    "json_sql_database_storage_spark.operators.staged_r12",
+    "json_sql_database_storage_spark.llm.staged_r12",
 )
 
 # The driver's per-round correctness check covers the first ~50 registry
@@ -79,29 +81,25 @@ _OPERATOR_MODULES = (
 # Python-worker UDFs, bucketed-table writes, multimodal Arrow fan-out —
 # the families most likely to behave differently in the driver's session);
 # (3) the remaining never-checked queries; (4) the already-green rest.
-# Round 11 (r10 verdict next-round #2b): round 10's review-fix sweeps edited
-# streaming/queries.py + runner.py (d282ca8 — exact session oracles,
-# watermark-evictable dedup, hardened batch marker), scale.py (6cf321d),
-# joins.py, scd.py, snapshots.py and windows.py AFTER these rows' latest
-# driver check (r6), so their hard signal predates the code they now run.
-# The 23 r11 promotions + 12 r5-stale rows fill 35 window slots; these 15
-# fill the rest — highest-behavior-risk first (the streaming rows' own
-# semantics changed, not just shared helpers).
+# Round 12 (r11 verdict next-round #3): commit 2dce4ae rewired the four
+# registered graph rows onto the shared edge artifact AFTER their last
+# driver check (r9/r10), and text_bm25_topk / sim_ivfpq_topk's sources
+# (llm/search.py, llm/pq.py) gained tombstones, locks and streaming
+# maintenance across r9–r11 while their hard signal is still r6 — these
+# six rows' driver evidence predates the code they now run, and
+# stalest-first ordering alone would leave them outside the ~50-slot
+# window behind the 22 r12 promotions + the r6 cohort.  (The r11 pins all
+# drew r11 rows and self-expired.)
 #
 # SELF-EXPIRING: a pinned name whose latest driver row is from
 # _REVERIFY_PINNED_AT_ROUND or later has been re-checked since the pin was
 # made and drops out of the prefix automatically (r3's structural lesson:
 # a hand-maintained reverify list that nobody clears burns a window slot
 # every round thereafter).
-_REVERIFY_PINNED_AT_ROUND = 11
+_REVERIFY_PINNED_AT_ROUND = 12
 _REVERIFY_FIRST: tuple[str, ...] = (
-    "stream_session_window", "stream_dedup", "stream_watermark_late_drop",
-    "stream_stateful_running_count", "stream_foreach_batch_matview",
-    "stream_stream_full_outer_join",
-    "scale_salted_agg", "scale_salted_join", "scale_running_total",
-    "scale_percent_rank", "scale_bucketed_join",
-    "window_range_interval_frame", "join_null_safe",
-    "join_scd2_point_in_time", "snapshot_expire",
+    "graph_triangle_count", "graph_kcore", "graph_degree_assortativity",
+    "graph_degree_histogram", "text_bm25_topk", "sim_ivfpq_topk",
 )
 _HIGH_RISK_PREFIXES = ("stream_", "udf_", "scale_", "mm_", "scan_jdbc",
                        "sql_")

@@ -1,0 +1,200 @@
+"""Cross-PROCESS concurrency pins (r11 verdict next-round #5).
+
+Every earlier concurrency test (test_store_concurrent_writers_no_lost_updates,
+test_index_write_lock_excludes_second_writer, the graph-edges race) runs
+threads inside ONE JVM/driver process.  The CAS and write.lock claims rest
+on filesystem semantics — O_EXCL create, link(2)-style put-if-absent — that
+only a SECOND OS PROCESS genuinely exercises: two drivers sharing a
+warehouse is the real multi-writer deployment at the 100-TB design point
+(ingest job + compaction job, or two tenants' sessions over one store).
+
+Twin 1 (store): a subprocess with its OWN SparkSession interleaves
+append/upsert commits against the main session's DocumentStore on a shared
+base dir — every writer's rows must survive (the CAS loser rebases) and
+the version count must equal the total commit count, exactly as the
+in-process twin pins.
+
+Twin 2 (index write.lock): a second OS process attempting the lock while
+this process holds it must be rejected with ConcurrentIndexWriter, and
+vice versa — an edges_build in THIS process must be rejected while a
+foreign process holds the lock (pid-liveness check crossing process
+boundaries, not just thread state).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Child payload for the store race: its own SparkSession (second JVM),
+# 4 interleaved append/upsert commits with keys 200..203, synchronized
+# with the parent through ready/go marker files so the commit windows
+# genuinely overlap.
+_STORE_CHILD = """
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from json_sql_database_storage_spark.session import build_session
+from json_sql_database_storage_spark.documents.fixtures import docs_df
+from json_sql_database_storage_spark.documents.store import DocumentStore
+
+base, ready, go = sys.argv[1], sys.argv[2], sys.argv[3]
+spark = build_session("xproc-store-child", cores=2)
+store = DocumentStore(spark, base, n_buckets=4)
+open(ready, "w").close()
+deadline = time.time() + 120
+while not os.path.exists(go):
+    if time.time() > deadline:
+        raise SystemExit("parent never signalled go")
+    time.sleep(0.01)
+for i in range(4):
+    k = 200 + i
+    df = docs_df(spark, [{{"rowNum": k, "name": "c-%d" % i, "v": k}}])
+    if i % 2 == 0:
+        store.append(df, "things")
+    else:
+        store.upsert(df, "things")
+spark.stop()
+"""
+
+# Child payload for the lock tests: NO Spark — the lock is pure
+# filesystem, which is exactly the cross-process surface under test.
+# mode=acquire-expect-reject: try the lock once, exit 0 iff rejected.
+# mode=hold: take the lock, signal ready, hold until the go file appears.
+_LOCK_CHILD = """
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from json_sql_database_storage_spark.llm.search import (
+    ConcurrentIndexWriter, _index_write_lock,
+)
+
+mode, meta = sys.argv[1], sys.argv[2]
+if mode == "acquire-expect-reject":
+    try:
+        with _index_write_lock(meta):
+            raise SystemExit("acquired a lock another process holds")
+    except ConcurrentIndexWriter:
+        raise SystemExit(0)
+elif mode == "hold":
+    ready, go = sys.argv[3], sys.argv[4]
+    with _index_write_lock(meta):
+        open(ready, "w").close()
+        deadline = time.time() + 120
+        while not os.path.exists(go):
+            if time.time() > deadline:
+                raise SystemExit("parent never signalled go")
+            time.sleep(0.01)
+else:
+    raise SystemExit("unknown mode %r" % mode)
+"""
+
+
+def _spawn(payload: str, *argv: str) -> subprocess.Popen:
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "2g")
+    return subprocess.Popen(
+        [sys.executable, "-c", payload.format(repo=_REPO), *argv],
+        cwd=_REPO, env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+
+
+def _wait_file(path: str, seconds: float, proc: subprocess.Popen) -> None:
+    deadline = time.time() + seconds
+    while not os.path.exists(path):
+        if proc.poll() is not None:
+            out, err = proc.communicate()
+            raise AssertionError(
+                f"child exited early rc={proc.returncode}\n{out}\n{err}")
+        if time.time() > deadline:
+            proc.kill()
+            raise AssertionError(f"timed out waiting for {path}")
+        time.sleep(0.05)
+
+
+@pytest.mark.slow
+def test_store_cross_process_writers_no_lost_updates(spark, tmp_path):
+    """Two OS processes (two JVMs, two SparkSessions) interleave commits
+    on one shared store — the commit CAS must serialize them with zero
+    lost updates, exactly as the in-thread twin pins."""
+    from json_sql_database_storage_spark.documents.fixtures import docs_df
+    from json_sql_database_storage_spark.documents.store import DocumentStore
+
+    base = str(tmp_path / "collections")
+    ready, go = str(tmp_path / "ready"), str(tmp_path / "go")
+    store = DocumentStore(spark, base, n_buckets=4)
+    store.upsert(docs_df(spark, [{"rowNum": 0, "name": "seed", "v": 0}]),
+                 "things")
+    child = _spawn(_STORE_CHILD, base, ready, go)
+    try:
+        # child session is up and its store handle open — overlap is real
+        _wait_file(ready, 180, child)
+        open(go, "w").close()
+        for i in range(4):
+            k = 100 + i
+            df = docs_df(spark, [{"rowNum": k, "name": f"p-{i}", "v": k}])
+            if i % 2 == 0:
+                store.append(df, "things")
+            else:
+                store.upsert(df, "things")
+        out, err = child.communicate(timeout=240)
+        assert child.returncode == 0, f"child failed rc={child.returncode}\n{out}\n{err}"
+    finally:
+        if child.poll() is None:
+            child.kill()
+    rows = {r["rowNum"]: r for r in store.read("things").collect()}
+    expected = {0} | {100 + i for i in range(4)} | {200 + i for i in range(4)}
+    assert set(rows) == expected        # no lost updates across processes
+    assert store.version("things") == 8  # seed + 2 processes × 4 commits
+
+
+def test_index_write_lock_excludes_second_process(tmp_path):
+    """A second OS process attempting write.lock while THIS process holds
+    it is rejected — O_EXCL + pid-liveness crossing the process boundary
+    (os.kill(pid, 0) against a real foreign pid, not a thread)."""
+    from json_sql_database_storage_spark.llm.search import _index_write_lock
+
+    meta = str(tmp_path / "idx_meta")
+    with _index_write_lock(meta):
+        child = _spawn(_LOCK_CHILD, "acquire-expect-reject", meta)
+        out, err = child.communicate(timeout=60)
+        assert child.returncode == 0, (
+            f"child rc={child.returncode}\n{out}\n{err}")
+    # lock released: a fresh foreign acquire... would now need its own
+    # process; the immediate re-acquire here pins release worked
+    with _index_write_lock(meta):
+        pass
+
+
+def test_edges_build_rejected_while_foreign_process_holds_lock(
+        spark, sf_dir, tmp_path):
+    """The inverse direction: a FOREIGN process holds the artifact's
+    write.lock (live pid, fresh mtime) — an edges_build in this process
+    must surface ConcurrentIndexWriter, not break the live holder's lock."""
+    from json_sql_database_storage_spark.llm.search import (
+        ConcurrentIndexWriter,
+    )
+    from json_sql_database_storage_spark.operators.graph_edges import (
+        _edge_paths, edges_build,
+    )
+
+    paths = _edge_paths(spark, "copurchase_edges_xproc")
+    ready, go = str(tmp_path / "ready"), str(tmp_path / "go")
+    child = _spawn(_LOCK_CHILD, "hold", paths["meta"], ready, go)
+    try:
+        _wait_file(ready, 60, child)
+        with pytest.raises(ConcurrentIndexWriter):
+            edges_build(spark, sf_dir, "copurchase_edges_xproc")
+    finally:
+        open(go, "w").close()
+        try:
+            child.communicate(timeout=60)
+        except subprocess.TimeoutExpired:
+            child.kill()
+    assert child.returncode == 0
+    # holder exited cleanly: the build now proceeds
+    edges_build(spark, sf_dir, "copurchase_edges_xproc")

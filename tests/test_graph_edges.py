@@ -200,3 +200,76 @@ def test_concurrent_builder_is_rejected(spark, sf_dir):
     with _index_write_lock(paths["meta"]):
         with pytest.raises(ConcurrentIndexWriter):
             edges_build(spark, sf_dir, "copurchase_edges_locked")
+
+
+def test_source_mutation_triggers_rebuild(spark, sf_dir, tmp_path):
+    """r12 (r11 advice #1): edges_for keys reuse on the source's CONTENT
+    fingerprint, not just its path — regenerating the data under sf_dir
+    within a session must rebuild, never silently serve stale edges
+    (the registered graph rows were pure functions of the live source
+    before the artifact landed)."""
+    import shutil
+
+    from json_sql_database_storage_spark.operators.graph_edges import (
+        edges_for,
+    )
+    from json_sql_database_storage_spark.operators.snapshots import (
+        current_version,
+    )
+
+    src = tmp_path / "mutsrc"
+    src.mkdir()
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    dst = str(src / "lineitem.parquet")
+    (shutil.copytree if os.path.isdir(li) else shutil.copyfile)(li, dst)
+    paths = edges_for(spark, str(src), "copurchase_edges_fp")
+    v0 = current_version(paths["meta"])
+    before = _rows(edges_load(spark, paths))
+    # unchanged source: reuse (no version bump)
+    assert edges_for(spark, str(src), "copurchase_edges_fp") == paths
+    assert current_version(paths["meta"]) == v0
+    # "regenerate" the source in place: same path, new mtime
+    target = dst if os.path.isfile(dst) else os.path.join(
+        dst, sorted(f for f in os.listdir(dst)
+                    if not f.startswith((".", "_")))[0])
+    st = os.stat(target)
+    os.utime(target, ns=(st.st_atime_ns, st.st_mtime_ns + 10**9))
+    edges_for(spark, str(src), "copurchase_edges_fp")
+    assert current_version(paths["meta"]) == v0 + 1     # rebuilt
+    assert _rows(edges_load(spark, paths)) == before    # same source data
+
+
+def test_concurrent_edges_for_waits_and_reuses(spark, sf_dir):
+    """r12 (r11 advice #2): two registered consumers racing into a cold
+    artifact must both succeed — the lock loser waits for the in-flight
+    build to commit and reuses it (exactly ONE committed version), never
+    surfacing ConcurrentIndexWriter to a read-only query."""
+    import threading
+
+    from json_sql_database_storage_spark.operators.graph_edges import (
+        edges_for,
+    )
+    from json_sql_database_storage_spark.operators.snapshots import (
+        current_version,
+    )
+
+    results, errors = {}, {}
+
+    def run(tag):
+        try:
+            results[tag] = edges_for(spark, sf_dir,
+                                     "copurchase_edges_race",
+                                     wait_seconds=120.0)
+        except Exception as e:  # surfaced to the assert below
+            errors[tag] = e
+
+    threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert results[0] == results[1]
+    assert current_version(results[0]["meta"]) == 0     # exactly one build
+    assert _rows(edges_load(spark, results[0])) \
+        == _rows(copurchase_edges_plan(spark, sf_dir))

@@ -338,6 +338,30 @@ def test_no_unintended_scale_flags(spark, sf_dir):
             "sample_weighted_no_replacement",
             # 1-row histogram-total share broadcast (map-side partials)
             "q_order_size_histogram",
+            # r12 promotions (allowlist carried over verbatim from the
+            # staged-era sweep, tests/test_staged_r12.py pre-promotion):
+            # per-version 1-row scalar summaries over AS-OF reads
+            # (the snapshot_* / doc_family_read allowlisted shape)
+            "doc_restore", "doc_compact", "doc_rebucket", "doc_clone",
+            # manifest-metadata version log: a ≤3-row local relation
+            "doc_history",
+            # 1-row max-orderdate anchor broadcast (map-side max partial)
+            "q_orders_open_aging",
+            # 1-row book-total broadcast + TakeOrdered top-k
+            "q_supplier_lineload",
+            # 1-row revenue-total broadcast (the q15/q22 threshold shape)
+            "q_price_band_share",
+            # two 1-row q6 entropy folds (map-side partials)
+            "text_bigram_entropy_rate",
+            # 1-row corpus-total broadcast onto the k-row cell census
+            "sim_cell_balance",
+            # bounded-domain cumulative window (distinct token lengths ≪
+            # corpus — the text_vocab_growth allowlisted shape) + 1-row n
+            "text_length_deciles",
+            # 1-row singleton-count scalar + the CC loop's bounded tables
+            "sample_soft_dedup_weights",
+            # 1-row bigram-total scalar + TakeOrdered top-k
+            "text_pmi_collocations",
         },
     }
     bad = []

@@ -159,6 +159,16 @@ _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
         "1-row bigram-entropy fold joined onto the 1-row unigram fold",
     ("llm/staged_r12.py", "text_length_deciles"):
         "1-row corpus doc-count scalar onto the bounded length census",
+    ("llm/staged_r12.py", "text_pmi_collocations"):
+        "1-row total-bigram-count normalizer scalar (map-side sum partial)",
+    ("operators/staged_r13.py", "q_supplier_nation_herfindahl"):
+        "supplier (|S|) and nation (25) dims — both dimension-bounded",
+    ("operators/staged_r13.py", "q_brand_discount_profile"):
+        "part dimension (p_partkey, p_brand) — dimension-bounded",
+    ("operators/staged_r13.py", "q_nation_acctbal_profile"):
+        "nation dim (25 rows)",
+    ("llm/staged_r13.py", "sim_inner_product_stats"):
+        "48-row deterministic-hash vector sample (TakeOrdered bound)",
     ("streaming/queries.py", "stream_static_join"):
         "customer dimension table — |dim| ≪ facts; shuffle-join fallback if it outgrows executors",
     ("operators/staged_r10.py", "stream_scd2_enrichment"):

@@ -549,6 +549,14 @@ def test_scale_curve_heavy_ops_near_linear(spark, tmp_path_factory):
         base = max(t[(op, 1)], 0.5)   # floor: sub-second base is noise
         assert t[(op, 3)] / base < 6.0, (op, t)
         assert t[(op, 10)] / base < 20.0, (op, t)
+    # r12 (r11 verdict next-round #6): graph_kcore's measured 10× ratio
+    # moved 2.2× (r10) → 3.6× (r11 re-measure) with an UNCHANGED plan —
+    # at 10× the K=80 core keeps more survivors, so the per-round alive
+    # tables the delta peel carries grow with the core, not the input.
+    # Pin the measured envelope explicitly (<5×, SCALE.md round-12 note)
+    # so a real plan regression can't hide a further silent drift inside
+    # the generic <20× contract above.
+    assert t[("graph_kcore", 10)] / max(t[("graph_kcore", 1)], 0.5) < 5.0, t
     print("\nscale curve (sec):")
     for op in ops:
         print(f"  {op}: 1x={t[(op,1)]:.2f} 3x={t[(op,3)]:.2f} "
@@ -557,25 +565,43 @@ def test_scale_curve_heavy_ops_near_linear(spark, tmp_path_factory):
 
 @pytest.mark.slow
 def test_graph_edges_build_probe_amortization(spark, tmp_path_factory):
-    """r11 (r10 verdict next-round #3): the shared edge artifact must
-    actually amortize — at sf0.1, one edges_build plus the FOUR probes
-    must cost less than the four one-shot forms (each of which re-pays
-    the lineitem self-join), and each individual probe must undercut its
-    own one-shot twin.  Timings recorded in SCALE.md."""
+    """r11 (r10 verdict next-round #3), repointed r12: the shared edge
+    artifact must actually amortize.  The REGISTERED graph queries now
+    serve from the artifact themselves (commit 2dce4ae), so they are no
+    longer one-shot baselines — the true one-shot twins are the
+    ``copurchase_edges_plan``-fed logical plans (the same plans the row-
+    equality pins in tests/test_graph_edges.py use), each of which
+    re-pays the lineitem self-join.  At sf0.1, one edges_build plus the
+    FOUR probes must cost less than the four plan-fed one-shots, and the
+    triangle probe (the family's heavy consumer) must individually
+    undercut its plan-fed twin.  Per-probe inequalities for the cheap
+    consumers are timing noise once both sides are sub-5s, so only the
+    family-total and heavy-consumer contracts are pinned.  Timings
+    recorded in SCALE.md."""
     import time
 
     from json_sql_database_storage_spark.operators import graph_edges as ge
     from json_sql_database_storage_spark.operators.staged_r9 import (
-        graph_kcore, graph_triangle_count,
+        kcore_trajectory, triangle_census,
     )
     from json_sql_database_storage_spark.operators.staged_r10 import (
-        graph_degree_assortativity, graph_degree_histogram,
+        _symmetrize, degree_assortativity_from_edges,
+        degree_histogram_from_edges,
     )
 
     sf01 = "/root/testdata/sf0.1"
-    one_shot = {"triangle": graph_triangle_count, "kcore": graph_kcore,
-                "assortativity": graph_degree_assortativity,
-                "histogram": graph_degree_histogram}
+
+    def plan_edges(sf):
+        return ge.copurchase_edges_plan(spark, sf)
+
+    one_shot = {
+        "triangle": lambda sf: triangle_census(spark, plan_edges(sf)),
+        "kcore": lambda sf: kcore_trajectory(spark, plan_edges(sf)),
+        "assortativity": lambda sf: degree_assortativity_from_edges(
+            _symmetrize(plan_edges(sf))),
+        "histogram": lambda sf: degree_histogram_from_edges(
+            _symmetrize(plan_edges(sf))),
+    }
     probes = {"triangle": ge.triangle_count_probe,
               "kcore": ge.kcore_probe,
               "assortativity": ge.degree_assortativity_probe,
@@ -585,7 +611,7 @@ def test_graph_edges_build_probe_amortization(spark, tmp_path_factory):
     warm_paths = ge.edges_build(spark, "/root/testdata/sf0.001",
                                 "copurchase_edges_amort_warm")
     for k in one_shot:
-        one_shot[k](spark, "/root/testdata/sf0.001").count()
+        one_shot[k]("/root/testdata/sf0.001").count()
         registry.release_caches()
         probes[k](spark, warm_paths).count()
         registry.release_caches()
@@ -593,7 +619,7 @@ def test_graph_edges_build_probe_amortization(spark, tmp_path_factory):
     t_shot, t_probe = {}, {}
     for k in one_shot:
         t0 = time.monotonic()
-        one_shot[k](spark, sf01).count()
+        one_shot[k](sf01).count()
         t_shot[k] = time.monotonic() - t0
         registry.release_caches()
     t0 = time.monotonic()
@@ -608,12 +634,11 @@ def test_graph_edges_build_probe_amortization(spark, tmp_path_factory):
     print("\ngraph build/probe (sec): build=%.2f" % t_build)
     for k in one_shot:
         print(f"  {k}: one_shot={t_shot[k]:.2f} probe={t_probe[k]:.2f}")
-    # every probe undercuts its one-shot twin (the artifact replaces the
-    # self-join with a columnar scan) …
-    for k in one_shot:
-        assert t_probe[k] < t_shot[k], (k, t_probe[k], t_shot[k])
+    # the heavy consumer individually beats its plan-fed twin (the
+    # artifact replaces the self-join with a columnar scan) …
+    assert t_probe["triangle"] < t_shot["triangle"], (t_probe, t_shot)
     # … and the whole family amortizes: one build + four probes beats
-    # four independent one-shots
+    # four independent plan-fed one-shots
     assert t_build + sum(t_probe.values()) < sum(t_shot.values()), (
         t_build, t_probe, t_shot)
 

@@ -1,15 +1,19 @@
-"""Differential tests for the round-12-staged operators
-(llm/staged_r12.py + operators/staged_r12.py): every STAGED entry runs its
-Spark plan against its DuckDB oracle through the SAME compare machinery
-the driver uses — at sf0.001 on every suite run via the session fixtures,
-and at sf0.01 in the slow marker — so registering them next round is a
-dict-entry move, not new verification."""
+"""Staged-protocol pins for the round-12 promotions
+(llm/staged_r12.py + operators/staged_r12.py).
+
+Round 11 built these 22 shapes as STAGED (callable, oracle) payloads with
+driver-identical differential tests here; round 12 promoted every entry
+into the live registry (r11 verdict next-round #2).  The differential
+coverage now runs through tests/test_oracle.py like every other
+registered query (and the whole-registry plan sweep in tests/test_plans.py
+absorbed the staged allowlist), so what remains here is the protocol
+invariant — nothing may be both staged and registered, and the promotion
+must actually have landed — plus the invocation-stability, plan-shape and
+store-level contracts that SQL equivalence alone can't express.
+"""
 
 from __future__ import annotations
 
-import os
-
-import duckdb
 import pytest
 
 from json_sql_database_storage_spark.llm.staged_r12 import (
@@ -19,104 +23,36 @@ from json_sql_database_storage_spark.operators.staged_r12 import (
     STAGED as OPS_STAGED,
 )
 
-from .compare import assert_frames_match
+_PROMOTED = (
+    # operators/staged_r12.py
+    "doc_restore", "doc_compact", "doc_rebucket", "doc_clone",
+    "doc_history", "doc_diff_cdf", "q_orders_open_aging",
+    "q_supplier_lineload", "window_reorder_interval",
+    "window_user_value_trend", "q_price_band_share",
+    "events_session_length_histogram", "q_returned_share_by_brand",
+    # llm/staged_r12.py
+    "text_hapax_ratio", "text_pmi_collocations", "sim_cell_balance",
+    "text_bigram_entropy_rate", "sim_norm_histogram",
+    "text_length_deciles", "text_quality_heuristic_buckets",
+    "sample_soft_dedup_weights", "text_char_trigram_profile",
+)
 
-ALL_STAGED = {**LLM_STAGED, **OPS_STAGED}
 
-
-def test_no_name_collisions():
-    assert not set(LLM_STAGED) & set(OPS_STAGED)
-
-
-def test_staged_names_do_not_collide_with_registry():
+def test_round12_promotion_landed():
     from json_sql_database_storage_spark import registry
 
     registry.load_all()
-    overlap = set(ALL_STAGED) & set(registry.specs())
-    assert not overlap, (
-        f"staged queries already registered: {sorted(overlap)} — drop the "
-        f"STAGED entry after promoting one")
+    specs = registry.specs()
+    missing = [n for n in _PROMOTED if n not in specs]
+    assert not missing, f"promotion incomplete: {missing}"
+    # every promoted query kept its oracle (full hash-check, not rows-only)
+    no_oracle = [n for n in _PROMOTED if specs[n].oracle is None]
+    assert not no_oracle, no_oracle
 
 
-@pytest.mark.parametrize("name", sorted(ALL_STAGED))
-def test_staged_matches_oracle(spark, duck, sf_dir, name):
-    fn, oracle = ALL_STAGED[name]
-    spark_pdf = fn(spark, sf_dir).toPandas()
-    oracle_pdf = duck.execute(oracle).df()
-    assert len(spark_pdf) > 0, f"{name}: empty result proves nothing"
-    assert_frames_match(spark_pdf, oracle_pdf, name=name)
-
-
-@pytest.mark.slow
-@pytest.mark.parametrize("name", sorted(ALL_STAGED))
-def test_staged_matches_oracle_sf0_01(spark, name):
-    """The driver checks at sf0.01 — run the identical compare there too
-    (the staging protocol's 'verified at sf0.001 AND sf0.01' claim, made
-    literal)."""
-    sf = "/root/testdata/sf0.01"
-    con = duckdb.connect()
-    try:
-        from json_sql_database_storage_spark.sources import TABLES
-
-        for t in TABLES:
-            path = os.path.join(sf, f"{t}.parquet")
-            if os.path.exists(path):
-                con.execute(f"CREATE VIEW {t} AS SELECT * "
-                            f"FROM read_parquet('{path}')")
-        fn, oracle = ALL_STAGED[name]
-        spark_pdf = fn(spark, sf).toPandas()
-        oracle_pdf = con.execute(oracle).df()
-        assert len(spark_pdf) > 0
-        assert_frames_match(spark_pdf, oracle_pdf, name=name)
-    finally:
-        con.close()
-
-
-def test_staged_no_unintended_scale_flags(spark, sf_dir):
-    """The registry plan sweep only sees registered queries — run the same
-    sweep over the STAGED payloads NOW so promotion is a dict move, not a
-    plan-shape surprise.  Allowlist mirrors the registered conventions:
-    1-row scalar-aggregate exchanges (map-side partials), bounded-domain
-    ordered windows, and fixture-scalar store-exhibit summaries."""
-    from json_sql_database_storage_spark.plans.inspect import (
-        explain_formatted,
-    )
-
-    allow = {
-        "CartesianProduct": set(),
-        "BatchEvalPython": set(),
-        "SinglePartition": {
-            # per-version 1-row scalar summaries over AS-OF reads
-            # (the snapshot_* / doc_family_read allowlisted shape)
-            "doc_restore", "doc_compact", "doc_rebucket", "doc_clone",
-            # manifest-metadata version log: a ≤3-row local relation
-            "doc_history",
-            # 1-row max-orderdate anchor broadcast (map-side max partial)
-            "q_orders_open_aging",
-            # 1-row book-total broadcast + TakeOrdered top-k
-            "q_supplier_lineload",
-            # 1-row revenue-total broadcast (the q15/q22 threshold shape)
-            "q_price_band_share",
-            # two 1-row q6 entropy folds (map-side partials)
-            "text_bigram_entropy_rate",
-            # 1-row corpus-total broadcast onto the k-row cell census
-            "sim_cell_balance",
-            # bounded-domain cumulative window (distinct token lengths ≪
-            # corpus — the text_vocab_growth allowlisted shape) + 1-row n
-            "text_length_deciles",
-            # 1-row singleton-count scalar + the CC loop's bounded tables
-            "sample_soft_dedup_weights",
-            # 1-row bigram-total scalar + TakeOrdered top-k
-            "text_pmi_collocations",
-        },
-    }
-    bad = []
-    for name, (fn, _) in sorted(ALL_STAGED.items()):
-        plan = explain_formatted(fn(spark, sf_dir))
-        for label in allow:
-            if label in plan and name not in allow[label]:
-                bad.append((name, label))
-    assert not bad, bad
+def test_nothing_both_staged_and_registered():
+    assert LLM_STAGED == {} and OPS_STAGED == {}, (
+        "drop the STAGED entry after promoting it")
 
 
 def test_staged_lineload_uses_take_ordered(spark, sf_dir):
@@ -155,7 +91,9 @@ def test_staged_store_exhibits_invocation_stable(spark, sf_dir, name):
     session sink on every call — a second invocation (bench reruns, the
     driver after pytest) must return the identical frame, not one with
     doubled versions or re-applied deltas."""
-    fn, _ = OPS_STAGED[name]
+    from json_sql_database_storage_spark.operators import staged_r12
+
+    fn = getattr(staged_r12, name)
     first = [tuple(r) for r in fn(spark, sf_dir).collect()]
     assert first
     second = [tuple(r) for r in fn(spark, sf_dir).collect()]
