@@ -165,13 +165,18 @@ def text_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("c").cast("bigint").alias("cf"),
                 F.sum(F.col("c") * F.col("c")).cast("bigint")
                 .alias("c2")))
+    # integral `div` in the decimal domain, not `/` + cast: Spark decimal
+    # division rounds HALF_UP at the result scale, so a quotient within
+    # 5e-7 below an integer would round UP while DuckDB's // floors —
+    # div floors in both engines (values are non-negative by
+    # Cauchy–Schwarz: df·Σc² ≥ (Σc)²)
     scored = (per.filter(F.col("df") >= _BURST_MIN_DF)
               .select("w", "df", "cf",
-                      ((F.col("df").cast("decimal(38,0)") * F.col("c2")
-                        - F.col("cf").cast("decimal(38,0)") * F.col("cf"))
-                       * 1000000
-                       / (F.col("df").cast("decimal(38,0)") * F.col("cf")))
-                      .cast("bigint").alias("vmr_micro")))
+                      F.expr("CAST(((CAST(df AS DECIMAL(38,0)) * c2"
+                             " - CAST(cf AS DECIMAL(38,0)) * cf)"
+                             " * 1000000)"
+                             " div (CAST(df AS DECIMAL(38,0)) * cf)"
+                             " AS BIGINT)").alias("vmr_micro")))
     return scored.orderBy(F.desc("vmr_micro"), "w").limit(_BURST_K)
 
 
@@ -396,7 +401,48 @@ GROUP BY label
 ORDER BY label
 """
 
+# ---------------------------------------------------------------------------
+# text_first_token_census — top-20 document OPENING tokens by count with
+# their ppm of the corpus (boilerplate detector at token granularity —
+# crawl templates and generated docs open identically long before a
+# 32-char prefix matches; text_prefix_dup_census's cheap cousin).
+# Deterministic (count desc, token asc) TakeOrdered.
+#
+# 100-TB design: ONE token per document (no explode of the body), a
+# map-side census over first tokens, a 1-row doc-count scalar broadcast,
+# TakeOrdered top-k.
+# ---------------------------------------------------------------------------
+
+_FIRSTTOK_K = 20
+
+
+def text_first_token_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    first = (load_table(spark, sf_dir, "documents")
+             .select(F.get(tokens(F.col("text")), 0).alias("w")))
+    census = (first.groupBy("w")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")))
+    tot = census.agg(F.sum("n_docs").cast("bigint").alias("t"))
+    return (census.crossJoin(F.broadcast(tot))
+            .select("w", "n_docs",
+                    F.expr("CAST(n_docs * 1000000 DIV t AS BIGINT)")
+                    .alias("doc_ppm"))
+            .orderBy(F.desc("n_docs"), "w").limit(_FIRSTTOK_K))
+
+
+_FIRSTTOK_SQL = rf"""
+WITH census AS (
+  SELECT regexp_split_to_array(lower(text), '\s+')[1] AS w,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+), tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM census)
+SELECT w, n_docs, CAST(n_docs * 1000000 // t AS BIGINT) AS doc_ppm
+FROM census, tot
+ORDER BY n_docs DESC, w
+LIMIT {_FIRSTTOK_K}
+"""
+
 STAGED: dict = {
+    "text_first_token_census": (text_first_token_census, _FIRSTTOK_SQL),
     "text_stopword_profile": (text_stopword_profile, _STOPPROF_SQL),
     "text_char_class_profile": (text_char_class_profile, _CHARCLASS_SQL),
     "text_burstiness_topk": (text_burstiness_topk, _BURST_SQL),

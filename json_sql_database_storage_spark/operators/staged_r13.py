@@ -524,7 +524,159 @@ FROM per
 ORDER BY n_name
 """
 
+# ---------------------------------------------------------------------------
+# doc_check_constraints — the CHECK-constraint lifecycle as a driver row
+# (A5; Delta ADD/DROP CONSTRAINT at the DocumentStore layer — the last
+# store surface without hash-checked driver evidence): commit orders
+# (v0), ADD `cents >= 0` (v1, metadata-only), watch a negative-cents
+# append ABORT (ConstraintViolation — nothing committed), commit a
+# passing upsert (v2), DROP the rule (v3), and re-append the previously
+# violating delta (v4, now admitted).  Output: one (version, n_rules,
+# n_rows, sum_cents) row per version — the oracle hash-checks both the
+# rejection (v2's totals show no trace of the bad delta) and the
+# versioned rule metadata (n_rules 0→1→1→0→0).
+#
+# 100-TB design: enforcement is O(delta) — one aggregation pass over the
+# DELTA validates every rule at once; add_constraint's full-table scan
+# happens once at rule creation; both rule commits are metadata-only.
+# ---------------------------------------------------------------------------
+
+
+def doc_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..documents.model import KEY
+    from ..documents.store import ConstraintViolation
+    from .staged_r12 import _fresh_store, _orders_kv, _version_rollup
+
+    store = _fresh_store(spark, "doc_checkcon")
+    t = _orders_kv(spark, sf_dir)
+    store.upsert(t, "o")                                   # v0
+    store.add_constraint("o", "cents_pos", "cents >= 0")   # v1 (metadata)
+    bad = (t.filter(F.col(KEY) % 100 == 1)
+           .select((F.col(KEY) + F.lit(10**9)).alias(KEY),
+                   F.lit(-1).cast("bigint").alias("cents")))
+    try:
+        store.append(bad, "o")
+        raise AssertionError("CHECK constraint failed to fire")
+    except ConstraintViolation:
+        pass                  # aborted: v1 stays the head, nothing written
+    good = (t.filter(F.col(KEY) % 100 == 2)
+            .withColumn("cents", F.col("cents") + 1))
+    store.upsert(good, "o")                                # v2
+    store.drop_constraint("o", "cents_pos")                # v3 (metadata)
+    store.append(bad, "o")                                 # v4 (admitted)
+    entries = [([F.lit(v).cast("int").alias("version"),
+                 F.lit(len(store.constraints("o", v))).cast("int")
+                 .alias("n_rules")], "o", v) for v in range(5)]
+    return _version_rollup(store, entries).orderBy("version")
+
+
+_CHECKCON_SQL = """
+WITH t AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n0, CAST(sum(cents) AS BIGINT) AS s0
+  FROM t
+), g AS (SELECT CAST(count(*) AS BIGINT) AS ng FROM t WHERE k % 100 = 2),
+   b AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM t WHERE k % 100 = 1)
+SELECT * FROM (
+  SELECT 0 AS version, 0 AS n_rules, n0 AS n_rows, s0 AS sum_cents
+  FROM base
+  UNION ALL SELECT 1, 1, n0, s0 FROM base
+  UNION ALL SELECT 2, 1, n0, s0 + ng FROM base, g
+  UNION ALL SELECT 3, 0, n0, s0 + ng FROM base, g
+  UNION ALL SELECT 4, 0, n0 + nb, s0 + ng - nb FROM base, g, b
+)
+ORDER BY version
+"""
+
+# ---------------------------------------------------------------------------
+# events_type_cooccurrence — the unordered event-type co-presence matrix:
+# for every type pair (a < b), how many USERS exhibit both (plus each
+# type's solo user count on the diagonal view's behalf via the input
+# census).  events_transition_matrix asks "what follows what in time";
+# this asks "which behaviors coexist in a user" — the feature-bundling
+# lens.  Output ≤ C(|types|, 2) rows.
+#
+# 100-TB design: the (user, type) DISTINCT collapse is the one real
+# shuffle; the per-user pair explosion is bounded by C(|types|, 2) ≤ 10
+# rows per user; the census is map-side-combinable over the bounded
+# pair domain.
+# ---------------------------------------------------------------------------
+
+
+def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ut = (load_table(spark, sf_dir, "events")
+          .select("user_id", "event_type").distinct())
+    return (ut.alias("a")
+            .join(ut.select("user_id",
+                            F.col("event_type").alias("type_b")).alias("b"),
+                  ["user_id"])
+            .filter(F.col("a.event_type") < F.col("type_b"))
+            .groupBy(F.col("a.event_type").alias("type_a"), "type_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+            .orderBy("type_a", "type_b"))
+
+
+_COOCCUR_SQL = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM ut a JOIN ut b ON a.user_id = b.user_id
+WHERE a.event_type < b.event_type
+GROUP BY 1, 2
+ORDER BY type_a, type_b
+"""
+
+# ---------------------------------------------------------------------------
+# q_order_value_band_by_segment — market-segment × order-value-band
+# census (power-of-two dollar bands over o_totalprice): order count and
+# exact cents per cell.  The price-point mix question ("do MACHINERY
+# customers place bigger orders?") as one bounded matrix.
+#
+# 100-TB design: one broadcast-sized dimension join (customer segment),
+# then a map-side-combinable census over the bounded segment×band
+# domain.
+# ---------------------------------------------------------------------------
+
+
+def q_order_value_band_by_segment(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    o = (load_table(spark, sf_dir, "orders")
+         .select("o_custkey",
+                 F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("cents")))
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment")
+    return (o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_mktsegment",
+                     F.length(F.bin(F.expr("cents DIV 10000")))
+                     .cast("int").alias("value_band"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                 F.sum("cents").cast("bigint").alias("band_cents"))
+            .orderBy("c_mktsegment", "value_band"))
+
+
+_VALBAND_SQL = """
+WITH o AS (
+  SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT c_mktsegment,
+       CAST(length(bin(cents // 10000)) AS INT) AS value_band,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS band_cents
+FROM o JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+ORDER BY c_mktsegment, value_band
+"""
+
 STAGED: dict = {
+    "doc_check_constraints": (doc_check_constraints, _CHECKCON_SQL),
+    "events_type_cooccurrence": (events_type_cooccurrence, _COOCCUR_SQL),
+    "q_order_value_band_by_segment": (q_order_value_band_by_segment,
+                                      _VALBAND_SQL),
     "q_priority_escalation_matrix": (q_priority_escalation_matrix,
                                      _ESCMAT_SQL),
     "q_quarter_revenue_share": (q_quarter_revenue_share, _QTRSHARE_SQL),

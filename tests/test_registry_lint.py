@@ -169,6 +169,8 @@ _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
         "nation dim (25 rows)",
     ("llm/staged_r13.py", "sim_inner_product_stats"):
         "48-row deterministic-hash vector sample (TakeOrdered bound)",
+    ("llm/staged_r13.py", "text_first_token_census"):
+        "1-row corpus doc-count scalar (map-side sum partial)",
     ("streaming/queries.py", "stream_static_join"):
         "customer dimension table — |dim| ≪ facts; shuffle-join fallback if it outgrows executors",
     ("operators/staged_r10.py", "stream_scd2_enrichment"):

@@ -472,8 +472,14 @@ def test_scale_curve_heavy_ops_near_linear(spark, tmp_path_factory):
     from json_sql_database_storage_spark.llm.staged_r11 import (
         STAGED as _LLM_STAGED_R11,
     )
+    from json_sql_database_storage_spark.llm.staged_r13 import (
+        STAGED as _LLM_STAGED_R13,
+    )
     from json_sql_database_storage_spark.operators.staged_r9 import (
         STAGED as _OPS_STAGED,
+    )
+    from json_sql_database_storage_spark.operators.staged_r13 import (
+        STAGED as _OPS_STAGED_R13,
     )
 
     ops = ["dedup_minhash_lsh", "dedup_minhash_incremental",
@@ -510,7 +516,13 @@ def test_scale_curve_heavy_ops_near_linear(spark, tmp_path_factory):
            # its row documents flatness of the commit path itself, not a
            # corpus curve
            "text_index_maintenance", "graph_degree_assortativity",
-           "graph_degree_histogram", "doc_family_read"]
+           "graph_degree_histogram", "doc_family_read",
+           # r12: the corpus-sized round-13 staged ops, measured BEFORE
+           # promotion (the staging protocol's curve discipline) — the
+           # quadratic-moment term census and the per-user pair
+           # explosion; the other r13 staged ops ride already-measured
+           # explode/census families or are dimension/fixture-bounded
+           "text_burstiness_topk", "events_type_cooccurrence"]
     # graph_triangle_count is deliberately NOT in the recurring list: the
     # sf0.1 co-purchase graph is dense (avg degree ~60), so its base cost
     # (~11 s after the r9 persist fix) would still dominate this test.
@@ -518,7 +530,8 @@ def test_scale_curve_heavy_ops_near_linear(spark, tmp_path_factory):
     # 10× data, inside the contract; was 39/66/256 s before the edge list
     # and oriented projection were pinned) is recorded in SCALE.md.
     fns = {name: (fn, _) for name, (fn, _) in
-           {**_LLM_STAGED, **_OPS_STAGED, **_LLM_STAGED_R11}.items()}
+           {**_LLM_STAGED, **_OPS_STAGED, **_LLM_STAGED_R11,
+            **_LLM_STAGED_R13, **_OPS_STAGED_R13}.items()}
     _fn = lambda op: (fns[op][0] if op in fns else _SPECS[op].fn)  # noqa: E731
 
     def _run(op, df):
@@ -539,7 +552,14 @@ def test_scale_curve_heavy_ops_near_linear(spark, tmp_path_factory):
         _run(op, _fn(op)(spark, dirs[1]))
         registry.release_caches()   # staged fns have no releasing wrapper
     t = {}
+    from json_sql_database_storage_spark.operators import graph_edges as _ge
     for m in (1, 3, 10):
+        # pre-build the shared edge artifact for THIS source, untimed
+        # (the bench discipline: since 2dce4ae the registered graph
+        # consumers serve via edges_for, so whichever ran first would
+        # otherwise pay the whole build inside its own timing and the
+        # curve would measure build growth, not the operator's)
+        _ge.edges_for(spark, dirs[m])
         for op in ops:
             t0 = time.monotonic()
             _run(op, _fn(op)(spark, dirs[m]))

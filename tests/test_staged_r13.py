@@ -89,6 +89,11 @@ def test_staged_no_unintended_scale_flags(spark, sf_dir):
             # k-row deterministic-hash sample (TakeOrdered heaps) feeding
             # the broadcast pair grid — ≤48 rows by construction
             "sim_inner_product_stats",
+            # per-version 1-row scalar summaries over AS-OF reads
+            # (the doc_restore / snapshot_* allowlisted shape)
+            "doc_check_constraints",
+            # 1-row corpus doc-count scalar + TakeOrdered top-k
+            "text_first_token_census",
         },
     }
     bad = []
