@@ -318,6 +318,12 @@ def main() -> None:
         graph_probe["graph_edges_build"] = round(time.perf_counter() - t0, 3)
     except Exception as e:  # build failure is evidence, never a bench abort
         graph_probe["error"] = repr(e)
+        # the registered graph rows below will then rebuild inside their
+        # own timings — mark them so a reader doesn't misread the inflated
+        # first row as a per-query regression
+        graph_probe["extras_note"] = ("pre-extras build failed: the first "
+                                      "registered graph row's timing "
+                                      "includes an in-query rebuild")
 
     extra: dict[str, float] = {}
     for name in EXTRA:

@@ -9,7 +9,7 @@ Per-operator 100-TB notes live in each section comment.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources import load_table
@@ -167,9 +167,10 @@ def text_burstiness_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("c2")))
     # integral `div` in the decimal domain, not `/` + cast: Spark decimal
     # division rounds HALF_UP at the result scale, so a quotient within
-    # 5e-7 below an integer would round UP while DuckDB's // floors —
-    # div floors in both engines (values are non-negative by
-    # Cauchy–Schwarz: df·Σc² ≥ (Σc)²)
+    # 5e-7 below an integer would round UP while DuckDB's // does not —
+    # div and // both truncate toward zero, and the operands here are
+    # non-negative by Cauchy–Schwarz (df·Σc² ≥ (Σc)²), so the two
+    # engines agree exactly
     scored = (per.filter(F.col("df") >= _BURST_MIN_DF)
               .select("w", "df", "cf",
                       F.expr("CAST(((CAST(df AS DECIMAL(38,0)) * c2"

@@ -200,30 +200,46 @@ def edges_for(spark: SparkSession, sf_dir: str,
     into a ConcurrentIndexWriter failure (the registered forms were
     side-effect-free pure queries before the artifact landed — inheriting
     the builder's single-writer failure mode would be a regression), so
-    the loser waits for the in-flight build to commit and reuses it."""
+    the loser waits for the in-flight build to commit and reuses it.
+    The build is retried periodically (not only when the lock file
+    vanishes): a holder that crashed WITHOUT cleanup leaves the lock on
+    disk forever, and only edges_build's own stale-break path (dead pid
+    + stale age) can reclaim it."""
+    import time
+
     from ..llm.search import ConcurrentIndexWriter
+    from .snapshots import current_version
 
     paths = _edge_paths(spark, name)
     if _head_matches(paths, sf_dir):
         return paths
-    import time
-
     deadline = time.monotonic() + wait_seconds
+    lock = os.path.join(paths["meta"], "write.lock")
     while True:
         try:
             return edges_build(spark, sf_dir, name)
         except ConcurrentIndexWriter:
-            # an in-flight builder holds write.lock: poll for its commit
-            while time.monotonic() < deadline:
-                if _head_matches(paths, sf_dir):
-                    return paths    # the racer built exactly what we need
-                if not os.path.exists(
-                        os.path.join(paths["meta"], "write.lock")):
-                    break    # holder finished (other source) or crashed:
-                             # retry the build ourselves
-                time.sleep(0.1)
             if time.monotonic() >= deadline:
                 raise
+            # an in-flight builder holds write.lock: poll for its commit
+            # for a bounded slice, then loop back to retry the build (the
+            # retry is also what breaks a crashed holder's stale lock).
+            # The cheap current_version read gates the fingerprint stat
+            # walk — the head can only change once per build, so the
+            # full-source re-stat runs on version change, not every tick.
+            v_seen = current_version(paths["meta"]) \
+                if os.path.isdir(paths["meta"]) else -1
+            slice_end = min(deadline, time.monotonic() + 5.0)
+            while time.monotonic() < slice_end:
+                v_now = current_version(paths["meta"]) \
+                    if os.path.isdir(paths["meta"]) else -1
+                if v_now != v_seen:
+                    if _head_matches(paths, sf_dir):
+                        return paths    # the racer built what we need
+                    v_seen = v_now      # other-source commit: keep waiting
+                if not os.path.exists(lock):
+                    break    # holder finished or released: retry the build
+                time.sleep(0.1)
 
 
 def _clear_seg(root: str, seg: int) -> None:

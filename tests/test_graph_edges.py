@@ -228,12 +228,15 @@ def test_source_mutation_triggers_rebuild(spark, sf_dir, tmp_path):
     # unchanged source: reuse (no version bump)
     assert edges_for(spark, str(src), "copurchase_edges_fp") == paths
     assert current_version(paths["meta"]) == v0
-    # "regenerate" the source in place: same path, new mtime
-    target = dst if os.path.isfile(dst) else os.path.join(
-        dst, sorted(f for f in os.listdir(dst)
-                    if not f.startswith((".", "_")))[0])
-    st = os.stat(target)
-    os.utime(target, ns=(st.st_atime_ns, st.st_mtime_ns + 10**9))
+    # "regenerate" the source in place: same path, new mtime.  Bump
+    # EVERY file past the current maximum — nudging one file by +1 s
+    # would not move max_mtime_ns when a sibling (_SUCCESS, a later
+    # part file) already carries a newer stamp
+    files = ([dst] if os.path.isfile(dst) else
+             [os.path.join(r, f) for r, _, fs in os.walk(dst) for f in fs])
+    top = max(os.stat(f).st_mtime_ns for f in files) + 10**9
+    for f in files:
+        os.utime(f, ns=(os.stat(f).st_atime_ns, top))
     edges_for(spark, str(src), "copurchase_edges_fp")
     assert current_version(paths["meta"]) == v0 + 1     # rebuilt
     assert _rows(edges_load(spark, paths)) == before    # same source data

@@ -148,14 +148,23 @@ def test_staged_hhi_broadcasts_both_dims(spark, sf_dir):
 
 
 def test_staged_inner_product_sample_is_deterministic(spark, sf_dir):
-    """The md5-rank sample must be invariant to partitioning — same
-    buckets from a repartitioned input."""
+    """The md5-rank sample must be invariant to partitioning: rerun the
+    query with the parquet scan split into many small input partitions
+    (maxPartitionBytes floor) — a partition-order-dependent sample (e.g.
+    a bare limit without the hash ordering) would draw different vectors
+    and different buckets."""
     from json_sql_database_storage_spark.llm.staged_r13 import (
         sim_inner_product_stats,
     )
 
     a = sorted(tuple(r) for r in
                sim_inner_product_stats(spark, sf_dir).collect())
-    b = sorted(tuple(r) for r in
-               sim_inner_product_stats(spark, sf_dir).collect())
+    key = "spark.sql.files.maxPartitionBytes"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "4096")
+        b = sorted(tuple(r) for r in
+                   sim_inner_product_stats(spark, sf_dir).collect())
+    finally:
+        spark.conf.set(key, prev)
     assert a == b
