@@ -196,6 +196,12 @@ EXTRA = [
     # correctness runs in the oracle/smoke suites every round
 ]
 
+# Previous round's canonical idle warm-pass total (BASELINE.md), emitted in
+# the JSON so a single line gives the cross-round comparison without
+# cross-referencing files (r11 verdict next-round #8).  Update each round
+# when BASELINE.md records the new canonical figure.
+PREV_ROUND_IDLE_WARM_SEC = 11.18    # round 11 canonical (BASELINE.md)
+
 # Headline set: one representative per operator family, weighted toward the
 # scan/join/agg/window/LLM paths that dominate at 100 TB.
 HEADLINE = [
@@ -430,6 +436,7 @@ def main() -> None:
         "value_warm": round(warm_total, 3),
         "duckdb_oracle_total_sec": duck_total,
         "loadavg_1m": load_1m,
+        "prev_round_idle_warm_sec": PREV_ROUND_IDLE_WARM_SEC,
         "extras_sidecar": extra_path,
         "extras_count": len(extra),
         "first_pass_label": "plan-warmed",

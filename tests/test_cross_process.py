@@ -198,3 +198,46 @@ def test_edges_build_rejected_while_foreign_process_holds_lock(
     assert child.returncode == 0
     # holder exited cleanly: the build now proceeds
     edges_build(spark, sf_dir, "copurchase_edges_xproc")
+
+
+def test_edges_for_outlives_foreign_lock_holder(spark, sf_dir, tmp_path):
+    """edges_for's wait-and-retry against a FOREIGN process: a consumer
+    arriving while another OS process holds write.lock must neither fail
+    nor serve a stale head — it retries the build once the holder
+    releases, and returns the fresh artifact."""
+    import threading
+
+    from json_sql_database_storage_spark.operators.graph_edges import (
+        _edge_paths, copurchase_edges_plan, edges_for, edges_load,
+    )
+
+    paths = _edge_paths(spark, "copurchase_edges_xproc_wait")
+    ready, go = str(tmp_path / "ready"), str(tmp_path / "go")
+    child = _spawn(_LOCK_CHILD, "hold", paths["meta"], ready, go)
+    result: dict = {}
+
+    def consume():
+        result["paths"] = edges_for(spark, sf_dir,
+                                    "copurchase_edges_xproc_wait",
+                                    wait_seconds=120.0)
+
+    try:
+        _wait_file(ready, 60, child)
+        t = threading.Thread(target=consume)
+        t.start()
+        time.sleep(1.0)          # consumer is inside the wait loop now
+        assert t.is_alive()      # neither failed nor returned stale
+        open(go, "w").close()    # holder releases WITHOUT committing
+        t.join(timeout=180)
+        assert not t.is_alive()
+    finally:
+        open(go, "w").close()
+        try:
+            child.communicate(timeout=60)
+        except subprocess.TimeoutExpired:
+            child.kill()
+    assert result["paths"] == paths
+    rows = sorted(tuple(r) for r in
+                  edges_load(spark, result["paths"]).collect())
+    assert rows == sorted(tuple(r) for r in
+                          copurchase_edges_plan(spark, sf_dir).collect())
