@@ -62,6 +62,50 @@ for i in range(4):
 spark.stop()
 """
 
+# Child payload for the full-verb-alphabet race: like _STORE_CHILD but
+# the sequence walks append → upsert → MERGE (update) → MERGE with a
+# delete_when clause → delete → upsert over the child's OWN key range.
+# Disjoint ranges make each range's final state deterministic while the
+# bucket-granular COW still interleaves both writers' buckets — the
+# rebase path merge/delete exercise that append/upsert alone do not.
+_STORE_VERBS_CHILD = """
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from json_sql_database_storage_spark.session import build_session
+from json_sql_database_storage_spark.documents.fixtures import docs_df
+from json_sql_database_storage_spark.documents.store import DocumentStore
+
+base, ready, go = sys.argv[1], sys.argv[2], sys.argv[3]
+off = int(sys.argv[4])
+spark = build_session("xproc-verbs-child", cores=2)
+store = DocumentStore(spark, base, n_buckets=4)
+open(ready, "w").close()
+deadline = time.time() + 120
+while not os.path.exists(go):
+    if time.time() > deadline:
+        raise SystemExit("parent never signalled go")
+    time.sleep(0.01)
+
+def rows(ks, v):
+    return docs_df(spark, [{{"rowNum": k, "name": "n%d" % k, "v": v}}
+                           for k in ks])
+
+ks = list(range(off, off + 4))
+store.append(rows(ks, 1), "things")                      # all 4 at v=1
+store.upsert(rows(ks[:2], 2), "things")                  # k0,k1 -> 2
+store.merge(rows(ks[1:3], 3), "things")                  # k1,k2 -> 3
+store.merge(rows(ks[3:], 9), "things", delete_when="v = 9")  # k3 deleted
+store.delete(rows(ks[:1], 0).select("rowNum"), "things")     # k0 gone
+store.upsert(rows([ks[0]], 5), "things")                 # k0 back at 5
+spark.stop()
+"""
+
+# Final v per surviving key for the 6-op sequence above, keyed by offset
+# position: k0=5 (deleted then re-upserted), k1=3, k2=3; k3 deleted.
+_VERBS_FINAL = {0: 5, 1: 3, 2: 3}
+
+
 # Child payload for the lock tests: NO Spark — the lock is pure
 # filesystem, which is exactly the cross-process surface under test.
 # mode=acquire-expect-reject: try the lock once, exit 0 iff rejected.
@@ -150,6 +194,56 @@ def test_store_cross_process_writers_no_lost_updates(spark, tmp_path):
     expected = {0} | {100 + i for i in range(4)} | {200 + i for i in range(4)}
     assert set(rows) == expected        # no lost updates across processes
     assert store.version("things") == 8  # seed + 2 processes × 4 commits
+
+
+@pytest.mark.slow
+def test_store_cross_process_full_verb_alphabet(spark, tmp_path):
+    """The model-based random-op culture crossed with the process
+    boundary: BOTH processes run the full verb walk (append → upsert →
+    merge → merge+delete_when → delete → re-upsert) on disjoint key
+    ranges of ONE table.  Disjoint ranges make each range's final state
+    deterministic under any interleaving, while merge/delete's
+    bucket-granular COW rebases against the other process's commits —
+    the path the append/upsert-only twin never exercises."""
+    from pyspark.sql import functions as F
+
+    from json_sql_database_storage_spark.documents.fixtures import docs_df
+    from json_sql_database_storage_spark.documents.store import DocumentStore
+
+    base = str(tmp_path / "collections")
+    ready, go = str(tmp_path / "ready"), str(tmp_path / "go")
+    store = DocumentStore(spark, base, n_buckets=4)
+    store.upsert(docs_df(spark, [{"rowNum": 0, "name": "seed", "v": 0}]),
+                 "things")
+    child = _spawn(_STORE_VERBS_CHILD, base, ready, go, "200")
+    try:
+        _wait_file(ready, 180, child)
+        open(go, "w").close()
+
+        def rows(ks, v):
+            return docs_df(spark, [{"rowNum": k, "name": f"n{k}", "v": v}
+                                   for k in ks])
+
+        ks = list(range(100, 104))
+        store.append(rows(ks, 1), "things")
+        store.upsert(rows(ks[:2], 2), "things")
+        store.merge(rows(ks[1:3], 3), "things")
+        store.merge(rows(ks[3:], 9), "things", delete_when="v = 9")
+        store.delete(rows(ks[:1], 0).select("rowNum"), "things")
+        store.upsert(rows([ks[0]], 5), "things")
+        out, err = child.communicate(timeout=240)
+        assert child.returncode == 0, (
+            f"child failed rc={child.returncode}\n{out}\n{err}")
+    finally:
+        if child.poll() is None:
+            child.kill()
+    got = {r["rowNum"]: r["v"] for r in store.read("things").collect()}
+    expected = {0: 0}
+    for off in (100, 200):
+        expected.update({off + p: v for p, v in _VERBS_FINAL.items()})
+    assert got == expected      # every range's walk survived verbatim
+    # versions are 0-based: seed is v0, then 2 processes × 6 commits
+    assert store.version("things") == 12
 
 
 def test_index_write_lock_excludes_second_process(tmp_path):
