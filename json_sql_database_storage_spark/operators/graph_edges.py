@@ -221,6 +221,9 @@ def edges_for(spark: SparkSession, sf_dir: str,
         except ConcurrentIndexWriter:
             if time.monotonic() >= deadline:
                 raise
+            if _head_matches(paths, sf_dir):
+                return paths    # the racer committed between our build
+                # attempt and here — don't rebuild a redundant version
             # an in-flight builder holds write.lock: poll for its commit
             # for a bounded slice, then loop back to retry the build (the
             # retry is also what breaks a crashed holder's stale lock).
