@@ -437,14 +437,16 @@ def _scale_corpus(spark, sf_dir, tmp_root, mult):
     # r8 second batch — window_cumulative_distinct needs the event log;
     # replicas shift user_id and event_id so per-user timelines stay the
     # same length (more users, not longer histories — the shape a growing
-    # product has; window state per user is CONSTANT across scale)
+    # product has; window state per user is CONSTANT across scale).
+    # props rides along unchanged (r13: events_props_topk censuses the
+    # payload — replicas repeat the same k catalog, more events per k)
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "user_id", "event_type", "value")
+        "event_id", "ts", "user_id", "event_type", "value", "props")
     events = _rep_union([ev] + [
         ev.select((F.col("event_id") + rep * 10_000_000).alias("event_id"),
                   "ts",
                   (F.col("user_id") + rep * 1_000_000).alias("user_id"),
-                  "event_type", "value")
+                  "event_type", "value", "props")
         for rep in range(1, mult)
     ])
     events.write.mode("overwrite").parquet(os.path.join(path,
@@ -522,7 +524,14 @@ def test_scale_curve_heavy_ops_near_linear(spark, tmp_path_factory):
            # quadratic-moment term census and the per-user pair
            # explosion; the other r13 staged ops ride already-measured
            # explode/census families or are dimension/fixture-bounded
-           "text_burstiness_topk", "events_type_cooccurrence"]
+           "text_burstiness_topk", "events_type_cooccurrence",
+           # r13 (r12 verdict next-round #7): the remaining corpus-sized
+           # r13 staged ops — the 32-char prefix census (docs-sized), the
+           # JSON-payload top-k (events-sized, WindowGroupLimit), and the
+           # k-sampled inner-product calibration (corpus term is the
+           # TakeOrdered sample scan; the 48×48 pair block is fixed)
+           "text_prefix_dup_census", "events_props_topk",
+           "sim_inner_product_stats"]
     # graph_triangle_count is deliberately NOT in the recurring list: the
     # sf0.1 co-purchase graph is dense (avg degree ~60), so its base cost
     # (~11 s after the r9 persist fix) would still dominate this test.
