@@ -442,7 +442,11 @@ ORDER BY n_docs DESC, w
 LIMIT {_FIRSTTOK_K}
 """
 
-STAGED: dict = {
+# Promoted round 13 (r12 verdict next-round #1); empty STAGED kept so the
+# staged-protocol tests can pin that nothing is both staged and registered.
+from ..registry import register  # noqa: E402  (promotion epilogue)
+
+for _name, (_fn, _sql) in {
     "text_first_token_census": (text_first_token_census, _FIRSTTOK_SQL),
     "text_stopword_profile": (text_stopword_profile, _STOPPROF_SQL),
     "text_char_class_profile": (text_char_class_profile, _CHARCLASS_SQL),
@@ -451,4 +455,7 @@ STAGED: dict = {
     "text_word_length_by_lang": (text_word_length_by_lang, _WORDLEN_SQL),
     "sim_inner_product_stats": (sim_inner_product_stats, _IPSTATS_SQL),
     "sim_label_centroid_norms": (sim_label_centroid_norms, _LABELNORM_SQL),
-}
+}.items():
+    register(_name, _sql)(_fn)
+
+STAGED: dict = {}

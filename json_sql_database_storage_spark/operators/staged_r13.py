@@ -672,7 +672,11 @@ GROUP BY 1, 2
 ORDER BY c_mktsegment, value_band
 """
 
-STAGED: dict = {
+# Promoted round 13 (r12 verdict next-round #1); empty STAGED kept so the
+# staged-protocol tests can pin that nothing is both staged and registered.
+from ..registry import register  # noqa: E402  (promotion epilogue)
+
+for _name, (_fn, _sql) in {
     "doc_check_constraints": (doc_check_constraints, _CHECKCON_SQL),
     "events_type_cooccurrence": (events_type_cooccurrence, _COOCCUR_SQL),
     "q_order_value_band_by_segment": (q_order_value_band_by_segment,
@@ -693,4 +697,7 @@ STAGED: dict = {
                                      _PROPSHIST_SQL),
     "events_props_topk": (events_props_topk, _PROPSTOPK_SQL),
     "q_nation_acctbal_profile": (q_nation_acctbal_profile, _NATBAL_SQL),
-}
+}.items():
+    register(_name, _sql)(_fn)
+
+STAGED: dict = {}

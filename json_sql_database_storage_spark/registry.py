@@ -70,6 +70,8 @@ _OPERATOR_MODULES = (
     "json_sql_database_storage_spark.llm.staged_r11",
     "json_sql_database_storage_spark.operators.staged_r12",
     "json_sql_database_storage_spark.llm.staged_r12",
+    "json_sql_database_storage_spark.operators.staged_r13",
+    "json_sql_database_storage_spark.llm.staged_r13",
 )
 
 # The driver's per-round correctness check covers the first ~50 registry

@@ -362,6 +362,16 @@ def test_no_unintended_scale_flags(spark, sf_dir):
             "sample_soft_dedup_weights",
             # 1-row bigram-total scalar + TakeOrdered top-k
             "text_pmi_collocations",
+            # r13 promotions (allowlist carried over verbatim from the
+            # staged-era sweep, tests/test_staged_r13.py pre-promotion):
+            # k-row deterministic-hash sample (TakeOrdered heaps) feeding
+            # the broadcast pair grid — ≤48 rows by construction
+            "sim_inner_product_stats",
+            # per-version 1-row scalar summaries over AS-OF reads
+            # (the doc_restore / snapshot_* allowlisted shape)
+            "doc_check_constraints",
+            # 1-row corpus doc-count scalar + TakeOrdered top-k
+            "text_first_token_census",
         },
     }
     bad = []

@@ -1,16 +1,18 @@
-"""Differential tests for the round-13-staged operators
-(llm/staged_r13.py + operators/staged_r13.py): every STAGED entry runs its
-Spark plan against its DuckDB oracle through the SAME compare machinery
-the driver uses — at sf0.001 on every suite run via the session fixtures,
-and at sf0.01 in the slow marker — so registering them next round is a
-dict-entry move, not new verification."""
+"""Staged-protocol pins for the round-13 promotions
+(llm/staged_r13.py + operators/staged_r13.py).
+
+Round 12 built these 22 shapes as STAGED (callable, oracle) payloads with
+driver-identical differential tests here; round 13 promoted every entry
+into the live registry (r12 verdict next-round #1).  The differential
+coverage now runs through tests/test_oracle.py like every other
+registered query (and the whole-registry plan sweep in tests/test_plans.py
+absorbed the staged allowlist), so what remains here is the protocol
+invariant — nothing may be both staged and registered, and the promotion
+must actually have landed — plus the invocation-stability, plan-shape and
+store-level contracts that SQL equivalence alone can't express.
+"""
 
 from __future__ import annotations
-
-import os
-
-import duckdb
-import pytest
 
 from json_sql_database_storage_spark.llm.staged_r13 import (
     STAGED as LLM_STAGED,
@@ -19,90 +21,38 @@ from json_sql_database_storage_spark.operators.staged_r13 import (
     STAGED as OPS_STAGED,
 )
 
-from .compare import assert_frames_match
+_PROMOTED = (
+    # operators/staged_r13.py
+    "doc_check_constraints", "events_type_cooccurrence",
+    "q_order_value_band_by_segment", "q_priority_escalation_matrix",
+    "q_quarter_revenue_share", "q_part_type_size_profile",
+    "q_customer_repeat_share", "q_first_order_cohort_value",
+    "q_supplier_nation_herfindahl", "q_brand_discount_profile",
+    "events_user_lifecycle", "events_props_value_histogram",
+    "events_props_topk", "q_nation_acctbal_profile",
+    # llm/staged_r13.py
+    "text_first_token_census", "text_stopword_profile",
+    "text_char_class_profile", "text_burstiness_topk",
+    "text_prefix_dup_census", "text_word_length_by_lang",
+    "sim_inner_product_stats", "sim_label_centroid_norms",
+)
 
-ALL_STAGED = {**LLM_STAGED, **OPS_STAGED}
 
-
-def test_no_name_collisions():
-    assert not set(LLM_STAGED) & set(OPS_STAGED)
-
-
-def test_staged_names_do_not_collide_with_registry():
+def test_round13_promotion_landed():
     from json_sql_database_storage_spark import registry
 
     registry.load_all()
-    overlap = set(ALL_STAGED) & set(registry.specs())
-    assert not overlap, (
-        f"staged queries already registered: {sorted(overlap)} — drop the "
-        f"STAGED entry after promoting one")
+    specs = registry.specs()
+    missing = [n for n in _PROMOTED if n not in specs]
+    assert not missing, f"promotion incomplete: {missing}"
+    # every promoted query kept its oracle (full hash-check, not rows-only)
+    no_oracle = [n for n in _PROMOTED if specs[n].oracle is None]
+    assert not no_oracle, no_oracle
 
 
-@pytest.mark.parametrize("name", sorted(ALL_STAGED))
-def test_staged_matches_oracle(spark, duck, sf_dir, name):
-    fn, oracle = ALL_STAGED[name]
-    spark_pdf = fn(spark, sf_dir).toPandas()
-    oracle_pdf = duck.execute(oracle).df()
-    assert len(spark_pdf) > 0, f"{name}: empty result proves nothing"
-    assert_frames_match(spark_pdf, oracle_pdf, name=name)
-
-
-@pytest.mark.slow
-@pytest.mark.parametrize("name", sorted(ALL_STAGED))
-def test_staged_matches_oracle_sf0_01(spark, name):
-    """The driver checks at sf0.01 — run the identical compare there too
-    (the staging protocol's 'verified at sf0.001 AND sf0.01' claim, made
-    literal)."""
-    sf = "/root/testdata/sf0.01"
-    con = duckdb.connect()
-    try:
-        from json_sql_database_storage_spark.sources import TABLES
-
-        for t in TABLES:
-            path = os.path.join(sf, f"{t}.parquet")
-            if os.path.exists(path):
-                con.execute(f"CREATE VIEW {t} AS SELECT * "
-                            f"FROM read_parquet('{path}')")
-        fn, oracle = ALL_STAGED[name]
-        spark_pdf = fn(spark, sf).toPandas()
-        oracle_pdf = con.execute(oracle).df()
-        assert len(spark_pdf) > 0
-        assert_frames_match(spark_pdf, oracle_pdf, name=name)
-    finally:
-        con.close()
-
-
-def test_staged_no_unintended_scale_flags(spark, sf_dir):
-    """The registry plan sweep only sees registered queries — run the same
-    sweep over the STAGED payloads NOW so promotion is a dict move, not a
-    plan-shape surprise.  Allowlist mirrors the registered conventions:
-    1-row scalar-aggregate exchanges (map-side partials) and bounded
-    TakeOrdered samples."""
-    from json_sql_database_storage_spark.plans.inspect import (
-        explain_formatted,
-    )
-
-    allow = {
-        "CartesianProduct": set(),
-        "BatchEvalPython": set(),
-        "SinglePartition": {
-            # k-row deterministic-hash sample (TakeOrdered heaps) feeding
-            # the broadcast pair grid — ≤48 rows by construction
-            "sim_inner_product_stats",
-            # per-version 1-row scalar summaries over AS-OF reads
-            # (the doc_restore / snapshot_* allowlisted shape)
-            "doc_check_constraints",
-            # 1-row corpus doc-count scalar + TakeOrdered top-k
-            "text_first_token_census",
-        },
-    }
-    bad = []
-    for name, (fn, _) in sorted(ALL_STAGED.items()):
-        plan = explain_formatted(fn(spark, sf_dir))
-        for label in allow:
-            if label in plan and name not in allow[label]:
-                bad.append((name, label))
-    assert not bad, bad
+def test_nothing_both_staged_and_registered():
+    assert LLM_STAGED == {} and OPS_STAGED == {}, (
+        "drop the STAGED entry after promoting it")
 
 
 def test_staged_burstiness_uses_take_ordered(spark, sf_dir):
@@ -168,3 +118,24 @@ def test_staged_inner_product_sample_is_deterministic(spark, sf_dir):
     finally:
         spark.conf.set(key, prev)
     assert a == b
+
+
+def test_check_constraints_invocation_stable(spark, sf_dir):
+    """The CHECK exhibit re-runs its whole commit sequence (add rule,
+    rejected append, passing upsert, drop rule, admitted re-append) from
+    the same session sink on every call — a second invocation (bench
+    reruns, the driver after pytest) must return the identical frame,
+    not one with doubled versions or re-applied deltas."""
+    from json_sql_database_storage_spark.operators.staged_r13 import (
+        doc_check_constraints,
+    )
+
+    first = [tuple(r) for r in doc_check_constraints(spark, sf_dir).collect()]
+    assert first
+    second = [tuple(r) for r in
+              doc_check_constraints(spark, sf_dir).collect()]
+    assert second == first
+    # (the store-level atomicity of the rejected commit — version count
+    # and data-dir count unchanged — is pinned in test_documents.py's
+    # CHECK-constraint lifecycle test; this pin covers only the driver
+    # exhibit's re-invocation contract)
