@@ -335,3 +335,98 @@ def test_edges_for_outlives_foreign_lock_holder(spark, sf_dir, tmp_path):
                   edges_load(spark, result["paths"]).collect())
     assert rows == sorted(tuple(r) for r in
                           copurchase_edges_plan(spark, sf_dir).collect())
+
+
+# Child payload for the family-commit race (r12 verdict next-round #6):
+# three save_docs of two-table documents (root + one typed-array child)
+# against the SAME family as the parent.  Explicit positive rowNums keep
+# root keys deterministic; child keys are xxhash64-derived from (parent,
+# slot, pos), so both writers' child rows are disjoint and the only
+# contended state is the family manifest chain itself.
+_FAMILY_CHILD = """
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from json_sql_database_storage_spark.session import build_session
+from json_sql_database_storage_spark.documents.fixtures import docs_df
+from json_sql_database_storage_spark.documents.store import DocumentStore
+
+base, ready, go = sys.argv[1], sys.argv[2], sys.argv[3]
+off = int(sys.argv[4])
+spark = build_session("xproc-family-child", cores=2)
+store = DocumentStore(spark, base, n_buckets=4)
+open(ready, "w").close()
+deadline = time.time() + 120
+while not os.path.exists(go):
+    if time.time() > deadline:
+        raise SystemExit("parent never signalled go")
+    time.sleep(0.01)
+for i in range(3):
+    k = off + i
+    store.save_docs(docs_df(spark, [
+        {{"rowNum": k, "name": "c-%d" % i,
+          "items": [{{"type": "it", "rowNum": -1, "size": k}},
+                    {{"type": "it", "rowNum": -1, "size": k + 1}}]}},
+    ]), "fam")
+spark.stop()
+"""
+
+
+@pytest.mark.slow
+def test_family_commit_cross_process_race_carries_forward_pins(
+        spark, tmp_path):
+    """Two OS processes save_docs the same two-table family concurrently
+    (r12 verdict next-round #6).  _commit_family's rebase loop is the
+    contended path: the loser must retry with pins ≥ the winner's (the
+    regressive-pin guard) and carry forward child pins it didn't touch —
+    verified by (1) every doc from BOTH writers readable through
+    read_family at the head, (2) one family version per save_docs with
+    no gaps, and (3) child pins monotonically non-decreasing across the
+    whole manifest chain (a regressed pin anywhere = a torn family)."""
+    from json_sql_database_storage_spark.documents.fixtures import docs_df
+    from json_sql_database_storage_spark.documents.model import KEY
+    from json_sql_database_storage_spark.documents.store import DocumentStore
+
+    base = str(tmp_path / "collections")
+    ready, go = str(tmp_path / "ready"), str(tmp_path / "go")
+    store = DocumentStore(spark, base, n_buckets=4)
+    store.save_docs(docs_df(spark, [
+        {"rowNum": 1, "name": "seed",
+         "items": [{"type": "it", "rowNum": -1, "size": 0},
+                   {"type": "it", "rowNum": -1, "size": 1}]},
+    ]), "fam")                                              # family v0
+    assert len(store.family_tables("fam")) >= 2
+    child = _spawn(_FAMILY_CHILD, base, ready, go, "200")
+    try:
+        _wait_file(ready, 180, child)
+        open(go, "w").close()
+        for i in range(3):
+            k = 100 + i
+            store.save_docs(docs_df(spark, [
+                {"rowNum": k, "name": f"p-{i}",
+                 "items": [{"type": "it", "rowNum": -1, "size": k},
+                           {"type": "it", "rowNum": -1, "size": k + 1}]},
+            ]), "fam")
+        out, err = child.communicate(timeout=300)
+        assert child.returncode == 0, (
+            f"child failed rc={child.returncode}\n{out}\n{err}")
+    finally:
+        if child.poll() is None:
+            child.kill()
+
+    # one family version per save_docs, no gaps: seed + 2 writers × 3
+    assert store.family_version("fam") == 6
+    # the head reads BOTH writers' docs — root and child alike (a loser
+    # manifest that failed to rebase would pin child versions predating
+    # the winner's rows and drop them here)
+    root_keys = {r[KEY] for r in store.read_family("fam", "fam").collect()}
+    assert root_keys == {1, 100, 101, 102, 200, 201, 202}
+    child_tables = [t for t in store.family_tables("fam") if t != "fam"]
+    assert len(child_tables) == 1
+    child_rows = store.read_family("fam", child_tables[0]).collect()
+    assert len(child_rows) == 7 * 2     # two items per doc, all disjoint
+    # pins never regress anywhere in the chain — the family head (and
+    # every intermediate manifest) moves strictly forward per table
+    pins = [store.family_tables("fam", v) for v in range(7)]
+    for a, b in zip(pins, pins[1:]):
+        for t, v in a.items():
+            assert b.get(t, v) >= v, (a, b)
