@@ -171,6 +171,18 @@ _BROADCAST_AUDIT: dict[tuple[str, str], str] = {
         "48-row deterministic-hash vector sample (TakeOrdered bound)",
     ("llm/staged_r13.py", "text_first_token_census"):
         "1-row corpus doc-count scalar (map-side sum partial)",
+    ("operators/staged_r14.py", "q_region_brand_affinity"):
+        "nation (25) and region (5) dims — dimension-bounded",
+    ("operators/staged_r14.py", "q_returns_by_nation_year"):
+        "nation dim (25 rows)",
+    ("operators/staged_r14.py", "q_part_name_terms"):
+        "1-row part-count scalar (map-side count partial)",
+    ("operators/staged_r14.py", "q_cohort_retention_triangle"):
+        "cohort-size relation (≤|years| rows, k=0 slice of the triangle)",
+    ("llm/staged_r14.py", "text_positional_term_profile"):
+        "top-20 df terms (TakeOrdered bound)",
+    ("llm/staged_r14.py", "sim_dimension_covariance_topk"):
+        "per-dim sum relation (64 rows, twice) + 1-row vector count",
     ("streaming/queries.py", "stream_static_join"):
         "customer dimension table — |dim| ≪ facts; shuffle-join fallback if it outgrows executors",
     ("operators/staged_r10.py", "stream_scd2_enrichment"):
