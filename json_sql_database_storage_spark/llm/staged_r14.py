@@ -523,8 +523,134 @@ GROUP BY doc_id, window_idx
 ORDER BY doc_id, window_idx
 """
 
+# ---------------------------------------------------------------------------
+# mm_ppm_decode — the IMAGE twin of mm_decode_wav's real-codec check:
+# encode each doc id into a real binary P6 PPM container (the netpbm
+# header + raw interleaved RGB bytes — a genuine image container with a
+# text header, dimension fields and a binary payload, writable and
+# parsable with the stdlib alone), then a second Arrow stage parses the
+# container BACK — dimensions from the header, channel sums from the
+# payload bytes — and the oracle recomputes from the generating
+# arithmetic.  The hash only matches if the header grammar (whitespace-
+# separated tokens, maxval line) and the RGB interleaving round-tripped
+# faithfully.  This moves the image path beyond the PIL/cv2-gated stubs:
+# the container plumbing (schema, batching, binary payloads, decode
+# geometry) is real and tested even though rich codecs stay gated.
+#
+# 100-TB design: both stages are Arrow-batched mapInPandas; images ride
+# as opaque binary columns with typed metadata (the multimodal
+# contract); per-asset output is one fixed-width feature row.
+# ---------------------------------------------------------------------------
+
+_PPM_SCHEMA = ("doc_id BIGINT, width INT, height INT, "
+               "sum_r BIGINT, sum_g BIGINT, sum_b BIGINT")
+
+
+def _ppm_dims(doc_id: int) -> tuple[int, int]:
+    return 4 + doc_id % 5, 3 + doc_id % 4
+
+
+def encode_ppm_batch(doc_ids) -> "pd.DataFrame":
+    """Build a real P6 PPM per doc: ASCII header (magic, dims, maxval)
+    + raw RGB bytes.  pixel(x, y, c) = (doc_id·7 + y·31 + x·13 + c·101)
+    mod 256 — deterministic, all three planes distinct."""
+    import pandas as pd
+
+    payloads = []
+    for doc_id in doc_ids:
+        w, h = _ppm_dims(int(doc_id))
+        header = f"P6\n{w} {h}\n255\n".encode()
+        px = bytes((int(doc_id) * 7 + y * 31 + x * 13 + c * 101) % 256
+                   for y in range(h) for x in range(w) for c in range(3))
+        payloads.append(header + px)
+    return pd.DataFrame({"doc_id": doc_ids.astype("int64"),
+                         "payload": pd.Series(payloads,
+                                              index=doc_ids.index)})
+
+
+def decode_ppm_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    """REAL decode: tokenize the netpbm header (magic, width, height,
+    maxval — whitespace-separated), then fold the raw RGB payload into
+    exact per-channel sums.  Nothing is inferred from doc_id here."""
+    import pandas as pd
+
+    ws, hs, srs, sgs, sbs = [], [], [], [], []
+    for b in pdf["payload"]:
+        raw = bytes(b)
+        # header: 4 whitespace-separated tokens, then ONE whitespace
+        # byte, then the binary payload
+        tokens, i = [], 0
+        while len(tokens) < 4:
+            while raw[i:i + 1].isspace():
+                i += 1
+            j = i
+            while not raw[j:j + 1].isspace():
+                j += 1
+            tokens.append(raw[i:j])
+            i = j
+        i += 1                      # the single post-maxval whitespace
+        assert tokens[0] == b"P6" and tokens[3] == b"255"
+        w, h = int(tokens[1]), int(tokens[2])
+        px = raw[i:]
+        assert len(px) == w * h * 3
+        ws.append(w)
+        hs.append(h)
+        srs.append(sum(px[0::3]))
+        sgs.append(sum(px[1::3]))
+        sbs.append(sum(px[2::3]))
+    idx = pdf.index
+    return pd.DataFrame({
+        "doc_id": pdf["doc_id"].astype("int64"),
+        "width": pd.Series(ws, dtype="int32", index=idx),
+        "height": pd.Series(hs, dtype="int32", index=idx),
+        "sum_r": pd.Series(srs, dtype="int64", index=idx),
+        "sum_g": pd.Series(sgs, dtype="int64", index=idx),
+        "sum_b": pd.Series(sbs, dtype="int64", index=idx),
+    })
+
+
+def mm_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield encode_ppm_batch(pdf["doc_id"])
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield decode_ppm_batch(pdf)
+
+    media = d.mapInPandas(encode, "doc_id BIGINT, payload BINARY")
+    return media.mapInPandas(decode, _PPM_SCHEMA).orderBy("doc_id")
+
+
+_PPM_SQL = """
+WITH p AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, x, y
+  FROM p, LATERAL (SELECT unnest(range(w)) AS x),
+          LATERAL (SELECT unnest(range(h)) AS y)
+)
+SELECT doc_id, CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+       CAST(sum((doc_id * 7 + y * 31 + x * 13) % 256) AS BIGINT) AS sum_r,
+       CAST(sum((doc_id * 7 + y * 31 + x * 13 + 101) % 256) AS BIGINT)
+         AS sum_g,
+       CAST(sum((doc_id * 7 + y * 31 + x * 13 + 202) % 256) AS BIGINT)
+         AS sum_b
+FROM px
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
 STAGED: dict = {
     "text_ttr_by_source": (text_ttr_by_source, _TTR_SQL),
+    "mm_ppm_decode": (mm_ppm_decode, _PPM_SQL),
     "text_vocab_coverage_curve": (text_vocab_coverage_curve,
                                   _COVERAGE_SQL),
     "text_doc_entropy_extremes": (text_doc_entropy_extremes,
