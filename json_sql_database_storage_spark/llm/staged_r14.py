@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..sources import load_table
 from .similarity import as_double
+from .staged_r12 import _q6_ln
 from .text_analysis import tokens
 
 # ---------------------------------------------------------------------------
@@ -141,11 +142,6 @@ ORDER BY bucket
 # ---------------------------------------------------------------------------
 
 _ENTROPY_MIN_TOKENS = 20
-
-
-def _q6_ln(col: F.Column) -> F.Column:
-    return (F.floor(F.log(col.cast("double")) * 1000000 + F.lit(0.5))
-            .cast("bigint"))
 
 
 def text_doc_entropy_extremes(spark: SparkSession,
