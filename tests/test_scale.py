@@ -413,22 +413,31 @@ def _scale_corpus(spark, sf_dir, tmp_root, mult):
     emb.write.mode("overwrite").parquet(os.path.join(path,
                                                      "embeddings.parquet"))
 
-    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # o_orderdate / o_totalprice ride along unchanged (r13: the r14
+    # staged value-migration and cohort-triangle shapes census them —
+    # replicas repeat the same value/date distribution over more
+    # customers, the shape a growing book has)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
     orders = _rep_union([o] + [
         o.select((F.col("o_orderkey") + rep * 10_000_000).alias("o_orderkey"),
-                 (F.col("o_custkey") + rep * 50_000).alias("o_custkey"))
+                 (F.col("o_custkey") + rep * 50_000).alias("o_custkey"),
+                 "o_orderdate", "o_totalprice")
         for rep in range(1, mult)
     ])
     orders.write.mode("overwrite").parquet(os.path.join(path,
                                                         "orders.parquet"))
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey",
-                                                      "l_suppkey",
-                                                      "l_partkey")
+    # l_extendedprice / l_discount ride along unchanged (r13: the r14
+    # staged linecount-value correlation censuses them)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_partkey",
+        "l_extendedprice", "l_discount")
     lineitem = _rep_union([li] + [
         li.select((F.col("l_orderkey") + rep * 10_000_000).alias("l_orderkey"),
                   (F.col("l_suppkey") + rep * 50_000).alias("l_suppkey"),
-                  (F.col("l_partkey") + rep * 500_000).alias("l_partkey"))
+                  (F.col("l_partkey") + rep * 500_000).alias("l_partkey"),
+                  "l_extendedprice", "l_discount")
         for rep in range(1, mult)
     ])
     lineitem.write.mode("overwrite").parquet(os.path.join(path,
@@ -477,11 +486,17 @@ def test_scale_curve_heavy_ops_near_linear(spark, tmp_path_factory):
     from json_sql_database_storage_spark.llm.staged_r13 import (
         STAGED as _LLM_STAGED_R13,
     )
+    from json_sql_database_storage_spark.llm.staged_r14 import (
+        STAGED as _LLM_STAGED_R14,
+    )
     from json_sql_database_storage_spark.operators.staged_r9 import (
         STAGED as _OPS_STAGED,
     )
     from json_sql_database_storage_spark.operators.staged_r13 import (
         STAGED as _OPS_STAGED_R13,
+    )
+    from json_sql_database_storage_spark.operators.staged_r14 import (
+        STAGED as _OPS_STAGED_R14,
     )
 
     ops = ["dedup_minhash_lsh", "dedup_minhash_incremental",
@@ -531,7 +546,19 @@ def test_scale_curve_heavy_ops_near_linear(spark, tmp_path_factory):
            # k-sampled inner-product calibration (corpus term is the
            # TakeOrdered sample scan; the 48×48 pair block is fixed)
            "text_prefix_dup_census", "events_props_topk",
-           "sim_inner_product_stats"]
+           "sim_inner_product_stats",
+           # r13: the corpus-sized round-14 staged ops, measured BEFORE
+           # promotion — the heaviest is the 2016-pair-per-vector
+           # covariance explode; the two media ops price the Arrow
+           # encode/decode stages; the rest are corpus censuses /
+           # vocab-window / order-log window shapes.  (The bounded ones —
+           # centroid matrix, sparsity, peak-hour, bucket stats — ride
+           # already-measured census families.)
+           "sim_dimension_covariance_topk", "text_vocab_coverage_curve",
+           "text_ttr_by_source", "text_doc_entropy_extremes",
+           "text_positional_term_profile", "mm_wav_window_energy",
+           "q_order_linecount_value_corr", "q_customer_value_migration",
+           "q_cohort_retention_triangle", "window_activation_latency"]
     # graph_triangle_count is deliberately NOT in the recurring list: the
     # sf0.1 co-purchase graph is dense (avg degree ~60), so its base cost
     # (~11 s after the r9 persist fix) would still dominate this test.
@@ -540,7 +567,8 @@ def test_scale_curve_heavy_ops_near_linear(spark, tmp_path_factory):
     # and oriented projection were pinned) is recorded in SCALE.md.
     fns = {name: (fn, _) for name, (fn, _) in
            {**_LLM_STAGED, **_OPS_STAGED, **_LLM_STAGED_R11,
-            **_LLM_STAGED_R13, **_OPS_STAGED_R13}.items()}
+            **_LLM_STAGED_R13, **_OPS_STAGED_R13,
+            **_LLM_STAGED_R14, **_OPS_STAGED_R14}.items()}
     _fn = lambda op: (fns[op][0] if op in fns else _SPECS[op].fn)  # noqa: E731
 
     def _run(op, df):
