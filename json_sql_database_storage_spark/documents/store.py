@@ -342,8 +342,16 @@ class DocumentStore:
         # happened), and the bucket prefix keeps multi-bucket partitions
         # (hash collisions of bucket ids) correctly grouped for the
         # partitioned write.
+        # repartition BY COLUMN ONLY (no fixed count): AQE sizes the write
+        # stage to the delta — a 3-row upsert coalesces to one task instead
+        # of B near-empty writer tasks (measured ~2.0 s → ~0.5 s per commit
+        # write at sf0.1), while a corpus-sized first commit still fans out
+        # to advisory-sized partitions (guide §2.2/§6: partitions sized by
+        # bytes, not a constant).  The per-dir layout is unchanged: a task
+        # carrying several buckets still writes one KEY-sorted file per
+        # bucket dir, so point-lookup row-group pruning keeps working.
         (df.withColumn(_BUCKET, F.pmod(F.col(KEY), F.lit(b)).cast("int"))
-           .repartition(b, F.col(_BUCKET))
+           .repartition(F.col(_BUCKET))
            .sortWithinPartitions(_BUCKET, KEY)
            .write.mode("overwrite").partitionBy(_BUCKET).parquet(path))
         out: dict[int, str] = {}

@@ -87,11 +87,14 @@ def text_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     index_path = _sink("inv_index", spark)
-    # one task per bucket before the partitioned write — otherwise every
+    # repartition BY BUCKET before the partitioned write — otherwise every
     # task writes a sliver of every bucket directory (tasks × B small
-    # files; the classic partitionBy file explosion)
+    # files; the classic partitionBy file explosion).  No fixed count:
+    # AQE sizes the write stage (pq.py's repartition("cell") precedent) —
+    # a small corpus coalesces to one writer task, a big one fans out by
+    # advisory partition bytes (guide §2.2/§6)
     (build_inverted_index(docs)
-     .repartition(_IDX_BUCKETS, "bkt")
+     .repartition("bkt")
      .write.mode("overwrite").partitionBy("bkt").parquet(index_path))
 
     idx = spark.read.parquet(index_path)
@@ -470,19 +473,31 @@ def _bm25_write_seg(spark: SparkSession, paths: dict[str, str],
     (token sum, doc count) for the caller's stats arithmetic."""
     _clear_seg(paths["index"], seg)
     _clear_seg(paths["dl"], seg)
-    (build_inverted_index(new_docs)
-     .withColumn("seg", F.lit(seg).cast("int"))
-     .repartition(_IDX_BUCKETS, "bkt")
-     .write.mode("append").partitionBy("seg", "bkt")
-     .parquet(paths["index"]))
-    dl_delta = new_docs.select("doc_id",
-                               F.size(tokens(F.col("text"))).cast("bigint")
-                               .alias("dl"),
-                               F.lit(seg).cast("int").alias("seg"))
-    (dl_delta.write.mode("append").partitionBy("seg")
-     .parquet(paths["dl"]))
-    d = dl_delta.agg(F.sum("dl").alias("t"),
-                     F.count(F.lit(1)).alias("n")).collect()[0]
+    # tokenize ONCE: the posting build, the dl projection AND the stats
+    # agg all derive from this persisted token frame — the previous form
+    # re-tokenized the delta for each of the three (guide §1.2 per-task
+    # work: the tokenize IS the build's dominant per-row cost)
+    toked = new_docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    toked.persist()
+    try:
+        (toked.select("doc_id", F.explode("toks").alias("term"))
+         .groupBy("term", "doc_id")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+         .withColumn("bkt", F.pmod(F.xxhash64("term"),
+                                   F.lit(_IDX_BUCKETS)).cast("int"))
+         .withColumn("seg", F.lit(seg).cast("int"))
+         .repartition("bkt")
+         .write.mode("append").partitionBy("seg", "bkt")
+         .parquet(paths["index"]))
+        dl_delta = toked.select("doc_id",
+                                F.size("toks").cast("bigint").alias("dl"),
+                                F.lit(seg).cast("int").alias("seg"))
+        (dl_delta.write.mode("append").partitionBy("seg")
+         .parquet(paths["dl"]))
+        d = dl_delta.agg(F.sum("dl").alias("t"),
+                         F.count(F.lit(1)).alias("n")).collect()[0]
+    finally:
+        toked.unpersist()
     return int(d["t"] or 0), int(d["n"])
 
 
@@ -693,7 +708,7 @@ def bm25_compact(spark: SparkSession, paths: dict[str, str]) -> dict[str, str]:
         _clear_seg(paths["index"], seg)
         _clear_seg(paths["dl"], seg)
         (live_post.withColumn("seg", F.lit(seg).cast("int"))
-         .repartition(_IDX_BUCKETS, "bkt")
+         .repartition("bkt")
          .write.mode("append").partitionBy("seg", "bkt")
          .parquet(paths["index"]))
         (live_dl.withColumn("seg", F.lit(seg).cast("int"))
@@ -913,7 +928,7 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     index_path = _sink("inv_index_pos", spark)
     (build_positional_index(docs)
-     .repartition(_IDX_BUCKETS, "bkt")
+     .repartition("bkt")
      .write.mode("overwrite").partitionBy("bkt").parquet(index_path))
     idx = spark.read.parquet(index_path)
 

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ..sources import load_table
+from ..sources import load_table, spread_small_scan
 from .clustering import _K, _assign_sql, assign_cells
 from .similarity import as_double
 from .text_analysis import tokens
@@ -460,7 +460,13 @@ _TRIGRAM_K = 5
 
 def text_char_trigram_profile(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
-    g = (load_table(spark, sf_dir, "documents")
+    # the trigram explode (~n_chars rows per doc) and its partition-local
+    # census partials are the whole cost: widen the single-row-group scan
+    # first (guide §2.5; no-op at production scale)
+    g = (spread_small_scan(
+             spark,
+             load_table(spark, sf_dir, "documents").select("lang", "text"),
+             sf_dir, "documents")
          .select("lang", F.lower(F.col("text")).alias("lt"))
          .filter(F.length("lt") >= 3)       # sequence(1,<1) is DESCENDING
          .select("lang", F.explode(F.expr(

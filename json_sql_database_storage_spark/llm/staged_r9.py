@@ -66,7 +66,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..registry import scoped_persist
-from ..sources import load_table
+from ..sources import load_table, spread_small_scan
 from .clustering import _L2SQ_SQL, _assign_sql, _l2sq, assign_cells
 from .similarity import as_double
 
@@ -113,8 +113,15 @@ def _gram_run_stats(grams: F.Column) -> F.Column:
 
 
 def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = (load_table(spark, sf_dir, "documents")
-         .select("doc_id", F.split("text", " ").alias("t")))
+    # the gram transforms + per-row run stats are the whole cost and they
+    # run partition-local: widen the single-row-group scan first (guide
+    # §2.5 input skew; no-op at production scale) — measured 1 task/2.5 s
+    # serial → 32-way
+    d = spread_small_scan(
+        spark,
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        sf_dir, "documents").select(
+            "doc_id", F.split("text", " ").alias("t"))
     bg = F.expr("transform(sequence(0, size(t) - 2), "
                 "i -> concat(t[i], ' ', t[i + 1]))")
     fg = F.expr("transform(sequence(0, size(t) - 5), "
@@ -381,45 +388,53 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 W.partitionBy("query_id").orderBy(F.col("rel").desc(),
                                                   "cand_id")))
             .filter(F.col("rk") <= _MMR_CAND)
-            .select("query_id", "cand_id", "e", "rel",
-                    F.lit(0.0).alias("maxsim")))
-    # each round's candidate state is eagerly checkpointed (r10 review:
-    # leaving cur lazy made round r's plan — and every later pick's —
-    # re-derive all prior rounds' cosine/greatest chains from cand, the
-    # O(k²) least()-chain antipattern the kcenter r10 note fixed there).
-    # State is ANN-output-sized (O(Q·CAND) rows at any corpus size), so
-    # k eager materializations are broadcast-class jobs.
-    cur = cand.localCheckpoint(eager=True)
-    lam, mu = F.lit(_MMR_LAM), F.lit(1 - _MMR_LAM)
-    picks = []
-    for r in range(1, _MMR_K + 1):
-        sc = cur.withColumn("score",
-                            lam * F.col("rel") - mu * F.col("maxsim"))
-        sel = (sc.groupBy("query_id")
-               .agg(F.max(F.struct(
-                   "score", (-F.col("cand_id")).alias("nid"),
-                   F.col("e"))).alias("s"))
-               .select("query_id", (-F.col("s.nid")).alias("sel_id"),
-                       F.col("s.score").alias("mmr_score"),
-                       F.col("s.e").alias("sel_e")))
-        picks.append(sel.select("query_id", F.lit(r).alias("pick_rank"),
-                                F.col("sel_id").alias("cand_id"),
-                                "mmr_score"))
-        if r < _MMR_K:
-            cur = (sc.join(F.broadcast(
-                       sel.select("query_id", "sel_id", "sel_e")),
-                       "query_id")
-                   .filter(F.col("cand_id") != F.col("sel_id"))
-                   .select("query_id", "cand_id", "e", "rel",
-                           F.greatest(
-                               F.col("maxsim"),
-                               cosine(F.col("e"), F.col("sel_e")))
-                           .alias("maxsim"))
-                   .localCheckpoint(eager=True))
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    return out
+            .select("query_id", "cand_id", "e", "rel"))
+    # The K greedy rounds run INSIDE one grouped-pandas pass (guide §4.2 /
+    # §4.5): each query's candidate state is ≤ _MMR_CAND rows BY
+    # CONSTRUCTION at any corpus size (it is ANN output, not corpus), so
+    # the round-r argmax and maxsim updates are in-worker loops over a
+    # bounded batch.  The previous form paid K localCheckpoint barriers +
+    # K broadcast joins — 2 driver-paced jobs per pick (measured 21 jobs /
+    # 2.5 s at sf0.1; this form is 1 grouped stage on the window's
+    # existing query_id partitioning, no new exchange).  Float discipline:
+    # every dot/norm below is the same left-to-right IEEE fold the
+    # aggregate()/zip_with expressions performed and lam/mu are the same
+    # Python-evaluated literals, so scores are bit-identical and the
+    # selection sequence (max by (score, -cand_id)) is unchanged.
+    lam, mu = _MMR_LAM, 1 - _MMR_LAM
+    k, out_schema = _MMR_K, "query_id bigint, pick_rank int, " \
+                            "cand_id bigint, mmr_score double"
+
+    def _greedy(pdf):
+        import math
+
+        import pandas as pd
+
+        def dot(a, b):
+            s = 0.0
+            for x, y in zip(a, b):
+                s = s + x * y
+            return s
+
+        rows = [[int(c), list(e), float(r), 0.0]
+                for c, e, r in zip(pdf["cand_id"], pdf["e"], pdf["rel"])]
+        qid = int(pdf["query_id"].iloc[0])
+        out = []
+        for rank in range(1, k + 1):
+            if not rows:
+                break
+            best = max(rows, key=lambda t: (lam * t[2] - mu * t[3], -t[0]))
+            out.append((qid, rank, best[0], lam * best[2] - mu * best[3]))
+            if rank < k:
+                be = best[1]
+                nb = math.sqrt(dot(be, be))
+                rows = [[c, e, r,
+                         max(m, dot(e, be) / (math.sqrt(dot(e, e)) * nb))]
+                        for c, e, r, m in rows if c != best[0]]
+        return pd.DataFrame(out, columns=["query_id", "pick_rank",
+                                          "cand_id", "mmr_score"])
+
+    return cand.groupBy("query_id").applyInPandas(_greedy, out_schema)
 
 
 def _mmr_sql() -> str:
@@ -796,7 +811,14 @@ _KEYWORD_K = 3
 def text_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text_analysis import tokens
 
-    tc = (load_table(spark, sf_dir, "documents")
+    # tokenize + explode dominate and run partition-local before the
+    # (doc_id, w) partial agg: widen the single-row-group scan first
+    # (guide §2.5; no-op at production scale)
+    tc = (spread_small_scan(
+              spark,
+              load_table(spark, sf_dir, "documents")
+              .select("doc_id", "text"),
+              sf_dir, "documents")
           .select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
           .groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")))
     tc = scoped_persist(tc)

@@ -124,7 +124,11 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     terms = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    # tf is one row per (doc_id, term), so count(*) per term IS the
+    # distinct-doc count — countDistinct here forced an Expand + an extra
+    # aggregate exchange for a set the grouping already deduplicated
+    # (guide §2.4: remove shuffles outright)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # Corpus size joins in as a broadcast 1-row aggregate (mirrors the
     # oracle's `CROSS JOIN n` CTE) — the whole query stays ONE plan with no
     # separate count() action (r4 verdict §wrong item 3: the extra scan

@@ -369,12 +369,19 @@ ORDER BY o_orderstatus
 def agg_median_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     c = cents("o_totalprice")
+    # ONE percentile buffer for all three points: median() is exactly
+    # Percentile(0.5), so the array form computes the identical values
+    # while maintaining one value-count map per group instead of three
+    # (guide §1.2 per-task work — 3× the agg state and sort collapsed)
+    pct = F.percentile(c, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.90)))
     return (
         o.groupBy("o_orderstatus")
-        .agg(
-            (F.median(c) / 10000).alias("med_price"),
-            (F.percentile(c, F.lit(0.25)) / 10000).alias("p25"),
-            (F.percentile(c, F.lit(0.90)) / 10000).alias("p90"),
+        .agg(pct.alias("_pct"))
+        .select(
+            "o_orderstatus",
+            (F.col("_pct")[1] / 10000).alias("med_price"),
+            (F.col("_pct")[0] / 10000).alias("p25"),
+            (F.col("_pct")[2] / 10000).alias("p90"),
         )
         .orderBy("o_orderstatus")
     )

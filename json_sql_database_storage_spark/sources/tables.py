@@ -123,3 +123,53 @@ def register_views(spark: SparkSession, sf_dir: str,
     """Register temp views so operators can also be expressed in Spark SQL."""
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def _parse_bytes(value: str) -> int:
+    """Parse a Spark byte-size conf string (bare long = bytes, plus the
+    JVM suffix set b/k/kb/m/mb/g/gb/t/tb/p/pb, case-insensitive) —
+    mirrors JavaUtils.byteStringAs so the fallback default only covers
+    genuinely malformed values, not well-formed configured ones."""
+    import re
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", value)
+    if not m:
+        raise ValueError(f"not a byte-size string: {value!r}")
+    num, suffix = int(m.group(1)), m.group(2).lower()
+    scale = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
+             "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
+             "t": 1 << 40, "tb": 1 << 40, "p": 1 << 50, "pb": 1 << 50}
+    if suffix not in scale:
+        raise ValueError(f"unknown byte-size suffix in {value!r}")
+    return num * scale[suffix]
+
+
+def spread_small_scan(spark: SparkSession, df: DataFrame, sf_dir: str,
+                      *tables: str, factor: int = 1) -> DataFrame:
+    """Widen a small-file scan before CPU-heavy per-row work (tokenize /
+    shingle / gram explode / vector math) — the optimization-guide §2.5
+    "input skew" fix for unsplittable small inputs: the driver's test
+    tables are single-row-group parquet files, so every scan is ONE task
+    and the partition-local compute that follows it runs serially while
+    the other cores idle (measured: text_repetition_filter ran 1 task /
+    2.5 s; spread, ~0.4 s).
+
+    Scale-adaptive, not local-tuned: the repartition happens only when
+    the scan would yield fewer splits than the session's parallelism —
+    the same `input_bytes < cores × maxPartitionBytes` gate
+    llm/dedup._spread established.  At production scale the scan already
+    yields thousands of partitions and this is a provable no-op, so the
+    raw-payload shuffle is never paid where it would hurt.  `tables`
+    names the parquet inputs whose sizes bound the scan (factor > 1 for
+    union branches that re-scan the same file)."""
+    target = spark.sparkContext.defaultParallelism
+    try:
+        split = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    except Exception:
+        split = 128 * 1024 * 1024
+    input_bytes = factor * sum(
+        os.path.getsize(os.path.join(sf_dir, f"{t}.parquet"))
+        for t in tables if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")))
+    if input_bytes < target * split:
+        return df.repartition(target)
+    return df
