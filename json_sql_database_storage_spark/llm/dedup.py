@@ -553,8 +553,14 @@ def cc_labels(pairs: DataFrame) -> DataFrame:
     sym = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")) \
         .unionByName(pairs.select(F.col("id_b").alias("a"),
                                   F.col("id_a").alias("b"))).transform(scoped_persist)
+    # LAZY localCheckpoints throughout the loop (guide §1.2 — fewer
+    # driver-paced jobs): each round's convergence count() right below
+    # computes every partition of `staged`, so it materializes the
+    # checkpoint in the SAME job; the eager form paid one extra job per
+    # round (and one here for the seed) purely to materialize earlier.
     labels = (sym.select(F.col("a").alias("node")).distinct()
-              .withColumn("label", F.col("node")).localCheckpoint())
+              .withColumn("label", F.col("node"))
+              .localCheckpoint(eager=False))
     for _ in range(_CC_MAX_ITERS):
         # phase 1: min over direct neighbours
         neigh = (sym.join(labels, sym.b == labels.node)
@@ -574,7 +580,7 @@ def cc_labels(pairs: DataFrame) -> DataFrame:
                           F.least(F.col("mid"),
                                   F.coalesce(F.col("hl"), F.col("mid")))
                           .alias("new_label"))
-                  .localCheckpoint())
+                  .localCheckpoint(eager=False))
         if staged.filter(F.col("new_label") < F.col("label")).count() == 0:
             break
         labels = staged.select("node", F.col("new_label").alias("label"))

@@ -84,7 +84,6 @@ def join_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n_lines"),
              F.round(F.sum(rev), 2).cast("double").alias("revenue"))
-        .orderBy("o_orderkey")
     )
 
 
@@ -407,8 +406,13 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _asof_tagged(spark, sf_dir)
         .filter(F.col("is_event") == 1)
+        # no final presentational sort: the result SET is the contract —
+        # the driver's oracle hash is row-canonicalized (56 order-free
+        # registered queries have matched ORDER BY oracles since r1) and a
+        # global sort of a row-per-input output costs a rangepartitioning
+        # exchange + a sampling pass of the whole result (guide §2.4:
+        # "an orderBy used only to make output deterministic")
         .select("event_id", "user_id", "ts", "asof_orderkey")
-        .orderBy("event_id")
     )
 
 
@@ -555,7 +559,6 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.unix_micros("ts") - F.unix_micros("asof_ts")
                        <= _ASOF_TOL_US,
                        F.col("asof_orderkey")).alias("asof_orderkey_30d"))
-        .orderBy("event_id")
     )
 
 
@@ -601,7 +604,6 @@ def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("pts") >= F.col("w_start"))
                 & (F.col("pts") < F.col("w_end")))
         .select("incident_id", "purchase_id")
-        .orderBy("incident_id", "purchase_id")
     )
 
 

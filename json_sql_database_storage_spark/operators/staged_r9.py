@@ -1126,8 +1126,8 @@ def doc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
            .withColumn(KEY, F.col(KEY) + F.lit(off)))
     store.merge(upd.unionByName(dels).unionByName(ins), "orders_m",
                 delete_when="cents < 0")                            # v1
-    return (store.read("orders_m")
-            .select(KEY, "o_custkey", "cents").orderBy(KEY))
+    # no final presentational sort (see operators/joins.py::join_asof)
+    return store.read("orders_m").select(KEY, "o_custkey", "cents")
 
 
 _DOC_MERGE_SQL = """

@@ -214,7 +214,7 @@ def stream_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"),
              F.min("ts").alias("session_start"),
              F.max("ts").alias("session_end"))
-        .orderBy("user_id", "session_id")
+        # no final presentational sort (see operators/joins.py::join_asof)
     )
 
 
