@@ -46,50 +46,12 @@ _ROWS_PER_BAND = _NUM_HASHES // _BANDS
 WS_RE = "[ \t\n\f\r]+"
 
 
-def _spread(spark: SparkSession, df: DataFrame,
-            input_bytes: int) -> DataFrame:
-    """Repartition a CPU-heavy pipeline's input up to the session's
-    parallelism — but only when the scan would produce fewer partitions
-    than cores (small-file corpora: sf0.1 documents is one row-group → 3
-    union branches → 3 tasks, leaving 29 of 32 cores idle through the
-    shingle/signature stages; measured 2.5 s → 1.4 s).  At production
-    scale the scan already yields ≥ thousands of partitions and this is a
-    no-op, so the extra shuffle of raw text is never paid where it would
-    hurt.
-
-    The decision uses the caller-supplied input byte size against the
-    session's split size (the same quantity Spark's file-scan planner
-    divides by), NOT a partition count read off the physical plan:
-    materializing the plan just to count its tasks (``df.rdd`` or even the
-    JVM-side ``_jdf.rdd()``) costs ~1.3 s of driver-side planning on this
-    union-of-scans shape — pure overhead the file size answers for free."""
-    target = spark.sparkContext.defaultParallelism
-    try:
-        split = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
-    except Exception:
-        split = 128 * 1024 * 1024
-    if input_bytes < target * split:
-        return df.repartition(target)
-    return df
-
-
-def _parse_bytes(value: str) -> int:
-    """Parse a Spark byte-size conf string: bare long = bytes, and the full
-    JVB suffix set (b, k/kb, m/mb, g/gb, t/tb, p/pb — case-insensitive) that
-    a human-set value like '128MB' or '64m' uses.  Mirrors
-    JavaUtils.byteStringAs so the fallback default only covers genuinely
-    malformed values, not well-formed configured ones."""
-    import re
-    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", value)
-    if not m:
-        raise ValueError(f"not a byte-size string: {value!r}")
-    num, suffix = int(m.group(1)), m.group(2).lower()
-    scale = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10,
-             "m": 1 << 20, "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
-             "t": 1 << 40, "tb": 1 << 40, "p": 1 << 50, "pb": 1 << 50}
-    if suffix not in scale:
-        raise ValueError(f"unknown byte-size suffix in {value!r}")
-    return num * scale[suffix]
+# Conditional post-scan widening for CPU-heavy pipelines (tokenize /
+# shingle / signature): ONE definition of the byte-parsing and the
+# fail-closed `input_bytes < cores × maxPartitionBytes` gate, shared with
+# every text/gram consumer (r13 advice: the gate existed verbatim here and
+# in sources/tables.py — a fix to one copy could silently miss the other).
+from ..sources.tables import spread_small_scan as _spread_small_scan  # noqa: E402
 
 
 def _corpus_with_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,7 +124,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"),
              F.count(F.lit(1)).alias("n_copies"))
         .select("doc_id", "content_hash", "n_copies")
-        .orderBy("doc_id")
     )
 
 
@@ -379,8 +340,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard is computed over HASHED shingle sets (_hashed_shingles_of);
     it equals the oracle's string-set jaccard unless xxhash64 collides
     within a pair's shingle union — the string-based oracle hash-compare
-    is exactly the test that no such collision exists on this corpus."""
-    return _minhash_verified_pairs(spark, sf_dir).orderBy("id_a", "id_b")
+    is exactly the test that no such collision exists on this corpus.
+
+    No final sort (r14, extending the r13 sort-drop mechanism): the
+    output is row-per-verified-pair and the driver's oracle check is
+    row-canonicalized, so a global orderBy here bought presentation only
+    at the cost of a rangepartitioning Exchange + range-sampling pass
+    over the result — quadratically worse at 100 TB pair volumes."""
+    return _minhash_verified_pairs(spark, sf_dir)
 
 
 def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -388,8 +355,8 @@ def _minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact shingle-Jaccard ≥ 0.8.  Shared by dedup_minhash_lsh (emits the
     pairs) and dedup_cc_survivors (clusters them)."""
     # corpus input ≈ 3 scans over documents.parquet (union branches)
-    doc_bytes = os.path.getsize(os.path.join(sf_dir, "documents.parquet"))
-    corpus = _spread(spark, _corpus_with_dups(spark, sf_dir), 3 * doc_bytes)
+    corpus = _spread_small_scan(spark, _corpus_with_dups(spark, sf_dir),
+                                sf_dir, "documents", factor=3)
     # The UDF is an opaque expression boundary, so projection collapse
     # cannot re-inline tokenize/shingle work into 32 permutation copies —
     # one persist (docs, reused by banding + both verification sides)
@@ -502,7 +469,6 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                          F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
         .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -554,36 +520,45 @@ def cc_labels(pairs: DataFrame) -> DataFrame:
         .unionByName(pairs.select(F.col("id_b").alias("a"),
                                   F.col("id_a").alias("b"))).transform(scoped_persist)
     # LAZY localCheckpoints throughout the loop (guide §1.2 — fewer
-    # driver-paced jobs): each round's convergence count() right below
-    # computes every partition of `staged`, so it materializes the
-    # checkpoint in the SAME job; the eager form paid one extra job per
-    # round (and one here for the seed) purely to materialize earlier.
+    # driver-paced jobs): each round's convergence aggregate right below
+    # computes every partition of the staged round, so it materializes
+    # the checkpoint in the SAME job; the eager form paid one extra job
+    # per round (and one here for the seed) purely to materialize earlier.
     labels = (sym.select(F.col("a").alias("node")).distinct()
               .withColumn("label", F.col("node"))
               .localCheckpoint(eager=False))
+    # Convergence by exact label-sum (r14, guide §2.4): labels only ever
+    # DECREASE (every update is a min including the node's own label), so
+    # a round changed nothing iff the label sum is unchanged.  Tracking
+    # the sum removes the old-label column from the loop state and with
+    # it the per-round `labels ⟕ neigh` join — message-passing phase 1 is
+    # now join→union→groupBy, one exchange where two operators were.
+    # DECIMAL(38,0) keeps the sum exact at any node-count × id-range.
+    prev_sum = None
     for _ in range(_CC_MAX_ITERS):
-        # phase 1: min over direct neighbours
-        neigh = (sym.join(labels, sym.b == labels.node)
-                 .groupBy("a").agg(F.min("label").alias("nl")))
-        prop = (labels.join(neigh, labels.node == neigh.a, "left")
-                .select(labels.node, labels.label,
-                        F.least(labels.label,
-                                F.coalesce(F.col("nl"), labels.label))
-                        .alias("mid")))
+        # phase 1: min over self ∪ direct neighbours — the node's own
+        # label rides the union instead of a separate left join
+        msgs = (sym.join(labels, sym.b == labels.node)
+                .select(F.col("a").alias("node"), F.col("label")))
+        prop = (msgs.unionByName(labels)
+                .groupBy("node").agg(F.min("label").alias("mid")))
         # phase 2: pointer jumping (label := label of my label) — halves
         # component diameter per round, so convergence is O(log d) rounds
         # instead of O(d) on chain-shaped clusters
         lut = prop.select(F.col("node").alias("hn"),
                           F.col("mid").alias("hl"))
         staged = (prop.join(lut, prop.mid == lut.hn, "left")
-                  .select(prop.node, prop.label,
+                  .select(prop.node,
                           F.least(F.col("mid"),
                                   F.coalesce(F.col("hl"), F.col("mid")))
-                          .alias("new_label"))
+                          .alias("label"))
                   .localCheckpoint(eager=False))
-        if staged.filter(F.col("new_label") < F.col("label")).count() == 0:
+        new_sum = staged.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        labels = staged
+        if new_sum == prev_sum:
             break
-        labels = staged.select("node", F.col("new_label").alias("label"))
+        prev_sum = new_sum
     return labels
 
 
@@ -637,7 +612,6 @@ def dedup_cc_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"),
              F.to_json(F.array_sort(F.collect_list("node"))).alias("members"))
         .select(F.col("label").alias("survivor_id"), "n_members", "members")
-        .orderBy("survivor_id")
     )
 
 
@@ -676,7 +650,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.30)
         .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -762,7 +735,6 @@ def dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"),
              F.min("doc_id").cast("bigint").alias("survivor_id"))
         .filter(F.col("n_docs") >= 2)
-        .orderBy("canon_url")
     )
 
 
@@ -844,7 +816,6 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.sum(dup_in_doc).cast("double") / F.sum("n_in_doc"))
               .alias("dup_frac"))
         .filter(F.col("n_dup_grams") > 0)
-        .orderBy("doc_id")
     )
 
 
@@ -922,7 +893,6 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_fuzzy_dups"),
              F.min("b_id").alias("earliest_partner"),
              F.min("dist").cast("bigint").alias("min_dist"))
-        .orderBy("doc_id")
     )
 
 
@@ -1042,7 +1012,6 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.size(F.array_union("sh_a", "sh_b")))
         .filter(F.col("jaccard") >= 0.8)
         .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -1119,8 +1088,7 @@ def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"),
                  F.max("n_shingles").alias("n_shingles"))
-            .filter(F.col("n_hits") >= _DECON_MIN_HITS)
-            .orderBy("doc_id"))
+            .filter(F.col("n_hits") >= _DECON_MIN_HITS))
 
 
 # ---------------------------------------------------------------------------

@@ -428,9 +428,22 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             if rank < k:
                 be = best[1]
                 nb = math.sqrt(dot(be, be))
-                rows = [[c, e, r,
-                         max(m, dot(e, be) / (math.sqrt(dot(e, e)) * nb))]
-                        for c, e, r, m in rows if c != best[0]]
+                # zero-norm guard (r13 advice): the expression form's
+                # divide-by-zero yielded NULL and greatest() skipped it —
+                # mirror that by skipping the maxsim update when either
+                # norm is 0 (or the quotient is NaN) instead of raising
+                # ZeroDivisionError and failing the whole query.  The
+                # normal path is the identical IEEE fold and update rule.
+                nxt = []
+                for c, e, r, m in rows:
+                    if c == best[0]:
+                        continue
+                    ne = math.sqrt(dot(e, e))
+                    if nb > 0.0 and ne > 0.0:
+                        s = dot(e, be) / (ne * nb)
+                        m = max(m, s)
+                    nxt.append([c, e, r, m])
+                rows = nxt
         return pd.DataFrame(out, columns=["query_id", "pick_rank",
                                           "cand_id", "mmr_score"])
 

@@ -91,7 +91,7 @@ def test_hashed_shingles_match_string_shingles(spark, tokens, k):
     assert n_hashed == expect
 
 
-# -- byte-size conf parsing: llm/dedup.py::_parse_bytes ---------------------
+# -- byte-size conf parsing: sources/tables.py::_parse_bytes ----------------
 
 _SUFFIX_SCALE = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
                  "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30,
@@ -106,7 +106,7 @@ def test_parse_bytes_accepts_every_spark_form(n, suffix, pad, upper):
     """Every (number, JVM suffix, whitespace, case) combination a human or
     Spark itself can put in maxPartitionBytes parses to the exact byte
     count — the fallback default must only ever cover malformed values."""
-    from json_sql_database_storage_spark.llm.dedup import _parse_bytes
+    from json_sql_database_storage_spark.sources.tables import _parse_bytes
 
     text = f"{pad}{n}{pad}{suffix.upper() if upper else suffix}{pad}"
     assert _parse_bytes(text) == n * _SUFFIX_SCALE[suffix]
@@ -116,7 +116,7 @@ def test_parse_bytes_accepts_every_spark_form(n, suffix, pad, upper):
 def test_parse_bytes_rejects_malformed(text):
     import pytest
 
-    from json_sql_database_storage_spark.llm.dedup import _parse_bytes
+    from json_sql_database_storage_spark.sources.tables import _parse_bytes
 
     with pytest.raises(ValueError):
         _parse_bytes(text)
