@@ -87,14 +87,15 @@ def text_inverted_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     index_path = _sink("inv_index", spark)
-    # repartition BY BUCKET before the partitioned write — otherwise every
+    # REBALANCE by bucket before the partitioned write — otherwise every
     # task writes a sliver of every bucket directory (tasks × B small
-    # files; the classic partitionBy file explosion).  No fixed count:
-    # AQE sizes the write stage (pq.py's repartition("cell") precedent) —
-    # a small corpus coalesces to one writer task, a big one fans out by
-    # advisory partition bytes (guide §2.2/§6)
+    # files; the classic partitionBy file explosion).  Rebalance, not
+    # repartition(col) (r13 verdict what's-wrong #2): AQE coalesces a
+    # small corpus to one writer task AND can split an advisory-oversized
+    # bucket, so a corpus-sized build is no longer capped at _IDX_BUCKETS
+    # writer tasks (guide §2.2/§6)
     (build_inverted_index(docs)
-     .repartition("bkt")
+     .hint("rebalance", "bkt")
      .write.mode("overwrite").partitionBy("bkt").parquet(index_path))
 
     idx = spark.read.parquet(index_path)
@@ -486,7 +487,7 @@ def _bm25_write_seg(spark: SparkSession, paths: dict[str, str],
          .withColumn("bkt", F.pmod(F.xxhash64("term"),
                                    F.lit(_IDX_BUCKETS)).cast("int"))
          .withColumn("seg", F.lit(seg).cast("int"))
-         .repartition("bkt")
+         .hint("rebalance", "bkt")
          .write.mode("append").partitionBy("seg", "bkt")
          .parquet(paths["index"]))
         dl_delta = toked.select("doc_id",
@@ -708,7 +709,7 @@ def bm25_compact(spark: SparkSession, paths: dict[str, str]) -> dict[str, str]:
         _clear_seg(paths["index"], seg)
         _clear_seg(paths["dl"], seg)
         (live_post.withColumn("seg", F.lit(seg).cast("int"))
-         .repartition("bkt")
+         .hint("rebalance", "bkt")
          .write.mode("append").partitionBy("seg", "bkt")
          .parquet(paths["index"]))
         (live_dl.withColumn("seg", F.lit(seg).cast("int"))
@@ -928,7 +929,7 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     index_path = _sink("inv_index_pos", spark)
     (build_positional_index(docs)
-     .repartition("bkt")
+     .hint("rebalance", "bkt")
      .write.mode("overwrite").partitionBy("bkt").parquet(index_path))
     idx = spark.read.parquet(index_path)
 

@@ -146,7 +146,11 @@ def pagerank_ranks(spark: SparkSession, sf_dir: str, iters: int,
                      + F.expr("(85 * s) div 100")).cast("bigint").alias("r"))
         )
         if checkpoint_every and i % checkpoint_every == 0 and i < iters:
-            ranks = ranks.localCheckpoint(eager=True)
+            # LAZY (r14, guide §1.2): the checkpoint still truncates the
+            # logical plan to a leaf immediately — the depth bound this
+            # loop exists for — but materializes inside the consumer's
+            # one action instead of its own driver-paced job per segment.
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 

@@ -305,25 +305,33 @@ def kcore_trajectory(spark: SparkSession, edges: DataFrame) -> DataFrame:
             .localCheckpoint(eager=True))
     e_pb = (e_pa.repartition(n_part, "pb")
             .localCheckpoint(eager=True))
+    # LAZY loop checkpoints (r14, guide §1.2 — the cc_labels recipe): the
+    # per-round `removed.count()` below computes EVERY partition of the
+    # round's removed set and, through it, the staged alive table, so
+    # both checkpoints materialize inside the convergence probe's job.
+    # The eager form paid three driver-paced jobs per round (removed
+    # checkpoint, take(1) probe, alive checkpoint) where one suffices.
+    # The big edge copies above stay EAGER: they are materialized once,
+    # read every round, and must not fold into round 0's job alone.
     alive = (e_pa.select(F.col("pa").alias("node"))
              .unionAll(e_pb.select(F.col("pb").alias("node")))
              .groupBy("node")
              .agg(F.count(F.lit(1)).cast("long").alias("d"))
-             .localCheckpoint(eager=True))
+             .localCheckpoint(eager=False))
     deaths = None
     for r in range(_KCORE_ROUNDS):
         removed = (alive.filter(F.col("d") < _KCORE_K).select("node")
-                   .localCheckpoint(eager=True))
+                   .localCheckpoint(eager=False))
         d_r = removed.select("node", F.lit(r).cast("int").alias("dr"))
         deaths = d_r if deaths is None else deaths.unionByName(d_r)
-        if not removed.take(1):
+        if removed.count() == 0:
             break                       # fixed point: nothing else peels
         if r == _KCORE_ROUNDS - 1:
             # final round (r10 review): only alive's MEMBERSHIP feeds the
             # post-loop survivor census — the degree decrement would be
             # dead values, so skip the two edge joins entirely
             alive = (alive.join(removed, "node", "left_anti")
-                     .localCheckpoint(eager=True))
+                     .localCheckpoint(eager=False))
             continue
         dec = (e_pa.join(removed.withColumnRenamed("node", "pa"), "pa")
                .select(F.col("pb").alias("node"))
@@ -336,8 +344,8 @@ def kcore_trajectory(spark: SparkSession, edges: DataFrame) -> DataFrame:
                  .select("node",
                          (F.col("d") - F.coalesce(F.col("dec"), F.lit(0)))
                          .alias("d"))
-                 .localCheckpoint(eager=True))
-    deaths = deaths.localCheckpoint(eager=True)   # O(V); read three times
+                 .localCheckpoint(eager=False))
+    deaths = deaths.localCheckpoint(eager=False)  # O(V); read three times
     sent = F.lit(_KCORE_ROUNDS).cast("int")
     node_hist = (alive.select(sent.alias("dr"))       # survivors: dr = R
                  .unionAll(deaths.select("dr"))
