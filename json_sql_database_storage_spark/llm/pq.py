@@ -393,7 +393,7 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_path = _sink("ivfpq_index", spark)
     (enc.join(assigned, "vec_id")
      .select("vec_id", "m", "code", F.col("cluster").alias("cell"))
-     .repartition("cell")
+     .hint("rebalance", "cell")
      .write.mode("overwrite").partitionBy("cell").parquet(index_path))
     idx = spark.read.parquet(index_path)
 
@@ -642,7 +642,7 @@ def sim_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     index_path = _sink("ivfpq_res_index", spark)
     (enc.join(cells, "vec_id")
      .select("vec_id", "m", "code", "cell")
-     .repartition("cell")
+     .hint("rebalance", "cell")
      .write.mode("overwrite").partitionBy("cell").parquet(index_path))
     idx = spark.read.parquet(index_path)
 
@@ -897,7 +897,7 @@ def _ivfpq_encode_into(spark: SparkSession, paths: dict[str, str],
      .select("vec_id", "m", "code",
              F.lit(seg).cast("int").alias("seg"),
              F.col("cluster").alias("cell"))
-     .repartition("cell")
+     .hint("rebalance", "cell")
      .write.mode("append").partitionBy("seg", "cell")
      .parquet(paths["index"]))
 
@@ -1063,7 +1063,7 @@ def ivfpq_compact(spark: SparkSession, paths: dict[str, str]) -> dict[str, str]:
         live = _ivfpq_live(spark, paths, _ivfpq_codes(spark, paths, m), m)
         _ivfpq_clear_seg(paths["index"], seg)
         (live.withColumn("seg", F.lit(seg).cast("int"))
-         .repartition("cell")
+         .hint("rebalance", "cell")
          .write.mode("append").partitionBy("seg", "cell")
          .parquet(paths["index"]))
         out = {_V_CODES: [seg], _V_TOMB: [], _V_NEXT: seg + 1}
